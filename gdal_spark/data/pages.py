@@ -1,0 +1,186 @@
+"""Deterministic synthetic pages + polygons tables (FIXTURES.md §1–§2).
+
+The pages table matches BASELINE.json's input_hint shape exactly:
+(url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+Everything is a pure function of (seed, row index) so oracles reproduce.
+Generation is DISTRIBUTED: ``spark.range`` + column expressions + one
+Arrow-batched pandas UDF for the html bytes — no driver-side loops, so the
+same generator runs at 10^4 (tests) or 10^9 (cluster smoke) rows.
+
+The html→text invariant: ``text == extract_text(html)`` byte-identical per
+url (north rule). ``operators.text.extract_text`` is the single extractor
+implementation; the generator builds html AROUND a known text so the
+invariant is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from gdal_spark.data.geotag import derived_lat, derived_lon
+from gdal_spark.spatial import geometry as G
+
+LANGS = ["en", "de", "fr", "es", "pt", "zh", "ru", "ja", "ar", "hi"]
+
+# Deterministic word pool for body text (seeded once, module-level constant).
+_WORDS = [
+    "data", "spark", "tile", "mercator", "polygon", "join", "raster",
+    "vector", "index", "shuffle", "batch", "arrow", "quadkey", "zoom",
+    "page", "crawl", "engine", "kernel", "lineage", "checkpoint",
+]
+
+
+def body_text(i: int) -> str:
+    """Deterministic 8..23-word body paragraph for row i."""
+    n = 8 + (i * 7919) % 16
+    return " ".join(_WORDS[(i * 31 + j * 17) % len(_WORDS)] for j in range(n))
+
+
+def page_title(i: int) -> str:
+    return f"T{i}"
+
+
+def page_text(i: int) -> str:
+    """The reference-extractor output: title + newline + paragraph text."""
+    return page_title(i) + "\n" + body_text(i)
+
+
+def page_html(i: int) -> bytes:
+    return (
+        f"<html><head><title>{page_title(i)}</title></head><body><p>"
+        f"{body_text(i)}</p></body></html>"
+    ).encode("utf-8")
+
+
+def pages_df(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic pages table of ``n_rows`` rows."""
+    df = spark.range(0, n_rows, numPartitions=partitions).withColumnRenamed("id", "i")
+
+    @F.pandas_udf(BinaryType())
+    def gen_html(i: pd.Series) -> pd.Series:
+        return i.map(lambda x: page_html(int(x)))
+
+    @F.pandas_udf("string")
+    def gen_text(i: pd.Series) -> pd.Series:
+        return i.map(lambda x: page_text(int(x)))
+
+    sha = F.sha1(F.concat(F.lit("42:"), F.col("i").cast("string")))
+    return df.select(
+        F.col("i"),
+        F.concat(
+            F.lit("https://site"),
+            (F.col("i") % 1000).cast("string"),
+            F.lit(".example/"),
+            F.substring(sha, 1, 8),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("i").cast("double"))
+        ).alias("warc_ts"),
+        gen_html(F.col("i")).alias("html"),
+        gen_text(F.col("i")).alias("text"),
+        F.element_at(F.array(*[F.lit(x) for x in LANGS]), (F.col("i") % 10 + 1).cast("int")).alias("lang"),
+        derived_lon(F.col("i")).alias("lon"),
+        derived_lat(F.col("i")).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polygon dimension (FIXTURES.md §2): ~72 deterministic polygons — an 8×8
+# rectangle mosaic over a window containing the hot cell, plus hexagons,
+# concave shapes, one polygon with a hole, and 8 far-away anti-join polygons.
+# ---------------------------------------------------------------------------
+
+def _rect(x0, y0, x1, y1):
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+
+
+def _hexagon(cx, cy, r):
+    ang = np.linspace(0.0, 2.0 * np.pi, 7)  # closed, CCW
+    return [np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], axis=1)]
+
+
+def _l_shape(x0, y0, w, h):
+    # Concave L: big square minus the top-right quadrant.
+    return [
+        np.array(
+            [
+                [x0, y0], [x0 + w, y0], [x0 + w, y0 + h / 2],
+                [x0 + w / 2, y0 + h / 2], [x0 + w / 2, y0 + h],
+                [x0, y0 + h], [x0, y0],
+            ]
+        )
+    ]
+
+
+def polygon_records() -> list[dict]:
+    """Deterministic polygon layer. eas_id values reproduce the DISTINCT /
+    ORDER BY oracles of ogr_sql_test.py:190-232 ([168,169,166,158,165] on
+    the first rows; full set has duplicates)."""
+    eas_pool = [168, 169, 166, 158, 165, 170, 171, 172, 173, 174, 175, 176,
+                177, 178, 179, 158, 165, 166]
+    recs = []
+    pid = 0
+    # 8×8 mosaic over lon [-6, 10] × lat [42, 54] (contains hot cell 2.35/48.85).
+    # Bounds at *.x3 offsets — never equal to the 1e-4-quantized page coords,
+    # so strict-vs-closed boundary semantics can't flip a match.
+    for gy in range(8):
+        for gx in range(8):
+            x0 = -6.00003 + gx * 2.0
+            y0 = 42.00003 + gy * 1.5
+            rings = _rect(x0, y0, x0 + 2.0, y0 + 1.5)
+            recs.append(_rec(pid, eas_pool[pid % len(eas_pool)], rings))
+            pid += 1
+    # Hexagons, concave, hole, multipolygon parts (outside the mosaic window
+    # so pip matches stay 1:1 per point).
+    recs.append(_rec(pid, 180, _hexagon(20.0001, 20.0001, 3.0))); pid += 1
+    recs.append(_rec(pid, 181, _l_shape(30.00003, 30.00003, 4.0, 4.0))); pid += 1
+    hole = _rect(40.00003, 40.00003, 48.00003, 46.00003)[0]
+    inner = _rect(42.00003, 42.00003, 44.00003, 44.00003)[0][::-1].copy()
+    recs.append(_rec(pid, 182, [hole, inner])); pid += 1
+    # 8 anti-join polygons far from every derived geotag (lat > 84 is outside
+    # the generator's range).
+    for j in range(8):
+        recs.append(_rec(pid, 190 + j, _rect(-170.0 + j * 5, 84.2, -168.0 + j * 5, 84.8)))
+        pid += 1
+    return recs
+
+
+def _rec(pid: int, eas_id: int, rings: list[np.ndarray]) -> dict:
+    xmin, ymin, xmax, ymax = G.rings_envelope(rings)
+    area = _shoelace(rings)
+    return {
+        "poly_id": pid,
+        "eas_id": eas_id,
+        "prfedea": f"35043411{pid:02d}",
+        "area": area,
+        "rings": [[list(map(float, pt)) for pt in ring] for ring in rings],
+        "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax,
+        "wkb": bytearray(G.wkb_polygon(rings)),
+        "srid": 4326,
+    }
+
+
+def _shoelace(rings: list[np.ndarray]) -> float:
+    total = 0.0
+    for k, ring in enumerate(rings):
+        x, y = ring[:, 0], ring[:, 1]
+        a = 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+        total += a if k == 0 else -a
+    return total
+
+
+POLYGON_SCHEMA = (
+    "poly_id long, eas_id long, prfedea string, area double, "
+    "rings array<array<array<double>>>, "
+    "xmin double, ymin double, xmax double, ymax double, wkb binary, srid int"
+)
+
+
+def polygons_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(polygon_records(), schema=POLYGON_SCHEMA)

@@ -1,0 +1,249 @@
+"""Point-in-polygon spatial join — the north-rule operator.
+
+Reference semantics: GDAL's 3-stage spatial filter (ogrlayer.cpp:4005-4076
+``FilterGeometry``: envelope prefilter → envelope-containment shortcut →
+exact predicate) with the exact predicate being strict-interior ray casting
+(ogrlinearring.cpp:452-521, holes via ogrcurvepolygon.cpp:810-867) — and the
+prepared-geometry reuse pattern of ogrgeometry.cpp:7530-7665 (build the
+polygon-side index ONCE, probe many points).
+
+Spark-first execution, two physical strategies:
+
+1. ``pip_join`` (broadcast) — the polygon side is a small dimension
+   (thousands of polygons): pack rings into numpy ONCE on the driver,
+   broadcast, and stream the point side through ``mapInPandas``. ZERO
+   shuffle: the plan is scan → mapInPandas → (anything downstream). At
+   100 TB of points this is a map-only stage that scales linearly with
+   executors — the polygon index plays the role of GDAL's prepared
+   geometries, the per-polygon bbox array plays the quadtree.
+
+2. ``pip_join_cells`` (shuffle) — for polygon sides too big to broadcast:
+   cover every polygon with WebMercator tiles at a chosen zoom (the
+   rasterize-lite of llrasterize.cpp:58 semantics), explode, and equi-join
+   on the cell key. Hot cells (dense geotag clusters) are salted: the point
+   side gets a deterministic salt, the polygon-cover side is replicated per
+   salt — a standard two-sided skew fix the reference never needed
+   single-node (SURVEY.md §4 "salting: absent").
+
+Both paths end in the same exact kernel, so results are identical; only the
+physical plan differs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.spatial import geometry as G
+from gdal_spark.spatial import tilemath as TM
+
+
+# ---------------------------------------------------------------------------
+# Packed polygon index (broadcast payload)
+# ---------------------------------------------------------------------------
+
+class PolygonIndex:
+    """Driver-built, broadcast-able polygon index.
+
+    Bbox arrays give the vectorized envelope prefilter; rings are numpy
+    arrays parsed once (the "prepared geometry"). Polygons are held in
+    poly_id order so first-match (min poly_id) is a stable rule.
+    """
+
+    def __init__(self, poly_ids, rings_list, boxes):
+        self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
+        self.rings_list = rings_list  # list[list[np.ndarray(n,2)]]
+        self.boxes = np.asarray(boxes, dtype=np.float64)  # (P, 4) xmin ymin xmax ymax
+
+    @classmethod
+    def from_rows(cls, rows):
+        poly_ids, rings_list, boxes = [], [], []
+        for r in rows:
+            rings = G.rings_to_numpy(r["rings"])
+            poly_ids.append(r["poly_id"])
+            rings_list.append(rings)
+            boxes.append(G.rings_envelope(rings))
+        order = np.argsort(np.asarray(poly_ids))
+        return cls(
+            [poly_ids[i] for i in order],
+            [rings_list[i] for i in order],
+            [boxes[i] for i in order],
+        )
+
+    def probe(self, px: np.ndarray, py: np.ndarray, first_match: bool):
+        """Return (point_idx, poly_id) match pairs for a batch of points."""
+        out_pt: list[np.ndarray] = []
+        out_poly: list[np.ndarray] = []
+        matched = np.zeros(px.shape[0], dtype=bool) if first_match else None
+        # Envelope prefilter, vectorized per polygon (bbox arrays ≈ quadtree
+        # leaf scan; P is broadcast-small so the loop is over polygons, and
+        # each iteration is a full-batch numpy op).
+        for k in range(self.poly_ids.shape[0]):
+            xmin, ymin, xmax, ymax = self.boxes[k]
+            cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
+            if first_match:
+                cand &= ~matched
+            idx = np.nonzero(cand)[0]
+            if idx.size == 0:
+                continue
+            inside = G.points_in_polygon(px[idx], py[idx], self.rings_list[k])
+            hit = idx[inside]
+            if hit.size:
+                out_pt.append(hit)
+                out_poly.append(np.full(hit.shape[0], self.poly_ids[k], dtype=np.int64))
+                if first_match:
+                    matched[hit] = True
+        if not out_pt:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty
+        return np.concatenate(out_pt), np.concatenate(out_poly)
+
+
+def build_polygon_index(polygons: DataFrame) -> PolygonIndex:
+    rows = polygons.select("poly_id", "rings").collect()
+    return PolygonIndex.from_rows(rows)
+
+
+# ---------------------------------------------------------------------------
+# Strategy 1: broadcast map-only join
+# ---------------------------------------------------------------------------
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    how: str = "inner",
+    first_match: bool = False,
+) -> DataFrame:
+    """Join points to containing polygons. Output = point columns + poly_id.
+
+    ``how='left'`` keeps unmatched points with null poly_id (GDAL LEFT JOIN);
+    ``first_match=True`` keeps only the lowest poly_id per point (GDAL's
+    first-match 1-row join semantics, ogr_gensql.cpp:1516-1546 — FID order).
+    """
+    spark = points.sparkSession
+    index = build_polygon_index(polygons)
+    bc = spark.sparkContext.broadcast(index)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(points.schema.fields) + [StructField("poly_id", LongType(), True)]
+    )
+    left = how == "left"
+    lon_i = points.columns.index(lon)
+    lat_i = points.columns.index(lat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = bc.value
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            px = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
+            py = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
+            pt_idx, poly_id = idx.probe(px, py, first_match)
+            out = pdf.iloc[pt_idx].copy()
+            out["poly_id"] = poly_id
+            if left:
+                unmatched = np.ones(pdf.shape[0], dtype=bool)
+                unmatched[pt_idx] = False
+                miss = pdf.iloc[np.nonzero(unmatched)[0]].copy()
+                miss["poly_id"] = pd.array([None] * miss.shape[0], dtype="Int64")
+                out = pd.concat([out, miss], ignore_index=True)
+            yield out
+
+    return points.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Strategy 2: cell-key equi-join with salting
+# ---------------------------------------------------------------------------
+
+def polygon_cell_cover(polygons: DataFrame, zoom: int) -> DataFrame:
+    """Explode polygons to their covering XYZ tiles at ``zoom``.
+
+    Cover = all tiles intersecting the polygon ENVELOPE (the prefilter
+    contract; exact test happens after the join). Envelope→tile-range uses
+    the same lon/lat→tile math as the point side so edges agree.
+    """
+    covered_schema = (
+        "poly_id long, rings array<array<array<double>>>, cell_tx int, cell_ty int"
+    )
+
+    def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"poly_id": [], "rings": [], "cell_tx": [], "cell_ty": []}
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                arr = G.rings_to_numpy(rings)
+                xmin, ymin, xmax, ymax = G.rings_envelope(arr)
+                ymin = max(ymin, -TM.MAX_LAT)
+                ymax = min(ymax, TM.MAX_LAT)
+                tx0, ty_top = TM.py_lonlat_to_tile(xmin, ymax, zoom)
+                tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
+                for ty in range(ty_top, ty_bot + 1):
+                    for tx in range(tx0, tx1 + 1):
+                        rows["poly_id"].append(pid)
+                        rows["rings"].append(rings)
+                        rows["cell_tx"].append(tx)
+                        rows["cell_ty"].append(ty)
+            yield pd.DataFrame(rows)
+
+    return polygons.select("poly_id", "rings").mapInPandas(cover, covered_schema)
+
+
+def pip_join_cells(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    zoom: int = 7,
+    salt: int = 0,
+    first_match: bool = False,
+) -> DataFrame:
+    """Shuffle-based PIP join: cell-cover equi-join + exact kernel.
+
+    ``salt`` > 1 replicates each polygon-cover row ``salt`` times and spreads
+    points deterministically across replicas — shuffle partitions for a hot
+    cell shrink by the salt factor. Leave 0/1 for unskewed data.
+    """
+    pts = points
+    tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    pts = pts.withColumn("cell_tx", tx).withColumn("cell_ty", ty)
+
+    cover = polygon_cell_cover(polygons, zoom)
+    join_keys = ["cell_tx", "cell_ty"]
+    if salt and salt > 1:
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]), F.lit(salt)).cast("int")
+        )
+        cover = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        join_keys = join_keys + ["_salt"]
+
+    joined = pts.join(cover, on=join_keys, how="inner")
+
+    # Exact predicate — vectorized per polygon group within each Arrow batch.
+    @F.pandas_udf("boolean")
+    def contains(lon_s: pd.Series, lat_s: pd.Series, poly_id: pd.Series, rings: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon_s), dtype=bool)
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        for pid, grp in pd.RangeIndex(len(lon_s)).to_series().groupby(poly_id.values):
+            pos = grp.to_numpy()
+            arr = G.rings_to_numpy(rings.iloc[pos[0]])
+            out[pos] = G.points_in_polygon(px[pos], py[pos], arr)
+        return pd.Series(out)
+
+    result = (
+        joined.filter(contains(F.col(lon), F.col(lat), F.col("poly_id"), F.col("rings")))
+        .drop("rings", "cell_tx", "cell_ty", "_salt")
+    )
+    if first_match:
+        result = result.groupBy(*points.columns).agg(F.min("poly_id").alias("poly_id"))
+    return result

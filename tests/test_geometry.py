@@ -1,0 +1,123 @@
+"""PIP kernel parity tests — boundary cases per FIXTURES.md §3, transcribed
+from the reference's own oracle style (autotest/ogr/ogr_geom.py:2430-2475:
+Contains/Within of points 1e-4 inside/outside; :4049: Contains of a point on
+the boundary is FALSE)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.spatial import geometry as G
+
+SQUARE = [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])]
+# Square with a hole [4,6]^2 (hole ring CW = reversed)
+HOLED = [
+    SQUARE[0],
+    np.array([[4.0, 4.0], [4.0, 6.0], [6.0, 6.0], [6.0, 4.0], [4.0, 4.0]]),
+]
+CONCAVE_L = [
+    np.array(
+        [[0.0, 0.0], [10.0, 0.0], [10.0, 5.0], [5.0, 5.0], [5.0, 10.0],
+         [0.0, 10.0], [0.0, 0.0]]
+    )
+]
+
+
+def pip(x, y, rings, **kw):
+    return bool(
+        G.points_in_polygon(np.array([x]), np.array([y]), rings, **kw)[0]
+    )
+
+
+def boundary(x, y, ring):
+    return bool(G.points_on_ring_boundary(np.array([x]), np.array([y]), ring)[0])
+
+
+def test_point_just_inside_and_outside_edge():
+    # ogr_geom.py tolerance-style cases at 1e-4
+    assert pip(5.0, 0.0001, SQUARE) is True
+    assert pip(5.0, -0.0001, SQUARE) is False
+    assert pip(0.0001, 5.0, SQUARE) is True
+    assert pip(-0.0001, 5.0, SQUARE) is False
+
+
+def test_point_on_vertex_is_boundary_not_within():
+    # Contains(point-on-boundary) == 0 (ogr_geom.py:4049)
+    assert boundary(0.0, 0.0, SQUARE[0]) is True
+    assert pip(0.0, 0.0, SQUARE) is False
+    # But Intersects semantics include the boundary
+    assert pip(0.0, 0.0, SQUARE, boundary_is_inside=True) is True
+
+
+def test_point_on_edge_midpoint():
+    assert boundary(5.0, 0.0, SQUARE[0]) is True
+    assert pip(5.0, 0.0, SQUARE) is False
+    assert pip(5.0, 10.0, SQUARE) is False
+
+
+def test_point_inside_hole_is_outside():
+    assert pip(5.0, 5.0, HOLED) is False
+    assert pip(2.0, 2.0, HOLED) is True
+    # on the hole boundary: part of polygon boundary → not contained
+    assert pip(4.0, 5.0, HOLED) is False
+    assert pip(4.0, 5.0, HOLED, boundary_is_inside=True) is True
+
+
+def test_concave_polygon():
+    assert pip(2.0, 8.0, CONCAVE_L) is True      # in the L's vertical arm
+    assert pip(8.0, 2.0, CONCAVE_L) is True      # in the horizontal arm
+    assert pip(8.0, 8.0, CONCAVE_L) is False     # in the notch
+    assert pip(5.0001, 5.0001, CONCAVE_L) is False
+    assert pip(4.9999, 5.0001, CONCAVE_L) is True
+
+
+def test_horizontal_edge_ray_parity():
+    # Polygon with a horizontal edge aligned with the test ray — the strict
+    # (y1>0&&y2<=0)||(y2>0&&y1<=0) rule must not double count.
+    poly = [
+        np.array(
+            [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [8.0, 4.0], [8.0, 8.0],
+             [0.0, 8.0], [0.0, 0.0]]
+        )
+    ]
+    assert pip(1.0, 4.0, poly) is True   # ray passes through horizontal edge y=4
+    assert pip(-1.0, 4.0, poly) is False
+
+
+def test_ring_start_vertex_probe():
+    # probe == ring start/end vertex
+    assert boundary(0.0, 0.0, CONCAVE_L[0]) is True
+    assert pip(0.0, 0.0, CONCAVE_L) is False
+
+
+def test_degenerate_ring_too_few_points():
+    tri_open = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])  # 3 pts < 4
+    assert not G.points_in_ring(np.array([0.3]), np.array([0.3]), tri_open)[0]
+
+
+def test_great_circle_reference_formula():
+    # Equator quarter-circumference: 90° of longitude at lat 0.
+    d = G.great_circle_distance(
+        np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([90.0])
+    )[0]
+    assert d == pytest.approx(np.pi / 2 * G.EARTH_RADIUS, rel=1e-12)
+    # identical points → exactly 0 via the acos clamp
+    d0 = G.great_circle_distance(
+        np.array([48.85]), np.array([2.35]), np.array([48.85]), np.array([2.35])
+    )[0]
+    assert d0 == 0.0
+    # antipodal clamp never NaNs
+    dpi = G.great_circle_distance(
+        np.array([0.0]), np.array([0.0]), np.array([0.0]), np.array([180.0])
+    )[0]
+    assert dpi == pytest.approx(np.pi * G.EARTH_RADIUS, rel=1e-12)
+
+
+def test_wkb_roundtrip():
+    kind, rings = G.parse_wkb(G.wkb_polygon(HOLED))
+    assert kind == "polygon"
+    assert len(rings) == 2
+    np.testing.assert_array_equal(rings[0], HOLED[0])
+    kind, (x, y) = G.parse_wkb(G.wkb_point(2.35, 48.85))
+    assert kind == "point" and (x, y) == (2.35, 48.85)
+    kind, polys = G.parse_wkb(G.wkb_multipolygon([SQUARE, CONCAVE_L]))
+    assert kind == "multipolygon" and len(polys) == 2
