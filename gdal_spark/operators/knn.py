@@ -1,0 +1,188 @@
+"""k-nearest-neighbour search over geotagged rows.
+
+Reference semantics: GDALGridNearestNeighbor / moving-window metrics search a
+CPLQuadTree (bucket 8, depth 12) with an expanding window until enough
+candidates are found (alg/gdalgrid.cpp:905+, port/cpl_quad_tree.cpp:138-231);
+the refine metric is the spherical-law-of-cosines great-circle distance
+(ogr/ogr_geo_utils.cpp:25-46).
+
+Spark-first design, two strategies:
+
+* ``knn_join`` — queries are broadcast-small (the common shape: a probe set
+  against a planetary point table). Each partition computes distances of its
+  points to ALL queries vectorized (M×Q numpy), keeps only its LOCAL top-k
+  per query (map-side pruning — the shuffle carries at most
+  partitions × Q × k rows, independent of table size), then a global
+  ``row_number`` window takes the final top-k. This is the
+  TakeOrderedAndProject pattern generalized per query key.
+
+* ``knn_cell_join`` — both sides large: points bucketed by quadkey cell;
+  each query probes its own cell plus ``ring`` rings of neighbours (the
+  k-ring expansion analog of the quadtree's expanding window), equi-join on
+  cell, exact refine, window top-k. Correct iff the k-th neighbour lies
+  within the ring radius — callers choose ring from data density, or use
+  ``knn_join`` for exactness.
+
+Ties break by (distance, id) ascending — deterministic, matching the
+FIXTURES.md §6 oracle rule.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from gdal_spark.spatial import geometry as G
+from gdal_spark.spatial import tilemath as TM
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    point_id: str = "i",
+    query_id: str = "query_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact kNN of each query against all points.
+
+    Output: (query_id, neighbor_id, rank, dist_m) with rank 1..k by
+    (dist_m, neighbor_id). ``include_self=False`` drops exact id matches
+    (self-join convention when queries ⊂ points).
+    """
+    spark = points.sparkSession
+    q_rows = queries.select(query_id, lon, lat).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_lon = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_lat = np.array([r[2] for r in q_rows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((q_ids, q_lon, q_lat))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("dist_m", DoubleType()),
+        ]
+    )
+    id_i = points.columns.index(point_id)
+    lon_i = points.columns.index(lon)
+    lat_i = points.columns.index(lat)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qlon, qlat = bc.value
+        nq = ids.shape[0]
+        # Running per-partition top-k accumulators (small: Q × k)
+        acc_d = [np.full(0, np.inf) for _ in range(nq)]
+        acc_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            p_id = pdf.iloc[:, id_i].to_numpy(dtype=np.int64)
+            p_lon = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
+            p_lat = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
+            for qi in range(nq):
+                d = G.great_circle_distance(
+                    np.full(p_lat.shape, qlat[qi]),
+                    np.full(p_lon.shape, qlon[qi]),
+                    p_lat,
+                    p_lon,
+                )
+                cand_d = np.concatenate([acc_d[qi], d])
+                cand_i = np.concatenate([acc_i[qi], p_id])
+                if not include_self:
+                    keep = cand_i != ids[qi]
+                    cand_d, cand_i = cand_d[keep], cand_i[keep]
+                if cand_d.shape[0] > k:
+                    # partial select then exact sort of the k survivors
+                    part = np.argpartition(cand_d, k - 1)[:k]
+                    cand_d, cand_i = cand_d[part], cand_i[part]
+                order = np.lexsort((cand_i, cand_d))
+                acc_d[qi], acc_i[qi] = cand_d[order], cand_i[order]
+        rows = {
+            "query_id": np.repeat(ids, [a.shape[0] for a in acc_i]),
+            "neighbor_id": np.concatenate(acc_i) if acc_i else np.empty(0, np.int64),
+            "dist_m": np.concatenate(acc_d) if acc_d else np.empty(0),
+        }
+        yield pd.DataFrame(rows)
+
+    partial = points.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_m")
+    )
+
+
+def knn_cell_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    zoom: int = 7,
+    ring: int = 1,
+    point_id: str = "i",
+    query_id: str = "query_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    include_self: bool = False,
+) -> DataFrame:
+    """Cell-bucketed approximate-window kNN (exact within ``ring`` rings).
+
+    Points carry (tx, ty) at ``zoom``; each query explodes to the
+    (2·ring+1)² neighbouring cells (k-ring expansion on the tile grid, the
+    quadkey analog of H3 k-ring), equi-joins, refines with the exact
+    great-circle metric, and window-top-k's.
+    """
+    ptx, pty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    pts = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col(lon).alias("_plon"),
+        F.col(lat).alias("_plat"),
+        ptx.alias("cell_tx"),
+        pty.alias("cell_ty"),
+    )
+    qtx, qty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    offsets = F.sequence(F.lit(-ring), F.lit(ring))
+    qry = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(lon).alias("_qlon"),
+            F.col(lat).alias("_qlat"),
+            qtx.alias("_qtx"),
+            qty.alias("_qty"),
+        )
+        .withColumn("_dx", F.explode(offsets))
+        .withColumn("_dy", F.explode(offsets))
+        .withColumn("cell_tx", F.col("_qtx") + F.col("_dx"))
+        .withColumn("cell_ty", F.col("_qty") + F.col("_dy"))
+    )
+    joined = qry.join(pts, on=["cell_tx", "cell_ty"], how="inner")
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    d2r = float(np.pi / 180.0)
+    dist = F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                F.sin(F.col("_qlat") * d2r) * F.sin(F.col("_plat") * d2r)
+                + F.cos(F.col("_qlat") * d2r)
+                * F.cos(F.col("_plat") * d2r)
+                * F.cos((F.col("_plon") - F.col("_qlon")) * d2r),
+            ),
+        )
+    ) * F.lit(G.EARTH_RADIUS)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_m")
+    )

@@ -1,0 +1,272 @@
+"""Raster↔vector operators over a tile DataFrame.
+
+The raster model (SURVEY.md §1.2): a raster is a DataFrame of tiles
+``(zoom, tx, ty, band, data, width, height)`` — GDAL's block cache
+(gcore/gdalrasterblock.h) turned into rows, on the WebMercatorQuad tile
+matrix (gcore/tilematrixset.cpp; default of `gdal raster tile`,
+apps/gdalalg_raster_tile.cpp:191-210). XYZ convention: ty increases
+southward, global pixel (0,0) at the north-west corner.
+
+Operators:
+
+* ``assign_tiles``       — lon/lat → (tx, ty, quadkey) columns (the
+                           raster↔vector tile-assignment join key;
+                           gdalalg_raster_tile.cpp:422-500 semantics).
+* ``synthetic_raster``   — deterministic world-grid raster where pixel value
+                           = f(global_px, global_py, band) in closed form, so
+                           sampling oracles are computable without the table.
+* ``sample_nearest``     — GDALInterpolateAtPoint/warp-nearest parity:
+                           iSrc = int(dfSrc + 1e-10)  (gdalwarpkernel.cpp:5228-5330)
+* ``sample_bilinear``    — warp-bilinear parity:
+                           iSrc = floor(dfSrc - 0.5) + fractional weights
+                           (gdalwarpkernel.cpp:2952-3010)
+* ``overview_pyramid``   — z-1 tiles from ≤4 children by 2×2 average
+                           (gcore/overview.cpp:1214 Average; gdal2tiles.py:1466+)
+
+Sampling is PURE COLUMN MATH + an equi-join on the tile key + element_at on
+the data array — no UDF in the path, fully codegen'd, and the tile-key join
+broadcasts when the raster is small or shuffles on (zoom, tx, ty) when not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.spatial import tilemath as TM
+
+NEAREST_EPS = 1e-10  # gdalwarpkernel.cpp:5228  int(dfSrc + 1e-10)
+
+
+def assign_tiles(
+    df: DataFrame, zoom: int, lon: str = "lon", lat: str = "lat",
+    with_quadkey: bool = True,
+) -> DataFrame:
+    """Add (tx, ty, quadkey) XYZ tile-assignment columns at ``zoom``."""
+    tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    out = df.withColumn("tx", tx).withColumn("ty", ty)
+    if with_quadkey:
+        out = out.withColumn("quadkey", TM.quadkey(F.col("tx"), F.col("ty"), zoom))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Synthetic world raster (deterministic; closed-form pixel values)
+# ---------------------------------------------------------------------------
+
+def pixel_value(gpx, gpy, band):
+    """Closed-form pixel value — integer math, exactly reproducible in SQL:
+    ((gpx*31 + gpy*17 + band*7) % 256) as double. Gradient + wraparound so
+    nearest vs bilinear differ measurably (FIXTURES.md §4)."""
+    return ((gpx * 31 + gpy * 17 + band * 7) % 256).astype(np.float64)
+
+
+def sql_pixel_value(gpx_expr: str, gpy_expr: str, band_expr: str) -> str:
+    return (
+        f"cast((({gpx_expr}) * 31 + ({gpy_expr}) * 17 + ({band_expr}) * 7) % 256"
+        f" as double)"
+    )
+
+
+def synthetic_raster(
+    spark, zoom: int, bands: int = 3, tile_size: int = 256,
+    tx_range: tuple[int, int] | None = None,
+    ty_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """World-grid raster at ``zoom``; optionally windowed to a tile range.
+
+    Distributed generation: one row per (tile, band), data filled by a
+    vectorized kernel over global pixel indices.
+    """
+    n = 1 << zoom
+    tx0, tx1 = tx_range or (0, n - 1)
+    ty0, ty1 = ty_range or (0, n - 1)
+    ntx = tx1 - tx0 + 1
+    nty = ty1 - ty0 + 1
+    ids = spark.range(ntx * nty * bands)
+    base = ids.select(
+        (F.lit(tx0) + (F.col("id") % ntx)).cast("int").alias("tx"),
+        (F.lit(ty0) + F.floor(F.col("id") / ntx) % nty).cast("int").alias("ty"),
+        (F.floor(F.col("id") / (ntx * nty)) + 1).cast("int").alias("band"),
+    )
+
+    def fill(batches):
+        yy, xx = np.mgrid[0:tile_size, 0:tile_size]
+        for pdf in batches:
+            data = []
+            for tx, ty, band in zip(pdf["tx"], pdf["ty"], pdf["band"]):
+                gpx = tx * tile_size + xx
+                gpy = ty * tile_size + yy
+                data.append(pixel_value(gpx, gpy, int(band)).ravel())
+            out = pdf.copy()
+            out["zoom"] = zoom
+            out["width"] = tile_size
+            out["height"] = tile_size
+            out["data"] = data
+            yield out[["zoom", "tx", "ty", "band", "data", "width", "height"]]
+
+    schema = (
+        "zoom int, tx int, ty int, band int, data array<double>, "
+        "width int, height int"
+    )
+    return base.mapInPandas(fill, schema)
+
+
+# ---------------------------------------------------------------------------
+# Point sampling (nearest / bilinear) — join + column math, no UDF
+# ---------------------------------------------------------------------------
+
+def _global_pixel_cols(lon: str, lat: str, zoom: int, tile_size: int):
+    """Continuous global pixel coords with origin at the NW corner (XYZ
+    raster convention: gy grows southward — gdal2tiles PixelsToRaster flip)."""
+    mx, my = TM.lonlat_to_meters(F.col(lon), F.col(lat))
+    res = F.lit(2 * TM.ORIGIN_SHIFT / ((1 << zoom) * tile_size))
+    gx = (mx + F.lit(TM.ORIGIN_SHIFT)) / res
+    gy = (F.lit(TM.ORIGIN_SHIFT) - my) / res
+    return gx, gy
+
+
+def sample_nearest(
+    points: DataFrame, raster: DataFrame, zoom: int, band: int = 1,
+    point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "nearest_val",
+) -> DataFrame:
+    """Warp-nearest sampling: iSrc = int(dfSrc + 1e-10), clamped to the grid
+    (gdalwarpkernel.cpp:5228-5330). Output: point_id + sampled value."""
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix = F.least(F.lit(max_px), F.greatest(F.lit(0), F.floor(gx + F.lit(NEAREST_EPS)))).cast("long")
+    iy = F.least(F.lit(max_px), F.greatest(F.lit(0), F.floor(gy + F.lit(NEAREST_EPS)))).cast("long")
+    req = points.select(
+        F.col(point_id),
+        (ix / tile_size).cast("int").alias("tx"),
+        (iy / tile_size).cast("int").alias("ty"),
+        (ix % tile_size).cast("int").alias("_px"),
+        (iy % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    return joined.select(F.col(point_id), val.alias(value_name))
+
+
+def sample_bilinear(
+    points: DataFrame, raster: DataFrame, zoom: int, band: int = 1,
+    point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "bilinear_val",
+) -> DataFrame:
+    """Warp-bilinear sampling (gdalwarpkernel.cpp:2952-3010):
+    i = floor(dfSrc - 0.5); w = dfSrc - 0.5 - i; 4-neighbour lerp with
+    edge clamping (border fallback keeps available samples).
+
+    Plan shape: point → explode to ≤4 (pixel, weight) requests → equi-join
+    tiles on (tx, ty) → element_at → groupBy(point) weighted sum. All
+    column math; the explode is a flatMap, the join shuffles on the tile
+    key only.
+    """
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix0 = F.floor(gx - F.lit(0.5)).cast("long")
+    iy0 = F.floor(gy - F.lit(0.5)).cast("long")
+    wx = gx - F.lit(0.5) - ix0
+    wy = gy - F.lit(0.5) - iy0
+
+    base = points.select(
+        F.col(point_id),
+        ix0.alias("_ix0"), iy0.alias("_iy0"),
+        wx.alias("_wx"), wy.alias("_wy"),
+    )
+    # 4 corners with bilinear weights; clamp indices at raster edges (the
+    # border fallback — weight mass stays 1 because we clamp the INDEX).
+    corners = F.array(
+        F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(1).alias("dx"), F.lit(1).alias("dy")),
+    )
+    req = base.select(
+        F.col(point_id), "_ix0", "_iy0", "_wx", "_wy",
+        F.explode(corners).alias("c"),
+    ).select(
+        F.col(point_id),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_ix0") + F.col("c.dx"))).alias("_gx"),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_iy0") + F.col("c.dy"))).alias("_gy"),
+        (
+            F.when(F.col("c.dx") == 0, F.lit(1.0) - F.col("_wx")).otherwise(F.col("_wx"))
+            * F.when(F.col("c.dy") == 0, F.lit(1.0) - F.col("_wy")).otherwise(F.col("_wy"))
+        ).alias("_w"),
+    )
+    req = req.select(
+        F.col(point_id), "_w",
+        (F.col("_gx") / tile_size).cast("int").alias("tx"),
+        (F.col("_gy") / tile_size).cast("int").alias("ty"),
+        (F.col("_gx") % tile_size).cast("int").alias("_px"),
+        (F.col("_gy") % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    return (
+        joined.groupBy(point_id)
+        .agg(F.sum(F.col("_w") * val).alias(value_name))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overview pyramid (tree reduce up the zoom levels)
+# ---------------------------------------------------------------------------
+
+def overview_level(raster: DataFrame, tile_size: int) -> DataFrame:
+    """One pyramid step: tiles at z → tiles at z-1 by 2×2 averaging.
+
+    groupBy parent key → applyInPandas assembles ≤4 children and reduces —
+    the Spark form of GDALRegenerateOverviewsEx average
+    (gcore/overview.cpp:1214-1945, gdal2tiles.py:1466-1530). Missing
+    children contribute 0 (synthetic rasters are dense so this only matters
+    at windowed edges).
+    """
+    ts = tile_size
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom, ptx, pty, band = key
+        full = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            ox = (int(row["tx"]) & 1) * ts
+            oy = (int(row["ty"]) & 1) * ts
+            full[oy:oy + ts, ox:ox + ts] = np.asarray(row["data"]).reshape(ts, ts)
+        reduced = full.reshape(ts, 2, ts, 2).mean(axis=(1, 3))
+        return pd.DataFrame(
+            {
+                "zoom": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [band],
+                "data": [reduced.ravel()], "width": [ts], "height": [ts],
+            }
+        )
+
+    keyed = raster.groupBy(
+        F.col("zoom"),
+        F.floor(F.col("tx") / 2).cast("int").alias("ptx"),
+        F.floor(F.col("ty") / 2).cast("int").alias("pty"),
+        F.col("band"),
+    )
+    schema = (
+        "zoom int, tx int, ty int, band int, data array<double>, "
+        "width int, height int"
+    )
+    return keyed.applyInPandas(reduce_group, schema)
+
+
+def overview_pyramid(raster: DataFrame, min_zoom: int, tile_size: int) -> DataFrame:
+    """Full pyramid: union of all levels from the base down to ``min_zoom``.
+    Iterative tree-aggregation — each level is one shuffle on the parent key."""
+    levels = [raster]
+    cur = raster
+    base_zoom = cur.select(F.max("zoom")).first()[0]
+    for _ in range(int(base_zoom) - min_zoom):
+        cur = overview_level(cur, tile_size).localCheckpoint(eager=False)
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

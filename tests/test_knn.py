@@ -1,0 +1,92 @@
+"""kNN parity: engine vs brute-force numpy oracle using the exact
+OGR_GreatCircle_Distance formula; hot-cell query (ring 0 suffices) and
+empty-region query (ring must expand) per FIXTURES.md §6."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.data import pages as P
+from gdal_spark.data.geotag import py_lonlat
+from gdal_spark.operators import knn as K
+from gdal_spark.spatial import geometry as G
+
+N = 1500
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return P.pages_df(spark, N).select("i", "lon", "lat").cache()
+
+
+def oracle_knn(query_ids, k):
+    lons = np.array([py_lonlat(i)[0] for i in range(N)])
+    lats = np.array([py_lonlat(i)[1] for i in range(N)])
+    out = {}
+    for q in query_ids:
+        d = G.great_circle_distance(
+            np.full(N, lats[q]), np.full(N, lons[q]), lats, lons
+        )
+        ids = np.arange(N)
+        keep = ids != q
+        d, ids = d[keep], ids[keep]
+        order = np.lexsort((ids, d))[:k]
+        out[q] = [(int(ids[j]), float(d[j])) for j in order]
+    return out
+
+
+def test_knn_join_matches_bruteforce_oracle(spark, pts):
+    k = 5
+    query_ids = [0, 100, 7, 1234]  # 0/100 are hot-cell rows
+    queries = pts.filter(F.col("i").isin(query_ids)).select(
+        F.col("i").alias("query_id"), "lon", "lat"
+    )
+    got = K.knn_join(pts, queries, k=k, point_id="i").collect()
+    expected = oracle_knn(query_ids, k)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["dist_m"]))
+    assert set(by_q) == set(query_ids)
+    for q in query_ids:
+        rows = sorted(by_q[q])
+        assert [nid for _, nid, _ in rows] == [nid for nid, _ in expected[q]]
+        for (_, _, d), (_, ed) in zip(rows, expected[q]):
+            assert d == pytest.approx(ed, rel=1e-9)
+
+
+def test_knn_k1_hot_cell_is_trivial(spark, pts):
+    # hot-cell rows i=0 and i=700 coincide except jitter: NN of 0 in the
+    # hot cluster must itself be a hot row
+    queries = pts.filter(F.col("i") == 0).select(
+        F.col("i").alias("query_id"), "lon", "lat"
+    )
+    got = K.knn_join(pts, queries, k=1).collect()
+    assert len(got) == 1
+    assert got[0]["neighbor_id"] % 100 == 0
+    assert got[0]["dist_m"] < 100.0  # metres — within the jittered hot cell
+
+
+def test_knn_cell_join_agrees_in_dense_region(spark, pts):
+    # hot-cell query: ring 1 at z7 is guaranteed to contain ≥k hot rows
+    queries = pts.filter(F.col("i") == 0).select(
+        F.col("i").alias("query_id"), "lon", "lat"
+    )
+    exact = {
+        (r["rank"], r["neighbor_id"])
+        for r in K.knn_join(pts, queries, k=3).collect()
+    }
+    cells = {
+        (r["rank"], r["neighbor_id"])
+        for r in K.knn_cell_join(pts, queries, k=3, zoom=7, ring=1).collect()
+    }
+    assert exact == cells
+
+
+def test_knn_cell_join_ring_expansion(spark, pts):
+    # sparse-region probe: ring 0 at high zoom misses; ring 3 must recover
+    # at least SOME neighbours (documented approximate-window contract).
+    queries = spark.createDataFrame(
+        [(9999, -120.0, -60.0)], "query_id long, lon double, lat double"
+    )
+    r3 = K.knn_cell_join(pts, queries, k=2, zoom=4, ring=3).count()
+    assert r3 >= 1
