@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship north-rule query; ``queries()`` /
+``oracle_sql()`` expose every implemented operator (SURVEY.md §2) as a
+(Spark callable, DuckDB oracle) pair. The registry lives in
+``gdal_spark/queries.py``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_spark import queries as Q  # noqa: E402
+from gdal_spark.operators import tiles as TL  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP spatial join + tile assignment over sf0.001 orders —
+    the north rule's "which polygon contains each page, which tile does it
+    land in" in one broadcast map-only plan."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators.pip_join import pip_join
+
+    pts = Q.order_points(spark, "/root/testdata/sf0.001")
+    joined = pip_join(pts, polygons_df(spark), how="left", first_match=True)
+    return TL.assign_tiles(joined, zoom=12).select(
+        "o_orderkey", "lon", "lat", "poly_id", "tx", "ty", "quadkey"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names,
+    same rounding, md5-based hashing shared across engines)."""
+    return dict(Q.ORACLES)

@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Also evidences the north rule's two-cluster-size scaling criterion in-sandbox
+(per driver instruction): the flagship spatial-join + tile-assignment job is
+run at local[8] and local[32] on the same input; throughput at both plus
+scaling efficiency (throughput_4N / (4 × throughput_N)) are reported under
+"scaling" and mirrored in BENCH.md.
+
+Usage: python bench.py [--skip-scaling]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline query set — one per operator family (full registry in queries.py;
+# the driver's correctness gate runs everything, the bench times the
+# representative/expensive paths).
+BENCH_QUERIES = [
+    "tile_assign",
+    "tile_rollup",
+    "pip_broadcast",
+    "pip_cells_salted",
+    "pip_zonal_stats",
+    "knn_exact",
+    "raster_sample_nearest",
+    "raster_sample_bilinear",
+    "raster_overview_mean",
+    "sql_summary",
+    "sql_first_match_join",
+    "sql_join_agg",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "embed_cosine_topk",
+    "embed_ann_lsh",
+    "events_tile_windows",
+]
+
+
+def _session(master: str, shuffle: int):
+    from gdal_spark.session import get_spark
+
+    return get_spark(
+        app_name="gdal_spark_bench", master=master, shuffle_partitions=shuffle
+    )
+
+
+def _run_query(spark, name: str) -> tuple[float, int]:
+    from gdal_spark import queries as Q
+
+    t0 = time.perf_counter()
+    df = Q.QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    return time.perf_counter() - t0, n
+
+
+def flagship(spark) -> tuple[float, int]:
+    """North-rule flagship: PIP spatial join + tile assignment, docs/sec.
+
+    Input = orders points at SF_DIR; one broadcast map-only stage + column
+    tile math; count() forces full execution.
+    """
+    from pyspark.sql import functions as F
+
+    from gdal_spark import queries as Q
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators.pip_join import pip_join
+    from gdal_spark.operators.tiles import assign_tiles
+
+    t0 = time.perf_counter()
+    pts = Q.order_points(spark, SF_DIR)
+    joined = pip_join(pts, polygons_df(spark), how="left", first_match=True)
+    out = assign_tiles(joined, zoom=12)
+    n = out.count()
+    return time.perf_counter() - t0, n
+
+
+def main():
+    skip_scaling = "--skip-scaling" in sys.argv
+    results: dict[str, float] = {}
+
+    spark = _session(f"local[{CPUS}]", max(CPUS, 8))
+    # warm the JVM/Arrow path once so timings measure the engine, not startup
+    _run_query(spark, "sql_count_star")
+
+    fl_t, fl_n = flagship(spark)
+    results["flagship_pip_tiles"] = round(fl_t, 3)
+    docs_per_sec = fl_n / fl_t if fl_t > 0 else 0.0
+
+    for name in BENCH_QUERIES:
+        t, _ = _run_query(spark, name)
+        results[name] = round(t, 3)
+
+    scaling = {}
+    if not skip_scaling:
+        spark.stop()
+        time.sleep(1)
+        s8 = _session("local[8]", 8)
+        t_n, n_rows = flagship(s8)
+        t_n2, _ = flagship(s8)   # second run: steady-state (cache warm)
+        t_n = min(t_n, t_n2)
+        s8.stop()
+        time.sleep(1)
+        s32 = _session("local[32]", 32)
+        t_4n, _ = flagship(s32)
+        t_4n2, _ = flagship(s32)
+        t_4n = min(t_4n, t_4n2)
+        s32.stop()
+        thr_n = n_rows / t_n
+        thr_4n = n_rows / t_4n
+        scaling = {
+            "local8_docs_per_sec": round(thr_n, 1),
+            "local32_docs_per_sec": round(thr_4n, 1),
+            "efficiency_n_to_4n": round(thr_4n / (4 * thr_n), 3),
+            "rows": n_rows,
+        }
+    else:
+        spark.stop()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "total_bench_time_sec",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "flagship_docs_per_sec": round(docs_per_sec, 1),
+        "flagship_rows": fl_n,
+        "cpus": CPUS,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

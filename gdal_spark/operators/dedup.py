@@ -1,0 +1,357 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference engine has no dedup subsystem (it is a spatial engine); these
+are the web-scale companions the north rule's Common-Crawl-style table needs.
+All of them follow the engine's design stance: pure Column math (JVM,
+whole-stage codegen) wherever possible, deterministic hashing via md5 (bit-
+identical between Spark and DuckDB so the driver's oracle gate can verify
+values, not just row counts).
+
+Operators
+---------
+* ``exact_dedup``        — hash-groupBy exact duplicate clustering
+* ``shingles``           — word w-shingle sets (the MinHash/Jaccard input)
+* ``minhash_signatures`` — k-permutation MinHash sketch per document
+* ``lsh_candidate_pairs``— banded-LSH bucket self-join → candidate pairs
+* ``minhash_dedup_pairs``— LSH candidates filtered by estimated Jaccard
+* ``jaccard_pairs``      — EXACT n-gram Jaccard verify on candidate pairs
+* ``simhash``            — 32-bit SimHash per document + hamming pairs
+
+Scale notes (the 100 TB story):
+* exact_dedup is one shuffle on a 16-byte key with map-side partial agg.
+* MinHash: signatures are map-only; the LSH band explode multiplies rows by
+  ``bands`` (small constant); the bucket self-join shuffles on the band-hash
+  key — hot buckets (boilerplate docs) are exactly the skew AQE's skew-join
+  splitting handles, and the pair output is deduped before the (expensive)
+  exact-Jaccard verify, which joins shingle arrays back only for candidates.
+* Everything avoids per-row Python entirely.
+
+Hash contract: h(s) = int(md5(s)[:8 hex], 16) ∈ [0, 2^32); permutation j is
+h_j(x) = ((x % P) * A_j + B_j) % P with P = 2^31-1 (Mersenne), A_j/B_j
+deterministic odd constants — ((x%P)*A) ≤ 2^62 so the fold never overflows
+int64 in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import stable_round
+
+MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _perm_ab(j: int) -> tuple[int, int]:
+    """Deterministic permutation constants (odd multiplier, offset)."""
+    a = (2 * j + 1) * 40503 % MERSENNE
+    b = (j * 2654435761 + 12345) % MERSENNE
+    return a, b
+
+
+def md5_h32(col: Column) -> Column:
+    """First 8 hex digits of md5 → bigint in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sql_md5_h32(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::bigint"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate clusters: one row per distinct text, keeping the
+    lowest id as the canonical representative.
+
+    Output: (text_hash, keep_id, dup_count). One shuffle on the md5 key
+    with map-side partial aggregation; at 100 TB the key is 32 bytes/row
+    and never the full text.
+    """
+    return (
+        df.select(F.md5(F.col(text)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def sql_exact_dedup(table: str = "documents", text: str = "text",
+                    id_col: str = "doc_id") -> str:
+    return (
+        f"SELECT md5({text}) AS text_hash, min({id_col}) AS keep_id, "
+        f"count(*) AS dup_count FROM {table} GROUP BY md5({text})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, w: int = 3) -> Column:
+    """Distinct word w-shingles of ``text`` (space-joined token windows).
+
+    Docs shorter than w tokens yield their full token string as the single
+    shingle (so no document has an empty set and Jaccard is total).
+    """
+    toks = F.split(F.trim(text), " +")
+    n = F.size(toks)
+    win = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(win, lambda i: F.array_join(F.slice(toks, i, w), " "))
+    )
+
+
+def sql_shingles(text_expr: str = "text", w: int = 3) -> str:
+    toks = f"string_split_regex(trim({text_expr}), ' +')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {w - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {w - 1}), ' ')))"
+    )
+
+
+def shingle_hashes(text: Column, w: int = 3) -> Column:
+    """Shingle set → array of 32-bit md5 hashes (the MinHash universe)."""
+    return F.transform(shingles(text, w), md5_h32)
+
+
+def sql_shingle_hashes(text_expr: str = "text", w: int = 3) -> str:
+    return (
+        f"list_transform({sql_shingles(text_expr, w)}, "
+        f"s -> ('0x' || substring(md5(s), 1, 8))::bigint)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, w: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) MinHash sketch. Map-only."""
+    hashes = shingle_hashes(F.col(text), w)
+
+    def perm_min(a: int, b: int):
+        # closure factory: higher-order-function lambdas must take exactly
+        # the declared arity (no default-arg captures)
+        def h(x):
+            return ((x % MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)
+
+        return F.array_min(F.transform(hashes, h))
+
+    sig_cols = [perm_min(*_perm_ab(j)) for j in range(num_perm)]
+    return df.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
+
+
+def sql_minhash_sig(text_expr: str = "text", num_perm: int = 16, w: int = 3) -> str:
+    """DuckDB list literal mirroring minhash_signatures' sig column."""
+    hashes = sql_shingle_hashes(text_expr, w)
+    parts = []
+    for j in range(num_perm):
+        a, b = _perm_ab(j)
+        parts.append(
+            f"list_min(list_transform({hashes}, "
+            f"x -> ((x % {MERSENNE}) * {a} + {b}) % {MERSENNE}))"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH: same md5(band slice) in any band → candidate pair.
+
+    Plan: explode to ``bands`` rows/doc → shuffle on (band, band_hash) →
+    within-bucket self-join → distinct (id_a < id_b) pairs. Hot buckets are
+    split by AQE skew handling; the distinct dedups multi-band collisions.
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bnd).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(bnd)),
+                            *[
+                                F.element_at("sig", bnd * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for bnd in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    num_perm: int = 16, w: int = 3, bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates with estimated Jaccard ≥ threshold.
+
+    est_jaccard = fraction of matching signature positions (rounded 6dp).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text, id_col, num_perm, w)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("est_jaccard", stable_round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (the verify stage after LSH)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text: str = "text",
+    id_col: str = "doc_id", w: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), shingles(F.col(text), w).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", stable_round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit) + hamming-distance near-dup pairs
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, w: int = 1) -> Column:
+    """32-bit SimHash over word tokens (w=1) or shingles (w>1).
+
+    bit b of the fingerprint = 1 iff sum over features of ±1 (per feature's
+    hash bit b) is positive. All folds are JVM `aggregate` calls.
+    """
+    hashes = shingle_hashes(text, w) if w > 1 else F.transform(
+        F.split(F.trim(text), " +"), md5_h32
+    )
+    def bit_vote(b: int):
+        def step(acc, x):
+            return acc + F.shiftright(x, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+
+        return F.aggregate(hashes, F.lit(0).cast("long"), step)
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = bit_vote(b)
+        bit_terms.append(
+            F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def sql_simhash(text_expr: str = "text") -> str:
+    hashes = (
+        f"list_transform(string_split_regex(trim({text_expr}), ' +'), "
+        f"t -> ('0x' || substring(md5(t), 1, 8))::bigint)"
+    )
+    terms = []
+    for b in range(SIMHASH_BITS):
+        vote = (
+            f"list_reduce(list_prepend(0::bigint, {hashes}), "
+            f"(acc, x) -> acc + ((x // {1 << b}) % 2) * 2 - 1)"
+        )
+        terms.append(f"(case when ({vote}) > 0 then {1 << b} else 0 end)")
+    return "(" + " + ".join(terms) + ")::bigint"
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Popcount of xor — hamming distance of two 32-bit simhashes."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for b_ in range(SIMHASH_BITS):
+        out = out + F.shiftright(x, b_).bitwiseAND(F.lit(1))
+    return out.cast("int")
+
+
+def simhash_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Blocking: 4 bands of 8 bits — two docs within hamming ≤ 3 of each other
+    share at least one exact 8-bit band (pigeonhole), so the self-join is on
+    (band, band_byte) buckets, never all-pairs.
+    """
+    sh = df.select(F.col(id_col), simhash(F.col(text)).alias("sh"))
+    banded = sh.select(
+        id_col, "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("sh", i * 8).bitwiseAND(F.lit(255)).alias("byte"),
+                )
+                for i in range(4)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "sh", "bk.band", "bk.byte")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "byte"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming32(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

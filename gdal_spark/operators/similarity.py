@@ -1,0 +1,245 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two strategies, mirroring the engine's PIP-join split (broadcast map-only vs
+bucketed equi-join):
+
+* ``cosine_topk``      — exact brute-force top-k: queries broadcast, each
+  partition does ONE numpy matmul (points × queries), keeps its local top-k
+  per query, a window takes the global top-k. Shuffle carries only
+  partitions × Q × k rows — the TakeOrderedAndProject pattern. This is the
+  correctness baseline and is already the right 100 TB plan when the query
+  set is broadcast-small.
+
+* ``ann_lsh_topk``     — random-hyperplane LSH: ``nb``-bit sign bucket per
+  vector (closed-form deterministic hyperplanes, so the DuckDB oracle can
+  recompute them), equi-join on bucket (optionally multi-probe by flipping
+  bits), exact cosine refine, window top-k. The scale path when both sides
+  are large: shuffle keys are ints, bucket skew is AQE-splittable.
+
+* ``cosine_pairs``     — embedding near-duplicate pairs (cosine ≥ τ) via
+  LSH buckets — the embedding-cosine dedup operator.
+
+Cosine contract (oracle parity): dot/(|a||b|) computed in float64, rounded
+to 6 dp; ranks break ties by neighbor id ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from gdal_spark.functions import np_stable_round, sql_stable_round, stable_round
+
+ROUND_DP = 6
+
+
+# ---------------------------------------------------------------------------
+# Deterministic LSH hyperplanes (closed form — shared with the SQL oracle)
+# ---------------------------------------------------------------------------
+
+def hyperplane(j: int, d: int) -> float:
+    """Component d of hyperplane j ∈ [-1, 1), a pure function (no RNG so the
+    oracle and any executor rebuild it bit-identically)."""
+    return ((j * 2654435761 + d * 40503 + 12345) % 2000001) / 1000000.0 - 1.0
+
+
+def sql_lsh_bucket(vec_expr: str, nb: int, dim: int) -> str:
+    """DuckDB expr: the same sign-bit bucket id for a list<float> column."""
+    bits = []
+    for j in range(nb):
+        dot = " + ".join(
+            f"({vec_expr})[{d + 1}]::double * {hyperplane(j, d)!r}"
+            for d in range(dim)
+        )
+        bits.append(f"(case when ({dot}) > 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucket_col(vec: str, nb: int, dim: int):
+    """Spark column: sign-bit bucket — F.aggregate dot products, JVM-side."""
+    bits = []
+    for j in range(nb):
+        plane = [hyperplane(j, d) for d in range(dim)]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec).cast("array<double>"),
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Exact brute-force cosine top-k (broadcast queries, partition-local matmul)
+# ---------------------------------------------------------------------------
+
+def cosine_topk(
+    vectors: DataFrame, queries: DataFrame, k: int,
+    id_col: str = "vec_id", query_id: str = "query_id", vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine similarity, (query_id, neighbor_id, rank, sim).
+
+    sim is rounded to 6 dp; rank orders by (sim desc, neighbor_id asc).
+    """
+    spark = vectors.sparkSession
+    q_rows = queries.select(query_id, vec).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (Q, D)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("sim", DoubleType()),
+    ])
+    id_i = vectors.columns.index(id_col)
+    vec_i = vectors.columns.index(vec)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qm, qn = bc.value
+        nq = ids.shape[0]
+        acc_s = [np.full(0, -np.inf) for _ in range(nq)]
+        acc_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            p_id = pdf.iloc[:, id_i].to_numpy(dtype=np.int64)
+            p_mat = np.array(list(pdf.iloc[:, vec_i]), dtype=np.float64)
+            p_norm = np.linalg.norm(p_mat, axis=1)
+            # (P, Q) similarity in ONE matmul — the vectorized hot path.
+            sims = (p_mat @ qm.T) / np.maximum(p_norm[:, None] * qn[None, :], 1e-300)
+            sims = np_stable_round(sims, ROUND_DP)
+            for qi in range(nq):
+                s = sims[:, qi]
+                cand_s = np.concatenate([acc_s[qi], s])
+                cand_i = np.concatenate([acc_i[qi], p_id])
+                if not include_self:
+                    keep = cand_i != ids[qi]
+                    cand_s, cand_i = cand_s[keep], cand_i[keep]
+                if cand_s.shape[0] > k:
+                    part = np.argpartition(-cand_s, k - 1)[:k]
+                    cand_s, cand_i = cand_s[part], cand_i[part]
+                order = np.lexsort((cand_i, -cand_s))
+                acc_s[qi], acc_i[qi] = cand_s[order], cand_i[order]
+        yield pd.DataFrame({
+            "query_id": np.repeat(ids, [a.shape[0] for a in acc_i]),
+            "neighbor_id": np.concatenate(acc_i) if acc_i else np.empty(0, np.int64),
+            "sim": np.concatenate(acc_s) if acc_s else np.empty(0),
+        })
+
+    partial = vectors.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine as pure column math (used by the bucketed paths; JVM fold = the
+# sequential-sum order DuckDB uses, so values agree to float64 ulps and 6 dp
+# rounding makes them identical)
+# ---------------------------------------------------------------------------
+
+def cosine_col(a: str, b: str):
+    ax = F.col(a).cast("array<double>")
+    bx = F.col(b).cast("array<double>")
+    dot = F.aggregate(F.zip_with(ax, bx, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ax, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bx, lambda x: x * x), F.lit(0.0),
+                            lambda acc, v: acc + v))
+    return stable_round(dot / (na * nb), ROUND_DP)
+
+
+def sql_cosine(a_expr: str, b_expr: str) -> str:
+    dot = f"list_sum(list_transform(range(1, len({a_expr}) + 1), i -> ({a_expr})[i]::double * ({b_expr})[i]::double))"
+    na = f"sqrt(list_sum(list_transform({a_expr}, x -> x::double * x::double)))"
+    nb = f"sqrt(list_sum(list_transform({b_expr}, x -> x::double * x::double)))"
+    return sql_stable_round(f"({dot}) / (({na}) * ({nb}))", ROUND_DP)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k and near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ann_lsh_topk(
+    vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+    nb: int = 8, id_col: str = "vec_id", query_id: str = "query_id",
+    vec: str = "embedding", include_self: bool = False,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    ``multiprobe=True`` probes the exact bucket plus every 1-bit flip
+    (nb+1 probes) — the standard recall boost with no extra shuffle keys on
+    the (big) vector side; each vector still lives in exactly one bucket,
+    so no candidate dedup is needed. Output schema matches cosine_topk.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_v"),
+        lsh_bucket_col(vec, nb, dim).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec).alias("_q"),
+        lsh_bucket_col(vec, nb, dim).alias("_b0"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("_b0"),
+            *[F.col("_b0").bitwiseXOR(F.lit(1 << j)) for j in range(nb)],
+        )
+        q = q.withColumn("_bucket", F.explode(probes)).drop("_b0")
+    else:
+        q = q.withColumnRenamed("_b0", "_bucket")
+    joined = q.join(v, on="_bucket")
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("sim", cosine_col("_q", "_v"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame, dim: int, threshold: float = 0.9, nb: int = 8,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: same LSH bucket ∧ cosine ≥ threshold."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec),
+        lsh_bucket_col(vec, nb, dim).alias("_bucket"),
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec).alias("_va"), "_bucket")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec).alias("_vb"), "_bucket")
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine_col("_va", "_vb"))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )

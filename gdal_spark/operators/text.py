@@ -1,0 +1,269 @@
+"""Text extraction + analysis operators over web-page/document tables.
+
+The north rule requires per-url extracted text to be **byte-identical** to the
+reference extractor. The reference (GDAL) has no HTML extractor — the
+"reference extractor" here is the FIXTURES.md §1 spec, implemented exactly
+once in :func:`extract_text_py` and used both by the synthetic generator
+(data/pages.py) and by the engine operator (:func:`extract_text`), so the
+invariant ``text == extract_text(html)`` is checkable end-to-end.
+
+All other operators are training-data-pipeline text analysis over a
+``documents``-shaped table ``(doc_id, text, lang, source, n_chars)``:
+
+* ``token_count``     — whitespace tokens + a BPE-ish regex token count
+* ``quality_score``   — length / punctuation / stopword-ratio heuristics
+* ``lang_id``         — stopword-profile n-gram-free heuristic language ID
+* ``fingerprint``     — polynomial rolling hash over word tokens
+
+Design: every operator is a pure Column expression (JVM-side, whole-stage
+codegen) — NO Python in the hot path; each has an ANSI-SQL mirror
+(``sql_*``) so the DuckDB oracle evaluates the *same formula*, which is the
+correctness contract of the driver gate.
+
+Reference parity notes: the LIKE/ILIKE case-sensitivity split mirrors
+ogr/swq_op_general.cpp:41-95,1102-1111; the md5-based token hashing plays the
+role GDAL's swq string ops leave to the SQLite dialect.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Reference extractor (FIXTURES.md §1): title + "\n" + <p> bodies joined "\n"
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_P_RE = re.compile(r"<p>(.*?)</p>", re.S)
+
+
+def extract_text_py(html: bytes) -> str:
+    """THE reference extractor: title + "\\n" + paragraph texts joined "\\n".
+
+    Single source of truth — the generator builds html around a known text
+    and this function must invert it byte-identically (north rule).
+    """
+    s = html.decode("utf-8")
+    title = _TITLE_RE.search(s)
+    parts = [title.group(1)] if title else []
+    parts.extend(_P_RE.findall(s))
+    return "\n".join(parts)
+
+
+def extract_text(html_col: Column) -> Column:
+    """Column form of the reference extractor.
+
+    Pure JVM regexp (no Python): decode utf-8 → pull <title> and all <p>
+    bodies → join with newline. `regexp_extract_all` keeps document order,
+    matching the sequential scan of the python mirror.
+    """
+    s = html_col.cast("string")
+    title = F.regexp_extract(s, "<title>(.*?)</title>", 1)
+    paras = F.expr(
+        "array_join(regexp_extract_all(cast(html as string), '<p>(.*?)</p>', 1), '\n')"
+    )
+    return F.concat_ws("\n", title, paras)
+
+
+SQL_EXTRACT_TEXT = (
+    "concat_ws(chr(10), regexp_extract(decode(html), '<title>(.*?)</title>', 1), "
+    "array_to_string(regexp_extract_all(decode(html), '<p>(.*?)</p>', 1), chr(10)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (whitespace + BPE-ish regex) — portable Spark/DuckDB semantics
+# ---------------------------------------------------------------------------
+
+# BPE-ish token classes: letter runs | digit runs | single non-alnum-non-space.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count = words separated by runs of spaces."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, " +"))
+    ).cast("long")
+
+
+def sql_ws_token_count(text_expr: str) -> str:
+    return (
+        f"(case when trim({text_expr}) = '' then 0 else "
+        f"len(string_split_regex(trim({text_expr}), ' +')) end)::bigint"
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count via regexp matches (letters|digits|punct)."""
+    return F.size(F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_PATTERN}', 0)")).cast("long")
+
+
+def sql_bpe_token_count(text_expr: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '{BPE_TOKEN_PATTERN}', 0))::bigint"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
+
+
+def _count_word(text: Column, w: str) -> Column:
+    # word-boundary count via regexp; \\b is identical in Java and RE2.
+    return F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{w}\\\\b', 0)"))
+
+
+def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
+    """Add (n_chars_m, n_ws_tokens, punct_ratio, stopword_ratio, q_score).
+
+    q_score is a deterministic 0..1 heuristic: short docs and punctuation-
+    heavy docs score low, stopword-bearing prose scores high. Every term is
+    closed-form so the oracle reproduces it exactly (rounded to 6 dp).
+    """
+    from gdal_spark.functions import stable_round
+
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_tokens = ws_token_count(t)
+    n_punct = F.size(F.expr(f"regexp_extract_all({text}, '[^A-Za-z0-9 ]', 0)"))
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_word(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    punct_ratio = stable_round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = stable_round(stop_hits / F.greatest(n_tokens, F.lit(1)), 6)
+    q = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_tokens.alias("n_ws_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        stable_round(q, 6).alias("q_score"),
+    )
+
+
+def sql_quality_select(text_expr: str = "text") -> dict[str, str]:
+    """DuckDB fragments mirroring quality_columns, keyed by output column."""
+    n_chars = f"length({text_expr})"
+    n_tokens = sql_ws_token_count(text_expr)
+    n_punct = f"len(regexp_extract_all({text_expr}, '[^A-Za-z0-9 ]', 0))"
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower({text_expr}), '\\b{w}\\b', 0))"
+        for w in STOPWORDS
+    )
+    from gdal_spark.functions import sql_stable_round
+
+    # all arithmetic forced to DOUBLE (bare decimal literals are DECIMAL in
+    # DuckDB); rounding via the cross-engine stable floor form
+    punct_ratio = sql_stable_round(
+        f"({n_punct})::double / greatest({n_chars}, 1)::double", 6
+    )
+    stop_ratio = sql_stable_round(
+        f"({stop_hits})::double / greatest({n_tokens}, 1)::double", 6
+    )
+    q = sql_stable_round(
+        f"least(({n_tokens})::double / 100.0::double, 1.0::double) * 0.5::double"
+        f" + least(({stop_ratio}) * 5.0::double, 1.0::double) * 0.3::double"
+        f" + (1.0::double - least(({punct_ratio}) * 10.0::double, 1.0::double)) * 0.2::double",
+        6,
+    )
+    return {
+        "n_chars_m": f"({n_chars})::bigint",
+        "n_ws_tokens": f"({n_tokens})::bigint",
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "q_score": q,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID — stopword-profile heuristic (deterministic, SQL-mirrorable)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "y"],
+    "pt": ["o", "os", "uma", "não"],
+}
+
+
+def lang_id(df: DataFrame, text: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word counts,
+    ties → 'und' if zero hits else lexicographically-first language.
+    Deterministic closed form → exact oracle parity.
+    """
+    scores = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        s = None
+        for w in words:
+            c = _count_word(F.col(text), w)
+            s = c if s is None else s + c
+        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+    return df.withColumn(out, pred)
+
+
+def sql_lang_id(text_expr: str = "text") -> str:
+    cases = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        s = " + ".join(
+            f"len(regexp_extract_all(lower({text_expr}), '\\b{w}\\b', 0))"
+            for w in words
+        )
+        cases.append((lang, f"({s})"))
+    # argmax with lexicographic tie-break == array_max over (score, lang)
+    # structs because Spark orders structs lexicographically field-by-field
+    # and for equal scores picks the LARGEST lang... careful: array_max picks
+    # max (score, lang), so equal-score tie → max lang string. Mirror that.
+    struct_list = ", ".join(f"({s}, '{lang}')" for lang, s in cases)
+    return (
+        f"(select case when max(s.sc) over () <= 0 then 'und' else s.lg end "
+        f"from (values {struct_list}) as s(sc, lg) "
+        f"order by s.sc desc, s.lg desc limit 1)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint — polynomial rolling hash over whitespace tokens
+# ---------------------------------------------------------------------------
+
+FP_BASE = 1000003
+FP_MOD = 2147483647  # 2^31 - 1
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling hash: fold over tokens of (acc * B + token_h) mod P where
+    token_h = first-8-hex-digits of md5(token). Pure Spark `aggregate`
+    (JVM fold) — deterministic, SQL-mirrorable via DuckDB list_reduce.
+    """
+    toks = F.split(F.trim(text), " +")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(FP_BASE)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        ) % F.lit(FP_MOD),
+    )
+
+
+def sql_fingerprint(text_expr: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(0::bigint, "
+        f"list_transform(string_split_regex(trim({text_expr}), ' +'), "
+        f"t -> ('0x' || substring(md5(t), 1, 8))::bigint)), "
+        f"(acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})"
+    )

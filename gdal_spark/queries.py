@@ -1,0 +1,865 @@
+"""Query registry: every implemented operator as a (Spark callable, DuckDB
+oracle SQL) pair — the driver-gate surface of the engine.
+
+Each entry:
+  * a callable ``(spark, sf_dir) -> DataFrame`` running the ENGINE path
+    (the operators in gdal_spark.operators / spatial / streaming), and
+  * an ANSI-SQL oracle string evaluating the SAME semantics in DuckDB over
+    the same parquet tables (pre-registered views: region nation customer
+    supplier part orders lineitem events documents embeddings).
+
+Column names are aligned on both sides (the driver sorts columns by name and
+hashes values). Floating outputs are rounded identically on both sides; all
+hashing is md5-based so Spark and DuckDB agree bit-for-bit.
+
+Geotags: the sf tables carry no coordinates; (lon, lat) are DERIVED from the
+dense integer key (o_orderkey / event_id) by the deterministic rule in
+data/geotag.py — both engine and oracle compute it from the same closed
+form, mirroring the north rule's url-hash geotagging.
+
+The polygon dimension is the deterministic in-code layer of
+data/pages.polygon_records(); oracles inline it as VALUES (points/segments),
+so the PIP oracle is a *from-first-principles* SQL crossing-number test —
+an independent implementation of ogrlinearring.cpp:452-521 semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.data.geotag import derived_lat, derived_lon, sql_lat, sql_lon
+from gdal_spark.functions import sql_stable_round as SR
+from gdal_spark.functions import stable_round as R
+from gdal_spark.data.pages import polygon_records, polygons_df
+from gdal_spark.operators import dedup as D
+from gdal_spark.operators import knn as KNN
+from gdal_spark.operators import multimodal as MM
+from gdal_spark.operators import pip_join as PIP
+from gdal_spark.operators import similarity as SIM
+from gdal_spark.operators import text as T
+from gdal_spark.operators import tiles as TL
+from gdal_spark.spatial import geometry as G
+from gdal_spark.spatial import tilemath as TM
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Point side: orders with derived geotags
+# ---------------------------------------------------------------------------
+
+def order_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        derived_lon(F.col("o_orderkey")).alias("lon"),
+        derived_lat(F.col("o_orderkey")).alias("lat"),
+    )
+
+
+SQL_POINTS = (
+    "SELECT o_orderkey, o_totalprice, "
+    f"{sql_lon('o_orderkey')} AS lon, {sql_lat('o_orderkey')} AS lat "
+    "FROM orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# Polygon oracle fragments (VALUES of ring segments; crossing-number in SQL)
+# ---------------------------------------------------------------------------
+
+def _segment_values() -> str:
+    """All ring segments of the polygon layer as a VALUES list.
+
+    Per the numpy kernel (spatial/geometry.py points_in_ring): segment i has
+    cur = ring[i] (x1) and prev = ring[i-1] (x2); even-odd parity across ALL
+    rings (exterior + holes) equals exterior-minus-holes for nested rings.
+    """
+    rows = []
+    for rec in polygon_records():
+        for ring in rec["rings"]:
+            arr = np.asarray(ring, dtype=np.float64)
+            for i in range(1, arr.shape[0]):
+                px_, py_ = arr[i - 1]
+                cx_, cy_ = arr[i]
+                rows.append(
+                    f"({rec['poly_id']}, {px_!r}::double, {py_!r}::double, "
+                    f"{cx_!r}::double, {cy_!r}::double)"
+                )
+    return "VALUES " + ", ".join(rows)
+
+
+def _poly_attr_values() -> str:
+    rows = []
+    for rec in polygon_records():
+        rows.append(
+            f"({rec['poly_id']}, {rec['eas_id']}, '{rec['prfedea']}', "
+            f"{rec['area']!r}::double, {rec['xmin']!r}::double, "
+            f"{rec['ymin']!r}::double, {rec['xmax']!r}::double, "
+            f"{rec['ymax']!r}::double)"
+        )
+    return "VALUES " + ", ".join(rows)
+
+
+def sql_pip_cte() -> str:
+    """CTEs: pts (orders points), seg (ring segments), pip (first-match
+    point→polygon assignment by SQL crossing-number, min poly_id)."""
+    return f"""
+WITH pts AS ({SQL_POINTS}),
+seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()}),
+cross_counts AS (
+  SELECT p.o_orderkey, s.poly_id,
+         sum(CASE WHEN (((s.y1a - p.lat) > 0 AND (s.y2a - p.lat) <= 0)
+                     OR ((s.y2a - p.lat) > 0 AND (s.y1a - p.lat) <= 0))
+                  AND ((s.x1a - p.lon) * (s.y2a - p.lat)
+                     - (s.x2a - p.lon) * (s.y1a - p.lat))
+                      / ((s.y2a - p.lat) - (s.y1a - p.lat)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p CROSS JOIN seg s
+  GROUP BY p.o_orderkey, s.poly_id),
+pip AS (
+  SELECT o_orderkey, min(poly_id) AS poly_id
+  FROM cross_counts WHERE n_cross % 2 = 1 GROUP BY o_orderkey)
+"""
+
+
+# ===========================================================================
+# 1. Spatial core — tile assignment / PIP / kNN / raster sampling
+# ===========================================================================
+
+Z_ASSIGN = 12
+Z_ROLLUP = 8
+
+
+@register(
+    "tile_assign",
+    f"SELECT o_orderkey, {TM.sql_tile_x(sql_lon('o_orderkey'), Z_ASSIGN)} AS tx, "
+    f"{TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_ASSIGN)} AS ty, "
+    f"{TM.sql_quadkey(TM.sql_tile_x(sql_lon('o_orderkey'), Z_ASSIGN), TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_ASSIGN), Z_ASSIGN)} AS quadkey "
+    "FROM orders",
+)
+def q_tile_assign(spark, sf_dir):
+    """XYZ tile + quadkey assignment at z12 (gdal2tiles.py:445-532 parity)."""
+    return TL.assign_tiles(order_points(spark, sf_dir), Z_ASSIGN).select(
+        "o_orderkey", "tx", "ty", "quadkey"
+    )
+
+
+@register(
+    "tile_rollup",
+    f"""SELECT tx, ty, count(*) AS n_points, {SR('sum(o_totalprice)', 2)} AS sum_price
+FROM (SELECT o_totalprice,
+ {TM.sql_tile_x(sql_lon('o_orderkey'), Z_ROLLUP)} AS tx,
+ {TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_ROLLUP)} AS ty FROM orders)
+GROUP BY tx, ty""",
+)
+def q_tile_rollup(spark, sf_dir):
+    """Per-tile aggregation at z8 — the hypertable-rollup shape."""
+    return (
+        TL.assign_tiles(order_points(spark, sf_dir), Z_ROLLUP, with_quadkey=False)
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            R(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_PIP_ORACLE = sql_pip_cte() + "SELECT o_orderkey, poly_id FROM pip"
+
+
+@register("pip_broadcast", _PIP_ORACLE)
+def q_pip_broadcast(spark, sf_dir):
+    """Broadcast map-only PIP join, first-match (min poly_id) semantics."""
+    return PIP.pip_join(
+        order_points(spark, sf_dir), polygons_df(spark), first_match=True
+    ).select("o_orderkey", "poly_id")
+
+
+@register("pip_cells_salted", _PIP_ORACLE)
+def q_pip_cells_salted(spark, sf_dir):
+    """Cell-cover equi-join PIP with salt=4 — identical output, shuffle plan."""
+    out = PIP.pip_join_cells(
+        order_points(spark, sf_dir), polygons_df(spark), zoom=7, salt=4
+    )
+    return out.groupBy("o_orderkey").agg(F.min("poly_id").alias("poly_id"))
+
+
+@register(
+    "pip_zonal_stats",
+    sql_pip_cte()
+    + f""", attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax) AS ({_poly_attr_values()})
+SELECT p.poly_id, a.eas_id, count(*) AS n_points,
+       {SR('min(pt.o_totalprice)', 2)} AS min_price,
+       {SR('max(pt.o_totalprice)', 2)} AS max_price,
+       {SR('avg(pt.o_totalprice)', 4)} AS avg_price
+FROM pip p JOIN pts pt USING (o_orderkey) JOIN attrs a USING (poly_id)
+GROUP BY p.poly_id, a.eas_id""",
+)
+def q_pip_zonal_stats(spark, sf_dir):
+    """Zonal statistics (alg/zonal.cpp:273 semantics): stats of point values
+    per polygon zone = PIP join + groupBy(zone)."""
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(pts, polygons_df(spark), first_match=True)
+    attrs = polygons_df(spark).select("poly_id", "eas_id")
+    return (
+        joined.join(F.broadcast(attrs), "poly_id")
+        .groupBy("poly_id", "eas_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            R(F.min("o_totalprice"), 2).alias("min_price"),
+            R(F.max("o_totalprice"), 2).alias("max_price"),
+            R(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+KNN_K = 5
+KNN_PRED = "o_orderkey % 1500 = 7"
+
+
+def _knn_oracle() -> str:
+    dist = G.sql_great_circle_m("q.lat", "q.lon", "p.lat", "p.lon")
+    return f"""
+WITH pts AS ({SQL_POINTS}), q AS (SELECT * FROM pts WHERE {KNN_PRED}),
+d AS (SELECT q.o_orderkey AS query_id, p.o_orderkey AS neighbor_id,
+             {dist} AS dist FROM q CROSS JOIN pts p
+      WHERE p.o_orderkey <> q.o_orderkey),
+r AS (SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rk
+      FROM d)
+SELECT query_id, neighbor_id, rk AS "rank", {SR('dist', 3)} AS dist_m
+FROM r WHERE rk <= {KNN_K}"""
+
+
+@register("knn_exact", _knn_oracle())
+def q_knn_exact(spark, sf_dir):
+    """Exact kNN: broadcast queries, partition-local top-k, window refine."""
+    pts = order_points(spark, sf_dir)
+    queries = pts.filter(F.expr(KNN_PRED)).select(
+        F.col("o_orderkey").alias("query_id"), "lon", "lat"
+    )
+    out = KNN.knn_join(pts, queries, k=KNN_K, point_id="o_orderkey")
+    return out.withColumn("dist_m", R("dist_m", 3))
+
+
+@register("knn_cells", _knn_oracle())
+def q_knn_cells(spark, sf_dir):
+    """Cell k-ring kNN (quadkey k-ring ≈ H3 k-ring). zoom=2/ring=2 covers the
+    whole 4×4 tile matrix → exact, same oracle; higher zooms trade recall."""
+    pts = order_points(spark, sf_dir)
+    queries = pts.filter(F.expr(KNN_PRED)).select(
+        F.col("o_orderkey").alias("query_id"), "lon", "lat"
+    )
+    out = KNN.knn_cell_join(
+        pts, queries, k=KNN_K, zoom=2, ring=2, point_id="o_orderkey"
+    )
+    return out.withColumn("dist_m", R("dist_m", 3))
+
+
+# --- raster sampling -------------------------------------------------------
+
+Z_RASTER = 3
+_MAXPX = (1 << Z_RASTER) * 256 - 1
+_RES = 2 * TM.ORIGIN_SHIFT / ((1 << Z_RASTER) * 256)
+
+
+def _sql_global_px(lon_expr: str, lat_expr: str) -> tuple[str, str]:
+    mx = TM.sql_meters_x(lon_expr)
+    my = TM.sql_meters_y(lat_expr)
+    gx = f"((({mx}) + {TM.ORIGIN_SHIFT!r}) / {_RES!r})"
+    gy = f"(({TM.ORIGIN_SHIFT!r} - ({my})) / {_RES!r})"
+    return gx, gy
+
+
+def _sql_nearest_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+    ix = f"least({_MAXPX}, greatest(0, floor(({gx}) + 1e-10)))::bigint"
+    iy = f"least({_MAXPX}, greatest(0, floor(({gy}) + 1e-10)))::bigint"
+    return TL.sql_pixel_value(ix, iy, "1")
+
+
+@register(
+    "raster_sample_nearest",
+    f"SELECT o_orderkey, {_sql_nearest_val()} AS nearest_val FROM orders",
+)
+def q_raster_sample_nearest(spark, sf_dir):
+    """Warp-nearest point sampling (int(x+1e-10), gdalwarpkernel.cpp:5228)."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    return TL.sample_nearest(
+        pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
+    )
+
+
+def _sql_bilinear_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+    ix0 = f"floor(({gx}) - 0.5)"
+    iy0 = f"floor(({gy}) - 0.5)"
+    wx = f"(({gx}) - 0.5 - ({ix0}))"
+    wy = f"(({gy}) - 0.5 - ({iy0}))"
+    terms = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            cx = f"least({_MAXPX}, greatest(0, ({ix0}) + {dx}))::bigint"
+            cy = f"least({_MAXPX}, greatest(0, ({iy0}) + {dy}))::bigint"
+            w = (
+                f"({'(1.0 - ' + wx + ')' if dx == 0 else wx}) * "
+                f"({'(1.0 - ' + wy + ')' if dy == 0 else wy})"
+            )
+            terms.append(f"({w}) * ({TL.sql_pixel_value(cx, cy, '1')})")
+    return SR(" + ".join(terms), 6)
+
+
+@register(
+    "raster_sample_bilinear",
+    f"SELECT o_orderkey, {_sql_bilinear_val()} AS bilinear_val FROM orders",
+)
+def q_raster_sample_bilinear(spark, sf_dir):
+    """Warp-bilinear sampling (floor(x-0.5)+weights, gdalwarpkernel:2952)."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    out = TL.sample_bilinear(
+        pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
+    )
+    return out.withColumn("bilinear_val", R("bilinear_val", 6))
+
+
+@register(
+    "raster_overview_mean",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, 511)) AS i),
+t AS (SELECT unnest(generate_series(0, 1)) AS v)
+SELECT tx.v AS tx, ty.v AS ty, 1 AS band,
+       {SR('avg(cast(((tx.v * 512 + gx.i) * 31 + (ty.v * 512 + gy.i) * 17 + 7) % 256 AS double))', 6)} AS mean_val
+FROM t tx CROSS JOIN t ty CROSS JOIN gs gx CROSS JOIN gs gy
+GROUP BY tx.v, ty.v""",
+)
+def q_raster_overview_mean(spark, sf_dir):
+    """Overview pyramid step (z2 → z1 by 2×2 average; overview.cpp:1214) —
+    verified via per-parent-tile mean of the closed-form world raster."""
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+    z1 = TL.overview_level(base, tile_size=256)
+    mean = F.aggregate(
+        F.col("data"), F.lit(0.0), lambda a, v: a + v
+    ) / F.size("data")
+    return z1.select(
+        "tx", "ty", "band", R(mean, 6).alias("mean_val")
+    )
+
+
+Z_BOUNDS = 6
+
+
+def _sql_tile_bounds() -> str:
+    res = TM.resolution(Z_BOUNDS)
+    tx = TM.sql_tile_x(sql_lon("o_orderkey"), Z_BOUNDS)
+    ty = TM.sql_tile_y_xyz(sql_lat("o_orderkey"), Z_BOUNDS)
+    ty_tms = f"({(1 << Z_BOUNDS) - 1} - ({ty}))"
+    # every term forced ::double — int*DECIMAL stays DECIMAL in DuckDB and
+    # would diverge from Spark's double math
+    return f"""
+SELECT DISTINCT tx, ty,
+  {SR(f"tx::double * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double", 4)} AS minx,
+  {SR(f"ty_tms::double * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double", 4)} AS miny,
+  {SR(f"(tx + 1)::double * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double", 4)} AS maxx,
+  {SR(f"(ty_tms + 1)::double * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double", 4)} AS maxy
+FROM (SELECT {tx} AS tx, {ty} AS ty, {ty_tms} AS ty_tms FROM orders)"""
+
+
+@register("tile_bounds", _sql_tile_bounds())
+def q_tile_bounds(spark, sf_dir):
+    """Tile → EPSG:3857 bounds (gdal2tiles.py:480-487 TileBounds)."""
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_BOUNDS, with_quadkey=False
+    )
+    tiles = pts.select("tx", "ty").distinct()
+    ty_tms = (F.lit((1 << Z_BOUNDS) - 1) - F.col("ty")).cast("int")
+    tiles = tiles.withColumn("_ty_tms", ty_tms)
+    minx, miny, maxx, maxy = TM.tile_bounds_meters(
+        F.col("tx"), F.col("_ty_tms"), Z_BOUNDS
+    )
+    return tiles.select(
+        "tx", "ty",
+        R(minx, 4).alias("minx"), R(miny, 4).alias("miny"),
+        R(maxx, 4).alias("maxx"), R(maxy, 4).alias("maxy"),
+    )
+
+
+# ===========================================================================
+# 2. OGR SQL surface (SUMMARY / DISTINCT / ORDER BY / joins / predicates)
+# ===========================================================================
+
+@register(
+    "sql_summary",
+    f"""SELECT count(*) AS cnt, count(DISTINCT l_returnflag) AS n_flags,
+       {SR('min(l_quantity)', 2)} AS min_qty, {SR('max(l_quantity)', 2)} AS max_qty,
+       {SR('sum(l_quantity)', 2)} AS sum_qty, {SR('avg(l_quantity)', 6)} AS avg_qty,
+       {SR('stddev_pop(l_quantity)', 6)} AS sd_pop,
+       {SR('stddev_samp(l_quantity)', 6)} AS sd_samp
+FROM lineitem""",
+)
+def q_sql_summary(spark, sf_dir):
+    """OGR SUMMARY_RECORD mode: AVG MIN MAX COUNT SUM STDDEV_* single-group
+    (ogr_swq.h:320-333, ogr_gensql.cpp:864+)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+        R(F.min("l_quantity"), 2).alias("min_qty"),
+        R(F.max("l_quantity"), 2).alias("max_qty"),
+        R(F.sum("l_quantity"), 2).alias("sum_qty"),
+        R(F.avg("l_quantity"), 6).alias("avg_qty"),
+        R(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
+        R(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
+    )
+
+
+@register(
+    "sql_distinct",
+    "SELECT DISTINCT o_orderpriority FROM orders",
+)
+def q_sql_distinct(spark, sf_dir):
+    """DISTINCT_LIST mode (ogr_swq.h:322)."""
+    return _read(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@register(
+    "sql_orderby_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
+)
+def q_sql_orderby_limit(spark, sf_dir):
+    """ORDER BY + LIMIT/OFFSET (ogr_gensql.cpp:2218-2428, swq LIMIT/OFFSET)."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(5)
+        .limit(10)
+    )
+
+
+@register(
+    "sql_like_ilike",
+    """SELECT sum(CASE WHEN p_name LIKE '%sky%' THEN 1 ELSE 0 END) AS n_like,
+       sum(CASE WHEN p_name ILIKE '%SKY%' THEN 1 ELSE 0 END) AS n_ilike
+FROM part""",
+)
+def q_sql_like_ilike(spark, sf_dir):
+    """LIKE case-sensitive vs ILIKE (swq_op_general.cpp:41-95,1102-1111)."""
+    p = _read(spark, sf_dir, "part")
+    return p.agg(
+        F.sum(F.when(F.col("p_name").like("%sky%"), 1).otherwise(0)).alias("n_like"),
+        F.sum(F.when(F.col("p_name").ilike("%SKY%"), 1).otherwise(0)).alias("n_ilike"),
+    )
+
+
+@register(
+    "sql_first_match_join",
+    """WITH ranked AS (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rk
+  FROM lineitem)
+SELECT o.o_orderkey, o.o_orderstatus, r.l_partkey, r.l_quantity
+FROM orders o LEFT JOIN ranked r ON o.o_orderkey = r.l_orderkey AND r.rk = 1""",
+)
+def q_sql_first_match_join(spark, sf_dir):
+    """GDAL LEFT JOIN 1-row first-match semantics (ogr_gensql.cpp:1333-1546):
+    the secondary layer contributes only its FIRST matching feature."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    first = (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    return o.join(
+        first, o["o_orderkey"] == first["l_orderkey"], "left"
+    ).select("o_orderkey", "o_orderstatus", "l_partkey", "l_quantity")
+
+
+@register(
+    "sql_union_all",
+    """SELECT n_name AS name, 'nation' AS src FROM nation
+UNION ALL SELECT r_name AS name, 'region' AS src FROM region""",
+)
+def q_sql_union_all(spark, sf_dir):
+    """UNION ALL of two SELECTs (swq_select::PushUnionAll, ogr_swq.h:485)."""
+    n = _read(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    r = _read(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    return n.unionAll(r)
+
+
+@register(
+    "sql_predicates",
+    f"""SELECT count(*) AS n, {SR('sum(o_totalprice)', 2)} AS total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 50000 AND 150000
+  AND o_orderstatus IS NOT NULL AND NOT (o_orderstatus = 'P')""",
+)
+def q_sql_predicates(spark, sf_dir):
+    """IN / BETWEEN / IS NULL / NOT (swq_op_registrar.cpp:28-61)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderstatus").isNotNull()
+        & ~(F.col("o_orderstatus") == "P")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "sql_scalar_funcs",
+    """SELECT c_custkey, concat(substring(c_name, 1, 9), '/', c_mktsegment) AS tag,
+       CAST(trunc(c_acctbal) AS bigint) AS bal_int,
+       length(c_name) AS name_len
+FROM customer WHERE c_custkey < 100""",
+)
+def q_sql_scalar_funcs(spark, sf_dir):
+    """CONCAT / SUBSTR / CAST scalar functions (swq_op_general.cpp:1654)."""
+    c = _read(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("/"), F.col("c_mktsegment")
+        ).alias("tag"),
+        F.col("c_acctbal").cast("bigint").alias("bal_int"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register("sql_count_star", "SELECT count(*) AS n FROM lineitem")
+def q_sql_count_star(spark, sf_dir):
+    """COUNT(*) metadata fast path (ogr_gensql.cpp:957-977)."""
+    return _read(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "sql_json_get",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS int) AS k
+FROM events WHERE event_id < 500""",
+)
+def q_sql_json_get(spark, sf_dir):
+    """HSTORE_GET_VALUE analog over JSON props (swq_op_general.cpp:291)."""
+    e = _read(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@register(
+    "sql_join_agg",
+    f"""SELECT n.n_name, count(*) AS n_orders, {SR('sum(o.o_totalprice)', 2)} AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+)
+def q_sql_join_agg(spark, sf_dir):
+    """Multi-way equi-join + GROUP BY (Spark-native; OGR reaches this only
+    through the SQLite dialect). Dimensions broadcast."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sql_dissolve",
+    f"""WITH attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()})
+SELECT eas_id, count(*) AS n_polys, {SR('sum(area)', 6)} AS total_area,
+       {SR('min(xmin)', 6)} AS xmin, {SR('min(ymin)', 6)} AS ymin,
+       {SR('max(xmax)', 6)} AS xmax, {SR('max(ymax)', 6)} AS ymax
+FROM attrs GROUP BY eas_id""",
+)
+def q_sql_dissolve(spark, sf_dir):
+    """Dissolve = spatial GROUP BY + geometry-union aggregate
+    (apps/gdalalg_vector_dissolve.cpp); envelope-union + area-sum here."""
+    p = polygons_df(spark)
+    return p.groupBy("eas_id").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        R(F.sum("area"), 6).alias("total_area"),
+        R(F.min("xmin"), 6).alias("xmin"),
+        R(F.min("ymin"), 6).alias("ymin"),
+        R(F.max("xmax"), 6).alias("xmax"),
+        R(F.max("ymax"), 6).alias("ymax"),
+    )
+
+
+# ===========================================================================
+# 3. Training-data pipeline ops (documents / embeddings)
+# ===========================================================================
+
+@register("dedup_exact", D.sql_exact_dedup())
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in T.sql_quality_select("text").items())
+    + " FROM documents",
+)
+def q_text_quality(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return T.quality_columns(docs).select(
+        "doc_id", *T.sql_quality_select("text").keys()
+    )
+
+
+@register(
+    "text_token_counts",
+    f"SELECT doc_id, {T.sql_ws_token_count('text')} AS n_ws, "
+    f"{T.sql_bpe_token_count('text')} AS n_bpe FROM documents",
+)
+def q_text_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_ws"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+@register(
+    "text_lang_id",
+    f"SELECT doc_id, lang, {T.sql_lang_id('text')} AS lang_pred FROM documents",
+)
+def q_text_lang_id(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return T.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents",
+)
+def q_text_fingerprint(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+MH_PERM = 16
+MH_BANDS = 4
+
+
+@register(
+    "dedup_minhash_sig",
+    f"SELECT doc_id, {D.sql_minhash_sig('text', MH_PERM)} AS sig FROM documents",
+)
+def q_dedup_minhash_sig(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, num_perm=MH_PERM)
+
+
+def _sql_minhash_pairs() -> str:
+    rpb = MH_PERM // MH_BANDS
+    band_rows = []
+    for b in range(MH_BANDS):
+        cols = ", ".join(
+            f"sig[{b * rpb + r + 1}]::varchar" for r in range(rpb)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', '{b}', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    match = (
+        f"len(list_filter(range(1, {MH_PERM} + 1), "
+        f"i -> sa.sig[i] = sb.sig[i]))"
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {D.sql_minhash_sig('text', MH_PERM)} AS sig FROM documents),
+banded AS ({banded}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+         WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       {SR(f'({match}) / {float(MH_PERM)!r}', 6)} AS est_jaccard
+FROM cand JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+WHERE {SR(f'({match}) / {float(MH_PERM)!r}', 6)} >= 0.5"""
+
+
+@register("dedup_minhash_pairs", _sql_minhash_pairs())
+def q_dedup_minhash_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(
+        docs, num_perm=MH_PERM, bands=MH_BANDS, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"SELECT doc_id, {D.sql_simhash('text')} AS sh FROM documents",
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("sh"))
+
+
+EMB_DIM = 64
+ANN_K = 5
+ANN_PRED = "vec_id % 100 = 1"
+
+
+def _sql_cosine_topk() -> str:
+    cos = SIM.sql_cosine("q.embedding", "v.embedding")
+    return f"""
+WITH q AS (SELECT * FROM embeddings WHERE {ANN_PRED}),
+d AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS sim
+      FROM q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM d)
+SELECT query_id, neighbor_id, rk AS "rank", sim FROM r WHERE rk <= {ANN_K}"""
+
+
+@register("embed_cosine_topk", _sql_cosine_topk())
+def q_embed_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.cosine_topk(emb, queries, k=ANN_K)
+
+
+def _sql_ann_lsh_topk(nb: int = 6) -> str:
+    cos = SIM.sql_cosine("q.embedding", "v.embedding")
+    # multi-probe: exact bucket + every 1-bit flip (mirrors ann_lsh_topk)
+    return f"""
+WITH q0 AS (SELECT * FROM embeddings WHERE {ANN_PRED}),
+q AS (SELECT q0.*, ({SIM.sql_lsh_bucket('q0.embedding', nb, EMB_DIM)}) AS qbucket FROM q0),
+v0 AS (SELECT v.*, ({SIM.sql_lsh_bucket('v.embedding', nb, EMB_DIM)}) AS vbucket
+       FROM embeddings v),
+d AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS sim
+      FROM q JOIN v0 v ON v.vbucket IN
+        (q.qbucket{''.join(f', xor(q.qbucket, {1 << j})' for j in range(nb))})
+      WHERE v.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM d)
+SELECT query_id, neighbor_id, rk AS "rank", sim FROM r WHERE rk <= {ANN_K}"""
+
+
+@register("embed_ann_lsh", _sql_ann_lsh_topk())
+def q_embed_ann_lsh(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ann_lsh_topk(emb, queries, k=ANN_K, dim=EMB_DIM, nb=6)
+
+
+def _sql_cosine_pairs(nb: int = 4, threshold: float = 0.3) -> str:
+    ba = SIM.sql_lsh_bucket("a.embedding", nb, EMB_DIM)
+    bb = SIM.sql_lsh_bucket("b.embedding", nb, EMB_DIM)
+    cos = SIM.sql_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS sim
+FROM embeddings a JOIN embeddings b ON ({ba}) = ({bb})
+WHERE a.vec_id < b.vec_id AND {cos} >= {threshold!r}"""
+
+
+@register("embed_cosine_pairs", _sql_cosine_pairs())
+def q_embed_cosine_pairs(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(emb, dim=EMB_DIM, threshold=0.3, nb=4)
+
+
+@register(
+    "multimodal_meta",
+    """SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+       CASE WHEN doc_id % 3 = 0 THEN 'FAUD' ELSE 'FIMG' END AS magic,
+       146 AS media_bytes,
+       (doc_id % 64 + 16)::int AS media_w, (doc_id % 48 + 16)::int AS media_h
+FROM documents""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: attach deterministic media, parse
+    typed metadata back out of the binary column (pure column math)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    media = MM.attach_media(docs)
+    meta = MM.media_metadata(media)
+    return meta.select(
+        "doc_id", "media_type", "magic",
+        F.col("media_bytes").cast("int").alias("media_bytes"),
+        "media_w", "media_h",
+    )
+
+
+# ===========================================================================
+# 4. Event-time windowing (streaming semantics, batch-verifiable)
+# ===========================================================================
+
+Z_EVENTS = 4
+
+
+@register(
+    "events_tile_windows",
+    f"""SELECT epoch(date_trunc('hour', ts))::bigint AS win_epoch,
+       {TM.sql_tile_x(sql_lon('event_id'), Z_EVENTS)} AS tx,
+       {TM.sql_tile_y_xyz(sql_lat('event_id'), Z_EVENTS)} AS ty,
+       count(*) AS n_events, {SR('sum(value)', 4)} AS sum_value
+FROM events GROUP BY 1, 2, 3""",
+)
+def q_events_tile_windows(spark, sf_dir):
+    """Tumbling event-time windows × tile rollup — the Structured-Streaming
+    aggregation (streaming/ingest.py) in its batch-equivalent form."""
+    e = _read(spark, sf_dir, "events").select(
+        "ts", "value",
+        derived_lon(F.col("event_id")).alias("lon"),
+        derived_lat(F.col("event_id")).alias("lat"),
+    )
+    tx, ty = TM.lonlat_to_tile(F.col("lon"), F.col("lat"), Z_EVENTS)
+    return (
+        e.withColumn("tx", tx).withColumn("ty", ty)
+        .groupBy(F.window("ts", "1 hour"), "tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("win_epoch"),
+            "tx", "ty", "n_events", "sum_value",
+        )
+    )

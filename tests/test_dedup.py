@@ -1,0 +1,119 @@
+"""Dedup operators vs DuckDB oracles + structural properties."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import dedup as D
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_exact_dedup_vs_duckdb(spark, docs):
+    got = {
+        r["text_hash"]: (r["keep_id"], r["dup_count"])
+        for r in D.exact_dedup(docs).collect()
+    }
+    want = {r[0]: (r[1], r[2]) for r in _duck(D.sql_exact_dedup())}
+    assert got == want
+
+
+def test_shingles_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in docs.select(
+            "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    want = {
+        r[0]: sorted(r[1])
+        for r in _duck(
+            f"SELECT doc_id, {D.sql_shingles('text', 3)} AS sh FROM documents"
+        )
+    }
+    assert got == want
+
+
+def test_minhash_sig_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.minhash_signatures(docs, num_perm=8).collect()
+    }
+    want = {
+        r[0]: list(r[1])
+        for r in _duck(
+            f"SELECT doc_id, {D.sql_minhash_sig('text', 8)} AS sig FROM documents"
+        )
+    }
+    assert got == want
+
+
+def test_minhash_detects_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (0, base),
+        (1, base),                       # exact dup
+        (2, base.replace("lazy", "busy")),  # near dup
+        (3, "completely different words about spark tiles and mercator math"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(
+            df, num_perm=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_exact(spark):
+    rows = [(0, "a b c d e"), (1, "a b c x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = D.jaccard_pairs(df, pairs, w=2).collect()[0]
+    # 2-shingles: {ab,bc,cd,de} vs {ab,bc,cx,xy}: |∩|=2 |∪|=6
+    assert out["jaccard"] == pytest.approx(2 / 6, abs=1e-6)
+
+
+def test_simhash_vs_duckdb(spark, docs):
+    sample = docs.limit(50)
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in sample.select(
+            "doc_id", D.simhash(F.col("text")).alias("sh")
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            f"SELECT doc_id, {D.sql_simhash('text')} AS sh FROM documents "
+            f"WHERE doc_id IN ({', '.join(str(i) for i in got)})"
+        )
+    )
+    assert got == want
+
+
+def test_simhash_pairs_close_docs(spark):
+    rows = [
+        (0, "spark engine tile mercator join raster vector index"),
+        (1, "spark engine tile mercator join raster vector indexes"),
+        (2, "unrelated totally different content entirely elsewhere"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.simhash_pairs(df, max_hamming=8).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in ids

@@ -1,0 +1,127 @@
+"""Similarity search: exact brute-force vs numpy oracle + DuckDB parity,
+ANN recall sanity, embedding near-dup pairs."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators import similarity as S
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(EMB)
+
+
+def _numpy_topk(k, q_ids, include_self=False):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{EMB}') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1)
+    out = {}
+    for qid in q_ids:
+        qi = int(np.nonzero(ids == qid)[0][0])
+        sims = np.round(mat @ mat[qi] / (norm * norm[qi]), 6)
+        cand = [
+            (-s, i)
+            for s, i in zip(sims, ids)
+            if include_self or i != qid
+        ]
+        cand.sort()
+        out[qid] = [(i, -s) for s, i in cand[:k]]
+    return out
+
+
+def test_cosine_topk_exact(spark, vectors):
+    q_ids = [0, 7, 13]
+    queries = vectors.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = S.cosine_topk(vectors, queries, k=5).collect()
+    want = _numpy_topk(5, q_ids)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["sim"])
+        )
+    for qid in q_ids:
+        w = want[qid]
+        g = by_q[qid]
+        assert [x[0] for x in g] == [x[0] for x in w]
+        for (gi, gs), (wi, ws) in zip(g, w):
+            assert gs == pytest.approx(ws, abs=2e-6)
+
+
+def test_cosine_col_vs_duckdb(spark, vectors):
+    """The column-math cosine must match DuckDB's sequential-sum to 6dp."""
+    a = vectors.limit(20).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    pairs = (
+        a.crossJoin(
+            vectors.limit(5).select(
+                F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+            )
+        )
+        .withColumn("sim", S.cosine_col("ea", "eb"))
+        .select("id_a", "id_b", "sim")
+    )
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in pairs.collect()}
+    con = duckdb.connect()
+    sql = (
+        f"SELECT a.vec_id, b.vec_id, {S.sql_cosine('a.embedding', 'b.embedding')} "
+        f"FROM read_parquet('{EMB}') a, read_parquet('{EMB}') b "
+        f"WHERE a.vec_id < 20 AND b.vec_id < 5"
+    )
+    for ia, ib, sim in con.execute(sql).fetchall():
+        assert got[(ia, ib)] == pytest.approx(sim, abs=1e-9), (ia, ib)
+
+
+def test_lsh_bucket_vs_duckdb(spark, vectors):
+    got = {
+        r["vec_id"]: r["b"]
+        for r in vectors.select(
+            "vec_id", S.lsh_bucket_col("embedding", 6, DIM).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"SELECT vec_id, {S.sql_lsh_bucket('embedding', 6, DIM)} "
+            f"FROM read_parquet('{EMB}')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_ann_recall(spark, vectors):
+    """Single-probe LSH with few bits should still find most true top-5."""
+    q_ids = [1, 2, 3, 4, 5, 6, 7, 8]
+    queries = vectors.filter(F.col("vec_id").isin(q_ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = _numpy_topk(5, q_ids)
+    ann = S.ann_lsh_topk(vectors, queries, k=5, dim=DIM, nb=4).collect()
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in q_ids:
+        truth = {i for i, _ in exact[qid]}
+        hits += len(truth & by_q.get(qid, set()))
+        total += len(truth)
+    assert hits / total >= 0.3  # 4-bit single-probe lower bound, sanity only
+
+
+def test_cosine_pairs_threshold(spark, vectors):
+    out = S.cosine_pairs(vectors, dim=DIM, threshold=0.95, nb=4)
+    for r in out.collect():
+        assert r["sim"] >= 0.95
+        assert r["id_a"] < r["id_b"]

@@ -1,0 +1,100 @@
+"""Text operators: extractor invariant + analysis ops vs DuckDB oracles."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.data.pages import pages_df
+from gdal_spark.operators import text as T
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_extract_text_byte_identical(spark):
+    """North-rule invariant: engine extract_text(html) == stored text, every
+    row, byte-identical."""
+    pages = pages_df(spark, 500)
+    bad = (
+        pages.withColumn("ext", T.extract_text(F.col("html")))
+        .filter(F.col("ext") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extract_text_py_matches_column(spark):
+    pages = pages_df(spark, 50).select("html", "text").collect()
+    for r in pages:
+        assert T.extract_text_py(bytes(r["html"])) == r["text"]
+
+
+def test_token_counts_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: (r["ws"], r["bpe"])
+        for r in docs.select(
+            "doc_id",
+            T.ws_token_count(F.col("text")).alias("ws"),
+            T.bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2])
+        for r in _duck(
+            f"SELECT doc_id, {T.sql_ws_token_count('text')} AS ws, "
+            f"{T.sql_bpe_token_count('text')} AS bpe FROM documents"
+        )
+    }
+    assert got == want
+
+
+def test_quality_vs_duckdb(spark, docs):
+    frags = T.sql_quality_select("text")
+    sql = "SELECT doc_id, " + ", ".join(
+        f"{v} AS {k}" for k, v in frags.items()
+    ) + " FROM documents"
+    want = {r[0]: r[1:] for r in _duck(sql)}
+    rows = T.quality_columns(docs).select(
+        "doc_id", *frags.keys()
+    ).collect()
+    for r in rows:
+        exp = want[r["doc_id"]]
+        assert (r["n_chars_m"], r["n_ws_tokens"]) == exp[:2]
+        for a, b in zip(r[3:], exp[2:]):
+            assert abs(a - b) < 1e-9, (r["doc_id"], a, b)
+
+
+def test_lang_id_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in T.lang_id(docs).select("doc_id", "lang_pred").collect()
+    }
+    want = dict(
+        _duck(f"SELECT doc_id, {T.sql_lang_id('text')} AS l FROM documents")
+    )
+    assert got == want
+
+
+def test_fingerprint_vs_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    want = dict(
+        _duck(f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents")
+    )
+    assert got == want
