@@ -58,6 +58,16 @@ class PolygonIndex:
         self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
         self.rings_list = rings_list  # list[list[np.ndarray(n,2)]]
         self.boxes = np.asarray(boxes, dtype=np.float64)  # (P, 4) xmin ymin xmax ymax
+        self._by_id = None
+
+    def rings_by_id(self) -> dict:
+        """Lazy poly_id → rings lookup (built once per executor)."""
+        if self._by_id is None:
+            self._by_id = {
+                int(pid): rings
+                for pid, rings in zip(self.poly_ids, self.rings_list)
+            }
+        return self._by_id
 
     @classmethod
     def from_rows(cls, rows):
@@ -171,13 +181,11 @@ def polygon_cell_cover(polygons: DataFrame, zoom: int) -> DataFrame:
     contract; exact test happens after the join). Envelope→tile-range uses
     the same lon/lat→tile math as the point side so edges agree.
     """
-    covered_schema = (
-        "poly_id long, rings array<array<array<double>>>, cell_tx int, cell_ty int"
-    )
+    covered_schema = "poly_id long, cell_tx int, cell_ty int"
 
     def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"poly_id": [], "rings": [], "cell_tx": [], "cell_ty": []}
+            rows = {"poly_id": [], "cell_tx": [], "cell_ty": []}
             for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
                 arr = G.rings_to_numpy(rings)
                 xmin, ymin, xmax, ymax = G.rings_envelope(arr)
@@ -188,11 +196,13 @@ def polygon_cell_cover(polygons: DataFrame, zoom: int) -> DataFrame:
                 for ty in range(ty_top, ty_bot + 1):
                     for tx in range(tx0, tx1 + 1):
                         rows["poly_id"].append(pid)
-                        rows["rings"].append(rings)
                         rows["cell_tx"].append(tx)
                         rows["cell_ty"].append(ty)
             yield pd.DataFrame(rows)
 
+    # cover rows carry ONLY (poly_id, cell) — at scale the shuffle never
+    # moves ring geometry; the exact test resolves rings from a broadcast
+    # index (the prepared-geometry pattern, ogrgeometry.cpp:7530-7665)
     return polygons.select("poly_id", "rings").mapInPandas(cover, covered_schema)
 
 
@@ -211,6 +221,7 @@ def pip_join_cells(
     points deterministically across replicas — shuffle partitions for a hot
     cell shrink by the salt factor. Leave 0/1 for unskewed data.
     """
+    spark = points.sparkSession
     pts = points
     tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
     pts = pts.withColumn("cell_tx", tx).withColumn("cell_ty", ty)
@@ -228,21 +239,26 @@ def pip_join_cells(
 
     joined = pts.join(cover, on=join_keys, how="inner")
 
-    # Exact predicate — vectorized per polygon group within each Arrow batch.
+    # Exact predicate: rings come from a broadcast poly_id→rings index (the
+    # prepared-geometry reuse pattern), NOT through the shuffle — the join
+    # only ever moves (point cols, poly_id, cell key).
+    index = build_polygon_index(polygons)
+    bc = spark.sparkContext.broadcast(index)
+
     @F.pandas_udf("boolean")
-    def contains(lon_s: pd.Series, lat_s: pd.Series, poly_id: pd.Series, rings: pd.Series) -> pd.Series:
+    def contains(lon_s: pd.Series, lat_s: pd.Series, poly_id: pd.Series) -> pd.Series:
+        rings_by_id = bc.value.rings_by_id()
         out = np.zeros(len(lon_s), dtype=bool)
         px = lon_s.to_numpy(dtype=np.float64)
         py = lat_s.to_numpy(dtype=np.float64)
         for pid, grp in pd.RangeIndex(len(lon_s)).to_series().groupby(poly_id.values):
             pos = grp.to_numpy()
-            arr = G.rings_to_numpy(rings.iloc[pos[0]])
-            out[pos] = G.points_in_polygon(px[pos], py[pos], arr)
+            out[pos] = G.points_in_polygon(px[pos], py[pos], rings_by_id[int(pid)])
         return pd.Series(out)
 
     result = (
-        joined.filter(contains(F.col(lon), F.col(lat), F.col("poly_id"), F.col("rings")))
-        .drop("rings", "cell_tx", "cell_ty", "_salt")
+        joined.filter(contains(F.col(lon), F.col(lat), F.col("poly_id")))
+        .drop("cell_tx", "cell_ty", "_salt")
     )
     if first_match:
         result = result.groupBy(*points.columns).agg(F.min("poly_id").alias("poly_id"))

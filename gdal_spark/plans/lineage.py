@@ -82,7 +82,7 @@ class Pipeline:
         for name, fn in self.stages:
             data_path = self._data_path(name)
             if self.committed(name, fingerprint):
-                cur = spark.read.parquet(data_path)
+                cur = spark.read.parquet(data_path).drop("_part_id", "_row_bytes")
                 with open(self._commit_path(name)) as fh:
                     rows = json.load(fh)["rows"]
                 results.append(StageResult(name, True, rows, data_path))
@@ -115,7 +115,7 @@ class Pipeline:
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
             os.replace(tmp, self._commit_path(name))  # atomic commit token
-            cur = written
+            cur = written.drop("_part_id", "_row_bytes")
             results.append(StageResult(name, False, rows, data_path))
         return results
 

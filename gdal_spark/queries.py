@@ -477,7 +477,8 @@ def q_sql_like_ilike(spark, sf_dir):
     "sql_first_match_join",
     """WITH ranked AS (
   SELECT l_orderkey, l_partkey, l_quantity,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rk
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_quantity) AS rk
   FROM lineitem)
 SELECT o.o_orderkey, o.o_orderstatus, r.l_partkey, r.l_quantity
 FROM orders o LEFT JOIN ranked r ON o.o_orderkey = r.l_orderkey AND r.rk = 1""",
@@ -489,7 +490,11 @@ def q_sql_first_match_join(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # l_linenumber alone is not unique per order in the synthetic data —
+    # extend the FID-order key so first-match is deterministic cross-engine
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
     first = (
         li.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
