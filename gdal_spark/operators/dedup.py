@@ -34,6 +34,8 @@ int64 in either engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -122,6 +124,28 @@ def shingle_hashes(text: Column, w: int = 3) -> Column:
     return F.transform(shingles(text, w), md5_h32)
 
 
+def _py_tokens(t: str) -> list[str]:
+    """Python mirror of split(trim(text), ' +') — spaces only, like F.trim."""
+    import re
+
+    t = (t or "").strip(" ")
+    return re.split(" +", t)
+
+
+def _py_shingle_hashes(t: str, w: int) -> "np.ndarray":
+    """Python/numpy mirror of shingle_hashes: DISTINCT w-shingles (first-
+    occurrence order is irrelevant — only min survives) → md5[:8hex] ints."""
+    import hashlib
+
+    toks = _py_tokens(t)
+    m = max(len(toks) - w + 1, 1)
+    sh = {" ".join(toks[i:i + w]) for i in range(m)}
+    return np.array(
+        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh],
+        dtype=np.int64,
+    )
+
+
 def sql_shingle_hashes(text_expr: str = "text", w: int = 3) -> str:
     return (
         f"list_transform({sql_shingles(text_expr, w)}, "
@@ -138,18 +162,24 @@ def minhash_signatures(
     num_perm: int = 16, w: int = 3,
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_perm]) MinHash sketch. Map-only."""
-    hashes = shingle_hashes(F.col(text), w)
+    # Arrow-batched numpy kernel: shingle + md5 once per doc, then ALL
+    # permutations in one (shingles × perms) numpy min-reduce. The pure
+    # column-expression form re-evaluated the shingle+md5 chain per
+    # permutation (Catalyst doesn't CSE across array transforms) and was
+    # ~10× slower. Values are bit-identical to sql_minhash_sig.
+    A = np.array([_perm_ab(j)[0] for j in range(num_perm)], dtype=np.int64)
+    B = np.array([_perm_ab(j)[1] for j in range(num_perm)], dtype=np.int64)
 
-    def perm_min(a: int, b: int):
-        # closure factory: higher-order-function lambdas must take exactly
-        # the declared arity (no default-arg captures)
-        def h(x):
-            return ((x % MERSENNE) * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)
+    @F.pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hs = _py_shingle_hashes(t, w)
+            sig = ((hs[:, None] % MERSENNE) * A[None, :] + B[None, :]) % MERSENNE
+            out.append(sig.min(axis=0))
+        return pd.Series(out)
 
-        return F.array_min(F.transform(hashes, h))
-
-    sig_cols = [perm_min(*_perm_ab(j)) for j in range(num_perm)]
-    return df.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
+    return df.select(F.col(id_col), sig_udf(F.col(text)).alias("sig"))
 
 
 def sql_minhash_sig(text_expr: str = "text", num_perm: int = 16, w: int = 3) -> str:
@@ -220,7 +250,10 @@ def minhash_dedup_pairs(
     est_jaccard = fraction of matching signature positions (rounded 6dp).
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text, id_col, num_perm, w)
+    # persist: the signature table is consumed three times (banding + both
+    # sides of the est-Jaccard join) — without this the whole shingle+minhash
+    # lineage recomputes each time
+    sigs = minhash_signatures(df, text, id_col, num_perm, w).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -272,28 +305,37 @@ SIMHASH_BITS = 32
 def simhash(text: Column, w: int = 1) -> Column:
     """32-bit SimHash over word tokens (w=1) or shingles (w>1).
 
-    bit b of the fingerprint = 1 iff sum over features of ±1 (per feature's
-    hash bit b) is positive. All folds are JVM `aggregate` calls.
+    bit b of the fingerprint = 1 iff sum over features of +-1 (per feature's
+    hash bit b) is positive. One Arrow-batched numpy kernel computes ALL 32
+    bit votes in a single (features x 32) reduction -- the fold-expression
+    form re-walked the token array 32x per row and was ~10x slower. Integer
+    arithmetic throughout => bit-identical to sql_simhash.
     """
-    hashes = shingle_hashes(text, w) if w > 1 else F.transform(
-        F.split(F.trim(text), " +"), md5_h32
-    )
-    def bit_vote(b: int):
-        def step(acc, x):
-            return acc + F.shiftright(x, b).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+    import hashlib
 
-        return F.aggregate(hashes, F.lit(0).cast("long"), step)
+    weights = (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
 
-    bit_terms = []
-    for b in range(SIMHASH_BITS):
-        vote = bit_vote(b)
-        bit_terms.append(
-            F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        )
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    @F.pandas_udf("long")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if w > 1:
+                hs = _py_shingle_hashes(t, w)
+            else:
+                toks = _py_tokens(t)
+                hs = np.array(
+                    [
+                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        for s in toks
+                    ],
+                    dtype=np.int64,
+                )
+            bits = (hs[:, None] >> np.arange(SIMHASH_BITS)) & 1  # (F, 32)
+            votes = (bits * 2 - 1).sum(axis=0)
+            out[i] = int((weights * (votes > 0)).sum())
+        return pd.Series(out)
+
+    return sh_udf(text)
 
 
 def sql_simhash(text_expr: str = "text") -> str:

