@@ -67,6 +67,39 @@ def _run_query(spark, name: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+# Big enough that the ~1.5 s serial dimension build (polygon collect +
+# broadcast) is amortized — at 10^12 rows it is invisible; at 4M rows it
+# Amdahl-caps measurable efficiency at ~0.5.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "32000000"))
+
+
+def scaling_flagship(spark, n_rows: int) -> tuple[float, int]:
+    """Scaling-evidence job: PIP spatial join + tile assignment over an
+    n_rows synthetic point table (derived geotags, same rule as the gate
+    queries). Generated with spark.range → pure column math → broadcast PIP
+    mapInPandas → tile columns; 128 input partitions so local[8] and
+    local[32] split identical work. Compute-dominated at 4M+ rows — the
+    regime where the two-cluster-size criterion is meaningful.
+    """
+    from pyspark.sql import functions as F
+
+    from gdal_spark.data.geotag import derived_lat, derived_lon
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators.pip_join import pip_join
+    from gdal_spark.operators.tiles import assign_tiles
+
+    t0 = time.perf_counter()
+    pts = spark.range(0, n_rows, numPartitions=128).select(
+        F.col("id").alias("doc_id"),
+        derived_lon(F.col("id")).alias("lon"),
+        derived_lat(F.col("id")).alias("lat"),
+    )
+    joined = pip_join(pts, polygons_df(spark), how="left", first_match=True)
+    out = assign_tiles(joined, zoom=12)
+    n = out.count()
+    return time.perf_counter() - t0, n
+
+
 def flagship(spark) -> tuple[float, int]:
     """North-rule flagship: PIP spatial join + tile assignment, docs/sec.
 
@@ -96,6 +129,7 @@ def main():
     # warm the JVM/Arrow path once so timings measure the engine, not startup
     _run_query(spark, "sql_count_star")
 
+    flagship(spark)  # warm the exact path once
     fl_t, fl_n = flagship(spark)
     results["flagship_pip_tiles"] = round(fl_t, 3)
     docs_per_sec = fl_n / fl_t if fl_t > 0 else 0.0
@@ -108,24 +142,26 @@ def main():
     if not skip_scaling:
         spark.stop()
         time.sleep(1)
-        s8 = _session("local[8]", 8)
-        t_n, n_rows = flagship(s8)
-        t_n2, _ = flagship(s8)   # second run: steady-state (cache warm)
+        s8 = _session("local[8]", 32)
+        scaling_flagship(s8, 100_000)  # JVM/Arrow warmup
+        t_n, n_rows = scaling_flagship(s8, SCALE_ROWS)
+        t_n2, _ = scaling_flagship(s8, SCALE_ROWS)  # steady-state
         t_n = min(t_n, t_n2)
         s8.stop()
         time.sleep(1)
         s32 = _session("local[32]", 32)
-        t_4n, _ = flagship(s32)
-        t_4n2, _ = flagship(s32)
+        scaling_flagship(s32, 100_000)
+        t_4n, _ = scaling_flagship(s32, SCALE_ROWS)
+        t_4n2, _ = scaling_flagship(s32, SCALE_ROWS)
         t_4n = min(t_4n, t_4n2)
         s32.stop()
         thr_n = n_rows / t_n
         thr_4n = n_rows / t_4n
         scaling = {
+            "scale_rows": SCALE_ROWS,
             "local8_docs_per_sec": round(thr_n, 1),
             "local32_docs_per_sec": round(thr_4n, 1),
             "efficiency_n_to_4n": round(thr_4n / (4 * thr_n), 3),
-            "rows": n_rows,
         }
     else:
         spark.stop()

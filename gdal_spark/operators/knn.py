@@ -78,37 +78,41 @@ def knn_join(
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, qlon, qlat = bc.value
         nq = ids.shape[0]
-        # Running per-partition top-k accumulators (small: Q × k)
-        acc_d = [np.full(0, np.inf) for _ in range(nq)]
-        acc_i = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        # Running per-partition top-k accumulators: (Q, ≤k) matrices — the
+        # whole merge is vectorized over ALL queries at once (one (Q, P)
+        # broadcasted distance evaluation per batch, no per-query loop).
+        acc_d = np.full((nq, 0), np.inf)
+        acc_i = np.full((nq, 0), -1, dtype=np.int64)
+        # chunk the point axis so (Q, chunk) temporaries stay L2-resident —
+        # a full (Q, 65536) float64 block costs ~6 temp arrays × 50 MB
+        chunk = max(1, 262144 // max(nq, 1))
         for pdf in batches:
             if pdf.shape[0] == 0:
                 continue
             p_id = pdf.iloc[:, id_i].to_numpy(dtype=np.int64)
             p_lon = pdf.iloc[:, lon_i].to_numpy(dtype=np.float64)
             p_lat = pdf.iloc[:, lat_i].to_numpy(dtype=np.float64)
-            for qi in range(nq):
+            for s in range(0, p_id.shape[0], chunk):
+                e = s + chunk
                 d = G.great_circle_distance(
-                    np.full(p_lat.shape, qlat[qi]),
-                    np.full(p_lon.shape, qlon[qi]),
-                    p_lat,
-                    p_lon,
-                )
-                cand_d = np.concatenate([acc_d[qi], d])
-                cand_i = np.concatenate([acc_i[qi], p_id])
+                    qlat[:, None], qlon[:, None],
+                    p_lat[None, s:e], p_lon[None, s:e],
+                )  # (Q, chunk) — same elementwise formula as the scalar path
+                i = np.broadcast_to(p_id[None, s:e], d.shape)
                 if not include_self:
-                    keep = cand_i != ids[qi]
-                    cand_d, cand_i = cand_d[keep], cand_i[keep]
-                if cand_d.shape[0] > k:
-                    # partial select then exact sort of the k survivors
-                    part = np.argpartition(cand_d, k - 1)[:k]
-                    cand_d, cand_i = cand_d[part], cand_i[part]
-                order = np.lexsort((cand_i, cand_d))
-                acc_d[qi], acc_i[qi] = cand_d[order], cand_i[order]
+                    d = np.where(i == ids[:, None], np.inf, d)
+                cand_d = np.concatenate([acc_d, d], axis=1)
+                cand_i = np.concatenate([acc_i, i], axis=1)
+                if cand_d.shape[1] > k:
+                    part = np.argpartition(cand_d, k - 1, axis=1)[:, :k]
+                    cand_d = np.take_along_axis(cand_d, part, axis=1)
+                    cand_i = np.take_along_axis(cand_i, part, axis=1)
+                acc_d, acc_i = cand_d, cand_i
+        keep = np.isfinite(acc_d)
         rows = {
-            "query_id": np.repeat(ids, [a.shape[0] for a in acc_i]),
-            "neighbor_id": np.concatenate(acc_i) if acc_i else np.empty(0, np.int64),
-            "dist_m": np.concatenate(acc_d) if acc_d else np.empty(0),
+            "query_id": np.repeat(ids, keep.sum(axis=1)),
+            "neighbor_id": acc_i[keep],
+            "dist_m": acc_d[keep],
         }
         yield pd.DataFrame(rows)
 

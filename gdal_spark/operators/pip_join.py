@@ -214,21 +214,49 @@ def pip_join_cells(
     zoom: int = 7,
     salt: int = 0,
     first_match: bool = False,
+    broadcast_cover: bool = True,
 ) -> DataFrame:
-    """Shuffle-based PIP join: cell-cover equi-join + exact kernel.
+    """Cell-cover equi-join PIP + exact kernel.
 
-    ``salt`` > 1 replicates each polygon-cover row ``salt`` times and spreads
-    points deterministically across replicas — shuffle partitions for a hot
-    cell shrink by the salt factor. Leave 0/1 for unskewed data.
+    ``broadcast_cover=True`` (default): the (poly_id, cell) cover is built
+    driver-side and broadcast — a map-only candidate join, right whenever
+    the polygon side fits on the driver. ``broadcast_cover=False`` keeps the
+    cover distributed and shuffles both sides on the cell key — the path for
+    polygon sides too large to broadcast; there ``salt`` > 1 replicates each
+    cover row ``salt`` times and spreads points deterministically across
+    replicas, shrinking a hot cell's shuffle partition by the salt factor.
     """
     spark = points.sparkSession
     pts = points
     tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
     pts = pts.withColumn("cell_tx", tx).withColumn("cell_ty", ty)
 
-    cover = polygon_cell_cover(polygons, zoom)
+    # Polygons are collected ONCE: the same rows feed the broadcast ring
+    # index (below) and the driver-computed cell cover — a dimension-table
+    # build, no extra Spark stages re-evaluated per action. (For a polygon
+    # side too big to collect, use polygon_cell_cover() + a repartitioned
+    # join instead.)
+    poly_rows = polygons.select("poly_id", "rings").collect()
+    index = PolygonIndex.from_rows(poly_rows)
+    if broadcast_cover:
+        cover_rows = []
+        for pid, box in zip(index.poly_ids, index.boxes):
+            xmin, ymin, xmax, ymax = box
+            ymin = max(ymin, -TM.MAX_LAT)
+            ymax = min(ymax, TM.MAX_LAT)
+            tx0, ty_top = TM.py_lonlat_to_tile(xmin, ymax, zoom)
+            tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
+            for ty_ in range(ty_top, ty_bot + 1):
+                for tx_ in range(tx0, tx1 + 1):
+                    cover_rows.append((int(pid), tx_, ty_))
+        cover = spark.createDataFrame(
+            cover_rows, "poly_id long, cell_tx int, cell_ty int"
+        )
+    else:
+        cover = polygon_cell_cover(polygons, zoom)
+
     join_keys = ["cell_tx", "cell_ty"]
-    if salt and salt > 1:
+    if not broadcast_cover and salt and salt > 1:
         pts = pts.withColumn(
             "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in points.columns]), F.lit(salt)).cast("int")
         )
@@ -237,12 +265,19 @@ def pip_join_cells(
         )
         join_keys = join_keys + ["_salt"]
 
-    joined = pts.join(cover, on=join_keys, how="inner")
+    if broadcast_cover:
+        joined = pts.join(F.broadcast(cover), on=join_keys, how="inner")
+    else:
+        # Force the at-scale plan: shuffle both sides on the cell key and
+        # hash-build the cover. Without the hint, Catalyst broadcasts
+        # whichever side is under the broadcast threshold — at test scale
+        # that is the POINTS side, which turns the stream side into the
+        # 1-partition cover and serializes the whole stage.
+        joined = pts.join(cover.hint("shuffle_hash"), on=join_keys, how="inner")
 
     # Exact predicate: rings come from a broadcast poly_id→rings index (the
     # prepared-geometry reuse pattern), NOT through the shuffle — the join
     # only ever moves (point cols, poly_id, cell key).
-    index = build_polygon_index(polygons)
     bc = spark.sparkContext.broadcast(index)
 
     @F.pandas_udf("boolean")

@@ -1,0 +1,255 @@
+"""Public dataflow API — the `gdal vector pipeline` step set as
+DataFrame→DataFrame functions (apps/gdalalg_vector_pipeline.cpp:142-219).
+
+Each reference step maps to one function here; a pipeline is ordinary
+function composition over DataFrames (Spark's lazy plan IS the GDALG
+serialized-pipeline analog, frmts/gdalg/gdalgdriver.cpp). Steps that are
+pure Catalyst re-exports are thin on purpose — the point is a 1:1 surface a
+reference user can port scripts against.
+
+Step mapping (reference step → function):
+  read            → read_parquet (spark.read)
+  write           → write_parquet (df.write)
+  partition       → write_partitioned (hive layout, gdalalg_vector_partition.cpp:94-99)
+  filter          → filter_expr (SetAttributeFilter)
+  select          → select_fields (SetIgnoredFields / SELECT list)
+  sql             → execute_sql (ExecuteSQL, OGR→Spark dialect)
+  sort            → sort_by / sort_spatial (gdalalg_vector_sort.cpp; spatial = quadkey curve)
+  limit           → limit_rows
+  reproject       → reproject_3857 / reproject_4326 (OGRWarpedLayer; closed-form Mercator)
+  swap-xy         → swap_xy
+  make-point      → make_point (lon/lat cols → WKB point column)
+  explode-collections → explode_collections (multipolygon rows → polygon rows)
+  segmentize      → segmentize (max-length vertex insertion, OGRGeometry::segmentize)
+  simplify        → simplify (Douglas-Peucker over ring arrays)
+  concat          → concat_layers (OGRUnionLayer / unionByName)
+  tee/materialize → materialize (cache)
+  filter (bbox)   → filter_bbox (SetSpatialFilter envelope stage)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.spatial import geometry as G
+from gdal_spark.spatial import tilemath as TM
+
+
+# -- sources / sinks --------------------------------------------------------
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str,
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned output (`gdal vector partition`,
+    gdalalg_vector_partition.cpp:94-99) — partition pruning on read."""
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+# -- row-level steps --------------------------------------------------------
+
+def filter_expr(df: DataFrame, where: str) -> DataFrame:
+    """SetAttributeFilter: full SQL WHERE grammar (ogrlayer.cpp:752)."""
+    return df.filter(F.expr(where))
+
+
+def filter_bbox(df: DataFrame, xmin: float, ymin: float, xmax: float,
+                ymax: float, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """SetSpatialFilter envelope stage (ogrlayer.cpp:4005-4032) — a pure
+    column predicate Catalyst pushes to the scan."""
+    return df.filter(
+        (F.col(lon) >= xmin) & (F.col(lon) <= xmax)
+        & (F.col(lat) >= ymin) & (F.col(lat) <= ymax)
+    )
+
+
+def select_fields(df: DataFrame, *cols: str) -> DataFrame:
+    return df.select(*cols)
+
+
+def execute_sql(spark: SparkSession, sql: str, **tables: DataFrame) -> DataFrame:
+    """ExecuteSQL analog (gcore/gdaldataset.cpp:7400): register layers as
+    temp views, run the statement through Catalyst (our 'dialect')."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+def sort_by(df: DataFrame, *cols: str, desc: bool = False) -> DataFrame:
+    order = [F.col(c).desc() if desc else F.col(c).asc() for c in cols]
+    return df.orderBy(*order)
+
+
+def sort_spatial(df: DataFrame, zoom: int = 12, lon: str = "lon",
+                 lat: str = "lat") -> DataFrame:
+    """`gdal vector sort` by space-filling curve (gdalalg_vector_sort.cpp:371
+    hilbert; our curve is the quadkey) — range-partitioned so output files
+    are spatially local."""
+    tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    keyed = df.withColumn("_qk", TM.quadkey(tx, ty, zoom))
+    return keyed.repartitionByRange("_qk").sortWithinPartitions("_qk").drop("_qk")
+
+
+def limit_rows(df: DataFrame, n: int, offset: int = 0) -> DataFrame:
+    return df.offset(offset).limit(n) if offset else df.limit(n)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """tee/materialize step → cache() (the block-cache analog)."""
+    return df.cache()
+
+
+def concat_layers(*dfs: DataFrame) -> DataFrame:
+    """OGRUnionLayer / `gdal vector concat`: schema-merging union."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+# -- coordinate steps -------------------------------------------------------
+
+def reproject_3857(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """OGRWarpedLayer with EPSG:4326→3857 (closed-form, gdal2tiles math)."""
+    mx, my = TM.lonlat_to_meters(F.col(lon), F.col(lat))
+    return df.withColumn("mx", mx).withColumn("my", my)
+
+
+def reproject_4326(df: DataFrame, mx: str = "mx", my: str = "my") -> DataFrame:
+    lon, lat = TM.meters_to_lonlat(F.col(mx), F.col(my))
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def swap_xy(df: DataFrame, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """`gdal vector swap-xy` — exchange coordinate columns."""
+    return df.withColumn("_t", F.col(lon)).withColumn(lon, F.col(lat)) \
+             .withColumn(lat, F.col("_t")).drop("_t")
+
+
+def make_point(df: DataFrame, lon: str = "lon", lat: str = "lat",
+               out: str = "wkb") -> DataFrame:
+    """`gdal vector make-point`: lon/lat → WKB point binary column
+    (little-endian ISO WKB, the ogc.wkb convention)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [
+                G.wkb_point(float(x), float(y))
+                for x, y in zip(pdf[lon], pdf[lat])
+            ]
+            yield pdf
+
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out, BinaryType())])
+    return df.mapInPandas(gen, schema)
+
+
+# -- geometry steps (ring-array representation) -----------------------------
+
+def explode_collections(df: DataFrame, wkb: str = "wkb") -> DataFrame:
+    """`gdal vector explode-collections`: multipolygon WKB rows → one row
+    per member polygon (poly_idx added)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {c: [] for c in pdf.columns}
+            out_rows["poly_idx"] = []
+            for _, row in pdf.iterrows():
+                kind, payload = G.parse_wkb(bytes(row[wkb]))
+                polys = payload if kind == "multipolygon" else [payload]
+                if kind == "point":
+                    polys = [payload]
+                for i, rings in enumerate(polys):
+                    for c in pdf.columns:
+                        if c == wkb and kind == "multipolygon":
+                            out_rows[c].append(bytearray(G.wkb_polygon(rings)))
+                        else:
+                            out_rows[c].append(row[c])
+                    out_rows["poly_idx"].append(i)
+            yield pd.DataFrame(out_rows)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField("poly_idx", IntegerType())])
+    return df.mapInPandas(run, schema)
+
+
+def _segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_len
+    (OGRSimpleCurve::segmentize semantics: equal subdivisions per segment)."""
+    out = [ring[0]]
+    for i in range(1, ring.shape[0]):
+        a, b = ring[i - 1], ring[i]
+        seg = np.hypot(*(b - a))
+        n = max(int(np.ceil(seg / max_len)), 1)
+        for j in range(1, n + 1):
+            out.append(a + (b - a) * (j / n))
+    return np.asarray(out)
+
+
+def _dp_simplify(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker over one ring (reference Simplify delegates to GEOS
+    DouglasPeuckerSimplifier — ogrgeometry.cpp:6771; re-derived here)."""
+    pts = ring
+    keep = np.zeros(pts.shape[0], dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, pts.shape[0] - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        a, b = pts[lo], pts[hi]
+        ab = b - a
+        denom = np.hypot(*ab)
+        rel = pts[lo + 1:hi] - a
+        if denom == 0:
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            # 2-D cross product by hand (numpy 2.x dropped cross() for 2-D)
+            d = np.abs(ab[0] * rel[:, 1] - ab[1] * rel[:, 0]) / denom
+        imax = int(np.argmax(d))
+        if d[imax] > tol:
+            k = lo + 1 + imax
+            keep[k] = True
+            stack.append((lo, k))
+            stack.append((k, hi))
+    return pts[keep]
+
+
+def _rings_map(df: DataFrame, fn, rings_col: str = "rings") -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            new_vals = [
+                [fn(r).tolist() for r in G.rings_to_numpy(rings)]
+                for rings in pdf[rings_col]
+            ]
+            # explicit object Series: bare list assignment trips pandas'
+            # sequence broadcasting on single-row batches
+            pdf[rings_col] = pd.Series(new_vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def segmentize(df: DataFrame, max_len: float, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector segmentize` over ring-array geometry."""
+    return _rings_map(df, lambda r: _segmentize_ring(r, max_len), rings_col)
+
+
+def simplify(df: DataFrame, tolerance: float, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector simplify` (Douglas-Peucker) over ring-array geometry."""
+    return _rings_map(df, lambda r: _dp_simplify(r, tolerance), rings_col)

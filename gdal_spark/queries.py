@@ -197,9 +197,11 @@ def q_pip_broadcast(spark, sf_dir):
 
 @register("pip_cells_salted", _PIP_ORACLE)
 def q_pip_cells_salted(spark, sf_dir):
-    """Cell-cover equi-join PIP with salt=4 — identical output, shuffle plan."""
+    """Cell-cover equi-join PIP with salt=4 on the distributed-cover shuffle
+    path — identical output to pip_broadcast, different physical plan."""
     out = PIP.pip_join_cells(
-        order_points(spark, sf_dir), polygons_df(spark), zoom=7, salt=4
+        order_points(spark, sf_dir), polygons_df(spark), zoom=7, salt=4,
+        broadcast_cover=False,
     )
     return out.groupBy("o_orderkey").agg(F.min("poly_id").alias("poly_id"))
 
