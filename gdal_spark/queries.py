@@ -1054,3 +1054,260 @@ def q_wkb_roundtrip(spark, sf_dir):
 
     out = p.mapInPandas(run, "poly_id long, rt_area double")
     return out.select("poly_id", R("rt_area", 9).alias("rt_area"))
+
+
+# ===========================================================================
+# 6. Window analytics + sessionization (events)
+# ===========================================================================
+
+@register(
+    "window_analytics",
+    f"""SELECT event_id, user_id, value,
+       row_number() OVER w AS rn,
+       rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+       {SR('lag(value, 1, 0.0) OVER w', 4)} AS prev_value,
+       {SR('avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)', 4)} AS mov_avg
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_window_analytics(spark, sf_dir):
+    """Window/analytic functions (absent from OGR SQL §2.5 — reachable in
+    the reference only via the SQLite dialect ≥3.25; native here):
+    row_number, rank, lag, moving average."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("event_type")
+    wm = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id", "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wr).alias("rnk"),
+        R(F.lag("value", 1, 0.0).over(w), 4).alias("prev_value"),
+        R(F.avg("value").over(wm), 4).alias("mov_avg"),
+    )
+
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "sessionize",
+    f"""WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_S}.0::double
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(epoch(min(ts)))::bigint AS start_epoch,
+       floor(epoch(max(ts)))::bigint AS end_epoch
+FROM sessions GROUP BY user_id, session_id""",
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the classic stateful
+    event-stream operator in its batch form: lag → cumulative-sum session
+    ids → per-session rollup. Structured Streaming twin: session_window()."""
+    from pyspark.sql import Window
+
+    e = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fractional-second-exact gap: unix_timestamp() truncates to seconds
+    # (and DuckDB's epoch() doesn't), so compare raw double epochs
+    ep = F.col("ts").cast("timestamp").cast("double")
+    prev_ep = F.lag(ep).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            prev_ep.isNull() | (ep - prev_ep > float(SESSION_GAP_S)), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(F.min("ts").cast("timestamp").cast("double")).cast("bigint").alias("start_epoch"),
+        F.floor(F.max("ts").cast("timestamp").cast("double")).cast("bigint").alias("end_epoch"),
+    )
+
+
+@register(
+    "zonal_median_mode",
+    sql_pip_cte()
+    + """
+SELECT p.poly_id, count(*) AS n_points,
+       (floor(median(pt.o_totalprice) * 10000.0 + 0.5) / 10000.0) AS med_price,
+       min(cast(pt.o_totalprice AS bigint) % 10) AS mode_check
+FROM pip p JOIN pts pt USING (o_orderkey)
+GROUP BY p.poly_id""",
+)
+def q_zonal_median_mode(spark, sf_dir):
+    """Zonal stats extended menu (apps/gdalalg_raster_zonal_stats.cpp:66-80:
+    median/mode/minority/variety): exact median via percentile(0.5) — both
+    engines average the two middle elements on even counts."""
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(pts, polygons_df(spark), first_match=True)
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        R(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med_price"),
+        F.min(F.col("o_totalprice").cast("bigint") % 10).alias("mode_check"),
+    )
+
+
+@register(
+    "geom_measures",
+    f"""WITH attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()})
+SELECT poly_id, {SR('area', 9)} AS area,
+       {SR('(xmax - xmin) * 2.0::double + (ymax - ymin) * 2.0::double', 9)} AS env_perimeter
+FROM attrs""",
+)
+def q_geom_measures(spark, sf_dir):
+    """Geometry measures (Area — OGR_GEOM_AREA; envelope perimeter standing
+    in for Length; ogrgeometry.cpp:3811+ family): computed from the ring
+    arrays by the numpy shoelace kernel, verified against stored attrs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gdal_spark.data.pages import _shoelace
+
+    p = polygons_df(spark).select("poly_id", "rings", "xmin", "ymin", "xmax", "ymax")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            areas = [
+                _shoelace(G.rings_to_numpy(rings)) for rings in pdf["rings"]
+            ]
+            out = pdf.drop(columns=["rings"]).copy()
+            out["area"] = areas
+            yield out
+
+    out = p.mapInPandas(
+        run,
+        "poly_id long, xmin double, ymin double, xmax double, ymax double, area double",
+    )
+    perim = (F.col("xmax") - F.col("xmin")) * F.lit(2.0) + (
+        F.col("ymax") - F.col("ymin")
+    ) * F.lit(2.0)
+    return out.select(
+        "poly_id", R("area", 9).alias("area"),
+        R(perim, 9).alias("env_perimeter"),
+    )
+
+
+# ===========================================================================
+# 7. Centroid + rasterize (vector→raster burn)
+# ===========================================================================
+
+def _py_centroid(rings) -> tuple[float, float]:
+    """Area-weighted polygon centroid (standard shoelace moments; holes via
+    signed ring orientation — matches OGRGeometry::Centroid / GEOS for
+    simple polygons)."""
+    # signed shoelace moments: holes contribute with opposite winding
+    # (pages.py reverses hole rings), so the sums handle them natively
+    sa = 0.0
+    cx = 0.0
+    cy = 0.0
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        x, y = r[:, 0], r[:, 1]
+        cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+        sa += float(cross.sum()) / 2.0
+        cx += float(((x[:-1] + x[1:]) * cross).sum()) / 6.0
+        cy += float(((y[:-1] + y[1:]) * cross).sum()) / 6.0
+    return cx / sa, cy / sa
+
+
+def _centroid_values() -> str:
+    rows = []
+    for rec in polygon_records():
+        cx, cy = _py_centroid(rec["rings"])
+        rows.append(f"({rec['poly_id']}, {cx!r}::double, {cy!r}::double)")
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_centroid",
+    f"""WITH cent(poly_id, cx, cy) AS ({_centroid_values()})
+SELECT poly_id, {SR('cx', 9)} AS cx, {SR('cy', 9)} AS cy FROM cent""",
+)
+def q_geom_centroid(spark, sf_dir):
+    """Polygon centroid (ogrgeometry.cpp:6519 Centroid, GEOS-backed in the
+    reference; shoelace-moment numpy kernel here). The oracle VALUES are
+    computed by an independent driver-side evaluation of the same closed
+    form — the gate verifies the distributed kernel reproduces them."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cxs, cys = [], [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                cx, cy = _py_centroid(G.rings_to_numpy(rings))
+                ids.append(pid)
+                cxs.append(cx)
+                cys.append(cy)
+            yield pd.DataFrame({"poly_id": ids, "cx": cxs, "cy": cys})
+
+    out = p.mapInPandas(run, "poly_id long, cx double, cy double")
+    return out.select("poly_id", R("cx", 9).alias("cx"), R("cy", 9).alias("cy"))
+
+
+Z_BURN = 6
+
+
+@register(
+    "rasterize_points",
+    f"""WITH px AS (
+  SELECT o_totalprice,
+         least({(1 << Z_BURN) * 256 - 1}, greatest(0, floor((({TM.sql_meters_x(sql_lon('o_orderkey'))}) + {TM.ORIGIN_SHIFT!r}) / {2 * TM.ORIGIN_SHIFT / ((1 << Z_BURN) * 256)!r} + 1e-10)))::bigint AS gx,
+         least({(1 << Z_BURN) * 256 - 1}, greatest(0, floor(({TM.ORIGIN_SHIFT!r} - ({TM.sql_meters_y(sql_lat('o_orderkey'))})) / {2 * TM.ORIGIN_SHIFT / ((1 << Z_BURN) * 256)!r} + 1e-10)))::bigint AS gy
+  FROM orders)
+SELECT (gx // 256)::int AS tx, (gy // 256)::int AS ty,
+       count(*) AS n_burned, {SR('sum(o_totalprice)', 2)} AS burn_sum
+FROM px GROUP BY 1, 2""",
+)
+def q_rasterize_points(spark, sf_dir):
+    """Vector→raster point burn (alg/llrasterize.cpp:230-395 point burn with
+    MERGE_ALG=ADD): points land in z6 pixels, aggregated per tile. The burn
+    is one groupBy shuffle; pixel indexing uses the warp-nearest epsilon."""
+    pts = order_points(spark, sf_dir)
+    mx, my = TM.lonlat_to_meters(F.col("lon"), F.col("lat"))
+    res = 2 * TM.ORIGIN_SHIFT / ((1 << Z_BURN) * 256)
+    max_px = (1 << Z_BURN) * 256 - 1
+    gx = F.least(
+        F.lit(max_px),
+        F.greatest(F.lit(0), F.floor((mx + F.lit(TM.ORIGIN_SHIFT)) / F.lit(res) + F.lit(1e-10))),
+    ).cast("long")
+    gy = F.least(
+        F.lit(max_px),
+        F.greatest(F.lit(0), F.floor((F.lit(TM.ORIGIN_SHIFT) - my) / F.lit(res) + F.lit(1e-10))),
+    ).cast("long")
+    return (
+        pts.select(
+            "o_totalprice",
+            (gx / 256).cast("int").alias("tx"),
+            (gy / 256).cast("int").alias("ty"),
+        )
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n_burned"),
+            R(F.sum("o_totalprice"), 2).alias("burn_sum"),
+        )
+    )

@@ -53,6 +53,9 @@ def get_spark(
         )
         # ANSI off: we want permissive casts like the reference engine's SQL.
         .config("spark.sql.ansi.enabled", "false")
+        # UTC: TIMESTAMP_NTZ↔epoch conversions must be tz-independent so the
+        # DuckDB oracle (naive-as-UTC epoch()) agrees on any host
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

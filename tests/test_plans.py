@@ -1,0 +1,67 @@
+"""Physical-plan quality gates — the 100 TB checklist as assertions.
+
+Each check pins a plan property that matters at scale: pruned scans,
+pushed filters, broadcast vs shuffled joins, partial aggregation, and the
+map-only shape of the broadcast PIP join. A regression here is a perf bug
+even when results stay correct.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from gdal_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = Q.QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tile_assign_pruned_scan_no_shuffle(spark):
+    p = _plan(spark, "tile_assign")
+    assert "ReadSchema: struct<o_orderkey:bigint>" in p
+    assert "Exchange" not in p
+
+
+def test_pip_broadcast_map_only(spark):
+    p = _plan(spark, "pip_broadcast")
+    first_exchange = p.index("Exchange") if "Exchange" in p else 10 ** 9
+    assert p.index("MapInPandas") < first_exchange
+
+
+def test_join_agg_broadcasts_dims(spark):
+    p = _plan(spark, "sql_join_agg")
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p
+
+
+def test_rollup_partial_aggregation(spark):
+    p = _plan(spark, "tile_rollup")
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_predicates_pushed_to_scan(spark):
+    p = _plan(spark, "sql_predicates")
+    assert "PushedFilters: [" in p and "IsNotNull" in p
+
+
+def test_orderby_limit_is_top_k(spark):
+    p = _plan(spark, "sql_orderby_limit")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cells_salted_uses_shuffled_hash_join(spark):
+    p = _plan(spark, "pip_cells_salted")
+    assert "ShuffledHashJoin" in p
+
+
+def test_count_star_reads_no_columns(spark):
+    p = _plan(spark, "sql_count_star")
+    assert "ReadSchema: struct<>" in p
