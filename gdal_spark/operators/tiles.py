@@ -270,3 +270,74 @@ def overview_pyramid(raster: DataFrame, min_zoom: int, tile_size: int) -> DataFr
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def _cubic_weight_cols(t):
+    """Catmull-Rom (A=-0.5) kernel weights for the 4 taps at offsets
+    -1,0,1,2 given fractional position t ∈ [0,1) — the gdalwarp cubic
+    (alg/gdalwarpkernel.cpp GWKCubic, A=-0.5):
+      |x|<1: (A+2)|x|^3 - (A+3)|x|^2 + 1
+      1≤|x|<2: A(|x|^3 - 5|x|^2 + 8|x| - 4)
+    """
+    A = -0.5
+    ws = []
+    for tap in (-1, 0, 1, 2):
+        x = t - F.lit(float(tap))
+        ax = F.abs(x)
+        w_inner = (F.lit(A + 2) * ax - F.lit(A + 3)) * ax * ax + F.lit(1.0)
+        w_outer = F.lit(A) * (((ax - F.lit(5.0)) * ax + F.lit(8.0)) * ax - F.lit(4.0))
+        ws.append(F.when(ax < 1.0, w_inner).otherwise(
+            F.when(ax < 2.0, w_outer).otherwise(F.lit(0.0))
+        ))
+    return ws
+
+
+def sample_cubic(
+    points: DataFrame, raster: DataFrame, zoom: int, band: int = 1,
+    point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "cubic_val",
+) -> DataFrame:
+    """Warp-cubic sampling (Catmull-Rom A=-0.5, gdalwarpkernel.cpp GWKCubic):
+    base index floor(dfSrc - 0.5), 4×4 taps, separable weights, edge-clamped
+    indices. Same plan shape as bilinear: explode to 16 (pixel, weight)
+    requests → tile-key equi-join → weighted sum. Pure column math."""
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix0 = F.floor(gx - F.lit(0.5)).cast("long")
+    iy0 = F.floor(gy - F.lit(0.5)).cast("long")
+    wx = gx - F.lit(0.5) - ix0
+    wy = gy - F.lit(0.5) - iy0
+
+    base = points.select(
+        F.col(point_id),
+        ix0.alias("_ix0"), iy0.alias("_iy0"),
+        wx.alias("_wx"), wy.alias("_wy"),
+    )
+    wxs = _cubic_weight_cols(F.col("_wx"))
+    wys = _cubic_weight_cols(F.col("_wy"))
+    taps = []
+    for yi, dy in enumerate((-1, 0, 1, 2)):
+        for xi, dx in enumerate((-1, 0, 1, 2)):
+            taps.append(F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                (wxs[xi] * wys[yi]).alias("w"),
+            ))
+    req = base.select(
+        F.col(point_id), "_ix0", "_iy0",
+        F.explode(F.array(*taps)).alias("t"),
+    ).select(
+        F.col(point_id),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_ix0") + F.col("t.dx"))).alias("_gx"),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_iy0") + F.col("t.dy"))).alias("_gy"),
+        F.col("t.w").alias("_w"),
+    ).select(
+        F.col(point_id), "_w",
+        (F.col("_gx") / tile_size).cast("int").alias("tx"),
+        (F.col("_gy") / tile_size).cast("int").alias("ty"),
+        (F.col("_gx") % tile_size).cast("int").alias("_px"),
+        (F.col("_gy") % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    return joined.groupBy(point_id).agg(F.sum(F.col("_w") * val).alias(value_name))

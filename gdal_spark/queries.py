@@ -1311,3 +1311,81 @@ def q_rasterize_points(spark, sf_dir):
             R(F.sum("o_totalprice"), 2).alias("burn_sum"),
         )
     )
+
+
+# ===========================================================================
+# 8. Cubic resampling (completes the warp trio: near / bilinear / cubic)
+# ===========================================================================
+
+def _sql_cubic_w(t_expr: str, tap: int) -> str:
+    ax = f"abs(({t_expr}) - {float(tap)!r})"
+    inner = f"((1.5::double * ({ax}) - 2.5::double) * ({ax}) * ({ax}) + 1.0::double)"
+    outer = f"(-0.5::double * (((({ax}) - 5.0::double) * ({ax}) + 8.0::double) * ({ax}) - 4.0::double))"
+    return (
+        f"(CASE WHEN ({ax}) < 1.0::double THEN {inner} "
+        f"WHEN ({ax}) < 2.0::double THEN {outer} ELSE 0.0::double END)"
+    )
+
+
+def _sql_cubic_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+    ix0 = f"floor(({gx}) - 0.5)"
+    iy0 = f"floor(({gy}) - 0.5)"
+    wx = f"(({gx}) - 0.5 - ({ix0}))"
+    wy = f"(({gy}) - 0.5 - ({iy0}))"
+    terms = []
+    for dy in (-1, 0, 1, 2):
+        for dx in (-1, 0, 1, 2):
+            cx = f"least({_MAXPX}, greatest(0, ({ix0}) + {dx}))::bigint"
+            cy = f"least({_MAXPX}, greatest(0, ({iy0}) + {dy}))::bigint"
+            w = f"({_sql_cubic_w(wx, dx)}) * ({_sql_cubic_w(wy, dy)})"
+            terms.append(f"({w}) * ({TL.sql_pixel_value(cx, cy, '1')})")
+    return SR(" + ".join(terms), 6)
+
+
+@register(
+    "raster_sample_cubic",
+    f"SELECT o_orderkey, {_sql_cubic_val()} AS cubic_val FROM orders",
+)
+def q_raster_sample_cubic(spark, sf_dir):
+    """Warp-cubic sampling (Catmull-Rom A=-0.5, gdalwarpkernel.cpp GWKCubic):
+    16-tap separable kernel over the closed-form world raster."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    out = TL.sample_cubic(pts, raster, Z_RASTER, band=1, point_id="o_orderkey")
+    return out.withColumn("cubic_val", R("cubic_val", 6))
+
+
+def _wkt_values() -> str:
+    rows = []
+    for rec in polygon_records():
+        w = G.wkt_polygon(G.rings_to_numpy(rec["rings"]))
+        rows.append(f"({rec['poly_id']}, '{w}')")
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_wkt",
+    f"""WITH w(poly_id, wkt) AS ({_wkt_values()})
+SELECT poly_id, wkt, length(wkt) AS wkt_len FROM w""",
+)
+def q_geom_wkt(spark, sf_dir):
+    """OGR_GEOM_WKT special field (ogr/ogr_p.h:169, exportToWkt): WKT
+    serialized distributedly from the ring arrays; exact string parity
+    against an independently generated VALUES oracle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wkts = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                ids.append(pid)
+                wkts.append(G.wkt_polygon(G.rings_to_numpy(rings)))
+            yield pd.DataFrame({"poly_id": ids, "wkt": wkts})
+
+    out = p.mapInPandas(run, "poly_id long, wkt string")
+    return out.select("poly_id", "wkt", F.length("wkt").alias("wkt_len"))

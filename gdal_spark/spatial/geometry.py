@@ -253,3 +253,55 @@ def _parse_wkb_at(buf: bytes, off: int):
             polys.append(rings)
         return "multipolygon", polys, off
     raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+# ---------------------------------------------------------------------------
+# WKT writer/parser (OGR_GEOM_WKT special field, ogr/ogr_p.h:169; exportToWkt
+# semantics for Point/Polygon). Coordinates use repr() shortest round-trip
+# formatting — deterministic and exact.
+# ---------------------------------------------------------------------------
+
+def _fmt(v: float) -> str:
+    r = repr(float(v))
+    return r[:-2] if r.endswith(".0") else r
+
+
+def wkt_point(x: float, y: float) -> str:
+    return f"POINT ({_fmt(x)} {_fmt(y)})"
+
+
+def wkt_polygon(rings: list[np.ndarray]) -> str:
+    parts = []
+    for ring in rings:
+        pts = ", ".join(f"{_fmt(p[0])} {_fmt(p[1])}" for p in ring)
+        parts.append(f"({pts})")
+    return "POLYGON (" + ", ".join(parts) + ")"
+
+
+def parse_wkt(text: str):
+    """Parse POINT/POLYGON WKT back to ('point', (x, y)) | ('polygon', rings)."""
+    s = text.strip()
+    if s.upper().startswith("POINT"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        x, y = body.split()
+        return "point", (float(x), float(y))
+    if s.upper().startswith("POLYGON"):
+        body = s[s.index("(") + 1:s.rindex(")")]
+        rings = []
+        depth = 0
+        cur = ""
+        for ch in body:
+            if ch == "(":
+                depth += 1
+                cur = ""
+            elif ch == ")":
+                depth -= 1
+                pts = [
+                    [float(v) for v in p.split()]
+                    for p in cur.split(",") if p.strip()
+                ]
+                rings.append(np.asarray(pts, dtype=np.float64))
+            elif depth == 1:
+                cur += ch
+        return "polygon", rings
+    raise ValueError(f"unsupported WKT: {s[:30]}")

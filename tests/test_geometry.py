@@ -121,3 +121,28 @@ def test_wkb_roundtrip():
     assert kind == "point" and (x, y) == (2.35, 48.85)
     kind, polys = G.parse_wkb(G.wkb_multipolygon([SQUARE, CONCAVE_L]))
     assert kind == "multipolygon" and len(polys) == 2
+
+
+def test_wkt_roundtrip_polygon():
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    rings = [
+        np.array([[0.5, 1.25], [10.0, 0.0], [10.0, 10.0], [0.5, 1.25]]),
+        np.array([[2.0, 2.0], [3.0, 2.0], [3.0, 3.0], [2.0, 2.0]]),
+    ]
+    wkt = G.wkt_polygon(rings)
+    kind, back = G.parse_wkt(wkt)
+    assert kind == "polygon"
+    assert len(back) == 2
+    for a, b in zip(rings, back):
+        assert (a == b).all()
+
+
+def test_wkt_point_roundtrip():
+    from gdal_spark.spatial import geometry as G
+
+    wkt = G.wkt_point(-73.5, 45.25)
+    kind, (x, y) = G.parse_wkt(wkt)
+    assert kind == "point" and x == -73.5 and y == 45.25
