@@ -164,9 +164,14 @@ def knn_cell_join(
         )
         .withColumn("_dx", F.explode(offsets))
         .withColumn("_dy", F.explode(offsets))
-        .withColumn("cell_tx", F.col("_qtx") + F.col("_dx"))
+        .withColumn(
+            "cell_tx", F.pmod(F.col("_qtx") + F.col("_dx"), F.lit(1 << zoom))
+        )  # antimeridian wrap: tx is cyclic modulo 2^zoom
         .withColumn("cell_ty", F.col("_qty") + F.col("_dy"))
     )
+    # pmod wrap can alias probe cells when 2*ring+1 >= 2^zoom — dedup so a
+    # neighbor is joined at most once per query
+    qry = qry.dropDuplicates(["query_id", "cell_tx", "cell_ty"])
     joined = qry.join(pts, on=["cell_tx", "cell_ty"], how="inner")
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -186,6 +191,139 @@ def knn_cell_join(
     w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
     return (
         joined.withColumn("dist_m", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_m")
+    )
+
+
+def knn_cell_join_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    zoom: int = 7,
+    max_ring: int = 64,
+    point_id: str = "i",
+    query_id: str = "query_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    include_self: bool = False,
+) -> DataFrame:
+    """Expanding k-ring kNN -- the distributed analog of the reference's
+    expanding quadtree window (alg/gdalgrid.cpp:905+, cpl_quad_tree.cpp:
+    138-231): each iteration probes one ring perimeter of WebMercator cells;
+    a query searches until it has k candidates, then continues for a
+    per-query MARGIN of ceil(sec(|lat|)) + 1 further rings before retiring.
+
+    The margin accounts for Mercator's conformal scale factor: ground
+    distance = mercator distance x cos(lat), so a candidate k rings away in
+    ground terms can be up to ~k*sec(lat) rings away on the tile grid.
+    Iterations join only still-searching queries (a monotonically shrinking
+    set) against the cell-bucketed point table; the candidate union is
+    refined with the exact great-circle metric + window top-k.
+    """
+    ptx, pty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    pts = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col(lon).alias("_plon"),
+        F.col(lat).alias("_plat"),
+        ptx.alias("cell_tx"),
+        pty.alias("cell_ty"),
+    ).persist()
+    qtx, qty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    margin = (
+        F.ceil(
+            F.lit(1.0)
+            / F.cos(F.radians(F.least(F.abs(F.col(lat)), F.lit(85.0))))
+        )
+        + F.lit(1)
+    ).cast("int")
+    todo = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(lon).alias("_qlon"),
+        F.col(lat).alias("_qlat"),
+        qtx.alias("_qtx"),
+        qty.alias("_qty"),
+        margin.alias("_margin"),
+        F.lit(None).cast("int").alias("_retire_ring"),
+    ).persist()
+
+    collected = None
+    ring = 0
+    while ring <= max_ring:
+        if todo.isEmpty():
+            break
+        offsets = [
+            (dx, dy)
+            for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)
+            if max(abs(dx), abs(dy)) == ring
+        ]
+        probe = todo.select(
+            "query_id", "_qlon", "_qlat",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.pmod(
+                            F.col("_qtx") + F.lit(dx), F.lit(1 << zoom)
+                        ).alias("cell_tx"),  # antimeridian wrap
+                        (F.col("_qty") + F.lit(dy)).alias("cell_ty"),
+                    )
+                    for dx, dy in offsets
+                ])
+            ).alias("c"),
+        ).select("query_id", "_qlon", "_qlat", "c.cell_tx", "c.cell_ty")
+        found = probe.join(pts, on=["cell_tx", "cell_ty"], how="inner").select(
+            "query_id", "_qlon", "_qlat", "neighbor_id", "_plon", "_plat"
+        )
+        if not include_self:
+            found = found.filter(F.col("neighbor_id") != F.col("query_id"))
+        collected = found if collected is None else collected.unionAll(found)
+        # localCheckpoint truncates the union lineage — without it the plan
+        # (and analysis time) grows quadratically with ring count
+        collected = collected.localCheckpoint(eager=True)
+        counts = (
+            collected.dropDuplicates(["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+        )
+        todo = (
+            todo.join(counts, "query_id", "left")
+            .withColumn(
+                "_retire_ring",
+                F.when(
+                    F.col("_retire_ring").isNull()
+                    & (F.coalesce(F.col("_n"), F.lit(0)) >= k),
+                    F.lit(ring) + F.col("_margin"),
+                ).otherwise(F.col("_retire_ring")),
+            )
+            .filter(
+                F.col("_retire_ring").isNull()
+                | (F.col("_retire_ring") > ring)
+            )
+            .drop("_n")
+            .localCheckpoint(eager=True)
+        )
+        ring += 1
+
+    d2r = float(np.pi / 180.0)
+    dist = F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                F.sin(F.col("_qlat") * d2r) * F.sin(F.col("_plat") * d2r)
+                + F.cos(F.col("_qlat") * d2r)
+                * F.cos(F.col("_plat") * d2r)
+                * F.cos((F.col("_plon") - F.col("_qlon")) * d2r),
+            ),
+        )
+    ) * F.lit(G.EARTH_RADIUS)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        collected.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("dist_m", dist)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist_m")

@@ -1149,7 +1149,7 @@ def q_sessionize(spark, sf_dir):
     + """
 SELECT p.poly_id, count(*) AS n_points,
        (floor(median(pt.o_totalprice) * 10000.0 + 0.5) / 10000.0) AS med_price,
-       min(cast(pt.o_totalprice AS bigint) % 10) AS mode_check
+       min(cast(trunc(pt.o_totalprice) AS bigint) % 10) AS mode_check
 FROM pip p JOIN pts pt USING (o_orderkey)
 GROUP BY p.poly_id""",
 )

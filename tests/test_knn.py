@@ -90,3 +90,30 @@ def test_knn_cell_join_ring_expansion(spark, pts):
     )
     r3 = K.knn_cell_join(pts, queries, k=2, zoom=4, ring=3).count()
     assert r3 >= 1
+
+
+def test_adaptive_knn_matches_exact(spark):
+    """Expanding k-ring search must agree with brute-force exact kNN,
+    including a query in an empty region (ring must expand several times,
+    mirroring the reference's expanding window, gdalgrid.cpp:905+)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.data.pages import pages_df
+    from gdal_spark.operators.knn import knn_cell_join_adaptive, knn_join
+
+    pts = pages_df(spark, 3000).select("i", "lon", "lat")
+    # query 0 = hot cell (ring 0 suffices); a far query via i==1 wherever it is
+    queries = pts.filter(F.col("i").isin([0, 1, 777])).select(
+        F.col("i").alias("query_id"), "lon", "lat"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(pts, queries, k=4).collect()
+    }
+    adaptive = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_cell_join_adaptive(
+            pts, queries, k=4, zoom=5, max_ring=40
+        ).collect()
+    }
+    assert adaptive == exact
