@@ -1389,3 +1389,18 @@ def q_geom_wkt(spark, sf_dir):
 
     out = p.mapInPandas(run, "poly_id long, wkt string")
     return out.select("poly_id", "wkt", F.length("wkt").alias("wkt_len"))
+
+
+@register("knn_adaptive", _knn_oracle())
+def q_knn_adaptive(spark, sf_dir):
+    """Expanding k-ring kNN (the reference's expanding quadtree window,
+    gdalgrid.cpp:905+) — exact against the same oracle as knn_exact: rings
+    grow per query until k candidates plus a Mercator-aware safety margin."""
+    pts = order_points(spark, sf_dir)
+    queries = pts.filter(F.expr(KNN_PRED)).select(
+        F.col("o_orderkey").alias("query_id"), "lon", "lat"
+    )
+    out = KNN.knn_cell_join_adaptive(
+        pts, queries, k=KNN_K, zoom=4, max_ring=64, point_id="o_orderkey"
+    )
+    return out.withColumn("dist_m", R("dist_m", 3))
