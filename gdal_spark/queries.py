@@ -1404,3 +1404,54 @@ def q_knn_adaptive(spark, sf_dir):
         pts, queries, k=KNN_K, zoom=4, max_ring=64, point_id="o_orderkey"
     )
     return out.withColumn("dist_m", R("dist_m", 3))
+
+
+Z_HILBERT = 8
+
+
+def _sql_hilbert_oracle() -> str:
+    from gdal_spark.spatial import tilemath as _TM
+    from gdal_spark.data.geotag import sql_lon as _slon, sql_lat as _slat
+
+    tx = _TM.sql_tile_x(_slon("o_orderkey"), Z_HILBERT)
+    ty = _TM.sql_tile_y_xyz(_slat("o_orderkey"), Z_HILBERT)
+    # vectorized CTE chain: each level rewrites (x, y, d) for ALL rows --
+    # a per-row correlated scalar subquery form is pathologically slow
+    return f"""WITH keyed AS (
+  SELECT o_orderkey, ({tx}) AS tx, ({ty}) AS ty,
+         ({tx})::bigint AS x, ({ty})::bigint AS y, 0::bigint AS d
+  FROM orders),
+lvl0 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END) = 1 THEN 127 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END) = 1 THEN 127 - x ELSE x END) ELSE y END) AS y, d + 128::bigint * 128::bigint * xor(3 * (CASE WHEN (x & 128) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 128) > 0 THEN 1 ELSE 0 END)) AS d FROM keyed),
+lvl1 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END) = 1 THEN 63 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END) = 1 THEN 63 - x ELSE x END) ELSE y END) AS y, d + 64::bigint * 64::bigint * xor(3 * (CASE WHEN (x & 64) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 64) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl0),
+lvl2 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END) = 1 THEN 31 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END) = 1 THEN 31 - x ELSE x END) ELSE y END) AS y, d + 32::bigint * 32::bigint * xor(3 * (CASE WHEN (x & 32) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 32) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl1),
+lvl3 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END) = 1 THEN 15 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END) = 1 THEN 15 - x ELSE x END) ELSE y END) AS y, d + 16::bigint * 16::bigint * xor(3 * (CASE WHEN (x & 16) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 16) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl2),
+lvl4 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END) = 1 THEN 7 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END) = 1 THEN 7 - x ELSE x END) ELSE y END) AS y, d + 8::bigint * 8::bigint * xor(3 * (CASE WHEN (x & 8) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 8) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl3),
+lvl5 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END) = 1 THEN 3 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END) = 1 THEN 3 - x ELSE x END) ELSE y END) AS y, d + 4::bigint * 4::bigint * xor(3 * (CASE WHEN (x & 4) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 4) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl4),
+lvl6 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END) = 1 THEN 1 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END) = 1 THEN 1 - x ELSE x END) ELSE y END) AS y, d + 2::bigint * 2::bigint * xor(3 * (CASE WHEN (x & 2) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 2) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl5),
+lvl7 AS (SELECT o_orderkey, tx, ty, (CASE WHEN (CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END) = 1 THEN 0 - y ELSE y END) ELSE x END) AS x, (CASE WHEN (CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END) = 0 THEN (CASE WHEN (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END) = 1 THEN 0 - x ELSE x END) ELSE y END) AS y, d + 1::bigint * 1::bigint * xor(3 * (CASE WHEN (x & 1) > 0 THEN 1 ELSE 0 END), (CASE WHEN (y & 1) > 0 THEN 1 ELSE 0 END)) AS d FROM lvl6)
+SELECT o_orderkey, tx, ty, d AS hilbert,
+       row_number() OVER (ORDER BY d, o_orderkey) AS pos
+FROM lvl7 ORDER BY d, o_orderkey LIMIT 200"""
+
+
+@register("hilbert_sort", _sql_hilbert_oracle())
+def q_hilbert_sort(spark, sf_dir):
+    """Hilbert-curve spatial sort key (alg/hilbert.cpp:22; the `gdal vector
+    sort` geometry order, gdalalg_vector_sort.cpp:371, and FlatGeobuf's
+    packed-R-tree key, packedrtree.cpp:73-132) — xy2d as pure integer
+    column math, bit-identical to the SQL mirror."""
+    from pyspark.sql import Window
+
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_HILBERT, with_quadkey=False
+    )
+    coded = pts.withColumn(
+        "hilbert", TM.hilbert_d(F.col("tx"), F.col("ty"), Z_HILBERT)
+    )
+    w = Window.orderBy("hilbert", "o_orderkey")
+    return (
+        coded.select("o_orderkey", "tx", "ty", "hilbert")
+        .withColumn("pos", F.row_number().over(w))
+        .orderBy("hilbert", "o_orderkey")
+        .limit(200)
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -229,3 +230,80 @@ def sql_quadkey(tx_expr: str, ty_xyz_expr: str, zoom: int) -> str:
         bit_y = f"(cast(floor(({ty_xyz_expr}) / {shift}) as int) % 2)"
         parts.append(f"cast({bit_x} + 2 * {bit_y} as varchar)")
     return "concat(" + ", ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve index (alg/hilbert.cpp:22 hilbert_xy2d semantics; also the
+# FlatGeobuf packed-R-tree sort key, ogr/ogrsf_frmts/flatgeobuf/
+# packedrtree.cpp:73-132). xy2d with the standard rotate-and-flip recurrence,
+# expressed iteratively so it runs as pure integer column math AND as a
+# DuckDB SQL mirror (identical integer ops → identical codes).
+# ---------------------------------------------------------------------------
+
+def hilbert_d(tx: Column, ty: Column, order: int) -> Column:
+    """Hilbert distance of cell (tx, ty) on a 2^order x 2^order grid.
+
+    Implemented as ONE vectorized numpy kernel per Arrow batch: the naive
+    column form doubles the expression tree per level (x and y each feed
+    the next level's x, y, d) -- Catalyst inlines projections, so an
+    8-level unroll explodes to ~4^8 nodes and stalls analysis. Integer
+    arithmetic is engine-exact, so the SQL mirror (CTE chain) stays
+    bit-identical.
+    """
+    from pyspark.sql import functions as _F
+
+    def _kernel(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = xs.to_numpy(dtype=np.int64).copy()
+        y = ys.to_numpy(dtype=np.int64).copy()
+        d = np.zeros_like(x)
+        s = 1 << (order - 1)
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            swap = ry == 0
+            flip = swap & (rx == 1)
+            nx = np.where(swap, np.where(flip, s - 1 - y, y), x)
+            ny = np.where(swap, np.where(flip, s - 1 - x, x), y)
+            x, y = nx, ny
+            s >>= 1
+        return pd.Series(d)
+
+    kernel = _F.pandas_udf(_kernel, "long")
+    return kernel(tx.cast("long"), ty.cast("long"))
+
+
+def py_hilbert_d(tx: int, ty: int, order: int) -> int:
+    x, y, d = tx, ty, 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - y, s - 1 - x
+            else:
+                x, y = y, x
+        s >>= 1
+    return d
+
+
+def sql_hilbert_d(tx_expr: str, ty_expr: str, order: int) -> str:
+    """DuckDB mirror via a recursive-free unrolled CASE chain (x/y updated
+    per level with nested subqueries is unwieldy — instead emit a single
+    scalar expression built level-by-level with lateral-style aliases)."""
+    # Build as nested SELECT chain: each level consumes (x, y, d).
+    inner = f"SELECT ({tx_expr})::bigint AS x, ({ty_expr})::bigint AS y, 0::bigint AS d"
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        nd = f"d + {s}::bigint * {s}::bigint * xor(3 * {rx}, {ry})"
+        nx = f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - y ELSE y END) ELSE x END)"
+        ny = f"(CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - x ELSE x END) ELSE y END)"
+        inner = f"SELECT {nx} AS x, {ny} AS y, {nd} AS d FROM ({inner})"
+        s >>= 1
+    return f"(SELECT d FROM ({inner}))"

@@ -126,3 +126,39 @@ def test_tile_bounds_roundtrip():
     assert maxx == pytest.approx(TM.ORIGIN_SHIFT)
     span = maxx - minx
     assert span == pytest.approx(2 * TM.ORIGIN_SHIFT)
+
+
+def test_hilbert_walk_adjacency():
+    """Hilbert xy2d: the order-3 curve visits all 64 cells exactly once,
+    consecutive codes are grid-adjacent (the locality property the sort
+    key exists for; alg/hilbert.cpp:22 semantics)."""
+    from gdal_spark.spatial.tilemath import py_hilbert_d
+
+    seen = {}
+    for x in range(8):
+        for y in range(8):
+            seen[py_hilbert_d(x, y, 3)] = (x, y)
+    assert sorted(seen) == list(range(64))
+    walk = [seen[i] for i in range(64)]
+    for (x0, y0), (x1, y1) in zip(walk, walk[1:]):
+        assert abs(x1 - x0) + abs(y1 - y0) == 1
+
+
+def test_hilbert_column_matches_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.spatial.tilemath import hilbert_d, py_hilbert_d
+
+    rnd = random.Random(7)
+    cells = [(rnd.randrange(256), rnd.randrange(256)) for _ in range(200)]
+    df = spark.createDataFrame(cells, "tx int, ty int")
+    got = {
+        (r["tx"], r["ty"]): r["h"]
+        for r in df.withColumn(
+            "h", hilbert_d(F.col("tx"), F.col("ty"), 8)
+        ).collect()
+    }
+    for (tx, ty), h in got.items():
+        assert h == py_hilbert_d(tx, ty, 8)
