@@ -341,3 +341,39 @@ def sample_cubic(
     joined = req.join(r, on=["tx", "ty"], how="left")
     val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
     return joined.groupBy(point_id).agg(F.sum(F.col("_w") * val).alias(value_name))
+
+
+def overview_level_nearest(raster: DataFrame, tile_size: int) -> DataFrame:
+    """One pyramid step z → z-1 by NEAREST decimation: dst pixel (i, j)
+    samples src pixel (2i, 2j) — the top-left convention of the reference's
+    ratio-2 near overview (gcore/overview.cpp:81-165 sampling at
+    floor(dst*ratio)). Same groupBy(parent)-assemble plan as the average
+    path; only the reduce kernel differs."""
+    ts = tile_size
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom, ptx, pty, band = key
+        full = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            ox = (int(row["tx"]) & 1) * ts
+            oy = (int(row["ty"]) & 1) * ts
+            full[oy:oy + ts, ox:ox + ts] = np.asarray(row["data"]).reshape(ts, ts)
+        reduced = full[::2, ::2]
+        return pd.DataFrame(
+            {
+                "zoom": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [band],
+                "data": [reduced.ravel()], "width": [ts], "height": [ts],
+            }
+        )
+
+    keyed = raster.groupBy(
+        F.col("zoom"),
+        F.floor(F.col("tx") / 2).cast("int").alias("ptx"),
+        F.floor(F.col("ty") / 2).cast("int").alias("pty"),
+        F.col("band"),
+    )
+    schema = (
+        "zoom int, tx int, ty int, band int, data array<double>, "
+        "width int, height int"
+    )
+    return keyed.applyInPandas(reduce_group, schema)

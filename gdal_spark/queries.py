@@ -1455,3 +1455,24 @@ def q_hilbert_sort(spark, sf_dir):
         .orderBy("hilbert", "o_orderkey")
         .limit(200)
     )
+
+
+@register(
+    "raster_overview_nearest",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, 255)) AS i),
+t AS (SELECT unnest(generate_series(0, 1)) AS v)
+SELECT tx.v AS tx, ty.v AS ty, 1 AS band,
+       {SR('avg(cast((((tx.v * 256 + gx.i) * 2) * 31 + ((ty.v * 256 + gy.i) * 2) * 17 + 7) % 256 AS double))', 6)} AS mean_val
+FROM t tx CROSS JOIN t ty CROSS JOIN gs gx CROSS JOIN gs gy
+GROUP BY tx.v, ty.v""",
+)
+def q_raster_overview_nearest(spark, sf_dir):
+    """Nearest-decimation overview (gcore/overview.cpp:81-165 near kernel):
+    dst pixel samples src (2i, 2j); verified via the closed-form world
+    raster — dst tile (tx, ty) at z1 averages src pixels (2·gpx, 2·gpy)."""
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+    z1 = TL.overview_level_nearest(base, tile_size=256)
+    mean = F.aggregate(
+        F.col("data"), F.lit(0.0), lambda a, v: a + v
+    ) / F.size("data")
+    return z1.select("tx", "ty", "band", R(mean, 6).alias("mean_val"))
