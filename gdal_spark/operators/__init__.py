@@ -1,0 +1,34 @@
+"""Operator surface of the engine (SURVEY.md §2 inventory + webtext
+training-data extensions). Import the modules directly for the full APIs;
+the most-used entry points are re-exported here."""
+
+from gdal_spark.operators.dedup import (  # noqa: F401
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_pairs,
+)
+from gdal_spark.operators.knn import (  # noqa: F401
+    knn_cell_join,
+    knn_cell_join_adaptive,
+    knn_join,
+)
+from gdal_spark.operators.pip_join import pip_join, pip_join_cells  # noqa: F401
+from gdal_spark.operators.similarity import (  # noqa: F401
+    ann_lsh_topk,
+    cosine_pairs,
+    cosine_topk,
+)
+from gdal_spark.operators.text import extract_text, lang_id, quality_columns  # noqa: F401
+from gdal_spark.operators.tiles import (  # noqa: F401
+    assign_tiles,
+    overview_level,
+    overview_level_nearest,
+    overview_pyramid,
+    sample_bilinear,
+    sample_cubic,
+    sample_nearest,
+    synthetic_raster,
+)
