@@ -15,7 +15,9 @@ from gdal_spark.operators.knn import (  # noqa: F401
     knn_cell_join_adaptive,
     knn_join,
 )
-from gdal_spark.operators.pip_join import pip_join, pip_join_cells  # noqa: F401
+# NOTE: pip_join's functions are NOT re-exported here — the function name
+# `pip_join` would shadow the `gdal_spark.operators.pip_join` submodule.
+# Use `from gdal_spark.operators.pip_join import pip_join, pip_join_cells`.
 from gdal_spark.operators.similarity import (  # noqa: F401
     ann_lsh_topk,
     cosine_pairs,
