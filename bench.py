@@ -68,9 +68,10 @@ def _run_query(spark, name: str) -> tuple[float, int]:
 
 
 # Big enough that the ~1.5 s serial dimension build (polygon collect +
-# broadcast) is amortized — at 10^12 rows it is invisible; at 4M rows it
-# Amdahl-caps measurable efficiency at ~0.5.
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "16000000"))
+# broadcast) plus driver-side plan/analyze time is amortized — at 10^12 rows
+# it is invisible; at 4M rows it Amdahl-caps measurable efficiency at ~0.5.
+# 32M keeps the serial fraction <2% of the local[2] runtime.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "32000000"))
 
 # Scaling pair N→4N. Default 2→8: this sandbox's aggregate CPU throughput
 # saturates beyond ~8-16 active cores (hypervisor ceiling — measured with a
@@ -149,26 +150,29 @@ def main():
     if not skip_scaling:
         spark.stop()
         time.sleep(1)
+
+        def _measure(cores: int) -> tuple[float, int]:
+            """Steady-state time at `cores`: 1 warmup job + median of 3."""
+            s = _session(f"local[{cores}]", 32)
+            scaling_flagship(s, 100_000)  # JVM/Arrow warmup
+            times, n_rows = [], 0
+            for _ in range(3):
+                t, n_rows = scaling_flagship(s, SCALE_ROWS)
+                times.append(t)
+            s.stop()
+            time.sleep(1)
+            return sorted(times)[1], n_rows
+
         n_cores, n4_cores = SCALE_N, 4 * SCALE_N
-        sn = _session(f"local[{n_cores}]", 32)
-        scaling_flagship(sn, 100_000)  # JVM/Arrow warmup
-        t_n, n_rows = scaling_flagship(sn, SCALE_ROWS)
-        t_n2, _ = scaling_flagship(sn, SCALE_ROWS)  # steady-state
-        t_n = min(t_n, t_n2)
-        sn.stop()
-        time.sleep(1)
-        s4n = _session(f"local[{n4_cores}]", 32)
-        scaling_flagship(s4n, 100_000)
-        t_4n, _ = scaling_flagship(s4n, SCALE_ROWS)
-        t_4n2, _ = scaling_flagship(s4n, SCALE_ROWS)
-        t_4n = min(t_4n, t_4n2)
-        s4n.stop()
+        t_n, n_rows = _measure(n_cores)
+        t_4n, _ = _measure(n4_cores)
         thr_n = n_rows / t_n
         thr_4n = n_rows / t_4n
         scaling = {
             "scale_rows": SCALE_ROWS,
             "n_cores": n_cores,
             "n4_cores": n4_cores,
+            "repeats": "median-of-3 after warmup",
             f"local{n_cores}_docs_per_sec": round(thr_n, 1),
             f"local{n4_cores}_docs_per_sec": round(thr_4n, 1),
             "efficiency_n_to_4n": round(thr_4n / (4 * thr_n), 3),

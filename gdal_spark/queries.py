@@ -462,16 +462,25 @@ def q_sql_orderby_limit(spark, sf_dir):
 
 @register(
     "sql_like_ilike",
-    """SELECT sum(CASE WHEN p_name LIKE '%sky%' THEN 1 ELSE 0 END) AS n_like,
-       sum(CASE WHEN p_name ILIKE '%SKY%' THEN 1 ELSE 0 END) AS n_ilike
-FROM part""",
+    # p_name is all-lowercase in the fixture, so derive a case-variant column
+    # (upper() on even partkeys) to make LIKE genuinely case-sensitive vs
+    # ILIKE: n_like counts only the lowercase half, n_ilike counts both.
+    """WITH cased AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END AS nm
+  FROM part)
+SELECT sum(CASE WHEN nm LIKE '%widget%' THEN 1 ELSE 0 END)::bigint AS n_like,
+       sum(CASE WHEN nm ILIKE '%widget%' THEN 1 ELSE 0 END)::bigint AS n_ilike
+FROM cased""",
 )
 def q_sql_like_ilike(spark, sf_dir):
     """LIKE case-sensitive vs ILIKE (swq_op_general.cpp:41-95,1102-1111)."""
     p = _read(spark, sf_dir, "part")
-    return p.agg(
-        F.sum(F.when(F.col("p_name").like("%sky%"), 1).otherwise(0)).alias("n_like"),
-        F.sum(F.when(F.col("p_name").ilike("%SKY%"), 1).otherwise(0)).alias("n_ilike"),
+    nm = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_name")).otherwise(
+        F.col("p_name")
+    )
+    return p.select(nm.alias("nm")).agg(
+        F.sum(F.when(F.col("nm").like("%widget%"), 1).otherwise(0)).alias("n_like"),
+        F.sum(F.when(F.col("nm").ilike("%widget%"), 1).otherwise(0)).alias("n_ilike"),
     )
 
 
@@ -692,11 +701,22 @@ MH_BANDS = 4
 
 @register(
     "dedup_minhash_sig",
-    f"SELECT doc_id, {D.sql_minhash_sig('text', MH_PERM)} AS sig FROM documents",
+    # gate emits a scalar digest of the signature array (the driver's
+    # canonicalizer can't hash array<long> columns); the library API
+    # (D.minhash_signatures) still returns the raw sig array
+    f"""SELECT doc_id,
+       md5(array_to_string({D.sql_minhash_sig('text', MH_PERM)}, ',')) AS sig_md5
+FROM documents""",
 )
 def q_dedup_minhash_sig(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    return D.minhash_signatures(docs, num_perm=MH_PERM)
+    sigs = D.minhash_signatures(docs, num_perm=MH_PERM)
+    return sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias(
+            "sig_md5"
+        ),
+    )
 
 
 def _sql_minhash_pairs() -> str:
@@ -1107,7 +1127,7 @@ flagged AS (
 sessions AS (
   SELECT user_id, ts, event_id,
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+                                ROWS UNBOUNDED PRECEDING)::bigint AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events,
        floor(epoch(min(ts)))::bigint AS start_epoch,

@@ -67,26 +67,44 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_vs_oracle(spark, name):
+    """Mimic the driver's canonicalization path: BOTH sides go through pandas
+    (Spark .toPandas(), DuckDB .df()), so dtype-representation bugs the driver
+    would hit (e.g. DuckDB HUGEINT -> float64 vs Spark bigint -> int64, or
+    unhashable array columns in sort_values) surface locally too."""
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    pdf_s = sdf.toPandas()
 
     oracle = entrymod.oracle_sql().get(name)
     if oracle is None:
-        assert len(srows) >= 0  # rows-only check
+        assert len(pdf_s) >= 0  # rows-only check
         return
     con = _duck_con()
     cur = con.execute(oracle)
-    dcols = [d[0] for d in cur.description]
-    drows = cur.fetchall()
+    pdf_d = cur.df()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch"
-    assert len(srows) == len(drows), (
-        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    assert sorted(pdf_s.columns) == sorted(pdf_d.columns), (
+        f"{name}: column mismatch {sorted(pdf_s.columns)} vs {sorted(pdf_d.columns)}"
     )
-    sc = _canon(srows, scols)
-    dc = _canon(drows, dcols)
+    assert len(pdf_s) == len(pdf_d), (
+        f"{name}: row count {len(pdf_s)} vs oracle {len(pdf_d)}"
+    )
+    cols = sorted(pdf_s.columns)
+    pdf_s = pdf_s[cols]
+    pdf_d = pdf_d[cols]
+    for c in cols:
+        ks, kd = pdf_s[c].dtype.kind, pdf_d[c].dtype.kind
+        # treat signed/unsigned int alike; everything else must match kind
+        grp = lambda k: "i" if k in "iu" else k
+        assert grp(ks) == grp(kd), (
+            f"{name}: dtype kind mismatch on {c}: spark {pdf_s[c].dtype} "
+            f"vs oracle {pdf_d[c].dtype} (driver canon would hash-mismatch)"
+        )
+    # driver-style sort_values: raises on unhashable (list/array) columns
+    pdf_s.sort_values(by=cols, inplace=True, kind="mergesort")
+    pdf_d.sort_values(by=cols, inplace=True, kind="mergesort")
+    sc = _canon([tuple(r) for r in pdf_s.itertuples(index=False)], cols)
+    dc = _canon([tuple(r) for r in pdf_d.itertuples(index=False)], cols)
     mism = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
     assert not mism, (
         f"{name}: {len(mism)} mismatched rows; first: "
