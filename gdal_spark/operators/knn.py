@@ -197,6 +197,27 @@ def knn_cell_join(
     )
 
 
+def _gc_dist_col() -> "F.Column":
+    """Exact great-circle distance column over (_qlat,_qlon,_plat,_plon) —
+    spherical law of cosines, same formula as ogr/ogr_geo_utils.cpp:25-46."""
+    d2r = float(np.pi / 180.0)
+    return F.acos(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(-1.0),
+                F.sin(F.col("_qlat") * d2r) * F.sin(F.col("_plat") * d2r)
+                + F.cos(F.col("_qlat") * d2r)
+                * F.cos(F.col("_plat") * d2r)
+                * F.cos((F.col("_plon") - F.col("_qlon")) * d2r),
+            ),
+        )
+    ) * F.lit(G.EARTH_RADIUS)
+
+
+_MAXLAT_RAD = float(np.radians(85.05112878))  # WebMercator latitude limit
+
+
 def knn_cell_join_adaptive(
     points: DataFrame,
     queries: DataFrame,
@@ -209,19 +230,35 @@ def knn_cell_join_adaptive(
     lat: str = "lat",
     include_self: bool = False,
 ) -> DataFrame:
-    """Expanding k-ring kNN -- the distributed analog of the reference's
+    """Expanding k-ring kNN — the distributed analog of the reference's
     expanding quadtree window (alg/gdalgrid.cpp:905+, cpl_quad_tree.cpp:
-    138-231): each iteration probes one ring perimeter of WebMercator cells;
-    a query searches until it has k candidates, then continues for a
-    per-query MARGIN of ceil(sec(|lat|)) + 1 further rings before retiring.
+    138-231), restructured for scale as O(log max_ring) Spark jobs:
 
-    The margin accounts for Mercator's conformal scale factor: ground
-    distance = mercator distance x cos(lat), so a candidate k rings away in
-    ground terms can be up to ~k*sec(lat) rings away on the tile grid.
-    Iterations join only still-searching queries (a monotonically shrinking
-    set) against the cell-bucketed point table; the candidate union is
-    refined with the exact great-circle metric + window top-k.
+    Phase 1 (geometric ring batching): probe Chebyshev ring *batches*
+    [0..1], [2..3], [4..7], ... doubling the radius each round, joining
+    only still-unsatisfied queries against the cell-bucketed point table,
+    until every query has >= k distinct candidates (or max_ring is hit).
+    Each batch is one join + one count — not one job per ring.
+
+    Phase 2 (guaranteed completion): the k-th candidate's *actual*
+    great-circle distance d_k is an upper bound on the true k-th-neighbor
+    distance. Convert d_k to a provably sufficient cell rectangle:
+      |dlat| <= d_k/Re  (meridional arc can't exceed total arc), and from
+      haversine  sin(d/2Re) >= cos(lat_max)*sin(dlon/2), so
+      dlon <= 2*asin(min(1, sin(d_k/2Re)/cos(lat_max)))  with
+      lat_max = min(|lat_q| + d_k/Re, 85.051...) the worst reachable
+      latitude. Map both to Mercator meters -> cell counts (+1 for the
+      query's in-cell offset) and probe every not-yet-probed cell in that
+      rectangle. The final window top-k over the union is therefore EXACT
+      (Mercator's sec(lat) anisotropy is handled by construction, not by a
+      heuristic additive margin). Queries that never reach k candidates
+      within max_ring return their best-effort set (documented cap).
     """
+    spark = points.sparkSession
+    out_cols = ["query_id", "neighbor_id", "rank", "dist_m"]
+    n_cells = 1 << zoom
+    cell_m = 2.0 * TM.ORIGIN_SHIFT / n_cells  # Mercator meters per cell
+
     ptx, pty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
     pts = points.select(
         F.col(point_id).alias("neighbor_id"),
@@ -231,100 +268,151 @@ def knn_cell_join_adaptive(
         pty.alias("cell_ty"),
     ).persist()
     qtx, qty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
-    margin = (
-        F.ceil(
-            F.lit(1.0)
-            / F.cos(F.radians(F.least(F.abs(F.col(lat)), F.lit(85.0))))
-        )
-        + F.lit(1)
-    ).cast("int")
     todo = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(lon).alias("_qlon"),
         F.col(lat).alias("_qlat"),
         qtx.alias("_qtx"),
         qty.alias("_qty"),
-        margin.alias("_margin"),
-        F.lit(None).cast("int").alias("_retire_ring"),
     ).persist()
 
-    collected = None
-    ring = 0
-    while ring <= max_ring:
-        if todo.isEmpty():
-            break
-        offsets = [
-            (dx, dy)
-            for dx in range(-ring, ring + 1)
-            for dy in range(-ring, ring + 1)
-            if max(abs(dx), abs(dy)) == ring
-        ]
-        probe = todo.select(
-            "query_id", "_qlon", "_qlat",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.pmod(
-                            F.col("_qtx") + F.lit(dx), F.lit(1 << zoom)
-                        ).alias("cell_tx"),  # antimeridian wrap
-                        (F.col("_qty") + F.lit(dy)).alias("cell_ty"),
-                    )
-                    for dx, dy in offsets
-                ])
-            ).alias("c"),
-        ).select("query_id", "_qlon", "_qlat", "c.cell_tx", "c.cell_ty")
-        found = probe.join(pts, on=["cell_tx", "cell_ty"], how="inner").select(
+    def _probe_cells(q: DataFrame, lo_col, hi_col) -> DataFrame:
+        """Explode q to its cells with Chebyshev ring in [lo, hi]; tx wraps
+        at the antimeridian (pmod), ty outside the grid is dropped, and
+        wrap-aliased cells are deduped per query."""
+        return (
+            q.withColumn("_dx", F.explode(F.sequence(-hi_col, hi_col)))
+            .withColumn("_dy", F.explode(F.sequence(-hi_col, hi_col)))
+            .filter(F.greatest(F.abs("_dx"), F.abs("_dy")) >= lo_col)
+            .withColumn(
+                "cell_tx", F.pmod(F.col("_qtx") + F.col("_dx"), F.lit(n_cells))
+            )
+            .withColumn("cell_ty", F.col("_qty") + F.col("_dy"))
+            .filter(
+                (F.col("cell_ty") >= 0) & (F.col("cell_ty") < n_cells)
+            )
+            .dropDuplicates(["query_id", "cell_tx", "cell_ty"])
+            .select("query_id", "_qlon", "_qlat", "cell_tx", "cell_ty")
+        )
+
+    def _found(probe: DataFrame) -> DataFrame:
+        f = probe.join(pts, on=["cell_tx", "cell_ty"], how="inner").select(
             "query_id", "_qlon", "_qlat", "neighbor_id", "_plon", "_plat"
         )
         if not include_self:
-            found = found.filter(F.col("neighbor_id") != F.col("query_id"))
+            f = f.filter(F.col("neighbor_id") != F.col("query_id"))
+        return f
+
+    collected = None
+    done_parts: list[DataFrame] = []
+    lo, hi = 0, 1
+    n_todo = todo.count()
+    while n_todo > 0 and lo <= max_ring:
+        hi = min(hi, max_ring)
+        probe = _probe_cells(todo, F.lit(lo), F.lit(hi))
+        found = _found(probe)
         collected = found if collected is None else collected.unionAll(found)
-        # localCheckpoint truncates the union lineage — without it the plan
-        # (and analysis time) grows quadratically with ring count
+        # localCheckpoint truncates the growing union lineage (few batches,
+        # but each references the previous union)
         collected = collected.localCheckpoint(eager=True)
         counts = (
             collected.dropDuplicates(["query_id", "neighbor_id"])
-            .groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
         )
-        todo = (
-            todo.join(counts, "query_id", "left")
-            .withColumn(
-                "_retire_ring",
-                F.when(
-                    F.col("_retire_ring").isNull()
-                    & (F.coalesce(F.col("_n"), F.lit(0)) >= k),
-                    F.lit(ring) + F.col("_margin"),
-                ).otherwise(F.col("_retire_ring")),
-            )
-            .filter(
-                F.col("_retire_ring").isNull()
-                | (F.col("_retire_ring") > ring)
-            )
-            .drop("_n")
+        merged = todo.join(counts, "query_id", "left").withColumn(
+            "_probed", F.lit(hi)
+        )
+        newly_done = merged.filter(F.coalesce("_n", F.lit(0)) >= k).drop("_n")
+        done_parts.append(newly_done.localCheckpoint(eager=True))
+        new_todo = (
+            merged.filter(F.coalesce("_n", F.lit(0)) < k)
+            .drop("_n", "_probed")
             .localCheckpoint(eager=True)
         )
-        ring += 1
+        todo.unpersist()
+        todo = new_todo.persist()
+        n_todo = todo.count()
+        lo, hi = hi + 1, hi * 2 + 1
 
-    d2r = float(np.pi / 180.0)
-    dist = F.acos(
-        F.least(
-            F.lit(1.0),
-            F.greatest(
-                F.lit(-1.0),
-                F.sin(F.col("_qlat") * d2r) * F.sin(F.col("_plat") * d2r)
-                + F.cos(F.col("_qlat") * d2r)
-                * F.cos(F.col("_plat") * d2r)
-                * F.cos((F.col("_plon") - F.col("_qlon")) * d2r),
-            ),
+    if collected is None:  # empty query set
+        pts.unpersist()
+        todo.unpersist()
+        schema = StructType(
+            [
+                StructField("query_id", LongType()),
+                StructField("neighbor_id", LongType()),
+                StructField("rank", LongType()),
+                StructField("dist_m", DoubleType()),
+            ]
         )
-    ) * F.lit(G.EARTH_RADIUS)
-    w = Window.partitionBy("query_id").orderBy(
+        return spark.createDataFrame([], schema)
+
+    # stragglers that hit the max_ring cap: best-effort (no phase-2 bound)
+    qstate = todo.withColumn("_probed", F.lit(min(max(hi // 2, 1), max_ring)))
+    for part in done_parts:
+        qstate = qstate.unionByName(part)
+
+    # ---- phase 2: probe the d_k-derived rectangle beyond the probed square
+    dedup = collected.dropDuplicates(["query_id", "neighbor_id"])
+    wv = Window.partitionBy("query_id").orderBy(
         F.col("dist_m").asc(), F.col("neighbor_id").asc()
     )
-    return (
-        collected.dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "dist_m")
+    dk = (
+        dedup.withColumn("dist_m", _gc_dist_col())
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") == k)
+        .select("query_id", F.col("dist_m").alias("_dk"))
     )
+    re_ = G.EARTH_RADIUS
+    phi = F.radians(F.col("_qlat"))
+    dphi = F.col("_dk") / F.lit(re_)
+    y_of = lambda p: F.lit(re_) * F.log(
+        F.tan(F.lit(float(np.pi / 4.0)) + p / 2.0)
+    )
+    phi_hi = F.least(phi + dphi, F.lit(_MAXLAT_RAD))
+    phi_lo = F.greatest(phi - dphi, F.lit(-_MAXLAT_RAD))
+    dy_max = F.greatest(y_of(phi_hi) - y_of(phi), y_of(phi) - y_of(phi_lo))
+    cos_max = F.cos(F.least(F.abs(phi) + dphi, F.lit(_MAXLAT_RAD)))
+    dlam = 2.0 * F.asin(
+        F.least(F.lit(1.0), F.sin(F.col("_dk") / F.lit(2.0 * re_)) / cos_max)
+    )
+    dx_merc = F.lit(re_) * dlam
+    r_y = (F.ceil(dy_max / F.lit(cell_m)) + 1).cast("int")
+    r_x = F.least(
+        (F.ceil(dx_merc / F.lit(cell_m)) + 1).cast("int"),
+        F.lit(n_cells // 2),  # x wraps: half the world covers every cell
+    )
+    ext = (
+        qstate.join(dk, "query_id", "inner")
+        .withColumn("_r", F.greatest(r_x, r_y))
+        .filter(F.col("_r") > F.col("_probed"))
+    )
+    probe2 = (
+        ext.withColumn("_dx", F.explode(F.sequence(-r_x, r_x)))
+        .withColumn("_dy", F.explode(F.sequence(-r_y, r_y)))
+        .filter(
+            F.greatest(F.abs("_dx"), F.abs("_dy")) > F.col("_probed")
+        )
+        .withColumn(
+            "cell_tx", F.pmod(F.col("_qtx") + F.col("_dx"), F.lit(n_cells))
+        )
+        .withColumn("cell_ty", F.col("_qty") + F.col("_dy"))
+        .filter((F.col("cell_ty") >= 0) & (F.col("cell_ty") < n_cells))
+        .dropDuplicates(["query_id", "cell_tx", "cell_ty"])
+        .select("query_id", "_qlon", "_qlat", "cell_tx", "cell_ty")
+    )
+    collected = collected.unionAll(_found(probe2))
+
+    out = (
+        collected.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("dist_m", _gc_dist_col())
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+    # materialize before unpersisting the inputs the plan references
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    todo.unpersist()
+    return out

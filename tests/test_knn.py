@@ -117,3 +117,49 @@ def test_adaptive_knn_matches_exact(spark):
         ).collect()
     }
     assert adaptive == exact
+
+
+def test_adaptive_knn_high_latitude_sparse(spark):
+    """Regression for the retire-margin bug: at high latitude the k-th
+    candidate found in early rings can be beaten by an unprobed point many
+    Mercator cells away (sec(lat) anisotropy + diagonal-vs-axis geometry).
+    Sparse hand-placed points near 82N force the phase-2 rectangle probe to
+    widen well beyond the phase-1 square; result must equal brute force."""
+    from gdal_spark.operators.knn import knn_cell_join_adaptive, knn_join
+
+    rows = [(0, 10.0, 82.0)]
+    # a tight diagonal cluster ~1 cell away at z6 and a slightly-closer
+    # axis-direction point much farther in cell terms
+    rows += [(i, 10.0 + 0.35 * i, 82.0 + 0.05 * i) for i in range(1, 6)]
+    rows += [(100, 22.0, 82.0), (101, 10.0, 80.5), (102, -170.0, 82.5)]
+    pts = spark.createDataFrame(rows, "i long, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(0, 10.0, 82.0)], "query_id long, lon double, lat double"
+    )
+    exact = {
+        (r["rank"], r["neighbor_id"])
+        for r in knn_join(pts, queries, k=6).collect()
+    }
+    adaptive = {
+        (r["rank"], r["neighbor_id"])
+        for r in knn_cell_join_adaptive(
+            pts, queries, k=6, zoom=6, max_ring=64
+        ).collect()
+    }
+    assert adaptive == exact
+
+
+def test_adaptive_knn_empty_queries(spark):
+    """Empty query set must return an empty, correctly-typed DataFrame
+    (regression: previously raised AttributeError on collected=None)."""
+    from gdal_spark.operators.knn import knn_cell_join_adaptive
+
+    pts = spark.createDataFrame(
+        [(0, 1.0, 2.0)], "i long, lon double, lat double"
+    )
+    queries = spark.createDataFrame(
+        [], "query_id long, lon double, lat double"
+    )
+    out = knn_cell_join_adaptive(pts, queries, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "dist_m"]
