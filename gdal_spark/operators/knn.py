@@ -104,9 +104,18 @@ def knn_join(
                 cand_d = np.concatenate([acc_d, d], axis=1)
                 cand_i = np.concatenate([acc_i, i], axis=1)
                 if cand_d.shape[1] > k:
-                    part = np.argpartition(cand_d, k - 1, axis=1)[:, :k]
-                    cand_d = np.take_along_axis(cand_d, part, axis=1)
-                    cand_i = np.take_along_axis(cand_i, part, axis=1)
+                    # exact (dist asc, id asc) top-k per row, tie-safe:
+                    # duplicate coordinates (hot-cell 1e-4 quantization) make
+                    # equal distances realizable, and argpartition keeps an
+                    # arbitrary element among equals. Reorder columns by id
+                    # first, then a STABLE argsort on dist — stability turns
+                    # the id pre-order into the exact tiebreak.
+                    idord = np.argsort(cand_i, axis=1, kind="stable")
+                    cand_d = np.take_along_axis(cand_d, idord, axis=1)
+                    cand_i = np.take_along_axis(cand_i, idord, axis=1)
+                    dord = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
+                    cand_d = np.take_along_axis(cand_d, dord, axis=1)
+                    cand_i = np.take_along_axis(cand_i, dord, axis=1)
                 acc_d, acc_i = cand_d, cand_i
         keep = np.isfinite(acc_d)
         rows = {

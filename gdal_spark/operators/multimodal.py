@@ -144,7 +144,7 @@ def frame_sample(df: DataFrame, n_frames: int = 4, media: str = "media",
                 pdf.iloc[:, id_i], pdf.iloc[:, m_i], pdf.iloc[:, f_i]
             ):
                 b = bytes(buf)[18:]  # skip MAGIC + 'w=%04d;h=%04d;' header
-                n = max(len(b) // max(1, 4), 1)
+                n = max(len(b) // max(1, n_frames), 1)
                 sl = np.frombuffer(b[fi * n:(fi + 1) * n] or b[:1], dtype=np.uint8)
                 ids.append(rid)
                 fids.append(fi)

@@ -136,9 +136,14 @@ def cosine_topk(
                     keep = cand_i != ids[qi]
                     cand_s, cand_i = cand_s[keep], cand_i[keep]
                 if cand_s.shape[0] > k:
-                    part = np.argpartition(-cand_s, k - 1)[:k]
-                    cand_s, cand_i = cand_s[part], cand_i[part]
-                order = np.lexsort((cand_i, -cand_s))
+                    # keep ALL candidates tied with the k-th value — the
+                    # global rank is (sim desc, id asc) and 6-dp rounding
+                    # makes ties realizable; argpartition alone could drop
+                    # an equal-sim smaller-id neighbor at the boundary
+                    kth = -np.partition(-cand_s, k - 1)[k - 1]
+                    keep = cand_s >= kth
+                    cand_s, cand_i = cand_s[keep], cand_i[keep]
+                order = np.lexsort((cand_i, -cand_s))[:k]
                 acc_s[qi], acc_i[qi] = cand_s[order], cand_i[order]
         yield pd.DataFrame({
             "query_id": np.repeat(ids, [a.shape[0] for a in acc_i]),

@@ -58,19 +58,32 @@ def extract_text(html_col: Column) -> Column:
 
     Pure JVM regexp (no Python): decode utf-8 → pull <title> and all <p>
     bodies → join with newline. `regexp_extract_all` keeps document order,
-    matching the sequential scan of the python mirror.
+    matching the sequential scan of the python mirror. `(?s)` mirrors the
+    mirror's re.S (titles/paragraphs may span newlines). A document with NO
+    <title> tag contributes nothing (title → NULL, skipped by concat_ws),
+    while `<title></title>` contributes an empty string — exactly the
+    python-mirror distinction between "no match" and "empty group".
     """
     s = html_col.cast("string")
-    title = F.regexp_extract(s, "<title>(.*?)</title>", 1)
-    paras = F.expr(
-        "array_join(regexp_extract_all(cast(html as string), '<p>(.*?)</p>', 1), '\n')"
-    )
+    has_title = s.rlike("(?s)<title>.*?</title>")
+    title = F.when(
+        has_title, F.regexp_extract(s, "(?s)<title>(.*?)</title>", 1)
+    ).otherwise(F.lit(None).cast("string"))
+    paras_arr = F.regexp_extract_all(s, F.lit("(?s)<p>(.*?)</p>"), F.lit(1))
+    paras = F.when(
+        F.size(paras_arr) > 0, F.array_join(paras_arr, "\n")
+    ).otherwise(F.lit(None).cast("string"))
     return F.concat_ws("\n", title, paras)
 
 
 SQL_EXTRACT_TEXT = (
-    "concat_ws(chr(10), regexp_extract(decode(html), '<title>(.*?)</title>', 1), "
-    "array_to_string(regexp_extract_all(decode(html), '<p>(.*?)</p>', 1), chr(10)))"
+    "concat_ws(chr(10), "
+    "CASE WHEN regexp_matches(decode(html), '(?s)<title>.*?</title>') "
+    "THEN regexp_extract(decode(html), '(?s)<title>(.*?)</title>', 1) "
+    "ELSE NULL END, "
+    "CASE WHEN len(regexp_extract_all(decode(html), '(?s)<p>(.*?)</p>', 1)) > 0 "
+    "THEN array_to_string(regexp_extract_all(decode(html), '(?s)<p>(.*?)</p>', 1), chr(10)) "
+    "ELSE NULL END)"
 )
 
 

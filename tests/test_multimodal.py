@@ -57,3 +57,31 @@ def test_resize_stub(spark, docs):
     out = M.resize_stub(media, out_w=8, out_h=8).collect()
     for r in out:
         assert len(bytes(r["data"])) == 64
+
+
+def test_frame_sample_nframes_partitions_payload(spark, docs):
+    """Regression (ADVICE r1): slice size must derive from n_frames, not a
+    hardcoded 4. With the 128-byte payload, n_frames=8 gives 16-byte slices
+    covering the whole payload; the weighted mean of the 8 frame means must
+    equal the full-payload mean (equal slice sizes) — impossible under the
+    old bug, where frames 4..7 indexed past the payload and degraded to a
+    1-byte fallback."""
+    import numpy as np
+
+    media = M.attach_media(docs.limit(6))
+    payloads = {
+        r["doc_id"]: bytes(r["media"])[18:] for r in media.collect()
+    }
+    for nf in (2, 8):
+        out = M.frame_sample(media, n_frames=nf).collect()
+        assert len(out) == 6 * nf
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["frame_idx"], r["frame_mean"])
+            )
+        for did, frames in by_doc.items():
+            b = np.frombuffer(payloads[did], dtype=np.uint8)
+            n = len(b) // nf
+            for fi, fm in frames:
+                assert fm == float(np.round(b[fi * n:(fi + 1) * n].mean(), 6))

@@ -98,3 +98,46 @@ def test_fingerprint_vs_duckdb(spark, docs):
         _duck(f"SELECT doc_id, {T.sql_fingerprint('text')} AS fp FROM documents")
     )
     assert got == want
+
+
+EDGE_HTMLS = [
+    b"<html><title>Multi\nline title</title><p>a\nb</p></html>",
+    b"<html><p>no title here</p><p>second</p></html>",
+    b"<html><title></title><p>empty title kept</p></html>",
+    b"<html><title>only a title</title></html>",
+    b"<html>nothing structured</html>",
+    b"<html><title>t</title><p></p><p>x</p></html>",
+]
+
+
+def test_extract_text_edge_cases_all_three_engines(spark):
+    """py mirror == Spark column == DuckDB SQL on newline-spanning tags,
+    missing/empty titles, and paragraph-free documents (ADVICE round 1:
+    re.S parity, no-title leading newline, no-paragraph trailing newline)."""
+    import duckdb
+
+    expected = [T.extract_text_py(h) for h in EDGE_HTMLS]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(EDGE_HTMLS)], "i long, html binary"
+    )
+    got_spark = [
+        r["ext"]
+        for r in df.select("i", T.extract_text(F.col("html")).alias("ext"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, encode('{h.decode()}'))".replace("\n", "' || chr(10) || '")
+        for i, h in enumerate(EDGE_HTMLS)
+    )
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"WITH t(i, html) AS (VALUES {vals}) "
+            f"SELECT {T.SQL_EXTRACT_TEXT} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got_duck == expected
