@@ -161,25 +161,48 @@ def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id",
     num_perm: int = 16, w: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) MinHash sketch. Map-only."""
-    # Arrow-batched numpy kernel: shingle + md5 once per doc, then ALL
-    # permutations in one (shingles × perms) numpy min-reduce. The pure
-    # column-expression form re-evaluated the shingle+md5 chain per
-    # permutation (Catalyst doesn't CSE across array transforms) and was
-    # ~10× slower. Values are bit-identical to sql_minhash_sig.
+    """(id, sig: array<bigint>[num_perm]) MinHash sketch. Map-only.
+
+    Split of labor (the 100 TB hot path): shingling + md5 hashing runs as a
+    pure JVM column (`shingle_hashes` — whole-stage codegen, exactly the
+    `sql_shingle_hashes` semantics), so NO string ever crosses into Python;
+    the pandas UDF receives the int64 hash arrays and performs only the
+    (total_shingles × num_perm) affine-permutation min-reduce, vectorized
+    across the whole Arrow batch with np.minimum.reduceat (no per-doc
+    Python loop either). Values are bit-identical to sql_minhash_sig.
+    """
     A = np.array([_perm_ab(j)[0] for j in range(num_perm)], dtype=np.int64)
     B = np.array([_perm_ab(j)[1] for j in range(num_perm)], dtype=np.int64)
 
     @F.pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
+    def sig_udf(hss: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            hs = _py_shingle_hashes(t, w)
-            sig = ((hs[:, None] % MERSENNE) * A[None, :] + B[None, :]) % MERSENNE
-            out.append(sig.min(axis=0))
+        n = len(hss)
+        start = 0
+        # chunk by docs so the (S, P) permutation matrix stays ~tens of MB
+        while start < n:
+            end, s_total = start, 0
+            while end < n and s_total < 2_000_000 // max(num_perm, 1):
+                s_total += len(hss.iloc[end])
+                end += 1
+            lens = np.array(
+                [len(hss.iloc[i]) for i in range(start, end)], dtype=np.int64
+            )
+            flat = np.concatenate(
+                [np.asarray(hss.iloc[i], dtype=np.int64)
+                 for i in range(start, end)]
+            )
+            m = ((flat[:, None] % MERSENNE) * A[None, :] + B[None, :]) % MERSENNE
+            offs = np.zeros(lens.shape[0], dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            sig = np.minimum.reduceat(m, offs, axis=0)
+            out.extend(list(sig))
+            start = end
         return pd.Series(out)
 
-    return df.select(F.col(id_col), sig_udf(F.col(text)).alias("sig"))
+    return df.select(
+        F.col(id_col), sig_udf(shingle_hashes(F.col(text), w)).alias("sig")
+    )
 
 
 def sql_minhash_sig(text_expr: str = "text", num_perm: int = 16, w: int = 3) -> str:
@@ -306,36 +329,44 @@ def simhash(text: Column, w: int = 1) -> Column:
     """32-bit SimHash over word tokens (w=1) or shingles (w>1).
 
     bit b of the fingerprint = 1 iff sum over features of +-1 (per feature's
-    hash bit b) is positive. One Arrow-batched numpy kernel computes ALL 32
-    bit votes in a single (features x 32) reduction -- the fold-expression
-    form re-walked the token array 32x per row and was ~10x slower. Integer
-    arithmetic throughout => bit-identical to sql_simhash.
+    hash bit b) is positive. Feature md5 hashing runs JVM-side (whole-stage
+    codegen, same exprs as sql_simhash); the pandas UDF receives int64 hash
+    arrays and computes ALL 32 bit votes batch-vectorized with
+    np.add.reduceat — zero Python string hashing, zero per-doc loop.
+    Integer arithmetic throughout => bit-identical to sql_simhash.
     """
-    import hashlib
-
     weights = (1 << np.arange(SIMHASH_BITS, dtype=np.int64))
 
     @F.pandas_udf("long")
-    def sh_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if w > 1:
-                hs = _py_shingle_hashes(t, w)
-            else:
-                toks = _py_tokens(t)
-                hs = np.array(
-                    [
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-                        for s in toks
-                    ],
-                    dtype=np.int64,
-                )
-            bits = (hs[:, None] >> np.arange(SIMHASH_BITS)) & 1  # (F, 32)
-            votes = (bits * 2 - 1).sum(axis=0)
-            out[i] = int((weights * (votes > 0)).sum())
+    def sh_udf(hss: pd.Series) -> pd.Series:
+        out = np.empty(len(hss), dtype=np.int64)
+        n = len(hss)
+        start = 0
+        while start < n:  # chunk: (S, 32) vote matrix stays ~tens of MB
+            end, s_total = start, 0
+            while end < n and s_total < 2_000_000 // SIMHASH_BITS * 8:
+                s_total += len(hss.iloc[end])
+                end += 1
+            lens = np.array(
+                [len(hss.iloc[i]) for i in range(start, end)], dtype=np.int64
+            )
+            flat = np.concatenate(
+                [np.asarray(hss.iloc[i], dtype=np.int64)
+                 for i in range(start, end)]
+            )
+            bits = ((flat[:, None] >> np.arange(SIMHASH_BITS)) & 1) * 2 - 1
+            offs = np.zeros(lens.shape[0], dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            votes = np.add.reduceat(bits, offs, axis=0)  # (docs, 32)
+            out[start:end] = (weights[None, :] * (votes > 0)).sum(axis=1)
+            start = end
         return pd.Series(out)
 
-    return sh_udf(text)
+    if w > 1:
+        feats = shingle_hashes(text, w)
+    else:
+        feats = F.transform(F.split(F.trim(text), " +"), md5_h32)
+    return sh_udf(feats)
 
 
 def sql_simhash(text_expr: str = "text") -> str:
