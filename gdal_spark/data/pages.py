@@ -184,3 +184,40 @@ POLYGON_SCHEMA = (
 
 def polygons_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(polygon_records(), schema=POLYGON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Second polygon layer (FIXTURES §2b): axis-aligned probe rectangles with
+# engineered relations to the 8×8 mosaic — equals / within / contains /
+# overlaps / edge-touch / corner-touch / disjoint — so polygon↔polygon
+# predicate joins have a pure-SQL interval-arithmetic oracle (the engine
+# side still runs the general ray-casting/orientation kernel).
+# ---------------------------------------------------------------------------
+
+def polygon_records_b() -> list[dict]:
+    # Touch/equal coordinates MUST be bit-identical to the mosaic's computed
+    # bounds — use the same float arithmetic (-6.00003 + gx*2.0 is NOT the
+    # same double as the literal you'd write for it).
+    mx = lambda gx: -6.00003 + gx * 2.0
+    my = lambda gy: 42.00003 + gy * 1.5
+    boxes = [
+        # (x0, y0, x1, y1) — comments name the engineered relation vs mosaic
+        (mx(2), my(2), mx(2) + 2.0, my(2) + 1.5),   # b0: equals cell (2, 2)
+        (-5.5, 42.5, -5.0, 43.0),                   # b1: within cell (0, 0)
+        (-6.5, 41.8, -1.9, 45.2),                   # b2: contains 4 cells + overlaps neighbours
+        (-8.0, my(0), mx(0), my(1)),                # b3: edge-touch col 0 + corner-touch
+        (-10.0, 40.0, mx(0), my(0)),                # b4: corner-touch cell (0,0) only
+        (-5.0, 42.5, -3.0, 44.0),                   # b5: overlaps 4 cells
+        (100.0, 0.0, 105.0, 5.0),                   # b6: disjoint
+        (-7.0, 41.0, 11.0, 55.0),                   # b7: contains the whole mosaic
+        (-6.5, 42.7, 9.5, 42.9),                    # b8: horizontal sliver over row 0
+        (mx(1), 41.0, mx(2), my(0)),                # b9: partial-edge touch below cell (1,0)
+    ]
+    recs = []
+    for j, (x0, y0, x1, y1) in enumerate(boxes):
+        recs.append(_rec(1000 + j, 900 + j, _rect(x0, y0, x1, y1)))
+    return recs
+
+
+def polygons_b_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(polygon_records_b(), schema=POLYGON_SCHEMA)

@@ -1496,3 +1496,120 @@ def q_raster_overview_nearest(spark, sf_dir):
         F.col("data"), F.lit(0.0), lambda a, v: a + v
     ) / F.size("data")
     return z1.select("tx", "ty", "band", R(mean, 6).alias("mean_val"))
+
+
+# ===========================================================================
+# 8. Polygon↔polygon predicates + clip (ogrgeometry.cpp:571,6002-6402;
+#    ogrlayer.cpp:7538 Clip) — round 2
+# ===========================================================================
+
+from gdal_spark.data.pages import polygon_records_b, polygons_b_df  # noqa: E402
+from gdal_spark.operators import poly_join as PJ  # noqa: E402
+
+
+def _envelope_values(recs, id_name: str) -> str:
+    rows = [
+        f"({rec['poly_id']}, {rec['xmin']!r}::double, {rec['ymin']!r}::double, "
+        f"{rec['xmax']!r}::double, {rec['ymax']!r}::double)"
+        for rec in recs
+    ]
+    return "VALUES " + ", ".join(rows)
+
+
+def _sql_poly_predicates() -> str:
+    """Interval-arithmetic oracle over the axis-rect layers: every predicate
+    of two axis-aligned rectangles is closed-form in the envelope bounds —
+    fully independent of the engine's orientation/ray-cast kernel. The
+    non-rect A polygons (hexagon/L/hole/far) are envelope-disjoint from
+    every B box by fixture construction, so restricting the oracle to the
+    64 mosaic rects is exact."""
+    a_vals = _envelope_values(polygon_records()[:64], "id_a")
+    b_vals = _envelope_values(polygon_records_b(), "id_b")
+    return f"""
+WITH a(id_a, axmin, aymin, axmax, aymax) AS ({a_vals}),
+b(id_b, bxmin, bymin, bxmax, bymax) AS ({b_vals}),
+j AS (
+  SELECT id_a, id_b,
+         least(axmax, bxmax) - greatest(axmin, bxmin) AS xo,
+         least(aymax, bymax) - greatest(aymin, bymin) AS yo,
+         (axmin <= bxmin AND bxmax <= axmax
+          AND aymin <= bymin AND bymax <= aymax) AS c_ab,
+         (bxmin <= axmin AND axmax <= bxmax
+          AND bymin <= aymin AND aymax <= bymax) AS c_ba
+  FROM a CROSS JOIN b)
+SELECT id_a, id_b,
+       true AS intersects,
+       (xo = 0 OR yo = 0) AS touches,
+       (xo > 0 AND yo > 0 AND NOT c_ab AND NOT c_ba) AS overlaps,
+       c_ab AS "contains",
+       c_ba AS within,
+       (c_ab AND c_ba) AS equals
+FROM j WHERE xo >= 0 AND yo >= 0"""
+
+
+@register("poly_predicates", _sql_poly_predicates())
+def q_poly_predicates(spark, sf_dir):
+    """Polygon↔polygon predicate join (Intersects/Touches/Overlaps/Contains/
+    Within/Equals — ogrgeometry.cpp:571,6002-6402; autotest
+    ogr/ogr_geom.py:2430-2475 case families): cell-cover equi-join with
+    reference-cell dedup + exact orientation/crossing-number kernel."""
+    out = PJ.poly_relate_join(polygons_df(spark), polygons_b_df(spark), zoom=5)
+    return out.filter(F.col("intersects"))
+
+
+# Clip window: overlaps the mosaic partially, cuts the L-shape bottom and
+# the hole-polygon's right side; excludes the hexagon and far rects.
+# Bounds use .x7 offsets so no coordinate ever equals a polygon bound.
+CLIP_W = (-1.50007, 30.50007, 45.00007, 47.00007)
+
+
+def _clip_parts_values() -> str:
+    """Signed axis-rect decomposition of every clippable fixture polygon:
+    mosaic rect → itself; L-shape → two disjoint rects; hole polygon →
+    outer (+1) and hole (−1); far rects → themselves (clip to zero). The
+    hexagon is excluded by the window (zero overlap). Clipped area is then
+    Σ sgn · interval-overlap-area — independent of Sutherland–Hodgman."""
+    rows = []
+    for rec in polygon_records()[:64]:
+        rows.append((rec["poly_id"], 1, rec["xmin"], rec["ymin"],
+                     rec["xmax"], rec["ymax"]))
+    x0, y0, w, h = 30.00003, 30.00003, 4.0, 4.0  # _l_shape(65)
+    rows.append((65, 1, x0, y0, x0 + w, y0 + h / 2))
+    rows.append((65, 1, x0, y0 + h / 2, x0 + w / 2, y0 + h))
+    rows.append((66, 1, 40.00003, 40.00003, 48.00003, 46.00003))
+    rows.append((66, -1, 42.00003, 42.00003, 44.00003, 44.00003))
+    for rec in polygon_records()[67:]:
+        rows.append((rec["poly_id"], 1, rec["xmin"], rec["ymin"],
+                     rec["xmax"], rec["ymax"]))
+    vals = ", ".join(
+        f"({pid}, {sgn}, {xmn!r}::double, {ymn!r}::double, "
+        f"{xmx!r}::double, {ymx!r}::double)"
+        for pid, sgn, xmn, ymn, xmx, ymx in rows
+    )
+    return "VALUES " + vals
+
+
+def _sql_clip_rect() -> str:
+    wx0, wy0, wx1, wy1 = CLIP_W
+    area = (
+        f"greatest(0.0, least(pxmax, {wx1!r}) - greatest(pxmin, {wx0!r})) * "
+        f"greatest(0.0, least(pymax, {wy1!r}) - greatest(pymin, {wy0!r}))"
+    )
+    return f"""
+WITH parts(poly_id, sgn, pxmin, pymin, pxmax, pymax) AS ({_clip_parts_values()}),
+c AS (SELECT poly_id, sgn, {area} AS a FROM parts)
+SELECT poly_id,
+       (CASE WHEN poly_id = 66 THEN 2 ELSE 1 END)::int AS n_rings,
+       {SR('sum(sgn * a)', 6)} AS clip_area
+FROM c GROUP BY poly_id HAVING sum(sgn * a) > 0"""
+
+
+@register("clip_rect", _sql_clip_rect())
+def q_clip_rect(spark, sf_dir):
+    """Rectangle clip (OGRLayer::Clip MVP, ogrlayer.cpp:7538 /
+    apps/gdalalg_vector_clip.cpp): Sutherland–Hodgman over ring arrays,
+    envelope prefilter as a pushdown-friendly column predicate."""
+    out = PJ.clip_to_rect(polygons_df(spark), *CLIP_W)
+    return out.select(
+        F.col("id").alias("poly_id"), "n_rings", R("clip_area", 6).alias("clip_area")
+    )

@@ -305,3 +305,241 @@ def parse_wkt(text: str):
                 cur += ch
         return "polygon", rings
     raise ValueError(f"unsupported WKT: {s[:30]}")
+
+
+# ---------------------------------------------------------------------------
+# Polygon↔polygon relate (Intersects/Touches/Overlaps/Contains/Within/Equals)
+# — semantics of OGRGeometry::Intersects/Touches/... (ogr/ogrgeometry.cpp:
+# 571,6002-6402, GEOS-backed in the reference); implemented here as exact
+# float64 orientation tests + crossing-number containment, no GEOS.
+# ---------------------------------------------------------------------------
+
+def polygon_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """All boundary edges of a polygon (exterior + holes) as (E, 2, 2)."""
+    segs = []
+    for ring in rings:
+        if ring.shape[0] < 2:
+            continue
+        a = ring[:-1]
+        b = ring[1:]
+        keep = ~((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]))
+        if keep.any():
+            segs.append(np.stack([a[keep], b[keep]], axis=1))
+    if not segs:
+        return np.zeros((0, 2, 2))
+    return np.concatenate(segs, axis=0)
+
+
+def segments_relate(ea: np.ndarray, eb: np.ndarray) -> tuple[bool, bool]:
+    """(any_intersection, any_proper_crossing) between two edge sets.
+
+    Exact classical orientation test with full degenerate handling:
+    proper = strict transversal crossing (interior of both segments);
+    intersection additionally covers endpoint touches and collinear
+    overlaps (closed-segment semantics).
+    """
+    if ea.shape[0] == 0 or eb.shape[0] == 0:
+        return False, False
+    a1 = ea[:, None, 0, :]  # (Ea, 1, 2)
+    a2 = ea[:, None, 1, :]
+    b1 = eb[None, :, 0, :]  # (1, Eb, 2)
+    b2 = eb[None, :, 1, :]
+
+    def cross(u, v):
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+    o1 = cross(b2 - b1, a1 - b1)
+    o2 = cross(b2 - b1, a2 - b1)
+    o3 = cross(a2 - a1, b1 - a1)
+    o4 = cross(a2 - a1, b2 - a1)
+    proper = ((o1 > 0) & (o2 < 0) | (o1 < 0) & (o2 > 0)) & (
+        (o3 > 0) & (o4 < 0) | (o3 < 0) & (o4 > 0)
+    )
+
+    def on_seg(p, q, r):
+        """q (known collinear with p-r) lies within closed segment p-r."""
+        return (
+            (q[..., 0] >= np.minimum(p[..., 0], r[..., 0]))
+            & (q[..., 0] <= np.maximum(p[..., 0], r[..., 0]))
+            & (q[..., 1] >= np.minimum(p[..., 1], r[..., 1]))
+            & (q[..., 1] <= np.maximum(p[..., 1], r[..., 1]))
+        )
+
+    touch = (
+        ((o1 == 0) & on_seg(b1, a1, b2))
+        | ((o2 == 0) & on_seg(b1, a2, b2))
+        | ((o3 == 0) & on_seg(a1, b1, a2))
+        | ((o4 == 0) & on_seg(a1, b2, a2))
+    )
+    inter = proper | touch
+    return bool(inter.any()), bool(proper.any())
+
+
+def interior_point(rings: list[np.ndarray]) -> tuple[float, float]:
+    """A point strictly inside the polygon (holes respected) — the classic
+    point-on-surface scanline: pick a horizontal y* that avoids every vertex
+    y (widest gap of the sorted unique ys), intersect all edges with it, and
+    take the midpoint of the first crossing interval (even-odd ⇒ interior)."""
+    ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    if ys.shape[0] < 2:
+        r0 = rings[0]
+        return float(r0[0, 0]), float(r0[0, 1])
+    gaps = np.diff(ys)
+    g = int(np.argmax(gaps))
+    y_star = float((ys[g] + ys[g + 1]) / 2.0)
+    xs = []
+    for ring in rings:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        straddle = ((y1 < y_star) & (y2 > y_star)) | ((y2 < y_star) & (y1 > y_star))
+        if straddle.any():
+            t = (y_star - y1[straddle]) / (y2[straddle] - y1[straddle])
+            xs.append(x1[straddle] + t * (x2[straddle] - x1[straddle]))
+    if not xs:
+        r0 = rings[0]
+        return float(r0[:, 0].mean()), float(r0[:, 1].mean())
+    xs = np.sort(np.concatenate(xs))
+    return float((xs[0] + xs[1]) / 2.0), y_star
+
+
+def _closure_contains(rings: list[np.ndarray], px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """closure(polygon) membership: strict interior OR on any ring boundary."""
+    inside = points_in_polygon(px, py, rings, boundary_is_inside=False)
+    on_b = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        on_b |= points_on_ring_boundary(px, py, ring)
+    return inside | on_b
+
+
+def _poly_in_poly(inner: list[np.ndarray], outer: list[np.ndarray],
+                  edges_inner: np.ndarray, proper: bool) -> bool:
+    """closure(inner) ⊆ closure(outer): every inner vertex AND edge midpoint
+    in closure(outer), no proper boundary crossing, and inner's interior
+    representative inside closure(outer) (guards the fills-a-hole case)."""
+    if proper:
+        return False
+    vx = np.concatenate([r[:, 0] for r in inner])
+    vy = np.concatenate([r[:, 1] for r in inner])
+    if not _closure_contains(outer, vx, vy).all():
+        return False
+    mid = edges_inner.mean(axis=1)  # (E, 2) midpoints
+    if mid.shape[0] and not _closure_contains(outer, mid[:, 0], mid[:, 1]).all():
+        return False
+    ipx, ipy = interior_point(inner)
+    return bool(
+        _closure_contains(outer, np.array([ipx]), np.array([ipy]))[0]
+    )
+
+
+def relate_polygons(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> dict:
+    """Full predicate set between two polygons (holes supported).
+
+    Returns dict(intersects, touches, overlaps, contains, within, equals)
+    with OGC semantics: contains = A ⊇ B, within = A ⊆ B; touches = boundary
+    contact without interior overlap; overlaps = interiors intersect with
+    neither containment."""
+    ea = polygon_edges(rings_a)
+    eb = polygon_edges(rings_b)
+    bb, proper = segments_relate(ea, eb)
+
+    avx = np.concatenate([r[:, 0] for r in rings_a])
+    avy = np.concatenate([r[:, 1] for r in rings_a])
+    bvx = np.concatenate([r[:, 0] for r in rings_b])
+    bvy = np.concatenate([r[:, 1] for r in rings_b])
+    a_v_in_b = points_in_polygon(avx, avy, rings_b).any()
+    b_v_in_a = points_in_polygon(bvx, bvy, rings_a).any()
+    ii = proper or bool(a_v_in_b) or bool(b_v_in_a)
+    if not ii:
+        ipa = interior_point(rings_a)
+        ipb = interior_point(rings_b)
+        ii = bool(
+            points_in_polygon(
+                np.array([ipa[0]]), np.array([ipa[1]]), rings_b
+            )[0]
+        ) or bool(
+            points_in_polygon(
+                np.array([ipb[0]]), np.array([ipb[1]]), rings_a
+            )[0]
+        )
+    contains = ii and _poly_in_poly(rings_b, rings_a, eb, proper)
+    within = ii and _poly_in_poly(rings_a, rings_b, ea, proper)
+    return {
+        "intersects": bb or ii,
+        "touches": bb and not ii,
+        "overlaps": ii and not contains and not within,
+        "contains": contains,
+        "within": within,
+        "equals": contains and within,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Axis-aligned rectangle clip (Sutherland–Hodgman) — the clip MVP of
+# OGRLayer::Clip (ogr/ogrlayer.cpp:7538) / `gdal vector clip`
+# (apps/gdalalg_vector_clip.cpp) for rectangular clip geometries.
+# ---------------------------------------------------------------------------
+
+def clip_ring_rect(ring: np.ndarray, xmin: float, ymin: float,
+                   xmax: float, ymax: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of one closed ring against an axis box.
+    Returns a closed ring (first == last) or an empty (0, 2) array."""
+    pts = ring[:-1] if ring.shape[0] > 1 and (ring[0] == ring[-1]).all() else ring
+    for side in range(4):
+        if pts.shape[0] == 0:
+            break
+        x, y = pts[:, 0], pts[:, 1]
+        if side == 0:
+            inside = x >= xmin
+        elif side == 1:
+            inside = x <= xmax
+        elif side == 2:
+            inside = y >= ymin
+        else:
+            inside = y <= ymax
+        nxt = np.roll(pts, -1, axis=0)
+        nxt_inside = np.roll(inside, -1)
+        out = []
+        for i in range(pts.shape[0]):
+            p, q = pts[i], nxt[i]
+            pi, qi = inside[i], nxt_inside[i]
+            if pi:
+                out.append(p)
+            if pi != qi:  # edge crosses the clip line → add intersection
+                if side < 2:
+                    edge = xmin if side == 0 else xmax
+                    t = (edge - p[0]) / (q[0] - p[0])
+                    out.append(np.array([edge, p[1] + t * (q[1] - p[1])]))
+                else:
+                    edge = ymin if side == 2 else ymax
+                    t = (edge - p[1]) / (q[1] - p[1])
+                    out.append(np.array([p[0] + t * (q[0] - p[0]), edge]))
+        pts = np.array(out) if out else np.zeros((0, 2))
+    if pts.shape[0] < 3:
+        return np.zeros((0, 2))
+    return np.vstack([pts, pts[:1]])
+
+
+def clip_rings_rect(rings: list[np.ndarray], xmin: float, ymin: float,
+                    xmax: float, ymax: float) -> list[np.ndarray]:
+    """Clip every ring (exterior + holes) against the box; empty rings are
+    dropped. If the exterior vanishes the whole polygon is empty."""
+    out = []
+    for i, ring in enumerate(rings):
+        c = clip_ring_rect(ring, xmin, ymin, xmax, ymax)
+        if i == 0 and c.shape[0] == 0:
+            return []
+        if c.shape[0] > 0:
+            out.append(c)
+    return out
+
+
+def rings_area(rings: list[np.ndarray]) -> float:
+    """|shoelace(exterior)| − Σ|shoelace(holes)| (planar area)."""
+    total = 0.0
+    for k, ring in enumerate(rings):
+        if ring.shape[0] < 4:
+            continue
+        x, y = ring[:, 0], ring[:, 1]
+        a = 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+        total += a if k == 0 else -a
+    return total
