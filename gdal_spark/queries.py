@@ -628,8 +628,10 @@ SELECT eas_id, count(*) AS n_polys, {SR('sum(area)', 6)} AS total_area,
 FROM attrs GROUP BY eas_id""",
 )
 def q_sql_dissolve(spark, sf_dir):
-    """Dissolve = spatial GROUP BY + geometry-union aggregate
-    (apps/gdalalg_vector_dissolve.cpp); envelope-union + area-sum here."""
+    """ENVELOPE dissolve: spatial GROUP BY with envelope-union + area-sum —
+    the cheap map-side companion of the true geometry union (see
+    `dissolve_union` for the real merged-geometry semantics,
+    apps/gdalalg_vector_dissolve.cpp)."""
     p = polygons_df(spark)
     return p.groupBy("eas_id").agg(
         F.count(F.lit(1)).alias("n_polys"),
@@ -1613,3 +1615,108 @@ def q_clip_rect(spark, sf_dir):
     return out.select(
         F.col("id").alias("poly_id"), "n_rings", R("clip_area", 6).alias("clip_area")
     )
+
+
+# ===========================================================================
+# 9. True dissolve — per-key geometry union of the mosaic coverage
+#    (apps/gdalalg_vector_dissolve.cpp; ogrgeometry.cpp:5430 Union)
+# ===========================================================================
+
+from gdal_spark.operators import dissolve as DV  # noqa: E402
+
+
+def _mosaic_topology() -> dict[int, tuple[int, int]]:
+    """INDEPENDENT topology oracle: per eas_id, (n_parts, n_rings) of the
+    union of its 8×8-grid cells, by 4-adjacency connected components + a
+    flood fill of the padded complement (holes = enclosed complement
+    components). Pure integer grid work — shares no code with the engine's
+    edge-cancellation ring tracer."""
+    cells_by_eas: dict[int, set[tuple[int, int]]] = {}
+    for rec in polygon_records()[:64]:
+        pid = rec["poly_id"]
+        cells_by_eas.setdefault(rec["eas_id"], set()).add((pid % 8, pid // 8))
+    out = {}
+    for eas, cells in cells_by_eas.items():
+        # components (4-adjacency)
+        seen: set[tuple[int, int]] = set()
+        parts = 0
+        for c in cells:
+            if c in seen:
+                continue
+            parts += 1
+            stack = [c]
+            seen.add(c)
+            while stack:
+                x, y = stack.pop()
+                for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                    if nb in cells and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+        # holes: complement components of a padded bounding grid that do
+        # not touch the outside border
+        comp = {
+            (x, y)
+            for x in range(-1, 9)
+            for y in range(-1, 9)
+            if (x, y) not in cells
+        }
+        outside: set[tuple[int, int]] = set()
+        stack = [(-1, -1)]
+        outside.add((-1, -1))
+        while stack:
+            x, y = stack.pop()
+            for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                if nb in comp and nb not in outside and -1 <= nb[0] <= 8 \
+                        and -1 <= nb[1] <= 8:
+                    outside.add(nb)
+                    stack.append(nb)
+        enclosed = comp - outside
+        holes = 0
+        seen2: set[tuple[int, int]] = set()
+        for c in enclosed:
+            if c in seen2:
+                continue
+            holes += 1
+            stack = [c]
+            seen2.add(c)
+            while stack:
+                x, y = stack.pop()
+                for nb in ((x + 1, y), (x - 1, y), (x, y + 1), (x, y - 1)):
+                    if nb in enclosed and nb not in seen2:
+                        seen2.add(nb)
+                        stack.append(nb)
+        out[eas] = (parts, parts + holes)
+    return out
+
+
+def _sql_dissolve_union() -> str:
+    cell_vals = ", ".join(
+        f"({rec['eas_id']}, {rec['xmin']!r}::double, {rec['ymin']!r}::double, "
+        f"{rec['xmax']!r}::double, {rec['ymax']!r}::double)"
+        for rec in polygon_records()[:64]
+    )
+    topo_vals = ", ".join(
+        f"({eas}, {p}, {r})" for eas, (p, r) in sorted(_mosaic_topology().items())
+    )
+    return f"""
+WITH cells(eas_id, cxmin, cymin, cxmax, cymax) AS (VALUES {cell_vals}),
+agg AS (
+  SELECT eas_id, count(*) AS n_src,
+         sum((cxmax - cxmin) * (cymax - cymin)) AS ua
+  FROM cells GROUP BY eas_id),
+topo(eas_id, n_parts, n_rings) AS (VALUES {topo_vals})
+SELECT a.eas_id, a.n_src, {SR('a.ua', 6)} AS union_area,
+       t.n_parts::int AS n_parts, t.n_rings::int AS n_rings
+FROM agg a JOIN topo t USING (eas_id)"""
+
+
+@register("dissolve_union", _sql_dissolve_union())
+def q_dissolve_union(spark, sf_dir):
+    """TRUE dissolve over the mosaic coverage: per-eas_id geometric union
+    via boundary edge-cancellation + leftmost-turn ring tracing (exact for
+    edge-matched coverages). Oracle checks merged area (interval SQL) AND
+    topology (independent grid flood-fill): parts and rings, not envelopes.
+    """
+    p = polygons_df(spark).filter(F.col("poly_id") < 64)
+    out = DV.dissolve_union(p, key="eas_id")
+    return out.withColumn("union_area", R("union_area", 6))

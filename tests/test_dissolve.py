@@ -1,0 +1,60 @@
+"""True dissolve: edge-cancellation union tracer vs hand-countable shapes
+(apps/gdalalg_vector_dissolve.cpp semantics — merged geometry, not
+envelopes)."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.operators.dissolve import (
+    _ring_signed_area,
+    dissolve_union,
+    union_coverage_rings,
+)
+
+
+def rect(x0, y0, x1, y1):
+    return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+
+
+def test_union_merges_adjacent_cells():
+    rings = union_coverage_rings([rect(0, 0, 1, 1), rect(1, 0, 2, 1)])
+    assert len(rings) == 1
+    assert sum(_ring_signed_area(r) for r in rings) == pytest.approx(2.0)
+
+
+def test_union_corner_touch_splits_parts():
+    rings = union_coverage_rings([rect(0, 0, 1, 1), rect(1, 1, 2, 2)])
+    areas = [_ring_signed_area(r) for r in rings]
+    assert sorted(areas) == pytest.approx([1.0, 1.0])
+
+
+def test_union_ring_of_cells_has_hole():
+    cells = [rect(i, j, i + 1, j + 1)
+             for i in range(3) for j in range(3) if (i, j) != (1, 1)]
+    rings = union_coverage_rings(cells)
+    areas = sorted(_ring_signed_area(r) for r in rings)
+    assert areas == pytest.approx([-1.0, 9.0])  # CW hole + CCW outer
+
+
+def test_union_polygon_with_existing_hole_passthrough():
+    holey = [
+        np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=np.float64),
+        np.array([[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]], dtype=np.float64),
+    ]
+    rings = union_coverage_rings([holey])
+    areas = sorted(_ring_signed_area(r) for r in rings)
+    assert areas == pytest.approx([-4.0, 16.0])
+
+
+def test_dissolve_union_dataframe(spark):
+    from gdal_spark.data.pages import polygons_df
+    from pyspark.sql import functions as F
+
+    p = polygons_df(spark).filter(F.col("poly_id") < 64)
+    out = {r["eas_id"]: r for r in dissolve_union(p, key="eas_id").collect()}
+    # every mosaic cell is 2.0 x 1.5 = 3.0; union area = 3 * n_src exactly
+    # (cells never overlap)
+    for eas, r in out.items():
+        assert r["union_area"] == pytest.approx(3.0 * r["n_src"], abs=1e-9)
+        assert 1 <= r["n_parts"] <= r["n_src"]
+        assert r["n_rings"] >= r["n_parts"]
