@@ -377,3 +377,80 @@ def overview_level_nearest(raster: DataFrame, tile_size: int) -> DataFrame:
         "width int, height int"
     )
     return keyed.applyInPandas(reduce_group, schema)
+
+
+# ---------------------------------------------------------------------------
+# Base-tile render: produce z_dst tiles FROM a finer z_src source raster in
+# one step — the gdal2tiles create_base_tile + scale_query_to_tile path
+# (gdal2tiles.py:838-928 source-window read, :1278+ scale_query_to_tile;
+# checksummed by autotest/pyscripts/test_gdal2tiles.py:101-148). For an
+# integer resolution ratio r = 2^(z_src - z_dst) the source window of dst
+# tile (tx, ty) is exactly the r×r block of source tiles under it.
+# ---------------------------------------------------------------------------
+
+def render_base_tiles(
+    raster: DataFrame, z_src: int, z_dst: int, method: str = "average",
+    tile_size: int = 256,
+) -> DataFrame:
+    """Render z_dst tiles from the z_src source: ONE shuffle on the dst-tile
+    key gathers each tile's full source window (r² source tiles), then the
+    resample kernel scales the window to tile_size² —
+      average : r×r block mean           (overview.cpp:1214 Average —
+                gdal2tiles' default resampling via RegenerateOverview)
+      nearest : src = dst*r decimation   (overview.cpp:81-165 near)
+      bilinear: warp-bilinear at dst pixel centers
+                (gdalwarpkernel.cpp:2952-3010, edge-clamped)
+    Missing source tiles contribute 0 (dense synthetic rasters ⇒ only at
+    window edges)."""
+    if method not in ("average", "nearest", "bilinear"):
+        raise ValueError(f"unsupported resampling {method!r}")
+    r = 1 << (z_src - z_dst)
+    ts = tile_size
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _, dtx, dty, band = key
+        full = np.zeros((r * ts, r * ts), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            ox = (int(row["tx"]) % r) * ts
+            oy = (int(row["ty"]) % r) * ts
+            full[oy:oy + ts, ox:ox + ts] = np.asarray(row["data"]).reshape(ts, ts)
+        if method == "average":
+            out = full.reshape(ts, r, ts, r).mean(axis=(1, 3))
+        elif method == "nearest":
+            out = full[::r, ::r]
+        else:  # bilinear at dst pixel centers
+            # src coord of dst center i: (i + 0.5) * r; warp convention
+            # i0 = floor(src - 0.5), weight = src - 0.5 - i0, edge clamp
+            src = (np.arange(ts, dtype=np.float64) + 0.5) * r
+            i0 = np.floor(src - 0.5).astype(np.int64)
+            w = src - 0.5 - i0
+            i0c = np.clip(i0, 0, r * ts - 1)
+            i1c = np.clip(i0 + 1, 0, r * ts - 1)
+            a = full[np.ix_(i0c, i0c)]
+            b = full[np.ix_(i0c, i1c)]
+            c = full[np.ix_(i1c, i0c)]
+            d = full[np.ix_(i1c, i1c)]
+            wy = w[:, None]
+            wx = w[None, :]
+            out = (
+                a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+                + c * wy * (1 - wx) + d * wy * wx
+            )
+        return pd.DataFrame(
+            {
+                "zoom": [z_dst], "tx": [dtx], "ty": [dty], "band": [band],
+                "data": [out.ravel()], "width": [ts], "height": [ts],
+            }
+        )
+
+    keyed = raster.filter(F.col("zoom") == z_src).groupBy(
+        F.col("zoom"),
+        F.floor(F.col("tx") / r).cast("int").alias("dtx"),
+        F.floor(F.col("ty") / r).cast("int").alias("dty"),
+        F.col("band"),
+    )
+    schema = (
+        "zoom int, tx int, ty int, band int, data array<double>, "
+        "width int, height int"
+    )
+    return keyed.applyInPandas(reduce_group, schema)

@@ -1720,3 +1720,116 @@ def q_dissolve_union(spark, sf_dir):
     p = polygons_df(spark).filter(F.col("poly_id") < 64)
     out = DV.dissolve_union(p, key="eas_id")
     return out.withColumn("union_area", R("union_area", 6))
+
+
+# ===========================================================================
+# 10. Base-tile render (gdal2tiles.py:838-928 create_base_tile +
+#     scale_query_to_tile; oracle family of test_gdal2tiles.py:101-148)
+# ===========================================================================
+
+_RB_TS = 64        # tile size for the render gates (keeps oracles fast)
+_RB_ZSRC = 3
+_RB_ZDST = 1
+_RB_R = 1 << (_RB_ZSRC - _RB_ZDST)  # 4
+_RB_SPOT = (21, 33)  # (px, py) spot-checked dst pixel
+
+
+def _rb_pixel(gpx: str, gpy: str) -> str:
+    return TL.sql_pixel_value(gpx, gpy, "1")
+
+
+def _sql_render_base_average() -> str:
+    ts, r = _RB_TS, _RB_R
+    w = ts * r  # source window size per dst tile (256)
+    sx, sy = _RB_SPOT
+    return f"""
+WITH d AS (SELECT unnest(generate_series(0, 1)) AS v),
+gs AS (SELECT unnest(generate_series(0, {w - 1})) AS i),
+b AS (SELECT unnest(generate_series(0, {r - 1})) AS k),
+m AS (
+  SELECT dx.v AS tx, dy.v AS ty,
+         avg({_rb_pixel(f'dx.v * {w} + gx.i', f'dy.v * {w} + gy.i')}) AS mv
+  FROM d dx CROSS JOIN d dy CROSS JOIN gs gx CROSS JOIN gs gy
+  GROUP BY dx.v, dy.v),
+p0 AS (
+  SELECT dx.v AS tx, dy.v AS ty,
+         avg({_rb_pixel(f'dx.v * {w} + ka.k', f'dy.v * {w} + kb.k')}) AS v00
+  FROM d dx CROSS JOIN d dy CROSS JOIN b ka CROSS JOIN b kb
+  GROUP BY dx.v, dy.v),
+ps AS (
+  SELECT dx.v AS tx, dy.v AS ty,
+         avg({_rb_pixel(f'dx.v * {w} + {sx * r} + ka.k', f'dy.v * {w} + {sy * r} + kb.k')}) AS vs
+  FROM d dx CROSS JOIN d dy CROSS JOIN b ka CROSS JOIN b kb
+  GROUP BY dx.v, dy.v)
+SELECT m.tx, m.ty, 1 AS band, {SR('m.mv', 6)} AS mean_val,
+       {SR('p0.v00', 6)} AS p00, {SR('ps.vs', 6)} AS p_spot
+FROM m JOIN p0 USING (tx, ty) JOIN ps USING (tx, ty)"""
+
+
+def _rb_engine_select(out):
+    mean = F.aggregate(F.col("data"), F.lit(0.0), lambda a, v: a + v) / F.size(
+        "data"
+    )
+    sx, sy = _RB_SPOT
+    return out.select(
+        "tx", "ty", "band",
+        R(mean, 6).alias("mean_val"),
+        R(F.element_at("data", 1), 6).alias("p00"),
+        R(F.element_at("data", sy * _RB_TS + sx + 1), 6).alias("p_spot"),
+    )
+
+
+@register("tile_render_base", _sql_render_base_average())
+def q_tile_render_base(spark, sf_dir):
+    """Base-tile render, AVERAGE resampling: z1 tiles rendered from the z3
+    source in one gather (gdal2tiles create_base_tile + scale_query_to_tile,
+    average kernel = overview.cpp:1214). Gated on per-tile mean + two exact
+    pixel-block values (window-math check)."""
+    base = TL.synthetic_raster(
+        spark, zoom=_RB_ZSRC, bands=1, tile_size=_RB_TS,
+        tx_range=(0, 7), ty_range=(0, 7),
+    )
+    out = TL.render_base_tiles(base, _RB_ZSRC, _RB_ZDST, "average", _RB_TS)
+    return _rb_engine_select(out)
+
+
+def _sql_render_base_bilinear() -> str:
+    ts, r = _RB_TS, _RB_R
+    w = ts * r
+    sx, sy = _RB_SPOT
+
+    # warp-bilinear at dst center: src = (i+0.5)*r, i0 = floor(src-0.5) =
+    # r*i + r/2 - 1, weight = 0.5 for even r — each dst pixel is the mean of
+    # its 2×2 source neighborhood at offset r/2-1 (no edge clamp for r=4).
+    def bil(i_expr: str, j_expr: str, t0: str, t1: str) -> str:
+        a = f"({t0} + {r} * ({i_expr}) + {r // 2 - 1})"
+        b_ = f"({t1} + {r} * ({j_expr}) + {r // 2 - 1})"
+        return (
+            f"(({_rb_pixel(a, b_)}) + ({_rb_pixel(a + ' + 1', b_)}) + "
+            f"({_rb_pixel(a, b_ + ' + 1')}) + ({_rb_pixel(a + ' + 1', b_ + ' + 1')})) / 4.0"
+        )
+
+    return f"""
+WITH d AS (SELECT unnest(generate_series(0, 1)) AS v),
+gs AS (SELECT unnest(generate_series(0, {ts - 1})) AS i),
+m AS (
+  SELECT dx.v AS tx, dy.v AS ty,
+         avg({bil('gx.i', 'gy.i', f'dx.v * {w}', f'dy.v * {w}')}) AS mv
+  FROM d dx CROSS JOIN d dy CROSS JOIN gs gx CROSS JOIN gs gy
+  GROUP BY dx.v, dy.v)
+SELECT tx, ty, 1 AS band, {SR('mv', 6)} AS mean_val,
+       {SR(bil('0', '0', f'tx * {w}', f'ty * {w}'), 6)} AS p00,
+       {SR(bil(str(sx), str(sy), f'tx * {w}', f'ty * {w}'), 6)} AS p_spot
+FROM m"""
+
+
+@register("tile_render_bilinear", _sql_render_base_bilinear())
+def q_tile_render_bilinear(spark, sf_dir):
+    """Base-tile render, BILINEAR resampling (scale_query_to_tile with the
+    gdalwarp bilinear convention, gdalwarpkernel.cpp:2952-3010)."""
+    base = TL.synthetic_raster(
+        spark, zoom=_RB_ZSRC, bands=1, tile_size=_RB_TS,
+        tx_range=(0, 7), ty_range=(0, 7),
+    )
+    out = TL.render_base_tiles(base, _RB_ZSRC, _RB_ZDST, "bilinear", _RB_TS)
+    return _rb_engine_select(out)

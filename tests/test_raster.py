@@ -121,3 +121,39 @@ def test_overview_pyramid_levels(spark, raster):
     pyr = T.overview_pyramid(raster.filter(F.col("band") == 1), min_zoom=1, tile_size=TS)
     counts = {r["zoom"]: r["count"] for r in pyr.groupBy("zoom").count().collect()}
     assert counts == {3: 64, 2: 16, 1: 4}
+
+
+def test_render_base_average_equals_two_overview_steps(spark):
+    """Integer-ratio average render must equal chaining 2×2 overview levels
+    (the render is the one-shot gdal2tiles path; overview_level is the
+    pyramid path — same kernel semantics, different plans)."""
+    from gdal_spark.operators import tiles as TL
+
+    base = TL.synthetic_raster(spark, zoom=2, bands=1, tile_size=32)
+    rendered = {
+        (r["tx"], r["ty"]): list(r["data"])
+        for r in TL.render_base_tiles(base, 2, 0, "average", 32).collect()
+    }
+    stepped_df = TL.overview_level(
+        TL.overview_level(base, 32), 32
+    )
+    stepped = {
+        (r["tx"], r["ty"]): list(r["data"]) for r in stepped_df.collect()
+    }
+    assert set(rendered) == set(stepped)
+    for k in rendered:
+        assert rendered[k] == pytest.approx(stepped[k])
+
+
+def test_render_base_nearest_decimation(spark):
+    """Nearest render: dst pixel (i, j) = src global pixel (r*i, r*j)."""
+    from gdal_spark.operators import tiles as TL
+
+    base = TL.synthetic_raster(spark, zoom=2, bands=1, tile_size=32)
+    out = TL.render_base_tiles(base, 2, 0, "nearest", 32).collect()
+    assert len(out) == 1
+    data = np.asarray(out[0]["data"]).reshape(32, 32)
+    for i, j in [(0, 0), (5, 7), (31, 31)]:
+        assert data[j, i] == TL.pixel_value(
+            np.array([4 * i]), np.array([4 * j]), 1
+        )[0]
