@@ -952,17 +952,16 @@ FROM keyed ORDER BY quadkey, o_orderkey LIMIT 100""",
 def q_sort_quadkey(spark, sf_dir):
     """Space-filling-curve sort layout (gdal vector sort hilbert semantics,
     gdalalg_vector_sort.cpp:371 — quadkey is our curve): the physical-layout
-    operator that makes range scans spatially local."""
-    from pyspark.sql import Window
+    operator that makes range scans spatially local. Position computed with
+    the DISTRIBUTED range-partition + offset-composed rank (operators/
+    curve_sort.py) — no single-partition window."""
+    from gdal_spark.operators.curve_sort import curve_rank
 
     pts = TL.assign_tiles(order_points(spark, sf_dir), Z_SORT)
-    w = Window.orderBy("quadkey", "o_orderkey")
-    return (
-        pts.select("o_orderkey", "quadkey")
-        .withColumn("pos", F.row_number().over(w))
-        .orderBy("quadkey", "o_orderkey")
-        .limit(100)
+    ranked = curve_rank(
+        pts.select("o_orderkey", "quadkey"), "quadkey", "o_orderkey"
     )
+    return ranked.orderBy("quadkey", "o_orderkey").limit(100)
 
 
 @register(
@@ -1461,8 +1460,9 @@ def q_hilbert_sort(spark, sf_dir):
     """Hilbert-curve spatial sort key (alg/hilbert.cpp:22; the `gdal vector
     sort` geometry order, gdalalg_vector_sort.cpp:371, and FlatGeobuf's
     packed-R-tree key, packedrtree.cpp:73-132) — xy2d as pure integer
-    column math, bit-identical to the SQL mirror."""
-    from pyspark.sql import Window
+    column math, bit-identical to the SQL mirror; position via the
+    distributed range-partition rank (no single-partition window)."""
+    from gdal_spark.operators.curve_sort import curve_rank
 
     pts = TL.assign_tiles(
         order_points(spark, sf_dir), Z_HILBERT, with_quadkey=False
@@ -1470,13 +1470,11 @@ def q_hilbert_sort(spark, sf_dir):
     coded = pts.withColumn(
         "hilbert", TM.hilbert_d(F.col("tx"), F.col("ty"), Z_HILBERT)
     )
-    w = Window.orderBy("hilbert", "o_orderkey")
-    return (
-        coded.select("o_orderkey", "tx", "ty", "hilbert")
-        .withColumn("pos", F.row_number().over(w))
-        .orderBy("hilbert", "o_orderkey")
-        .limit(200)
+    ranked = curve_rank(
+        coded.select("o_orderkey", "tx", "ty", "hilbert"),
+        "hilbert", "o_orderkey",
     )
+    return ranked.orderBy("hilbert", "o_orderkey").limit(200)
 
 
 @register(

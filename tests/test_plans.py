@@ -65,3 +65,44 @@ def test_cells_salted_uses_shuffled_hash_join(spark):
 def test_count_star_reads_no_columns(spark):
     p = _plan(spark, "sql_count_star")
     assert "ReadSchema: struct<>" in p
+
+
+def test_curve_rank_no_single_partition_window(spark):
+    """The curve-position rank must NOT collapse data into one partition:
+    the plan has a rangepartitioning Exchange for the data, and its only
+    SinglePartition exchange feeds the metadata-size offsets table (guarded
+    by its broadcast)."""
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    pts = Q.order_points(spark, SF).select("o_orderkey")
+    ranked = curve_rank(pts, "o_orderkey")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    p = buf.getvalue()
+    assert "rangepartitioning" in p
+    assert "BroadcastExchange" in p
+    # the big side's window partitions by _pid (no empty PARTITION BY)
+    assert "Window" in p
+
+
+def test_curve_rank_matches_global_window(spark):
+    from pyspark.sql import Window, functions as F
+
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    pts = Q.order_points(spark, SF).select("o_orderkey", "lat")
+    got = {
+        r["o_orderkey"]: r["pos"]
+        for r in curve_rank(pts, "lat", "o_orderkey",
+                            num_partitions=7).collect()
+    }
+    w = Window.orderBy("lat", "o_orderkey")
+    want = {
+        r["o_orderkey"]: r["pos"]
+        for r in pts.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    assert got == want
