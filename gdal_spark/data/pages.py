@@ -221,3 +221,49 @@ def polygon_records_b() -> list[dict]:
 
 def polygons_b_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(polygon_records_b(), schema=POLYGON_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MultiPolygon layer (FIXTURES §2c): features whose geometry is a LIST of
+# polygon parts — including a part with a hole — so the PIP path exercises
+# the internal part explode (ogrmultipolygon → per-part ring tests,
+# ogrcurvepolygon.cpp:810-867).
+# ---------------------------------------------------------------------------
+
+MULTIPOLYGON_SCHEMA = (
+    "poly_id long, rings array<array<array<array<double>>>>, "
+    "xmin double, ymin double, xmax double, ymax double"
+)
+
+
+def multipolygon_records() -> list[dict]:
+    def part(x0, y0, x1, y1):
+        return _rect(x0, y0, x1, y1)
+
+    mp0 = [part(12.00003, 42.00003, 16.00003, 46.00003)[0],
+           part(20.00003, 42.00003, 24.00003, 46.00003)[0]]
+    hole_outer = part(-20.00003, 10.00003, -14.00003, 16.00003)[0]
+    hole_inner = part(-18.00003, 12.00003, -16.00003, 14.00003)[0][::-1].copy()
+    mp1_a = [hole_outer, hole_inner]
+    mp1_b = part(-30.00003, 10.00003, -26.00003, 14.00003)
+    recs = []
+    for pid, parts in ((2000, [[p] for p in mp0]), (2001, [mp1_a, mp1_b[0:1]])):
+        flat = [r for prt in parts for r in prt]
+        xmin, ymin, xmax, ymax = G.rings_envelope(flat)
+        recs.append(
+            {
+                "poly_id": pid,
+                "rings": [
+                    [[list(map(float, pt)) for pt in ring] for ring in prt]
+                    for prt in parts
+                ],
+                "xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax,
+            }
+        )
+    return recs
+
+
+def multipolygons_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        multipolygon_records(), schema=MULTIPOLYGON_SCHEMA
+    )

@@ -46,38 +46,51 @@ from gdal_spark.spatial import tilemath as TM
 # Packed polygon index (broadcast payload)
 # ---------------------------------------------------------------------------
 
+def _feature_parts(rings_obj) -> list:
+    """Normalize a geometry payload to polygon PARTS: a Polygon (depth-3
+    nesting: rings → points → xy) becomes [rings]; a MultiPolygon (depth-4:
+    parts → rings → points → xy) explodes to its parts — the internal
+    explode of ogrmultipolygon parts with per-part ring tests
+    (ogrcurvepolygon.cpp:810-867 applied per part)."""
+    probe = rings_obj[0][0][0]
+    if np.isscalar(probe) or isinstance(probe, (int, float, np.floating)):
+        return [G.rings_to_numpy(rings_obj)]  # Polygon
+    return [G.rings_to_numpy(part) for part in rings_obj]  # MultiPolygon
+
+
 class PolygonIndex:
     """Driver-built, broadcast-able polygon index.
 
-    Bbox arrays give the vectorized envelope prefilter; rings are numpy
-    arrays parsed once (the "prepared geometry"). Polygons are held in
-    poly_id order so first-match (min poly_id) is a stable rule.
+    One entry per polygon PART (multipolygon features explode internally,
+    keeping their feature id — so first-match stays per-feature). Bbox
+    arrays give the vectorized envelope prefilter; rings are numpy arrays
+    parsed once (the "prepared geometry"). Entries are held in poly_id
+    order so first-match (min poly_id) is a stable rule.
     """
 
     def __init__(self, poly_ids, rings_list, boxes):
         self.poly_ids = np.asarray(poly_ids, dtype=np.int64)
-        self.rings_list = rings_list  # list[list[np.ndarray(n,2)]]
+        self.rings_list = rings_list  # list[list[np.ndarray(n,2)]] (one part each)
         self.boxes = np.asarray(boxes, dtype=np.float64)  # (P, 4) xmin ymin xmax ymax
         self._by_id = None
 
     def rings_by_id(self) -> dict:
-        """Lazy poly_id → rings lookup (built once per executor)."""
+        """Lazy poly_id → list-of-parts lookup (built once per executor)."""
         if self._by_id is None:
-            self._by_id = {
-                int(pid): rings
-                for pid, rings in zip(self.poly_ids, self.rings_list)
-            }
+            self._by_id = {}
+            for pid, rings in zip(self.poly_ids, self.rings_list):
+                self._by_id.setdefault(int(pid), []).append(rings)
         return self._by_id
 
     @classmethod
     def from_rows(cls, rows):
         poly_ids, rings_list, boxes = [], [], []
         for r in rows:
-            rings = G.rings_to_numpy(r["rings"])
-            poly_ids.append(r["poly_id"])
-            rings_list.append(rings)
-            boxes.append(G.rings_envelope(rings))
-        order = np.argsort(np.asarray(poly_ids))
+            for part in _feature_parts(r["rings"]):
+                poly_ids.append(r["poly_id"])
+                rings_list.append(part)
+                boxes.append(G.rings_envelope(part))
+        order = np.argsort(np.asarray(poly_ids), kind="stable")
         return cls(
             [poly_ids[i] for i in order],
             [rings_list[i] for i in order],
@@ -185,20 +198,25 @@ def polygon_cell_cover(polygons: DataFrame, zoom: int) -> DataFrame:
 
     def cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"poly_id": [], "cell_tx": [], "cell_ty": []}
+            rows = set()  # set: multipolygon parts can share cells
             for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
-                arr = G.rings_to_numpy(rings)
-                xmin, ymin, xmax, ymax = G.rings_envelope(arr)
-                ymin = max(ymin, -TM.MAX_LAT)
-                ymax = min(ymax, TM.MAX_LAT)
-                tx0, ty_top = TM.py_lonlat_to_tile(xmin, ymax, zoom)
-                tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
-                for ty in range(ty_top, ty_bot + 1):
-                    for tx in range(tx0, tx1 + 1):
-                        rows["poly_id"].append(pid)
-                        rows["cell_tx"].append(tx)
-                        rows["cell_ty"].append(ty)
-            yield pd.DataFrame(rows)
+                for part in _feature_parts(rings):
+                    xmin, ymin, xmax, ymax = G.rings_envelope(part)
+                    ymin = max(ymin, -TM.MAX_LAT)
+                    ymax = min(ymax, TM.MAX_LAT)
+                    tx0, ty_top = TM.py_lonlat_to_tile(xmin, ymax, zoom)
+                    tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
+                    for ty in range(ty_top, ty_bot + 1):
+                        for tx in range(tx0, tx1 + 1):
+                            rows.add((pid, tx, ty))
+            rows = sorted(rows)
+            yield pd.DataFrame(
+                {
+                    "poly_id": [r[0] for r in rows],
+                    "cell_tx": [r[1] for r in rows],
+                    "cell_ty": [r[2] for r in rows],
+                }
+            )
 
     # cover rows carry ONLY (poly_id, cell) — at scale the shuffle never
     # moves ring geometry; the exact test resolves rings from a broadcast
@@ -239,7 +257,7 @@ def pip_join_cells(
     poly_rows = polygons.select("poly_id", "rings").collect()
     index = PolygonIndex.from_rows(poly_rows)
     if broadcast_cover:
-        cover_rows = []
+        cover_rows = set()  # set: multipolygon parts can share cells
         for pid, box in zip(index.poly_ids, index.boxes):
             xmin, ymin, xmax, ymax = box
             ymin = max(ymin, -TM.MAX_LAT)
@@ -248,9 +266,9 @@ def pip_join_cells(
             tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
             for ty_ in range(ty_top, ty_bot + 1):
                 for tx_ in range(tx0, tx1 + 1):
-                    cover_rows.append((int(pid), tx_, ty_))
+                    cover_rows.add((int(pid), tx_, ty_))
         cover = spark.createDataFrame(
-            cover_rows, "poly_id long, cell_tx int, cell_ty int"
+            sorted(cover_rows), "poly_id long, cell_tx int, cell_ty int"
         )
     else:
         cover = polygon_cell_cover(polygons, zoom)
@@ -288,7 +306,10 @@ def pip_join_cells(
         py = lat_s.to_numpy(dtype=np.float64)
         for pid, grp in pd.RangeIndex(len(lon_s)).to_series().groupby(poly_id.values):
             pos = grp.to_numpy()
-            out[pos] = G.points_in_polygon(px[pos], py[pos], rings_by_id[int(pid)])
+            hit = np.zeros(pos.shape[0], dtype=bool)
+            for part in rings_by_id[int(pid)]:  # OR over multipolygon parts
+                hit |= G.points_in_polygon(px[pos], py[pos], part)
+            out[pos] = hit
         return pd.Series(out)
 
     result = (

@@ -1831,3 +1831,56 @@ def q_tile_render_bilinear(spark, sf_dir):
     )
     out = TL.render_base_tiles(base, _RB_ZSRC, _RB_ZDST, "bilinear", _RB_TS)
     return _rb_engine_select(out)
+
+
+# ===========================================================================
+# 11. MultiPolygon through the PIP path (ogrmultipolygon part explode;
+#     per-part ring tests ogrcurvepolygon.cpp:810-867)
+# ===========================================================================
+
+from gdal_spark.data.pages import multipolygon_records, multipolygons_df  # noqa: E402
+
+
+def _mp_segment_values() -> str:
+    """Segments of every ring of every part. Even-odd parity across ALL
+    rings of a multipolygon = inside some part (parts disjoint, holes CW)."""
+    rows = []
+    for rec in multipolygon_records():
+        for part in rec["rings"]:
+            for ring in part:
+                arr = np.asarray(ring, dtype=np.float64)
+                for i in range(1, arr.shape[0]):
+                    px_, py_ = arr[i - 1]
+                    cx_, cy_ = arr[i]
+                    rows.append(
+                        f"({rec['poly_id']}, {px_!r}::double, {py_!r}::double, "
+                        f"{cx_!r}::double, {cy_!r}::double)"
+                    )
+    return "VALUES " + ", ".join(rows)
+
+
+_MP_ORACLE = f"""
+WITH pts AS ({SQL_POINTS}),
+seg(poly_id, x2a, y2a, x1a, y1a) AS ({_mp_segment_values()}),
+cross_counts AS (
+  SELECT p.o_orderkey, s.poly_id,
+         sum(CASE WHEN (((s.y1a - p.lat) > 0 AND (s.y2a - p.lat) <= 0)
+                     OR ((s.y2a - p.lat) > 0 AND (s.y1a - p.lat) <= 0))
+                  AND ((s.x1a - p.lon) * (s.y2a - p.lat)
+                     - (s.x2a - p.lon) * (s.y1a - p.lat))
+                      / ((s.y2a - p.lat) - (s.y1a - p.lat)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p CROSS JOIN seg s
+  GROUP BY p.o_orderkey, s.poly_id)
+SELECT o_orderkey, min(poly_id) AS poly_id
+FROM cross_counts WHERE n_cross % 2 = 1 GROUP BY o_orderkey"""
+
+
+@register("pip_multipolygon", _MP_ORACLE)
+def q_pip_multipolygon(spark, sf_dir):
+    """PIP join against MULTIPOLYGON features: the index explodes parts
+    internally (same feature id), first-match stays per-feature; one part
+    carries a hole. Broadcast map-only plan, same as pip_broadcast."""
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(pts, multipolygons_df(spark), first_match=True)
+    return joined.select("o_orderkey", "poly_id")

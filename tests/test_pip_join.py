@@ -103,3 +103,36 @@ def test_pages_text_invariant_vs_generator(spark):
     for r in rows:
         assert r["text"] == P.page_text(r["i"])
         assert bytes(r["html"]) == P.page_html(r["i"])
+
+
+def test_multipolygon_pip_both_strategies(spark):
+    """MultiPolygon features flow through BOTH PIP strategies (broadcast
+    map-only and cell-cover equi-join) with identical results: a point in
+    either part matches the feature; points in the hole do not match."""
+    from gdal_spark.data.pages import multipolygons_df
+    from gdal_spark.operators.pip_join import pip_join, pip_join_cells
+
+    pts = spark.createDataFrame(
+        [
+            (1, 14.0, 44.0),    # inside mp0 part 1
+            (2, 22.0, 44.0),    # inside mp0 part 2
+            (3, 18.0, 44.0),    # between the parts -> no match
+            (4, -19.0, 11.0),   # inside mp1 holey part (not in hole)
+            (5, -17.0, 13.0),   # inside mp1's hole -> no match
+            (6, -28.0, 12.0),   # inside mp1 plain part
+            (7, 0.0, 0.0),      # nowhere
+        ],
+        "i long, lon double, lat double",
+    )
+    mp = multipolygons_df(spark)
+    want = {1: 2000, 2: 2000, 4: 2001, 6: 2001}
+    got_b = {
+        r["i"]: r["poly_id"]
+        for r in pip_join(pts, mp, first_match=True).collect()
+    }
+    assert got_b == want
+    got_c = {
+        r["i"]: r["poly_id"]
+        for r in pip_join_cells(pts, mp, zoom=6, first_match=True).collect()
+    }
+    assert got_c == want
