@@ -253,3 +253,241 @@ def segmentize(df: DataFrame, max_len: float, rings_col: str = "rings") -> DataF
 def simplify(df: DataFrame, tolerance: float, rings_col: str = "rings") -> DataFrame:
     """`gdal vector simplify` (Douglas-Peucker) over ring-array geometry."""
     return _rings_map(df, lambda r: _dp_simplify(r, tolerance), rings_col)
+
+
+# -- round-2 steps: clip / buffer / make-valid / convex-hull / checks -------
+# (closing the apps/gdalalg_vector_pipeline.cpp:142-219 registry gap)
+
+def clip(df: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float,
+         rings_col: str = "rings") -> DataFrame:
+    """`gdal vector clip` with a bbox clip geometry
+    (apps/gdalalg_vector_clip.cpp; OGRLayer::Clip ogrlayer.cpp:7538):
+    Sutherland–Hodgman per ring, rows clipped to nothing are dropped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep, new_rings = [], []
+            for i, rings in enumerate(pdf[rings_col]):
+                c = G.clip_rings_rect(
+                    G.rings_to_numpy(rings), xmin, ymin, xmax, ymax
+                )
+                if c:
+                    keep.append(i)
+                    new_rings.append([r.tolist() for r in c])
+            out = pdf.iloc[keep].copy()
+            out[rings_col] = pd.Series(
+                new_rings, index=out.index, dtype=object
+            )
+            yield out
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _offset_convex_ring(ring: np.ndarray, d: float, quad_segs: int) -> np.ndarray:
+    """Round-join outward offset of a CONVEX CCW ring by d — each edge
+    translated along its outward normal, consecutive edges connected by a
+    circular arc around the shared vertex discretized like GEOS' buffer
+    (quad_segs segments per quarter circle; ogrgeometry.cpp:4942 Buffer →
+    GEOS BufferOp). Exact for convex input up to arc discretization."""
+    pts = ring[:-1]
+    n = pts.shape[0]
+    out = []
+    for i in range(n):
+        a = pts[i]
+        b = pts[(i + 1) % n]
+        e = b - a
+        ln = float(np.hypot(*e))
+        if ln == 0:
+            continue
+        nx, ny = e[1] / ln, -e[0] / ln  # outward normal of a CCW ring
+        out.append(a + [nx * d, ny * d])
+        out.append(b + [nx * d, ny * d])
+        # arc around b from this edge's normal to the next edge's normal
+        c = pts[(i + 2) % n]
+        e2 = c - b
+        ln2 = float(np.hypot(*e2))
+        if ln2 == 0:
+            continue
+        a0 = np.arctan2(ny, nx)
+        a1 = np.arctan2(-e2[0] / ln2, e2[1] / ln2)
+        while a1 < a0:
+            a1 += 2 * np.pi
+        steps = max(int(np.ceil((a1 - a0) / (np.pi / 2) * quad_segs)), 1)
+        for k in range(1, steps):
+            t = a0 + (a1 - a0) * k / steps
+            out.append(b + [np.cos(t) * d, np.sin(t) * d])
+    out.append(out[0])
+    return np.asarray(out)
+
+
+def buffer(df: DataFrame, distance: float, rings_col: str = "rings",
+           quad_segs: int = 8) -> DataFrame:
+    """`gdal vector buffer` MVP (ogrgeometry.cpp:4942): round-join offset of
+    the exterior ring, exact for convex geometry (holes are dropped —
+    a positive buffer of the fixture shapes swallows their holes only when
+    d ≥ hole reach; general hole erosion needs full Minkowski machinery)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [
+                [_offset_convex_ring(
+                    G.rings_to_numpy(r)[0], distance, quad_segs
+                ).tolist()]
+                for r in pdf[rings_col]
+            ]
+            pdf[rings_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _make_valid_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    out = []
+    for i, ring in enumerate(rings):
+        r = ring
+        if r.shape[0] and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])  # close the ring
+        # drop consecutive duplicate vertices
+        keep = np.ones(r.shape[0], dtype=bool)
+        keep[1:] = ~((r[1:] == r[:-1]).all(axis=1))
+        r = r[keep]
+        if r.shape[0] and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        if r.shape[0] < 4:
+            continue  # degenerate ring
+        x, y = r[:, 0], r[:, 1]
+        signed = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        want_ccw = i == 0
+        if (signed > 0) != want_ccw and signed != 0:
+            r = r[::-1].copy()
+        out.append(r)
+    return out
+
+
+def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector make-valid` structure pass (OGRGeometry::MakeValid,
+    ogrgeometry.cpp:4176, STRUCTURE method): close rings, drop duplicate
+    vertices and degenerate rings, orient exterior CCW / holes CW."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [
+                [r.tolist() for r in _make_valid_rings(G.rings_to_numpy(rr))]
+                for rr in pdf[rings_col]
+            ]
+            pdf[rings_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def convex_hull(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector convex-hull` (ogrgeometry.cpp:4442 ConvexHull): Andrew
+    monotone chain over every vertex of the feature."""
+
+    def hull(rings: list[np.ndarray]) -> np.ndarray:
+        pts = np.unique(np.concatenate([r[:-1] for r in rings]), axis=0)
+        if pts.shape[0] < 3:
+            return np.vstack([pts, pts[:1]])
+        pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+        def half(seq):
+            out = []
+            for p in seq:
+                while len(out) >= 2 and np.cross(
+                    out[-1] - out[-2], p - out[-2]
+                ) <= 0:
+                    out.pop()
+                out.append(p)
+            return out
+
+        lower = half(pts)
+        upper = half(pts[::-1])
+        ring = np.array(lower[:-1] + upper[:-1] + [lower[0]])
+        return ring
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [
+                [hull(G.rings_to_numpy(rr)).tolist()]
+                for rr in pdf[rings_col]
+            ]
+            pdf[rings_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def check_geometry(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector check-geometry`: per-feature validity flags — ring
+    closure, minimum vertex count, exterior orientation, proper boundary
+    self-intersection (the OGRGeometry::IsValid criteria subset that needs
+    no GEOS)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            closed, minpts, orient, selfx = [], [], [], []
+            for rr in pdf[rings_col]:
+                rings = G.rings_to_numpy(rr)
+                closed.append(all(
+                    (r.shape[0] > 0 and (r[0] == r[-1]).all()) for r in rings
+                ))
+                minpts.append(all(r.shape[0] >= 4 for r in rings))
+                x, y = rings[0][:, 0], rings[0][:, 1]
+                signed = 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+                orient.append(signed > 0)
+                edges = G.polygon_edges(rings)
+                _, proper = G.segments_relate(edges, edges)
+                selfx.append(bool(proper))
+            pdf["is_closed"] = closed
+            pdf["has_min_points"] = minpts
+            pdf["exterior_ccw"] = orient
+            pdf["self_intersects"] = selfx
+            yield pdf
+
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("is_closed", BooleanType()),
+            StructField("has_min_points", BooleanType()),
+            StructField("exterior_ccw", BooleanType()),
+            StructField("self_intersects", BooleanType()),
+        ]
+    )
+    return df.mapInPandas(run, schema)
+
+
+def set_field_type(df: DataFrame, col: str, dtype: str) -> DataFrame:
+    """`gdal vector set-field-type`: cast a column in place."""
+    return df.withColumn(col, F.col(col).cast(dtype))
+
+
+def rename_fields(df: DataFrame, **renames: str) -> DataFrame:
+    """`gdal vector edit --rename-field old=new`."""
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def export_schema(df: DataFrame) -> str:
+    """`gdal vector export-schema` analog: the layer schema as JSON."""
+    return df.schema.json()
+
+
+def info(df: DataFrame, lon: str | None = None, lat: str | None = None) -> dict:
+    """`gdal vector info` analog: feature count + field list (+ extent when
+    coordinate columns are named) — one metadata-cheap aggregate."""
+    out = {"feature_count": df.count(), "fields": df.columns}
+    if lon and lat:
+        row = df.agg(
+            F.min(lon).alias("xmin"), F.min(lat).alias("ymin"),
+            F.max(lon).alias("xmax"), F.max(lat).alias("ymax"),
+        ).first()
+        out["extent"] = tuple(row)
+    return out
