@@ -454,3 +454,72 @@ def render_base_tiles(
         "width int, height int"
     )
     return keyed.applyInPandas(reduce_group, schema)
+
+
+# ---------------------------------------------------------------------------
+# Overview resampling menu beyond average/nearest — the gdalwarper.h:37-67 /
+# overview.cpp:464-1074 kernel set: rms, mode, min, max, median, sum, q1, q3.
+# Same groupBy(parent)-assemble plan; only the 2×2-block reduce differs.
+# ---------------------------------------------------------------------------
+
+OVERVIEW_STATS = ("rms", "mode", "min", "max", "median", "sum", "q1", "q3")
+
+
+def _block_reduce(full: np.ndarray, ts: int, stat: str) -> np.ndarray:
+    b = full.reshape(ts, 2, ts, 2).transpose(0, 2, 1, 3).reshape(ts, ts, 4)
+    if stat == "rms":  # overview.cpp RMS (round 2 of GDAL 3.3 menu)
+        return np.sqrt((b * b).mean(axis=-1))
+    if stat == "mode":
+        # most frequent value; ties -> smallest (deterministic, documented)
+        mult = (b[..., None, :] == b[..., :, None]).sum(axis=-1)
+        mx = mult.max(axis=-1, keepdims=True)
+        cand = np.where(mult == mx, b, np.inf)
+        return cand.min(axis=-1)
+    if stat == "min":
+        return b.min(axis=-1)
+    if stat == "max":
+        return b.max(axis=-1)
+    if stat == "sum":
+        return b.sum(axis=-1)
+    s = np.sort(b, axis=-1)
+    if stat == "median":  # average of the two middle elements (n=4)
+        return (s[..., 1] + s[..., 2]) / 2.0
+    if stat == "q1":  # linear-interpolation quantile (numpy convention)
+        return s[..., 0] + 0.75 * (s[..., 1] - s[..., 0])
+    if stat == "q3":
+        return s[..., 2] + 0.25 * (s[..., 3] - s[..., 2])
+    raise ValueError(f"unknown overview stat {stat!r}")
+
+
+def overview_level_stat(
+    raster: DataFrame, tile_size: int, stat: str
+) -> DataFrame:
+    """One pyramid step z → z-1 with any kernel from OVERVIEW_STATS."""
+    ts = tile_size
+
+    def reduce_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        zoom, ptx, pty, band = key
+        full = np.zeros((2 * ts, 2 * ts), dtype=np.float64)
+        for _, row in pdf.iterrows():
+            ox = (int(row["tx"]) & 1) * ts
+            oy = (int(row["ty"]) & 1) * ts
+            full[oy:oy + ts, ox:ox + ts] = np.asarray(row["data"]).reshape(ts, ts)
+        reduced = _block_reduce(full, ts, stat)
+        return pd.DataFrame(
+            {
+                "zoom": [zoom - 1], "tx": [ptx], "ty": [pty], "band": [band],
+                "data": [reduced.ravel()], "width": [ts], "height": [ts],
+            }
+        )
+
+    keyed = raster.groupBy(
+        F.col("zoom"),
+        F.floor(F.col("tx") / 2).cast("int").alias("ptx"),
+        F.floor(F.col("ty") / 2).cast("int").alias("pty"),
+        F.col("band"),
+    )
+    schema = (
+        "zoom int, tx int, ty int, band int, data array<double>, "
+        "width int, height int"
+    )
+    return keyed.applyInPandas(reduce_group, schema)

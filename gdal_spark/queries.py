@@ -1884,3 +1884,311 @@ def q_pip_multipolygon(spark, sf_dir):
     pts = order_points(spark, sf_dir)
     joined = PIP.pip_join(pts, multipolygons_df(spark), first_match=True)
     return joined.select("o_orderkey", "poly_id")
+
+
+# ===========================================================================
+# 12. True measures (ring perimeter, point→geometry distance;
+#     ogrgeometry.cpp:3811 Distance / OGR_G_Length) and the gdalgrid
+#     data-metrics menu (alg/gdalgrid.cpp:630-1956)
+# ===========================================================================
+
+def _seg_len_sql() -> str:
+    return "sqrt((x1a - x2a) * (x1a - x2a) + (y1a - y2a) * (y1a - y2a))"
+
+
+@register(
+    "geom_length",
+    f"""WITH seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()})
+SELECT poly_id, {SR(f'sum({_seg_len_sql()})', 6)} AS perimeter
+FROM seg GROUP BY poly_id""",
+)
+def q_geom_length(spark, sf_dir):
+    """TRUE Length measure: Σ ring perimeters (exterior + holes) — replaces
+    the round-1 envelope-perimeter stand-in (OGR_G_Length semantics,
+    ogrcurve Length; geodesic variant in ogrsqlitesqlfunctions.cpp:627-681).
+    Segment lengths summed in ring order for float parity with the oracle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, per = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                total = 0.0
+                for ring in G.rings_to_numpy(rings):
+                    d = ring[1:] - ring[:-1]
+                    # sequential sum — same association as SQL sum()
+                    for v in np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2):
+                        total += float(v)
+                ids.append(pid)
+                per.append(total)
+            yield pd.DataFrame({"poly_id": ids, "perimeter": per})
+
+    out = p.mapInPandas(run, "poly_id long, perimeter double")
+    return out.select("poly_id", R("perimeter", 6).alias("perimeter"))
+
+
+_DIST_PID = 64  # hexagon — non-trivial boundary
+
+
+def _hex_seg_values() -> str:
+    rec = [r for r in polygon_records() if r["poly_id"] == _DIST_PID][0]
+    rows = []
+    for ring in rec["rings"]:
+        arr = np.asarray(ring, dtype=np.float64)
+        for i in range(1, arr.shape[0]):
+            rows.append(
+                f"({arr[i - 1, 0]!r}::double, {arr[i - 1, 1]!r}::double, "
+                f"{arr[i, 0]!r}::double, {arr[i, 1]!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_point_distance",
+    f"""WITH pts AS ({SQL_POINTS}),
+seg(ax, ay, bx, by) AS ({_hex_seg_values()}),
+d AS (
+  SELECT p.o_orderkey,
+         min(sqrt(
+           (p.lon - (ax + least(1.0, greatest(0.0,
+              ((p.lon - ax) * (bx - ax) + (p.lat - ay) * (by - ay))
+              / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))) * (bx - ax)))
+           * (p.lon - (ax + least(1.0, greatest(0.0,
+              ((p.lon - ax) * (bx - ax) + (p.lat - ay) * (by - ay))
+              / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))) * (bx - ax)))
+           + (p.lat - (ay + least(1.0, greatest(0.0,
+              ((p.lon - ax) * (bx - ax) + (p.lat - ay) * (by - ay))
+              / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))) * (by - ay)))
+           * (p.lat - (ay + least(1.0, greatest(0.0,
+              ((p.lon - ax) * (bx - ax) + (p.lat - ay) * (by - ay))
+              / ((bx - ax) * (bx - ax) + (by - ay) * (by - ay)))) * (by - ay)))
+         )) AS bd
+  FROM pts p CROSS JOIN seg GROUP BY p.o_orderkey),
+seg2(x2a, y2a, x1a, y1a) AS ({_hex_seg_values()}),
+inside AS (
+  SELECT p.o_orderkey,
+         sum(CASE WHEN (((s.y1a - p.lat) > 0 AND (s.y2a - p.lat) <= 0)
+                     OR ((s.y2a - p.lat) > 0 AND (s.y1a - p.lat) <= 0))
+                  AND ((s.x1a - p.lon) * (s.y2a - p.lat)
+                     - (s.x2a - p.lon) * (s.y1a - p.lat))
+                      / ((s.y2a - p.lat) - (s.y1a - p.lat)) > 0
+             THEN 1 ELSE 0 END) % 2 AS par
+  FROM pts p CROSS JOIN seg2 s GROUP BY p.o_orderkey)
+SELECT d.o_orderkey,
+       {SR('CASE WHEN i.par = 1 THEN 0.0 ELSE d.bd END', 6)} AS dist_deg
+FROM d JOIN inside i USING (o_orderkey)""",
+)
+def q_geom_point_distance(spark, sf_dir):
+    """OGR Distance(point, polygon) (ogrgeometry.cpp:3811): 0 when the
+    point is inside, else min distance to the boundary — boundary segments
+    broadcast, clamp-projection column math, one groupBy min."""
+    rec = [r for r in polygon_records() if r["poly_id"] == _DIST_PID][0]
+    seg_rows = []
+    for ring in rec["rings"]:
+        arr = np.asarray(ring, dtype=np.float64)
+        for i in range(1, arr.shape[0]):
+            seg_rows.append(
+                (float(arr[i - 1, 0]), float(arr[i - 1, 1]),
+                 float(arr[i, 0]), float(arr[i, 1]))
+            )
+    pts = order_points(spark, sf_dir)
+    segdf = spark.createDataFrame(
+        seg_rows, "ax double, ay double, bx double, by double"
+    )
+    t_raw = (
+        (F.col("lon") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("lat") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    ) / (
+        (F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+        + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))
+    )
+    t = F.least(F.lit(1.0), F.greatest(F.lit(0.0), t_raw))
+    ddx = F.col("lon") - (F.col("ax") + t * (F.col("bx") - F.col("ax")))
+    ddy = F.col("lat") - (F.col("ay") + t * (F.col("by") - F.col("ay")))
+    d = F.sqrt(ddx * ddx + ddy * ddy)
+    bd = (
+        pts.crossJoin(F.broadcast(segdf))
+        .withColumn("_d", d)
+        .groupBy("o_orderkey")
+        .agg(F.min("_d").alias("bd"))
+    )
+    hexp = polygons_df(pts.sparkSession).filter(F.col("poly_id") == _DIST_PID)
+    inside = PIP.pip_join(
+        pts.select("o_orderkey", "lon", "lat"), hexp, how="left"
+    ).select("o_orderkey", "poly_id")
+    out = bd.join(inside, "o_orderkey")
+    return out.select(
+        "o_orderkey",
+        R(
+            F.when(F.col("poly_id").isNotNull(), F.lit(0.0)).otherwise(
+                F.col("bd")
+            ),
+            6,
+        ).alias("dist_deg"),
+    )
+
+
+Z_GRIDM = 4
+
+
+def _grid_center_sql() -> tuple[str, str]:
+    res = TM.resolution(Z_GRIDM)
+    cx = f"((tx::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    ty_tms = f"({(1 << Z_GRIDM) - 1} - ty)"
+    cy = f"(({ty_tms}::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    clon = f"(({cx}) / {TM.ORIGIN_SHIFT!r}::double * 180.0::double)"
+    clat = (
+        f"(180.0::double / pi() * (2.0::double * atan(exp(({cy}) / {TM.ORIGIN_SHIFT!r}::double"
+        f" * 180.0::double * pi() / 180.0::double)) - pi() / 2.0::double))"
+    )
+    return clon, clat
+
+
+@register(
+    "grid_data_metrics",
+    f"""WITH pts AS (
+  SELECT o_totalprice,
+         {TM.sql_tile_x(sql_lon('o_orderkey'), Z_GRIDM)} AS tx,
+         {TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_GRIDM)} AS ty
+  FROM orders)
+SELECT tx, ty, count(*) AS n,
+       {SR('min(o_totalprice)', 2)} AS min_v,
+       {SR('max(o_totalprice)', 2)} AS max_v,
+       {SR('max(o_totalprice) - min(o_totalprice)', 2)} AS range_v,
+       {SR('avg(o_totalprice)', 2)} AS avg_v
+FROM pts GROUP BY tx, ty""",
+)
+def q_grid_data_metrics(spark, sf_dir):
+    """gdalgrid data-metrics menu (alg/gdalgrid.cpp:1059-1956:
+    minimum/maximum/range/count/average-distance family, cell-windowed):
+    per-node min/max/range/count/avg — one partial-agg shuffle."""
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_GRIDM, with_quadkey=False
+    )
+    return pts.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.min("o_totalprice"), 2).alias("min_v"),
+        R(F.max("o_totalprice"), 2).alias("max_v"),
+        R(F.max("o_totalprice") - F.min("o_totalprice"), 2).alias("range_v"),
+        R(F.avg("o_totalprice"), 2).alias("avg_v"),
+    )
+
+
+def _sql_grid_nearest() -> str:
+    clon, clat = _grid_center_sql()
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey, o_totalprice, lon, lat,
+         {TM.sql_tile_x(sql_lon('o_orderkey'), Z_GRIDM)} AS tx,
+         {TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_GRIDM)} AS ty
+  FROM ({SQL_POINTS})),
+ranked AS (
+  SELECT tx, ty, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY tx, ty
+           ORDER BY (lon - {clon}) * (lon - {clon})
+                  + (lat - {clat}) * (lat - {clat}), o_orderkey) AS rk
+  FROM pts)
+SELECT tx, ty, o_orderkey AS nearest_key,
+       {SR('o_totalprice', 2)} AS nearest_price
+FROM ranked WHERE rk = 1"""
+
+
+@register("grid_nearest", _sql_grid_nearest())
+def q_grid_nearest(spark, sf_dir):
+    """GDALGridNearestNeighbor, cell-windowed (alg/gdalgrid.cpp:905): each
+    grid node takes the value of its nearest point (planar metric about the
+    tile center, ties by key) — window rank per tile, no cross-tile data
+    movement beyond the grouping shuffle."""
+    from pyspark.sql import Window
+
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_GRIDM, with_quadkey=False
+    )
+    res = TM.resolution(Z_GRIDM)
+    cx = (F.col("tx").cast("double") + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    ty_tms = (F.lit((1 << Z_GRIDM) - 1) - F.col("ty")).cast("double")
+    cy = (ty_tms + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    clon, clat = TM.meters_to_lonlat(cx, cy)
+    d2 = (F.col("lon") - clon) * (F.col("lon") - clon) + (
+        F.col("lat") - clat
+    ) * (F.col("lat") - clat)
+    w = Window.partitionBy("tx", "ty").orderBy(d2.asc(), F.col("o_orderkey").asc())
+    return (
+        pts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "tx", "ty",
+            F.col("o_orderkey").alias("nearest_key"),
+            R("o_totalprice", 2).alias("nearest_price"),
+        )
+    )
+
+
+# ===========================================================================
+# 13. Overview resampling menu (gdalwarper.h:37-67; overview.cpp:464-1074):
+#     RMS / MODE / MEDIAN pyramid steps gated per-tile
+# ===========================================================================
+
+def _ov_block_sql(kernel: str) -> str:
+    """Per-dst-pixel 2×2 block expression over the closed-form raster.
+    gx/gy are DST global pixel indices (z1); the block reads z2 pixels
+    (2gx+i, 2gy+j)."""
+    vs = [
+        f"cast(((2 * (tx.v * 256 + gx.i) + {i}) * 31 "
+        f"+ (2 * (ty.v * 256 + gy.i) + {j}) * 17 + 7) % 256 AS double)"
+        for j in (0, 1) for i in (0, 1)
+    ]
+    lst = "[" + ", ".join(vs) + "]"
+    if kernel == "rms":
+        sq = " + ".join(f"({v}) * ({v})" for v in vs)
+        return f"sqrt(({sq}) / 4.0)"
+    if kernel == "mode":
+        mx = (
+            f"list_max(list_transform({lst}, "
+            f"x -> len(list_filter({lst}, y -> y = x))))"
+        )
+        return (
+            f"list_min(list_filter({lst}, "
+            f"x -> len(list_filter({lst}, y -> y = x)) = {mx}))"
+        )
+    if kernel == "median":
+        srt = f"list_sort({lst})"
+        return f"(({srt})[2] + ({srt})[3]) / 2.0"
+    raise ValueError(kernel)
+
+
+def _ov_stat_oracle(kernel: str) -> str:
+    return f"""WITH gs AS (SELECT unnest(generate_series(0, 255)) AS i),
+t AS (SELECT unnest(generate_series(0, 1)) AS v)
+SELECT tx.v AS tx, ty.v AS ty, 1 AS band,
+       {SR(f'avg({_ov_block_sql(kernel)})', 6)} AS mean_val
+FROM t tx CROSS JOIN t ty CROSS JOIN gs gx CROSS JOIN gs gy
+GROUP BY tx.v, ty.v"""
+
+
+def _ov_stat_query(kernel: str):
+    def q(spark, sf_dir):
+        base = TL.synthetic_raster(spark, zoom=2, bands=1)
+        z1 = TL.overview_level_stat(base, tile_size=256, stat=kernel)
+        mean = F.aggregate(
+            F.col("data"), F.lit(0.0), lambda a, v: a + v
+        ) / F.size("data")
+        return z1.select("tx", "ty", "band", R(mean, 6).alias("mean_val"))
+
+    q.__doc__ = (
+        f"Overview pyramid step with the {kernel.upper()} kernel "
+        "(overview.cpp:464-1074; menu gdalwarper.h:37-67)."
+    )
+    return q
+
+
+register("raster_overview_rms", _ov_stat_oracle("rms"))(_ov_stat_query("rms"))
+register("raster_overview_mode", _ov_stat_oracle("mode"))(_ov_stat_query("mode"))
+register("raster_overview_median", _ov_stat_oracle("median"))(
+    _ov_stat_query("median")
+)

@@ -157,3 +157,24 @@ def test_render_base_nearest_decimation(spark):
         assert data[j, i] == TL.pixel_value(
             np.array([4 * i]), np.array([4 * j]), 1
         )[0]
+
+
+def test_overview_stat_kernels_vs_numpy(spark):
+    """min/max/sum/q1/q3 stat overviews vs a direct numpy reduction of the
+    same synthetic base (the kernels not covered by driver gates)."""
+    from gdal_spark.operators import tiles as TL
+
+    base = TL.synthetic_raster(spark, zoom=1, bands=1, tile_size=16)
+    yy, xx = np.mgrid[0:32, 0:32]
+    world = TL.pixel_value(xx, yy, 1)
+    blocks = world.reshape(16, 2, 16, 2).transpose(0, 2, 1, 3).reshape(16, 16, 4)
+    expected = {
+        "min": blocks.min(-1), "max": blocks.max(-1), "sum": blocks.sum(-1),
+        "q1": np.quantile(blocks, 0.25, axis=-1),
+        "q3": np.quantile(blocks, 0.75, axis=-1),
+    }
+    for stat, want in expected.items():
+        out = TL.overview_level_stat(base, 16, stat).collect()
+        assert len(out) == 1
+        got = np.asarray(out[0]["data"]).reshape(16, 16)
+        assert np.allclose(got, want), stat
