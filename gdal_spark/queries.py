@@ -2192,3 +2192,47 @@ register("raster_overview_mode", _ov_stat_oracle("mode"))(_ov_stat_query("mode")
 register("raster_overview_median", _ov_stat_oracle("median"))(
     _ov_stat_query("median")
 )
+
+
+@register(
+    "grid_moving_avg",
+    f"""WITH pts AS (
+  SELECT o_totalprice,
+         {TM.sql_tile_x(sql_lon('o_orderkey'), Z_GRIDM)} AS tx,
+         {TM.sql_tile_y_xyz(sql_lat('o_orderkey'), Z_GRIDM)} AS ty
+  FROM orders),
+offs AS (SELECT unnest(generate_series(-1, 1)) AS d),
+contrib AS (
+  SELECT ((p.tx + dx.d) % {1 << Z_GRIDM} + {1 << Z_GRIDM}) % {1 << Z_GRIDM} AS tx,
+         p.ty + dy.d AS ty, p.o_totalprice
+  FROM pts p CROSS JOIN offs dx CROSS JOIN offs dy
+  WHERE p.ty + dy.d >= 0 AND p.ty + dy.d < {1 << Z_GRIDM})
+SELECT tx, ty, count(*) AS n,
+       {SR('avg(o_totalprice)', 2)} AS mavg
+FROM contrib GROUP BY tx, ty""",
+)
+def q_grid_moving_avg(spark, sf_dir):
+    """gdalgrid MOVING AVERAGE metric (alg/gdalgrid.cpp:630
+    GDALGridMovingAverage) with a 3×3-cell search window: each point
+    CONTRIBUTES to its 9 neighbouring nodes (map-side explode — the shuffle
+    carries (node, value) pairs, never a per-node point list), tx wraps at
+    the antimeridian, ty clips at the poles. One partial-agg shuffle."""
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_GRIDM, with_quadkey=False
+    )
+    n = 1 << Z_GRIDM
+    off = F.sequence(F.lit(-1), F.lit(1))
+    contrib = (
+        pts.withColumn("_dx", F.explode(off))
+        .withColumn("_dy", F.explode(off))
+        .select(
+            F.pmod(F.col("tx") + F.col("_dx"), F.lit(n)).alias("tx"),
+            (F.col("ty") + F.col("_dy")).alias("ty"),
+            "o_totalprice",
+        )
+        .filter((F.col("ty") >= 0) & (F.col("ty") < n))
+    )
+    return contrib.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.avg("o_totalprice"), 2).alias("mavg"),
+    )
