@@ -47,6 +47,18 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "embed_ann_lsh",
     "events_tile_windows",
+    # round 2 additions
+    "poly_predicates",
+    "clip_rect",
+    "dissolve_union",
+    "pip_multipolygon",
+    "tile_render_base",
+    "raster_overview_rms",
+    "grid_nearest",
+    "grid_moving_avg",
+    "sort_quadkey",
+    "knn_adaptive",
+    "geom_point_distance",
 ]
 
 

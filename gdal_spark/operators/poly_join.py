@@ -161,3 +161,118 @@ def clip_to_rect(
             )
 
     return pre.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Overlay family MVP: layer Intersection / Erase against an axis-rect layer
+# (OGRLayer::Intersection ogrlayer.cpp:5386, ::Erase ogrlayer.cpp:7847,
+# ::Clip ogrlayer.cpp:7538). The clip geometries are axis-aligned rects
+# (the Sutherland–Hodgman fast path); arbitrary-polygon overlays need full
+# polygon clipping (non-goal this round, see SURVEY §7).
+# ---------------------------------------------------------------------------
+
+def layer_intersection_rect(
+    a: DataFrame, b: DataFrame, zoom: int = 5,
+    id_a: str = "poly_id", id_b: str = "poly_id",
+    rings_a: str = "rings",
+) -> DataFrame:
+    """Pairwise Intersection(A, B) where B's features are axis rects
+    (columns xmin/ymin/xmax/ymax): candidate pairs via the cell-cover join,
+    exact geometry via S–H clip of A's rings against B's box. Output:
+    (id_a, id_b, rings, n_rings, inter_area) — empty intersections dropped.
+    """
+    ca = _with_cover(a, zoom, id_a, rings_a, "_a")
+    cb = _with_cover(
+        b.withColumn(
+            "_box",
+            F.array(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+            ),
+        ),
+        zoom, id_b, "_box", "_b",
+    )
+    cand = (
+        ca.join(cb, on=["cell_tx", "cell_ty"], how="inner")
+        .filter(
+            (F.col("cell_tx") == F.greatest("_txmin_a", "_txmin_b"))
+            & (F.col("cell_ty") == F.greatest("_tymin_a", "_tymin_b"))
+        )
+        .select("id_a", "rings_a", "id_b", F.col("rings_b").alias("_box"))
+    )
+    schema = (
+        "id_a long, id_b long, rings array<array<array<double>>>, "
+        "n_rings int, inter_area double"
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "id_a": [], "id_b": [], "rings": [],
+                "n_rings": [], "inter_area": [],
+            }
+            for ia, ra, ib, box in zip(
+                pdf["id_a"], pdf["rings_a"], pdf["id_b"], pdf["_box"]
+            ):
+                xmn, ymn, xmx, ymx = (float(v) for v in box)
+                clipped = G.clip_rings_rect(
+                    G.rings_to_numpy(ra), xmn, ymn, xmx, ymx
+                )
+                if not clipped:
+                    continue
+                area = G.rings_area(clipped)
+                if area <= 0.0:
+                    continue
+                rows["id_a"].append(ia)
+                rows["id_b"].append(ib)
+                rows["rings"].append([r.tolist() for r in clipped])
+                rows["n_rings"].append(len(clipped))
+                rows["inter_area"].append(area)
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(rows["id_a"], dtype="int64"),
+                    "id_b": pd.Series(rows["id_b"], dtype="int64"),
+                    "rings": pd.Series(rows["rings"], dtype=object),
+                    "n_rings": pd.Series(rows["n_rings"], dtype="int32"),
+                    "inter_area": pd.Series(rows["inter_area"], dtype="float64"),
+                }
+            )
+
+    return cand.mapInPandas(refine, schema)
+
+
+def layer_erase_area_rect(
+    a: DataFrame, b: DataFrame, zoom: int = 5,
+    id_a: str = "poly_id", id_b: str = "poly_id",
+    rings_a: str = "rings",
+) -> DataFrame:
+    """Erase(A, B) AREA accounting for axis-rect B layers with mutually
+    disjoint features (true for the probe fixture's erase subset):
+    area(A \\ ∪B) = area(A) − Σ area(A ∩ B_i). Output: (id_a, area,
+    erased_area, remaining_area). Geometry output of erase needs general
+    polygon difference — documented MVP boundary."""
+    inter = layer_intersection_rect(a, b, zoom, id_a, id_b, rings_a)
+    cut = inter.groupBy("id_a").agg(
+        F.sum("inter_area").alias("erased_area")
+    )
+    schema_src = a.select(
+        F.col(id_a).alias("id_a"), F.col(rings_a).alias("_rings")
+    )
+
+    def area_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].astype("int64"),
+                    "area": [
+                        G.rings_area(G.rings_to_numpy(r))
+                        for r in pdf["_rings"]
+                    ],
+                }
+            )
+
+    areas = schema_src.mapInPandas(area_of, "id_a long, area double")
+    return (
+        areas.join(cut, "id_a", "left")
+        .withColumn("erased_area", F.coalesce("erased_area", F.lit(0.0)))
+        .withColumn("remaining_area", F.col("area") - F.col("erased_area"))
+    )

@@ -2236,3 +2236,65 @@ def q_grid_moving_avg(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         R(F.avg("o_totalprice"), 2).alias("mavg"),
     )
+
+
+# ===========================================================================
+# 14. Overlay family MVP: layer Intersection / Erase vs an axis-rect layer
+#     (ogrlayer.cpp:5386 Intersection, :7847 Erase)
+# ===========================================================================
+
+_ERASE_B_IDS = (1001, 1006, 1009)  # mutually disjoint probe rects
+
+
+@register(
+    "overlay_intersection",
+    f"""WITH a(id_a, axmin, aymin, axmax, aymax) AS ({_envelope_values(polygon_records()[:64], 'id_a')}),
+b(id_b, bxmin, bymin, bxmax, bymax) AS ({_envelope_values(polygon_records_b(), 'id_b')}),
+j AS (
+  SELECT id_a, id_b,
+         least(axmax, bxmax) - greatest(axmin, bxmin) AS xo,
+         least(aymax, bymax) - greatest(aymin, bymin) AS yo
+  FROM a CROSS JOIN b)
+SELECT id_a, id_b, 1::int AS n_rings, {SR('xo * yo', 6)} AS inter_area
+FROM j WHERE xo > 0 AND yo > 0""",
+)
+def q_overlay_intersection(spark, sf_dir):
+    """Layer Intersection (ogrlayer.cpp:5386) against the axis-rect probe
+    layer: cell-cover candidates + S–H clip per pair; geometry (rings) is
+    produced, the gate checks the derived area/ring count. Non-rect A
+    features are envelope-disjoint from every probe rect by fixture design,
+    so the interval-SQL oracle over the mosaic is exact."""
+    out = PJ.layer_intersection_rect(
+        polygons_df(spark), polygons_b_df(spark), zoom=5
+    )
+    return out.select(
+        "id_a", "id_b", "n_rings", R("inter_area", 6).alias("inter_area")
+    )
+
+
+@register(
+    "overlay_erase",
+    f"""WITH a(id_a, axmin, aymin, axmax, aymax) AS ({_envelope_values(polygon_records()[:64], 'id_a')}),
+b(id_b, bxmin, bymin, bxmax, bymax) AS (
+  {_envelope_values([r for r in polygon_records_b() if r['poly_id'] in _ERASE_B_IDS], 'id_b')}),
+cut AS (
+  SELECT id_a,
+         sum(greatest(0.0, least(axmax, bxmax) - greatest(axmin, bxmin))
+           * greatest(0.0, least(aymax, bymax) - greatest(aymin, bymin))) AS e
+  FROM a CROSS JOIN b GROUP BY id_a)
+SELECT a.id_a, {SR('(axmax - axmin) * (aymax - aymin)', 6)} AS area,
+       {SR('coalesce(c.e, 0.0)', 6)} AS erased_area,
+       {SR('(axmax - axmin) * (aymax - aymin) - coalesce(c.e, 0.0)', 6)} AS remaining_area
+FROM a LEFT JOIN cut c USING (id_a)""",
+)
+def q_overlay_erase(spark, sf_dir):
+    """Layer Erase area accounting (ogrlayer.cpp:7847) against a mutually
+    disjoint axis-rect subset: area(A \\ ∪B) = area(A) − Σ area(A∩B_i)."""
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    b = polygons_b_df(spark).filter(F.col("poly_id").isin(*_ERASE_B_IDS))
+    out = PJ.layer_erase_area_rect(a, b, zoom=5)
+    return out.select(
+        "id_a", R("area", 6).alias("area"),
+        R("erased_area", 6).alias("erased_area"),
+        R("remaining_area", 6).alias("remaining_area"),
+    )
