@@ -491,3 +491,72 @@ def info(df: DataFrame, lon: str | None = None, lat: str | None = None) -> dict:
         ).first()
         out["extent"] = tuple(row)
     return out
+
+
+def combine(df: DataFrame, key: str, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector combine`: one MULTIPOLYGON feature per key — member
+    polygons become parts (depth-4 ring nesting, the pip_join multipolygon
+    convention). One shuffle on the key."""
+    return (
+        df.groupBy(key)
+        .agg(F.collect_list(rings_col).alias(rings_col))
+    )
+
+
+def update(df: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """`gdal vector update` (upsert): rows of ``updates`` replace matching
+    ``key`` rows of ``df``; unmatched update rows are appended."""
+    kept = df.join(updates.select(key), on=key, how="left_anti")
+    return kept.unionByName(updates, allowMissingColumns=True)
+
+
+def edit_fields(df: DataFrame, **exprs: str) -> DataFrame:
+    """`gdal vector edit` field assignment: column = SQL expression."""
+    for name, e in exprs.items():
+        df = df.withColumn(name, F.expr(e))
+    return df
+
+
+def set_geom_type(df: DataFrame, geom_type: str,
+                  col: str = "geom_type") -> DataFrame:
+    """`gdal vector set-geom-type`: tag the declared geometry type
+    (schema metadata in OGR; a constant column here)."""
+    return df.withColumn(col, F.lit(geom_type))
+
+
+def check_coverage(df: DataFrame, key: str, rings_col: str = "rings") -> DataFrame:
+    """`gdal vector check-coverage`: a polygon coverage is valid iff member
+    interiors are pairwise disjoint (boundary contact allowed). Pairwise
+    relate within each group, envelope-pruned — per-group work on one
+    executor, groups run concurrently. Output: (key, n_features, sum_area,
+    n_overlap_pairs, is_valid_coverage)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rings_list = [G.rings_to_numpy(r) for r in pdf[rings_col]]
+        boxes = [G.rings_envelope(r) for r in rings_list]
+        sum_area = float(sum(G.rings_area(r) for r in rings_list))
+        bad = 0
+        n = len(rings_list)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a, b = boxes[i], boxes[j]
+                if a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1]:
+                    continue  # envelopes disjoint
+                rel = G.relate_polygons(rings_list[i], rings_list[j])
+                if rel["overlaps"] or rel["contains"] or rel["within"]:
+                    bad += 1
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "n_features": [n],
+                "sum_area": [sum_area],
+                "n_overlap_pairs": [bad],
+                "is_valid_coverage": [bad == 0],
+            }
+        )
+
+    schema = (
+        f"{key} long, n_features long, sum_area double, "
+        "n_overlap_pairs int, is_valid_coverage boolean"
+    )
+    return df.select(key, rings_col).groupBy(key).applyInPandas(run, schema)

@@ -450,6 +450,18 @@ def relate_polygons(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> dic
     b_v_in_a = points_in_polygon(bvx, bvy, rings_a).any()
     ii = proper or bool(a_v_in_b) or bool(b_v_in_a)
     if not ii:
+        # edge MIDPOINTS: an edge can pass through the other's interior
+        # with both endpoints on its boundary (e.g. two offset rects whose
+        # vertical edges end on each other's horizontal edges) — no proper
+        # crossing, no strict-inside vertex
+        mid_a = ea.mean(axis=1)
+        mid_b = eb.mean(axis=1)
+        ii = bool(
+            points_in_polygon(mid_a[:, 0], mid_a[:, 1], rings_b).any()
+        ) or bool(
+            points_in_polygon(mid_b[:, 0], mid_b[:, 1], rings_a).any()
+        )
+    if not ii:
         ipa = interior_point(rings_a)
         ipb = interior_point(rings_b)
         ii = bool(

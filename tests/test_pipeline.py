@@ -211,3 +211,52 @@ def test_schema_steps(spark):
     assert '"a"' in P.export_schema(df)
     inf = P.info(df)
     assert inf["feature_count"] == 1 and inf["fields"] == ["a", "b"]
+
+
+def test_combine_update_edit_steps(spark):
+    from gdal_spark import pipeline as P
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]]),
+            (2, 10, [[[2.0, 0.0], [3.0, 0.0], [3.0, 1.0], [2.0, 1.0], [2.0, 0.0]]]),
+            (3, 20, [[[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]]),
+        ],
+        "fid long, grp long, rings array<array<array<double>>>",
+    )
+    comb = {r["grp"]: r["rings"] for r in P.combine(df, "grp").collect()}
+    assert len(comb[10]) == 2 and len(comb[20]) == 1  # parts per feature
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    ups = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    got = {r["k"]: r["v"] for r in P.update(base, ups, "k").collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+    ed = P.edit_fields(base, v="upper(v)", w="k * 2")
+    rows = {r["k"]: (r["v"], r["w"]) for r in ed.collect()}
+    assert rows[1] == ("A", 2)
+
+    tagged = P.set_geom_type(df, "MULTIPOLYGON")
+    assert tagged.first()["geom_type"] == "MULTIPOLYGON"
+
+
+def test_check_coverage_valid_and_overlapping(spark):
+    from gdal_spark import pipeline as P
+
+    rect = lambda x0, y0, x1, y1: [
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+    ]
+    rows = [
+        (100, rect(0.0, 0.0, 1.0, 1.0)),
+        (100, rect(1.0, 0.0, 2.0, 1.0)),   # edge-matched: valid
+        (200, rect(0.0, 0.0, 2.0, 1.0)),
+        (200, rect(1.0, 0.0, 3.0, 1.0)),   # overlapping: invalid
+    ]
+    df = spark.createDataFrame(
+        rows, "grp long, rings array<array<array<double>>>"
+    )
+    got = {r["grp"]: r for r in P.check_coverage(df, "grp").collect()}
+    assert got[100]["is_valid_coverage"]
+    assert not got[200]["is_valid_coverage"]
+    assert got[200]["n_overlap_pairs"] == 1
+    assert got[100]["sum_area"] == pytest.approx(2.0)
