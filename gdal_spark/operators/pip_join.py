@@ -319,3 +319,86 @@ def pip_join_cells(
     if first_match:
         result = result.groupBy(*points.columns).agg(F.min("poly_id").alias("poly_id"))
     return result
+
+
+def pip_join_cells_compact(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    zoom: int = 7,
+    first_match: bool = False,
+) -> DataFrame:
+    """Compacted-cover PIP join (the north rule's "compacted covers", the
+    H3 compact analog): each polygon's cell cover is quadtree-compacted
+    (4 complete siblings → parent, recursively — cover size scales with
+    polygon PERIMETER at the finest level instead of area), and each point
+    explodes to its ancestor cell at every zoom ≤ base (one row per level,
+    a fixed ×(zoom+1) flatMap). The equi-join key is (z, tx, ty); the exact
+    ray-cast kernel then filters candidates exactly as pip_join_cells.
+    """
+    spark = points.sparkSession
+    poly_rows = polygons.select("poly_id", "rings").collect()
+    index = PolygonIndex.from_rows(poly_rows)
+
+    cover_cells: dict[int, set] = {}
+    for pid, box in zip(index.poly_ids, index.boxes):
+        xmin, ymin, xmax, ymax = box
+        ymin = max(ymin, -TM.MAX_LAT)
+        ymax = min(ymax, TM.MAX_LAT)
+        tx0, ty_top = TM.py_lonlat_to_tile(xmin, ymax, zoom)
+        tx1, ty_bot = TM.py_lonlat_to_tile(xmax, ymin, zoom)
+        s = cover_cells.setdefault(int(pid), set())
+        for ty_ in range(ty_top, ty_bot + 1):
+            for tx_ in range(tx0, tx1 + 1):
+                s.add((tx_, ty_))
+    cover_rows = []
+    for pid, cells in cover_cells.items():
+        for z, tx_, ty_ in TM.py_compact_cells(cells, zoom):
+            cover_rows.append((pid, z, tx_, ty_))
+    cover = spark.createDataFrame(
+        cover_rows, "poly_id long, cell_z int, cell_tx int, cell_ty int"
+    )
+
+    tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
+    pts = (
+        points.withColumn("_tx", tx)
+        .withColumn("_ty", ty)
+        .withColumn("cell_z", F.explode(F.sequence(F.lit(0), F.lit(zoom))))
+        .withColumn(
+            "cell_tx", F.expr(f"cast(shiftright(_tx, {zoom} - cell_z) as int)")
+        )
+        .withColumn(
+            "cell_ty", F.expr(f"cast(shiftright(_ty, {zoom} - cell_z) as int)")
+        )
+        .drop("_tx", "_ty")
+    )
+    joined = pts.join(
+        F.broadcast(cover), on=["cell_z", "cell_tx", "cell_ty"], how="inner"
+    )
+
+    bc = spark.sparkContext.broadcast(index)
+
+    @F.pandas_udf("boolean")
+    def contains(lon_s: pd.Series, lat_s: pd.Series, poly_id: pd.Series) -> pd.Series:
+        rings_by_id = bc.value.rings_by_id()
+        out = np.zeros(len(lon_s), dtype=bool)
+        px = lon_s.to_numpy(dtype=np.float64)
+        py = lat_s.to_numpy(dtype=np.float64)
+        for pid, grp in pd.RangeIndex(len(lon_s)).to_series().groupby(poly_id.values):
+            pos = grp.to_numpy()
+            hit = np.zeros(pos.shape[0], dtype=bool)
+            for part in rings_by_id[int(pid)]:
+                hit |= G.points_in_polygon(px[pos], py[pos], part)
+            out[pos] = hit
+        return pd.Series(out)
+
+    result = (
+        joined.filter(contains(F.col(lon), F.col(lat), F.col("poly_id")))
+        .drop("cell_z", "cell_tx", "cell_ty")
+    )
+    if first_match:
+        result = result.groupBy(*points.columns).agg(
+            F.min("poly_id").alias("poly_id")
+        )
+    return result

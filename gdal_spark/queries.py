@@ -2298,3 +2298,14 @@ def q_overlay_erase(spark, sf_dir):
         R("erased_area", 6).alias("erased_area"),
         R("remaining_area", 6).alias("remaining_area"),
     )
+
+
+@register("pip_cells_compact", _PIP_ORACLE)
+def q_pip_cells_compact(spark, sf_dir):
+    """Compacted-cover PIP join (H3-compact analog on the tile quadtree):
+    polygon covers quadtree-compacted, points exploded to per-level ancestor
+    cells, equi-join on (z, tx, ty) — same oracle as pip_broadcast."""
+    return PIP.pip_join_cells_compact(
+        order_points(spark, sf_dir), polygons_df(spark), zoom=7,
+        first_match=True,
+    ).select("o_orderkey", "poly_id")

@@ -307,3 +307,44 @@ def sql_hilbert_d(tx_expr: str, ty_expr: str, order: int) -> str:
         inner = f"SELECT {nx} AS x, {ny} AS y, {nd} AS d FROM ({inner})"
         s >>= 1
     return f"(SELECT d FROM ({inner}))"
+
+
+def py_compact_cells(cells: "set[tuple[int, int]]", zoom: int) -> "list[tuple[int, int, int]]":
+    """Quadtree-compact a set of (tx, ty) cells at ``zoom``: any 4 complete
+    siblings collapse into their parent, recursively — the H3 `compact`
+    analog on the WebMercator tile tree (north-rule "compacted covers").
+    Returns (z, tx, ty) triples; a point at ``zoom`` matches a compacted
+    cell (z, cx, cy) iff (tx >> (zoom - z), ty >> (zoom - z)) == (cx, cy).
+    """
+    out: list[tuple[int, int, int]] = []
+    cur = set(cells)
+    z = zoom
+    while z > 0 and cur:
+        parents: dict[tuple[int, int], int] = {}
+        for tx, ty in cur:
+            p = (tx >> 1, ty >> 1)
+            parents[p] = parents.get(p, 0) + 1
+        nxt = set()
+        for (px, py), cnt in parents.items():
+            if cnt == 4:
+                nxt.add((px, py))
+            else:
+                for tx, ty in cur:
+                    if (tx >> 1, ty >> 1) == (px, py):
+                        out.append((z, tx, ty))
+        cur = nxt
+        z -= 1
+    out.extend((z, tx, ty) for tx, ty in cur)
+    return out
+
+
+def py_expand_cells(compacted: "list[tuple[int, int, int]]", zoom: int) -> "set[tuple[int, int]]":
+    """Inverse of py_compact_cells: expand every (z, tx, ty) back to its
+    descendant cells at ``zoom``."""
+    out: set[tuple[int, int]] = set()
+    for z, tx, ty in compacted:
+        k = zoom - z
+        for dx in range(1 << k):
+            for dy in range(1 << k):
+                out.add(((tx << k) + dx, (ty << k) + dy))
+    return out
