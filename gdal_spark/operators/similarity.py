@@ -253,3 +253,132 @@ def cosine_pairs(
         .select("id_a", "id_b", "sim")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — inverted-file index with deterministic coarse centroids
+# (the Faiss-IVF shape: coarse quantizer → inverted lists → probe n lists).
+# Closed-form centroids (hyperplane() family, offset seed) so the DuckDB
+# oracle rebuilds them bit-identically.
+# ---------------------------------------------------------------------------
+
+IVF_SEED_OFF = 101
+
+
+def ivf_centroid(j: int, dim: int) -> list[float]:
+    return [hyperplane(j + IVF_SEED_OFF, d) for d in range(dim)]
+
+
+def _centroid_norm(c: list[float]) -> float:
+    acc = 0.0
+    for x in c:  # sequential fold — same association as the SQL mirror
+        acc += x * x
+    return float(np.sqrt(acc))
+
+
+def _cosine_to_const(vec: str, c: list[float]) -> "F.Column":
+    vx = F.col(vec).cast("array<double>")
+    carr = F.array(*[F.lit(float(x)) for x in c])
+    dot = F.aggregate(
+        F.zip_with(vx, carr, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nv = F.sqrt(
+        F.aggregate(F.transform(vx, lambda x: x * x), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    )
+    return stable_round(dot / (nv * F.lit(_centroid_norm(c))), ROUND_DP)
+
+
+def _ivf_sims(vec: str, n_centroids: int, dim: int) -> "F.Column":
+    return F.array(*[
+        _cosine_to_const(vec, ivf_centroid(j, dim)) for j in range(n_centroids)
+    ])
+
+
+def ivf_assign_col(vec: str, n_centroids: int, dim: int) -> "F.Column":
+    """1-based id of the nearest centroid (ties → smallest id: first
+    occurrence semantics of array_position/list_position in both engines)."""
+    sims = _ivf_sims(vec, n_centroids, dim)
+    return F.array_position(sims, F.array_max(sims)).cast("int")
+
+
+def ivf_topk(
+    vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+    n_centroids: int = 8, nprobe: int = 2,
+    id_col: str = "vec_id", query_id: str = "query_id",
+    vec: str = "embedding", include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: every vector lives in exactly ONE inverted
+    list (its nearest centroid); each query probes its ``nprobe`` nearest
+    lists. Join keys are small ints; list skew is AQE-splittable; exact
+    cosine refine + window top-k. Output schema matches cosine_topk."""
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec).alias("_v"),
+        ivf_assign_col(vec, n_centroids, dim).alias("_list"),
+    )
+    sims = _ivf_sims(vec, n_centroids, dim)
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.array(*[
+                    F.struct(
+                        (-F.element_at(sims, j + 1)).alias("ns"),
+                        F.lit(j + 1).alias("j"),
+                    )
+                    for j in range(n_centroids)
+                ])
+            ),
+            1, nprobe,
+        ),
+        lambda s: s["j"],
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec).alias("_q"),
+        F.explode(probes).alias("_list"),
+    )
+    joined = q.join(v, on="_list")
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("sim", cosine_col("_q", "_v"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def sql_ivf_sims(vec_expr: str, n_centroids: int, dim: int) -> str:
+    """DuckDB list of the (rounded) centroid cosines, same fold order."""
+    nv = f"sqrt(list_sum(list_transform({vec_expr}, x -> x::double * x::double)))"
+    parts = []
+    for j in range(n_centroids):
+        c = ivf_centroid(j, dim)
+        dot = f"list_sum(list_transform(range(1, {dim} + 1), i -> ({vec_expr})[i]::double * [{', '.join(repr(x) for x in c)}][i]))"
+        parts.append(
+            sql_stable_round(f"({dot}) / (({nv}) * {_centroid_norm(c)!r})",
+                             ROUND_DP)
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def sql_ivf_assign(vec_expr: str, n_centroids: int, dim: int) -> str:
+    l = sql_ivf_sims(vec_expr, n_centroids, dim)
+    return f"list_position({l}, list_max({l}))::int"
+
+
+def sql_ivf_probes(vec_expr: str, n_centroids: int, dim: int, nprobe: int) -> str:
+    """nprobe nearest centroid ids, (sim desc, id asc): sort [[-sim, j]]
+    lexicographically and take the first nprobe."""
+    l = sql_ivf_sims(vec_expr, n_centroids, dim)
+    pairs = (
+        f"list_transform(range(1, {n_centroids} + 1), "
+        f"j -> [-({l})[j], j::double])"
+    )
+    return (
+        f"list_transform(list_slice(list_sort({pairs}), 1, {nprobe}), "
+        f"p -> p[2]::int)"
+    )

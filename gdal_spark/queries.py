@@ -2309,3 +2309,32 @@ def q_pip_cells_compact(spark, sf_dir):
         order_points(spark, sf_dir), polygons_df(spark), zoom=7,
         first_match=True,
     ).select("o_orderkey", "poly_id")
+
+
+def _sql_ivf_topk(n_centroids: int = 8, nprobe: int = 2) -> str:
+    cos = SIM.sql_cosine("q.embedding", "v.embedding")
+    return f"""
+WITH q0 AS (SELECT * FROM embeddings WHERE {ANN_PRED}),
+q AS (SELECT q0.*, {SIM.sql_ivf_probes('q0.embedding', n_centroids, EMB_DIM, nprobe)} AS probes FROM q0),
+v0 AS (SELECT v.*, {SIM.sql_ivf_assign('v.embedding', n_centroids, EMB_DIM)} AS vlist FROM embeddings v),
+d AS (SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id, {cos} AS sim
+      FROM q JOIN v0 v ON list_contains(q.probes, v.vlist)
+      WHERE v.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM d)
+SELECT query_id, neighbor_id, rk AS "rank", sim FROM r WHERE rk <= {ANN_K}"""
+
+
+@register("embed_ann_ivf", _sql_ivf_topk())
+def q_embed_ann_ivf(spark, sf_dir):
+    """IVF ANN (Faiss-IVF shape): deterministic coarse centroids → one
+    inverted list per vector → queries probe the nprobe nearest lists →
+    exact cosine refine + window top-k. Join keys are small ints."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.ivf_topk(
+        emb, queries, k=ANN_K, dim=EMB_DIM, n_centroids=8, nprobe=2
+    )

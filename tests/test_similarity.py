@@ -127,3 +127,43 @@ def test_cosine_pairs_threshold(spark, vectors):
     for r in out.collect():
         assert r["sim"] >= 0.95
         assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_assignment_covers_all_lists(spark):
+    """Every vector lands in exactly one inverted list; lists are reasonably
+    balanced with the fixture embeddings (no empty-quantizer degeneracy)."""
+    from gdal_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = emb.select(
+        S.ivf_assign_col("embedding", 8, 64).alias("l")
+    )
+    counts = {r["l"]: r["c"] for r in assigned.groupBy("l").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == emb.count()
+    assert len(counts) >= 3  # several lists used
+
+
+def test_ivf_recall_vs_exact(spark):
+    """nprobe=2/8 IVF recall@5 vs brute force is meaningfully high on the
+    fixture (sanity on the probe ordering — a broken argmax would crater
+    recall)."""
+    from gdal_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 40 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, queries, k=5, dim=64, n_centroids=8,
+                            nprobe=2).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, recall
