@@ -2338,3 +2338,38 @@ def q_embed_ann_ivf(spark, sf_dir):
     return SIM.ivf_topk(
         emb, queries, k=ANN_K, dim=EMB_DIM, n_centroids=8, nprobe=2
     )
+
+
+@register(
+    "sql_in_between_null",
+    """SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus IN ('F', 'P') THEN 1 ELSE 0 END)::bigint AS n_in,
+       sum(CASE WHEN o_totalprice BETWEEN 50000.0 AND 150000.0 THEN 1 ELSE 0 END)::bigint AS n_between,
+       sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END)::bigint AS n_null,
+       sum(CASE WHEN NOT (o_orderstatus = 'O') THEN 1 ELSE 0 END)::bigint AS n_not
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_sql_in_between_null(spark, sf_dir):
+    """swq predicate grammar: IN / BETWEEN / IS NULL / NOT
+    (ogr/swq_op_general.cpp:300-520, swq parser ogr_swq.h) as native
+    Catalyst predicates; NULL manufactured with nullif so the IS NULL
+    branch is exercised on a NULL-free fixture."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("F", "P"), 1).otherwise(0)
+        ).alias("n_in"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").between(50000.0, 150000.0), 1
+            ).otherwise(0)
+        ).alias("n_between"),
+        F.sum(
+            F.when(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull(), 1
+            ).otherwise(0)
+        ).alias("n_null"),
+        F.sum(
+            F.when(~(F.col("o_orderstatus") == "O"), 1).otherwise(0)
+        ).alias("n_not"),
+    )
