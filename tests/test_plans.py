@@ -106,3 +106,46 @@ def test_curve_rank_matches_global_window(spark):
         for r in pts.withColumn("pos", F.row_number().over(w)).collect()
     }
     assert got == want
+
+
+def test_poly_relate_join_no_cartesian_no_distinct(spark):
+    """Polygon↔polygon join plan: equi-join on the cell key (no
+    CartesianProduct / BroadcastNestedLoopJoin) and reference-cell dedup is
+    a map-side Filter (no extra dedup Exchange after the join)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from gdal_spark.data.pages import polygons_b_df, polygons_df
+    from gdal_spark.operators.poly_join import poly_relate_join
+
+    out = poly_relate_join(polygons_df(spark), polygons_b_df(spark))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" in p
+
+
+def test_dissolve_single_shuffle(spark):
+    """True dissolve: exactly one Exchange (the dissolve-key shuffle)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators.dissolve import dissolve_union
+
+    out = dissolve_union(
+        polygons_df(spark).filter(F.col("poly_id") < 64), key="eas_id"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "FlatMapGroupsInPandas" in p
