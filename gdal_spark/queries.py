@@ -2373,3 +2373,107 @@ def q_sql_in_between_null(spark, sf_dir):
             F.when(~(F.col("o_orderstatus") == "O"), 1).otherwise(0)
         ).alias("n_not"),
     )
+
+
+# ===========================================================================
+# 15. Classic analytic aggregations over lineitem (the SQLite-dialect reach
+#     of OGR ExecuteSQL — TPC-H Q1/Q6 shapes) + geodesic length +
+#     window-average point sampling
+# ===========================================================================
+
+@register(
+    "tpch_q1",
+    f"""SELECT l_returnflag, l_linestatus,
+       {SR('sum(l_quantity)', 2)} AS sum_qty,
+       {SR('sum(l_extendedprice)', 2)} AS sum_base_price,
+       {SR('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS sum_disc_price,
+       {SR('sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))', 2)} AS sum_charge,
+       {SR('avg(l_quantity)', 6)} AS avg_qty,
+       {SR('avg(l_extendedprice)', 6)} AS avg_price,
+       {SR('avg(l_discount)', 6)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the canonical multi-aggregate GROUP BY
+    the reference's SQLite dialect runs via ExecuteSQL; pure partial-agg
+    shuffle in Spark."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        R(F.sum("l_quantity"), 2).alias("sum_qty"),
+        R(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        R(F.sum(disc), 2).alias("sum_disc_price"),
+        R(F.sum(disc * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+        R(F.avg("l_quantity"), 6).alias("avg_qty"),
+        R(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        R(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q6",
+    f"""SELECT {SR('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24.0""",
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue filter+agg — predicate pushdown showcase."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1998-01-01").cast("date"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        R(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_geodesic_perimeter() -> str:
+    d = G.sql_great_circle_m("y2a", "x2a", "y1a", "x1a")
+    return f"""WITH seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()})
+SELECT poly_id, {SR(f'sum({d})', 3)} AS geodesic_m
+FROM seg GROUP BY poly_id"""
+
+
+@register("geom_length_geodesic", _sql_geodesic_perimeter())
+def q_geom_length_geodesic(spark, sf_dir):
+    """GEODESIC ring length (ogr/ogrsqlitesqlfunctions.cpp:627-681
+    ST_Length(geom, use_ellipsoid) family — sphere here): Σ great-circle
+    segment lengths over all rings, computed by the numpy SLOC kernel in
+    ring order (same association as the SQL sum)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, per = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                total = 0.0
+                for ring in G.rings_to_numpy(rings):
+                    d = G.great_circle_distance(
+                        ring[:-1, 1], ring[:-1, 0], ring[1:, 1], ring[1:, 0]
+                    )
+                    for v in d:  # sequential — SQL sum() association
+                        total += float(v)
+                ids.append(pid)
+                per.append(total)
+            yield pd.DataFrame({"poly_id": ids, "geodesic_m": per})
+
+    out = p.mapInPandas(run, "poly_id long, geodesic_m double")
+    return out.select("poly_id", R("geodesic_m", 3).alias("geodesic_m"))
