@@ -25,6 +25,23 @@ Step mapping (reference step → function):
   concat          → concat_layers (OGRUnionLayer / unionByName)
   tee/materialize → materialize (cache)
   filter (bbox)   → filter_bbox (SetSpatialFilter envelope stage)
+  clip            → clip (S–H bbox clip, gdalalg_vector_clip.cpp)
+  buffer          → buffer (round-join convex offset, OGRGeometry::Buffer)
+  make-valid      → make_valid (structure pass, OGRGeometry::MakeValid)
+  convex-hull     → convex_hull (monotone chain, OGRGeometry::ConvexHull)
+  check-geometry  → check_geometry (closure/orientation/self-intersection)
+  check-coverage  → check_coverage (pairwise interior-disjointness)
+  combine         → combine (rows → one multipolygon per key)
+  update          → update (upsert by key)
+  edit            → edit_fields (column = SQL expr)
+  set-field-type  → set_field_type (cast)
+  set-geom-type   → set_geom_type
+  rename-layer    → rename_layer (temp-view catalog)
+  create          → create_layer (empty layer from schema)
+  export-schema   → export_schema (schema JSON)
+  info            → info (count/fields/extent)
+  (remaining registry gaps: concave-hull, clean-/simplify-coverage — need
+  alpha shapes / shared-boundary noding, documented non-goals this round)
 """
 
 from __future__ import annotations
@@ -560,3 +577,15 @@ def check_coverage(df: DataFrame, key: str, rings_col: str = "rings") -> DataFra
         "n_overlap_pairs int, is_valid_coverage boolean"
     )
     return df.select(key, rings_col).groupBy(key).applyInPandas(run, schema)
+
+
+def create_layer(spark: SparkSession, schema: str) -> DataFrame:
+    """`gdal vector create`: an empty layer with the given schema."""
+    return spark.createDataFrame([], schema)
+
+
+def rename_layer(spark: SparkSession, old: str, new: str) -> None:
+    """`gdal vector rename-layer` on the temp-view catalog."""
+    df = spark.table(old)
+    df.createOrReplaceTempView(new)
+    spark.catalog.dropTempView(old)

@@ -260,3 +260,17 @@ def test_check_coverage_valid_and_overlapping(spark):
     assert not got[200]["is_valid_coverage"]
     assert got[200]["n_overlap_pairs"] == 1
     assert got[100]["sum_area"] == pytest.approx(2.0)
+
+
+def test_create_and_rename_layer(spark):
+    from gdal_spark import pipeline as P
+
+    empty = P.create_layer(spark, "a long, b string")
+    assert empty.count() == 0 and empty.columns == ["a", "b"]
+
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("lyr_old")
+    P.rename_layer(spark, "lyr_old", "lyr_new")
+    assert spark.table("lyr_new").count() == 1
+    import pytest as _pt
+    with _pt.raises(Exception):
+        spark.table("lyr_old")
