@@ -97,33 +97,81 @@ class PolygonIndex:
             [boxes[i] for i in order],
         )
 
+    NODE_SIZE = 16
+
+    def _build_str_blocks(self):
+        """STR (sort-tile-recursive) bulk load, FlatGeobuf packed-R-tree
+        style (reference packedrtree.cpp:73-132): sort entries into
+        √(P/ns) vertical slices by x-center, within a slice by y-center,
+        pack runs of NODE_SIZE into blocks, store each block's union bbox.
+        Lazily built once per executor."""
+        ns = self.NODE_SIZE
+        p = self.boxes.shape[0]
+        cx = (self.boxes[:, 0] + self.boxes[:, 2]) / 2.0
+        cy = (self.boxes[:, 1] + self.boxes[:, 3]) / 2.0
+        n_blocks = max((p + ns - 1) // ns, 1)
+        n_slices = max(int(np.ceil(np.sqrt(n_blocks))), 1)
+        per_slice = n_slices * ns
+        xorder = np.argsort(cx, kind="stable")
+        order_parts = []
+        for s in range(0, p, per_slice):
+            sl = xorder[s:s + per_slice]
+            order_parts.append(sl[np.argsort(cy[sl], kind="stable")])
+        order = np.concatenate(order_parts)
+        blocks = []
+        for s in range(0, p, ns):
+            idx = order[s:s + ns]
+            bb = self.boxes[idx]
+            blocks.append(
+                (idx, (bb[:, 0].min(), bb[:, 1].min(),
+                       bb[:, 2].max(), bb[:, 3].max()))
+            )
+        self._str_blocks = blocks
+
     def probe(self, px: np.ndarray, py: np.ndarray, first_match: bool):
-        """Return (point_idx, poly_id) match pairs for a batch of points."""
+        """Return (point_idx, poly_id) match pairs for a batch of points.
+
+        Candidate generation walks the STR blocks: one vectorized bbox mask
+        per block prunes whole groups of NODE_SIZE parts at once; per-entry
+        bbox + exact ray-cast tests run only on the block's surviving point
+        subset. first_match (min poly_id per point) is reduced at the end —
+        tree order is spatial, not id order."""
+        if getattr(self, "_str_blocks", None) is None:
+            self._build_str_blocks()
         out_pt: list[np.ndarray] = []
         out_poly: list[np.ndarray] = []
-        matched = np.zeros(px.shape[0], dtype=bool) if first_match else None
-        # Envelope prefilter, vectorized per polygon (bbox arrays ≈ quadtree
-        # leaf scan; P is broadcast-small so the loop is over polygons, and
-        # each iteration is a full-batch numpy op).
-        for k in range(self.poly_ids.shape[0]):
-            xmin, ymin, xmax, ymax = self.boxes[k]
-            cand = (px >= xmin) & (px <= xmax) & (py >= ymin) & (py <= ymax)
-            if first_match:
-                cand &= ~matched
-            idx = np.nonzero(cand)[0]
-            if idx.size == 0:
+        for idxs, (bxmin, bymin, bxmax, bymax) in self._str_blocks:
+            bmask = (px >= bxmin) & (px <= bxmax) & (py >= bymin) & (py <= bymax)
+            bidx = np.nonzero(bmask)[0]
+            if bidx.size == 0:
                 continue
-            inside = G.points_in_polygon(px[idx], py[idx], self.rings_list[k])
-            hit = idx[inside]
-            if hit.size:
-                out_pt.append(hit)
-                out_poly.append(np.full(hit.shape[0], self.poly_ids[k], dtype=np.int64))
-                if first_match:
-                    matched[hit] = True
+            bpx, bpy = px[bidx], py[bidx]
+            for k in idxs:
+                xmin, ymin, xmax, ymax = self.boxes[k]
+                cand = (bpx >= xmin) & (bpx <= xmax) & (bpy >= ymin) & (bpy <= ymax)
+                sub = np.nonzero(cand)[0]
+                if sub.size == 0:
+                    continue
+                inside = G.points_in_polygon(
+                    bpx[sub], bpy[sub], self.rings_list[k]
+                )
+                hit = bidx[sub[inside]]
+                if hit.size:
+                    out_pt.append(hit)
+                    out_poly.append(
+                        np.full(hit.shape[0], self.poly_ids[k], dtype=np.int64)
+                    )
         if not out_pt:
             empty = np.empty(0, dtype=np.int64)
             return empty, empty
-        return np.concatenate(out_pt), np.concatenate(out_poly)
+        pt = np.concatenate(out_pt)
+        poly = np.concatenate(out_poly)
+        if first_match:
+            order = np.lexsort((poly, pt))
+            pt, poly = pt[order], poly[order]
+            _, first = np.unique(pt, return_index=True)
+            pt, poly = pt[first], poly[first]
+        return pt, poly
 
 
 def build_polygon_index(polygons: DataFrame) -> PolygonIndex:

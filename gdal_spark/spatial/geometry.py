@@ -555,3 +555,37 @@ def rings_area(rings: list[np.ndarray]) -> float:
         a = 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
         total += a if k == 0 else -a
     return total
+
+
+def points_in_ring_winding(px: np.ndarray, py: np.ndarray,
+                           ring: np.ndarray) -> np.ndarray:
+    """Winding-number point-in-ring test (the north rule's fallback for
+    geometries where even-odd parity misleads, e.g. self-overlapping rings):
+    wn != 0 ⇒ inside. Vectorized (M, N) orientation form of the classic
+    Sunday algorithm; agrees with the crossing-number kernel on simple
+    rings (property-tested)."""
+    if ring.shape[0] < 4:
+        return np.zeros(px.shape[0], dtype=bool)
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+    pxc, pyc = px[:, None], py[:, None]
+    is_left = (x2 - x1) * (pyc - y1) - (pxc - x1) * (y2 - y1)
+    up = (y1 <= pyc) & (y2 > pyc) & (is_left > 0)
+    dn = (y1 > pyc) & (y2 <= pyc) & (is_left < 0)
+    wn = up.sum(axis=1).astype(np.int64) - dn.sum(axis=1)
+    return wn != 0
+
+
+def points_in_polygon_winding(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Polygon membership by winding number: exterior wn != 0 and not
+    strictly inside any hole (boundary handled as in points_in_polygon)."""
+    inside = points_in_ring_winding(px, py, rings[0])
+    on_ext = points_on_ring_boundary(px, py, rings[0])
+    inside = inside & ~on_ext
+    for hole in rings[1:]:
+        in_hole = points_in_ring_winding(px, py, hole)
+        on_hole = points_on_ring_boundary(px, py, hole)
+        inside = inside & ~in_hole & ~on_hole
+    return inside

@@ -146,3 +146,34 @@ def test_wkt_point_roundtrip():
     wkt = G.wkt_point(-73.5, 45.25)
     kind, (x, y) = G.parse_wkt(wkt)
     assert kind == "point" and x == -73.5 and y == 45.25
+
+
+def test_winding_agrees_with_crossing_on_simple_rings():
+    """Property test: winding-number and crossing-number kernels agree on
+    every simple fixture polygon for a dense probe grid."""
+    from gdal_spark.data.pages import polygon_records
+
+    rng = np.random.default_rng(11)
+    for rec in polygon_records()[60:75]:
+        rings = G.rings_to_numpy(rec["rings"])
+        xmin, ymin, xmax, ymax = G.rings_envelope(rings)
+        px = rng.uniform(xmin - 1, xmax + 1, 4000)
+        py = rng.uniform(ymin - 1, ymax + 1, 4000)
+        a = G.points_in_polygon(px, py, rings)
+        b = G.points_in_polygon_winding(px, py, rings)
+        assert (a == b).all()
+
+
+def test_winding_handles_self_overlapping_ring():
+    """A ring that traces the same square TWICE: winding number 2 inside
+    (winding test: inside), crossing parity even (crossing test: outside) —
+    the case the fallback exists for."""
+    sq = [[0, 0], [4, 0], [4, 4], [0, 4]]
+    outer = np.array(sq + sq + [sq[0]], dtype=np.float64)
+    px = np.array([2.0, 10.0])
+    py = np.array([2.0, 2.0])
+    cross = G.points_in_ring(px, py, outer)
+    wind = G.points_in_ring_winding(px, py, outer)
+    assert wind[0]  # winding: inside (wn=2)
+    assert not cross[0]  # even-odd parity calls it outside
+    assert not wind[1] and not cross[1]  # far point: both outside

@@ -136,3 +136,35 @@ def test_multipolygon_pip_both_strategies(spark):
         for r in pip_join_cells(pts, mp, zoom=6, first_match=True).collect()
     }
     assert got_c == want
+
+
+def test_strtree_blocks_cover_all_entries(spark):
+    """STR bulk load: every part appears in exactly one block; block bboxes
+    bound their members; probe equals a naive full-scan reference."""
+    import numpy as np
+
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators.pip_join import build_polygon_index
+    from gdal_spark.spatial import geometry as G
+
+    idx = build_polygon_index(polygons_df(spark))
+    idx._build_str_blocks()
+    seen = np.concatenate([b[0] for b in idx._str_blocks])
+    assert sorted(seen.tolist()) == list(range(idx.poly_ids.shape[0]))
+    for idxs, (x0, y0, x1, y1) in idx._str_blocks:
+        bb = idx.boxes[idxs]
+        assert x0 <= bb[:, 0].min() and x1 >= bb[:, 2].max()
+        assert y0 <= bb[:, 1].min() and y1 >= bb[:, 3].max()
+
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-20, 50, 5000)
+    py = rng.uniform(30, 60, 5000)
+    got_pt, got_poly = idx.probe(px, py, first_match=True)
+    # naive reference: full scan + min poly id
+    ref = {}
+    for k in range(idx.poly_ids.shape[0]):
+        inside = G.points_in_polygon(px, py, idx.rings_list[k])
+        for i in np.nonzero(inside)[0]:
+            pid = int(idx.poly_ids[k])
+            ref[i] = min(ref.get(i, pid), pid)
+    assert dict(zip(got_pt.tolist(), got_poly.tolist())) == ref
