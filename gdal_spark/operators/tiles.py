@@ -523,3 +523,65 @@ def overview_level_stat(
         "width int, height int"
     )
     return keyed.applyInPandas(reduce_group, schema)
+
+
+def sample_lanczos(
+    points: DataFrame, raster: DataFrame, zoom: int, band: int = 1,
+    point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "lanczos_val",
+) -> DataFrame:
+    """Warp-lanczos sampling (GWKLanczosSinc, a=3 — gdalwarpkernel.cpp
+    GWKResample weight accumulation): 6×6 separable sinc-windowed taps at
+    offsets -2..3 around floor(src-0.5), value = Σ w·p / Σ w (GDAL
+    normalizes by the accumulated weight), edge-clamped indices. Same
+    explode→tile-join→weighted-agg plan as bilinear/cubic."""
+    a = 3.0
+    pi = float(np.pi)
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix0 = F.floor(gx - F.lit(0.5)).cast("long")
+    iy0 = F.floor(gy - F.lit(0.5)).cast("long")
+    fx = gx - F.lit(0.5) - ix0
+    fy = gy - F.lit(0.5) - iy0
+
+    def lw(t, tap):
+        x = t - F.lit(float(tap))
+        ax = F.abs(x)
+        sinc2 = (
+            F.lit(a) * F.sin(F.lit(pi) * x) * F.sin(F.lit(pi) * x / F.lit(a))
+            / (F.lit(pi * pi) * x * x)
+        )
+        return F.when(ax < F.lit(1e-12), F.lit(1.0)).otherwise(sinc2)
+
+    base = points.select(
+        F.col(point_id), ix0.alias("_ix0"), iy0.alias("_iy0"),
+        fx.alias("_fx"), fy.alias("_fy"),
+    )
+    taps = []
+    for dy in range(-2, 4):
+        for dx in range(-2, 4):
+            taps.append(F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                (lw(F.col("_fx"), dx) * lw(F.col("_fy"), dy)).alias("w"),
+            ))
+    req = base.select(
+        F.col(point_id), "_ix0", "_iy0",
+        F.explode(F.array(*taps)).alias("t"),
+    ).select(
+        F.col(point_id),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_ix0") + F.col("t.dx"))).alias("_gx"),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_iy0") + F.col("t.dy"))).alias("_gy"),
+        F.col("t.w").alias("_w"),
+    ).select(
+        F.col(point_id), "_w",
+        (F.col("_gx") / tile_size).cast("int").alias("tx"),
+        (F.col("_gy") / tile_size).cast("int").alias("ty"),
+        (F.col("_gx") % tile_size).cast("int").alias("_px"),
+        (F.col("_gy") % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    return joined.groupBy(point_id).agg(
+        (F.sum(F.col("_w") * val) / F.sum("_w")).alias(value_name)
+    )

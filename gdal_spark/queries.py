@@ -2477,3 +2477,45 @@ def q_geom_length_geodesic(spark, sf_dir):
 
     out = p.mapInPandas(run, "poly_id long, geodesic_m double")
     return out.select("poly_id", R("geodesic_m", 3).alias("geodesic_m"))
+
+
+def _sql_lanczos_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+
+    def lw(t_expr: str, d: str) -> str:
+        x = f"(({t_expr}) - ({d})::double)"
+        sinc2 = (
+            f"(3.0::double * sin(pi() * {x}) * sin(pi() * {x} / 3.0::double)"
+            f" / (pi() * pi() * {x} * {x}))"
+        )
+        return f"(CASE WHEN abs({x}) < 1e-12 THEN 1.0::double ELSE {sinc2} END)"
+
+    cx = f"least({_MAXPX}, greatest(0, ix0 + dx.d))::bigint"
+    cy = f"least({_MAXPX}, greatest(0, iy0 + dy.d))::bigint"
+    return f"""
+WITH p AS (SELECT o_orderkey, ({gx}) AS gxv, ({gy}) AS gyv FROM orders),
+p2 AS (SELECT o_orderkey,
+              floor(gxv - 0.5) AS ix0, floor(gyv - 0.5) AS iy0,
+              gxv - 0.5 - floor(gxv - 0.5) AS fx,
+              gyv - 0.5 - floor(gyv - 0.5) AS fy FROM p),
+tap AS (SELECT unnest(generate_series(-2, 3)) AS d),
+c AS (SELECT o_orderkey,
+             ({lw('fx', 'dx.d')}) * ({lw('fy', 'dy.d')}) AS w,
+             {cx} AS cx, {cy} AS cy
+      FROM p2 CROSS JOIN tap dx CROSS JOIN tap dy)
+SELECT o_orderkey,
+       {SR(f"sum(w * ({TL.sql_pixel_value('cx', 'cy', '1')})) / sum(w)", 6)} AS lanczos_val
+FROM c GROUP BY o_orderkey"""
+
+
+@register("raster_sample_lanczos", _sql_lanczos_val())
+def q_raster_sample_lanczos(spark, sf_dir):
+    """Warp-lanczos sampling (GWKLanczosSinc a=3, gdalwarpkernel.cpp:102-197
+    menu + GWKResample weight normalization): 36-tap windowed sinc — closes
+    the named warp kernel menu (near/bilinear/cubic/lanczos)."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    out = TL.sample_lanczos(
+        pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
+    )
+    return out.withColumn("lanczos_val", R("lanczos_val", 6))
