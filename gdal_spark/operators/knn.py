@@ -197,13 +197,51 @@ def knn_cell_join(
             ),
         )
     ) * F.lit(G.EARTH_RADIUS)
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    # Map-side partial top-k BEFORE the rank shuffle: the global top-k under
+    # the TOTAL order (dist, neighbor_id) equals the top-k of per-batch
+    # top-k's, so the window's shuffle carries ≤ batches × queries × k rows
+    # instead of the full join output (queries × candidates).
+    cand = joined.withColumn("dist_m", dist).select(
+        "query_id", "neighbor_id", "dist_m"
+    )
+    partial = _partial_topk_batches(cand, k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_m").asc(), F.col("neighbor_id").asc()
+    )
     return (
-        joined.withColumn("dist_m", dist)
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist_m")
     )
+
+
+def _partial_topk_batches(cand: DataFrame, k: int) -> DataFrame:
+    """Arrow-batch-level top-k per query over (query_id, neighbor_id,
+    dist_m) — exact under the (dist, id) total order, pure numpy."""
+    schema = "query_id long, neighbor_id long, dist_m double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            q = pdf["query_id"].to_numpy(dtype=np.int64)
+            n = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            d = pdf["dist_m"].to_numpy(dtype=np.float64)
+            order = np.lexsort((n, d, q))
+            q, n, d = q[order], n[order], d[order]
+            new_grp = np.empty(q.shape[0], dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = q[1:] != q[:-1]
+            starts = np.nonzero(new_grp)[0]
+            lens = np.diff(np.r_[starts, q.shape[0]])
+            rank = np.arange(q.shape[0]) - np.repeat(starts, lens)
+            keep = rank < k
+            yield pd.DataFrame(
+                {"query_id": q[keep], "neighbor_id": n[keep],
+                 "dist_m": d[keep]}
+            )
+
+    return cand.mapInPandas(run, schema)
 
 
 def _gc_dist_col() -> "F.Column":
