@@ -2519,3 +2519,38 @@ def q_raster_sample_lanczos(spark, sf_dir):
         pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
     )
     return out.withColumn("lanczos_val", R("lanczos_val", 6))
+
+
+def _sql_pyramid_levels() -> str:
+    """Direct block-mean oracle for every pyramid level from the z2 base:
+    level z tile (tx,ty) mean = mean of pixel_value over its 2^(2-z)·256
+    source block. All values are dyadic rationals (integer pixels, power-
+    of-4 divisors) ⇒ iterated 2×2 averaging is float-EXACT and equals the
+    direct mean — no rounding-order risk."""
+    parts = []
+    for z in (2, 1, 0):
+        r = 1 << (2 - z)
+        w = 256 * r
+        parts.append(f"""
+SELECT {z} AS zoom, tx.v AS tx, ty.v AS ty, 1 AS band,
+       {SR(f"avg(cast(((tx.v * {w} + gx.i) * 31 + (ty.v * {w} + gy.i) * 17 + 7) % 256 AS double))", 6)} AS mean_val
+FROM (SELECT unnest(generate_series(0, {(1 << z) - 1})) AS v) tx
+CROSS JOIN (SELECT unnest(generate_series(0, {(1 << z) - 1})) AS v) ty
+CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS i) gx
+CROSS JOIN (SELECT unnest(generate_series(0, {w - 1})) AS i) gy
+GROUP BY tx.v, ty.v""")
+    return " UNION ALL ".join(parts)
+
+
+@register("raster_pyramid_levels", _sql_pyramid_levels())
+def q_raster_pyramid_levels(spark, sf_dir):
+    """Full overview PYRAMID (z2 base → z0, iterated 2×2 average — the
+    chained gdal2tiles/RegenerateOverviews path, overview.cpp:1214 +
+    gdal2tiles.py:1466+): per-tile means at every level against the
+    direct-block-mean oracle."""
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+    pyr = TL.overview_pyramid(base, min_zoom=0, tile_size=256)
+    mean = F.aggregate(
+        F.col("data"), F.lit(0.0), lambda a, v: a + v
+    ) / F.size("data")
+    return pyr.select("zoom", "tx", "ty", "band", R(mean, 6).alias("mean_val"))
