@@ -2554,3 +2554,33 @@ def q_raster_pyramid_levels(spark, sf_dir):
         F.col("data"), F.lit(0.0), lambda a, v: a + v
     ) / F.size("data")
     return pyr.select("zoom", "tx", "ty", "band", R(mean, 6).alias("mean_val"))
+
+
+@register(
+    "zonal_stats_ext",
+    sql_pip_cte()
+    + f"""
+SELECT p.poly_id, count(*) AS n_points,
+       {SR('min(pt.o_totalprice)', 2)} AS min_v,
+       {SR('max(pt.o_totalprice)', 2)} AS max_v,
+       {SR('stddev_pop(pt.o_totalprice)', 4)} AS stddev_v,
+       count(DISTINCT (trunc(pt.o_totalprice)::bigint % 100)) AS variety
+FROM pip p JOIN pts pt USING (o_orderkey)
+GROUP BY p.poly_id""",
+)
+def q_zonal_stats_ext(spark, sf_dir):
+    """Zonal statistics extended menu (apps/gdalalg_raster_zonal_stats.cpp:
+    66-80: min/max/stddev/variety of the 21-stat set): PIP assign + one
+    partial-agg shuffle; variety = COUNT DISTINCT of a bucketed value (the
+    reference's variety counts distinct cell values)."""
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(pts, polygons_df(spark), first_match=True)
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        R(F.min("o_totalprice"), 2).alias("min_v"),
+        R(F.max("o_totalprice"), 2).alias("max_v"),
+        R(F.stddev_pop("o_totalprice"), 4).alias("stddev_v"),
+        F.countDistinct(
+            F.col("o_totalprice").cast("bigint") % 100
+        ).alias("variety"),
+    )
