@@ -456,3 +456,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster formation: distributed connected components over the
+# candidate-pair graph (the step after LSH in every production dedup
+# pipeline: pairs → clusters → keep one canonical doc per cluster).
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative MIN-LABEL propagation: every
+    vertex starts labeled with itself; each round takes the min of its own
+    and its neighbors' labels; converges in O(component diameter) rounds
+    (near-dup clusters are shallow — typically 2-4). Each round is one
+    join + one aggregate; lineage is truncated per round. Output:
+    (doc_id, cluster_id, cluster_size) for every vertex in the pair graph,
+    cluster_id = min doc_id of the component."""
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -2584,3 +2584,35 @@ def q_zonal_stats_ext(spark, sf_dir):
             F.col("o_totalprice").cast("bigint") % 100
         ).alias("variety"),
     )
+
+
+def _sql_dedup_clusters() -> str:
+    """Recursive-CTE transitive closure over the MinHash near-dup pairs:
+    cluster id = min reachable doc id — an algorithm entirely different
+    from the engine's label propagation (independence of the oracle)."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_pairs()}) mp),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT u FROM edges),
+reach(u, r) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size
+FROM lab l JOIN sz s USING (cluster_id)"""
+
+
+@register("dedup_clusters", _sql_dedup_clusters())
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER formation: LSH pairs → distributed connected
+    components (min-label propagation, O(diameter) rounds) → per-cluster
+    size; the canonical-doc rule is then min doc_id per cluster. Oracle =
+    recursive-CTE transitive closure (different algorithm)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, num_perm=MH_PERM, bands=MH_BANDS, threshold=0.5
+    )
+    return D.connected_components(pairs)

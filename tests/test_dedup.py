@@ -117,3 +117,19 @@ def test_simhash_pairs_close_docs(spark):
     pairs = D.simhash_pairs(df, max_hamming=8).collect()
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 1) in ids
+
+
+def test_connected_components_known_graph(spark):
+    """Label propagation vs hand-known components, including a chain (tests
+    multi-round convergence) and a singleton-pair."""
+    from gdal_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)],
+        "id_a long, id_b long",
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in connected_components(pairs).collect()}
+    assert {rows[i] for i in (1, 2, 3, 4, 5)} == {(1, 5)}
+    assert rows[10] == (10, 2) and rows[11] == (10, 2)
+    assert {rows[i] for i in (20, 21, 22)} == {(20, 3)}
