@@ -280,3 +280,47 @@ def sql_fingerprint(text_expr: str = "text") -> str:
         f"t -> ('0x' || substring(md5(t), 1, 8))::bigint)), "
         f"(acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules: duplicate-line fraction,
+# top-word mass) — pure column math, SQL-mirrored
+# ---------------------------------------------------------------------------
+
+def repetition_columns(df: DataFrame, text: str = "text") -> DataFrame:
+    """(n_lines, dup_line_frac, top_word_frac): the core Gopher repetition
+    signals — fraction of non-unique lines and the mass of the most
+    frequent word. O(n²) list ops per doc, identical formula to the SQL
+    mirror (docs are short; at scale this is still map-only column work)."""
+    lines = F.split(F.col(text), "\n")
+    n_lines = F.size(lines)
+    dup_frac = (
+        (n_lines - F.size(F.array_distinct(lines))).cast("double")
+        / n_lines.cast("double")
+    )
+    words = F.split(F.trim(F.col(text)), " +")
+    counts = F.transform(
+        words, lambda w: F.size(F.filter(words, lambda v: v == w))
+    )
+    top_frac = F.array_max(counts).cast("double") / F.size(words).cast("double")
+    return df.withColumn("n_lines", n_lines.cast("long")).withColumn(
+        "dup_line_frac", dup_frac
+    ).withColumn("top_word_frac", top_frac)
+
+
+def sql_repetition_select(text_expr: str = "text") -> dict[str, str]:
+    lines = f"string_split({text_expr}, chr(10))"
+    words = f"string_split_regex(trim({text_expr}), ' +')"
+    counts = (
+        f"list_transform({words}, w -> len(list_filter({words}, v -> v = w)))"
+    )
+    return {
+        "n_lines": f"len({lines})::bigint",
+        "dup_line_frac": (
+            f"(len({lines}) - len(list_distinct({lines})))::double"
+            f" / len({lines})::double"
+        ),
+        "top_word_frac": (
+            f"list_max({counts})::double / len({words})::double"
+        ),
+    }

@@ -585,3 +585,61 @@ def sample_lanczos(
     return joined.groupBy(point_id).agg(
         (F.sum(F.col("_w") * val) / F.sum("_w")).alias(value_name)
     )
+
+
+def sample_bilinear_nodata(
+    points: DataFrame, raster: DataFrame, zoom: int, nodata: float,
+    band: int = 1, point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "bilinear_val",
+) -> DataFrame:
+    """Warp-bilinear with NODATA masking (gdalwarpkernel.cpp GWKBilinear +
+    the density/validity mask machinery): taps whose source pixel equals
+    ``nodata`` are EXCLUDED and the remaining weights renormalize
+    (Σ w·v / Σ w over valid taps); a point whose 4 taps are all nodata
+    yields NULL. Plan identical to sample_bilinear."""
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix0 = F.floor(gx - F.lit(0.5)).cast("long")
+    iy0 = F.floor(gy - F.lit(0.5)).cast("long")
+    wx = gx - F.lit(0.5) - ix0
+    wy = gy - F.lit(0.5) - iy0
+    base = points.select(
+        F.col(point_id),
+        ix0.alias("_ix0"), iy0.alias("_iy0"),
+        wx.alias("_wx"), wy.alias("_wy"),
+    )
+    corners = F.array(
+        F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        F.struct(F.lit(1).alias("dx"), F.lit(1).alias("dy")),
+    )
+    req = base.select(
+        F.col(point_id), "_ix0", "_iy0", "_wx", "_wy",
+        F.explode(corners).alias("c"),
+    ).select(
+        F.col(point_id),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_ix0") + F.col("c.dx"))).alias("_gx"),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_iy0") + F.col("c.dy"))).alias("_gy"),
+        (
+            F.when(F.col("c.dx") == 0, F.lit(1.0) - F.col("_wx")).otherwise(F.col("_wx"))
+            * F.when(F.col("c.dy") == 0, F.lit(1.0) - F.col("_wy")).otherwise(F.col("_wy"))
+        ).alias("_w"),
+    ).select(
+        F.col(point_id), "_w",
+        (F.col("_gx") / tile_size).cast("int").alias("tx"),
+        (F.col("_gy") / tile_size).cast("int").alias("ty"),
+        (F.col("_gx") % tile_size).cast("int").alias("_px"),
+        (F.col("_gy") % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    valid = val != F.lit(float(nodata))
+    wv = F.when(valid, F.col("_w")).otherwise(F.lit(0.0))
+    return joined.groupBy(point_id).agg(
+        (
+            F.sum(F.when(valid, F.col("_w") * val).otherwise(F.lit(0.0)))
+            / F.when(F.sum(wv) > 0, F.sum(wv))
+        ).alias(value_name)
+    )

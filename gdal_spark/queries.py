@@ -2616,3 +2616,89 @@ def q_dedup_clusters(spark, sf_dir):
         docs, num_perm=MH_PERM, bands=MH_BANDS, threshold=0.5
     )
     return D.connected_components(pairs)
+
+
+_NODATA = 0.0  # pixel_value lands on 0 when (gpx*31 + gpy*17 + 7) % 256 == 0
+
+
+def _sql_bilinear_nodata_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+    ix0 = f"floor(({gx}) - 0.5)"
+    iy0 = f"floor(({gy}) - 0.5)"
+    fx = f"(({gx}) - 0.5 - ({ix0}))"
+    fy = f"(({gy}) - 0.5 - ({iy0}))"
+    num_terms, den_terms = [], []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            cx = f"least({_MAXPX}, greatest(0, ({ix0}) + {dx}))::bigint"
+            cy = f"least({_MAXPX}, greatest(0, ({iy0}) + {dy}))::bigint"
+            w = (
+                f"({'(1.0 - ' + fx + ')' if dx == 0 else fx}) * "
+                f"({'(1.0 - ' + fy + ')' if dy == 0 else fy})"
+            )
+            v = TL.sql_pixel_value(cx, cy, "1")
+            num_terms.append(
+                f"(CASE WHEN ({v}) <> {_NODATA!r} THEN ({w}) * ({v}) ELSE 0.0 END)"
+            )
+            den_terms.append(
+                f"(CASE WHEN ({v}) <> {_NODATA!r} THEN ({w}) ELSE 0.0 END)"
+            )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return SR(
+        f"(({num}) / (CASE WHEN ({den}) > 0 THEN ({den}) ELSE NULL END))", 6
+    )
+
+
+@register(
+    "raster_sample_bilinear_nodata",
+    f"SELECT o_orderkey, {_sql_bilinear_nodata_val()} AS bilinear_val FROM orders",
+)
+def q_raster_sample_bilinear_nodata(spark, sf_dir):
+    """NODATA-masked warp-bilinear (GWKBilinear + validity masks,
+    gdalwarpkernel.cpp): pixels equal to the nodata value (0 — hit by the
+    closed-form raster every 256th value) are excluded and weights
+    renormalize; all-nodata neighborhoods yield NULL."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    out = TL.sample_bilinear_nodata(
+        pts, raster, Z_RASTER, nodata=_NODATA, band=1, point_id="o_orderkey"
+    )
+    return out.withColumn("bilinear_val", R("bilinear_val", 6))
+
+
+@register(
+    "text_repetition",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{v} AS {k}" for k, v in T.sql_repetition_select("text").items()
+    )
+    + " FROM documents",
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-line fraction and
+    top-word mass — the repetition filters every web-scale training
+    pipeline applies after dedup."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.repetition_columns(docs).select(
+        "doc_id", "n_lines", "dup_line_frac", "top_word_frac"
+    )
+
+
+@register(
+    "source_stats",
+    """SELECT source, count(*) AS n_docs,
+       sum(n_chars)::bigint AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source""",
+)
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus accounting (the domain/host-level statistics every
+    Common-Crawl pipeline needs for sampling weights and blocklists): one
+    partial-agg shuffle on the source key."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
