@@ -2702,3 +2702,73 @@ def q_source_stats(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+# ===========================================================================
+# 16. Temporal joins: as-of + range (the brief's named custom operators)
+# ===========================================================================
+
+from gdal_spark.operators import temporal as TJ  # noqa: E402
+
+
+@register(
+    "events_asof_join",
+    """SELECT l.event_id,
+       floor(epoch(l.ts))::bigint AS ts_epoch, l.user_id, r.value AS prior_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+LEFT JOIN LATERAL (
+  SELECT value FROM events r
+  WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON true""",
+)
+def q_events_asof_join(spark, sf_dir):
+    """Backward AS-OF join: every purchase gets the user's latest prior (or
+    simultaneous) click value — one union + one keyed window, no per-row
+    probing (pandas merge_asof 'backward' semantics; ties by max event_id).
+    """
+    ev = _read(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("value")
+    )
+    out = TJ.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        payload=["value"], right_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.floor(F.col("ts").cast("timestamp").cast("double")).cast("bigint").alias("ts_epoch"),
+        "user_id",
+        F.col("value").alias("prior_click_value"),
+    )
+
+
+_PRICE_BANDS = [
+    (0, 0.0, 60000.0),
+    (1, 60000.0, 120000.0),
+    (2, 120000.0, 200000.0),
+    (3, 90000.0, 150000.0),  # overlapping band: rows can match twice
+]
+
+
+@register(
+    "range_price_join",
+    f"""WITH bands(band_id, lo, hi) AS (VALUES {', '.join(f'({b}, {lo!r}::double, {hi!r}::double)' for b, lo, hi in _PRICE_BANDS)})
+SELECT o.o_orderkey, b.band_id
+FROM orders o JOIN bands b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi""",
+)
+def q_range_price_join(spark, sf_dir):
+    """RANGE join (value ∈ [lo, hi) intervals, overlap allowed) via fixed-
+    width bucketing — the 1-D analog of the polygon cell-cover join: int
+    bucket equi-join + exact filter, never a broadcast-nested-loop."""
+    spark_bands = spark.createDataFrame(
+        _PRICE_BANDS, "band_id int, lo double, hi double"
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = TJ.range_join(
+        o, spark_bands, value_col="o_totalprice", bucket_width=30000.0
+    )
+    return out.select("o_orderkey", "band_id")

@@ -149,3 +149,14 @@ def test_dissolve_single_shuffle(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert "FlatMapGroupsInPandas" in p
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """Range join plan: bucket equi-join (SortMerge/Hash/BroadcastHash),
+    never BroadcastNestedLoopJoin on the range predicate."""
+    import io
+    from contextlib import redirect_stdout
+
+    p_plan = _plan(spark, "range_price_join")
+    assert "BroadcastNestedLoopJoin" not in p_plan
+    assert "Join" in p_plan
