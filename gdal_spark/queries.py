@@ -2772,3 +2772,99 @@ def q_range_price_join(spark, sf_dir):
         o, spark_bands, value_col="o_totalprice", bucket_width=30000.0
     )
     return out.select("o_orderkey", "band_id")
+
+
+# ===========================================================================
+# 17. Training-data curation: deterministic stratified sampling +
+#     context-window chunking
+# ===========================================================================
+
+_SAMPLE_FRACS = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}  # percent
+
+
+@register(
+    "sample_stratified",
+    f"""WITH fr(source, pct) AS (VALUES {', '.join(f"('{s}', {p})" for s, p in _SAMPLE_FRACS.items())}),
+keyed AS (
+  SELECT d.doc_id, d.source,
+         ('0x' || substring(md5('s:' || d.doc_id::varchar), 1, 8))::bigint % 100 AS bucket
+  FROM documents d)
+SELECT k.doc_id, k.source
+FROM keyed k JOIN fr USING (source)
+WHERE k.bucket < fr.pct""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """DETERMINISTIC stratified sampling (per-source rates — the
+    reproducible corpus-mixing step of every training pipeline): sampling
+    decision = md5(doc_id) bucket < per-stratum rate; same hash both
+    engines ⇒ the exact sample is verifiable, not just its size. Broadcast
+    rate table, map-only filter."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    fr = spark.createDataFrame(
+        list(_SAMPLE_FRACS.items()), "source string, pct int"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.join(F.broadcast(fr), "source")
+        .filter(bucket < F.col("pct"))
+        .select("doc_id", "source")
+    )
+
+
+CHUNK_TOKENS = 20
+CHUNK_STRIDE = 15  # 5-token overlap
+
+
+@register(
+    "text_chunking",
+    f"""WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+idx AS (
+  SELECT doc_id, t, nt,
+         unnest(range(0, greatest((nt - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}, 0) + 1)) AS chunk_idx
+  FROM n)
+SELECT doc_id, chunk_idx::int AS chunk_idx,
+       array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ') AS chunk_text
+FROM idx""",
+)
+def q_text_chunking(spark, sf_dir):
+    """Context-window CHUNKING (fixed token windows with stride/overlap —
+    the long-document splitting step before tokenizer packing): split once
+    (projection boundary), explode window indices, slice+rejoin. Map-only,
+    output rows ≈ tokens/stride."""
+    docs = _read(spark, sf_dir, "documents")
+    step = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("_t")
+    )
+    nt = F.size("_t")
+    n_chunks = F.greatest(
+        F.ceil((nt - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)).cast("long"),
+        F.lit(0),
+    ) + 1
+    out = step.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    chunk = F.array_join(
+        F.slice(
+            F.col("_t"),
+            F.col("chunk_idx") * CHUNK_STRIDE + 1,
+            CHUNK_TOKENS,
+        ),
+        " ",
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+    )
