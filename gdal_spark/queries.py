@@ -2868,3 +2868,45 @@ def q_text_chunking(spark, sf_dir):
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         chunk.alias("chunk_text"),
     )
+
+
+# ===========================================================================
+# 18. Polygonize — raster → vector regions (alg/polygonize.cpp analog)
+# ===========================================================================
+
+_PZ_W = 32  # 32×32 pixel grid; class constant over 4×4 blocks
+
+
+@register(
+    "polygonize_regions",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_PZ_W - 1})) AS i),
+cells AS (
+  SELECT gx.i AS x, gy.i AS y,
+         (((gx.i // 4) * 7 + (gy.i // 4) * 5) % 4) AS val
+  FROM g gx CROSS JOIN g gy),
+blocks AS (
+  SELECT (x // 4) AS bx, (y // 4) AS by, min(y * {_PZ_W} + x) AS region_id,
+         min(val) AS val, count(*) AS n_cells
+  FROM cells GROUP BY x // 4, y // 4)
+SELECT region_id, val::double AS val, n_cells, 1::int AS n_rings,
+       16.0::double AS area, 16.0::double AS perimeter
+FROM blocks""",
+)
+def q_polygonize_regions(spark, sf_dir):
+    """POLYGONIZE (GDALPolygonize, alg/polygonize.cpp): connected equal-
+    value regions → polygons, via same-value adjacency equi-joins +
+    distributed connected components + per-region boundary-ring tracing.
+    The class raster is constant on 4×4 blocks with distinct neighbors, so
+    the oracle enumerates regions in closed form (64 blocks, area 16,
+    perimeter 16, single ring)."""
+    from gdal_spark.operators.polygonize import polygonize
+
+    g = spark.range(_PZ_W * _PZ_W).select(
+        (F.col("id") % _PZ_W).alias("gx"),
+        (F.col("id") / _PZ_W).cast("long").alias("gy"),
+    )
+    cells = g.withColumn(
+        "val",
+        ((F.col("gx") / 4).cast("long") * 7 + (F.col("gy") / 4).cast("long") * 5) % 4,
+    )
+    return polygonize(cells, width=_PZ_W)
