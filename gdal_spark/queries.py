@@ -2910,3 +2910,88 @@ def q_polygonize_regions(spark, sf_dir):
         ((F.col("gx") / 4).cast("long") * 7 + (F.col("gy") / 4).cast("long") * 5) % 4,
     )
     return polygonize(cells, width=_PZ_W)
+
+
+# ===========================================================================
+# 19. DEM derivatives: slope + hillshade (apps/gdaldem Horn kernel,
+#     alg/gdaldem_lib.cpp) over the closed-form raster
+# ===========================================================================
+
+_DEM_W = 64      # interior pixels of a 64×64 window
+_DEM_SCALE = 1.0  # xres = yres = 1 "meter" per pixel
+_DEM_Z = 30.0    # sun altitude deg
+_DEM_AZ = 315.0  # sun azimuth deg
+
+
+def _dem_pix(gx: str, gy: str) -> str:
+    # smooth synthetic DEM: integer closed form, differentiable enough
+    return f"cast((({gx}) * ({gx}) % 97 + ({gy}) * 13 % 89) AS double)"
+
+
+def _sql_dem() -> str:
+    import math as _m
+
+    # Horn 1981 (gdaldem_lib.cpp GDALSlopeHornAlg / GDALHillshade):
+    # dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8*xres), dz/dy likewise
+    nbrs = {}
+    for name, (dx, dy) in {
+        "a": (-1, -1), "b": (0, -1), "c": (1, -1),
+        "d": (-1, 0), "f": (1, 0),
+        "g": (-1, 1), "h": (0, 1), "i": (1, 1),
+    }.items():
+        nbrs[name] = _dem_pix(f"x + {dx}", f"y + {dy}")
+    dzdx = f"((({nbrs['c']}) + 2*({nbrs['f']}) + ({nbrs['i']})) - (({nbrs['a']}) + 2*({nbrs['d']}) + ({nbrs['g']}))) / (8.0 * {_DEM_SCALE!r})"
+    dzdy = f"((({nbrs['g']}) + 2*({nbrs['h']}) + ({nbrs['i']})) - (({nbrs['a']}) + 2*({nbrs['b']}) + ({nbrs['c']}))) / (8.0 * {_DEM_SCALE!r})"
+    slope = f"degrees(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy}))))"
+    zen = _m.radians(90.0 - _DEM_Z)
+    az = _m.radians(_DEM_AZ)
+    hs = (
+        f"(cos({zen!r}) * cos(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))) "
+        f"+ sin({zen!r}) * sin(atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))) "
+        f"* cos({az!r} - atan2(({dzdy}), -({dzdx}))))"
+    )
+    return f"""
+WITH g AS (SELECT unnest(generate_series(1, {_DEM_W - 2})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy)
+SELECT x, y, {SR(slope, 6)} AS slope_deg,
+       {SR(f'255.0 * greatest(0.0, {hs})', 4)} AS hillshade
+FROM px"""
+
+
+@register("dem_slope_hillshade", _sql_dem())
+def q_dem_slope_hillshade(spark, sf_dir):
+    """gdaldem slope + hillshade (Horn 3×3 kernel, alg/gdaldem_lib.cpp:
+    GDALSlopeHornAlg / GDALHillshadeAlg): neighbors of the closed-form DEM
+    evaluated as pure column math — zero UDF, zero shuffle (map-only over
+    the pixel range)."""
+    import math as _m
+
+    g = spark.range((_DEM_W - 2) * (_DEM_W - 2)).select(
+        (F.col("id") % (_DEM_W - 2) + 1).alias("x"),
+        (F.col("id") / (_DEM_W - 2)).cast("long").__add__(1).alias("y"),
+    )
+
+    def pix(dx, dy):
+        gx = F.col("x") + F.lit(dx)
+        gy = F.col("y") + F.lit(dy)
+        return ((gx * gx) % 97 + (gy * 13) % 89).cast("double")
+
+    a, b, c = pix(-1, -1), pix(0, -1), pix(1, -1)
+    d, f_, = pix(-1, 0), pix(1, 0)
+    g_, h, i = pix(-1, 1), pix(0, 1), pix(1, 1)
+    dzdx = ((c + 2 * f_ + i) - (a + 2 * d + g_)) / F.lit(8.0 * _DEM_SCALE)
+    dzdy = ((g_ + 2 * h + i) - (a + 2 * b + c)) / F.lit(8.0 * _DEM_SCALE)
+    grad = F.sqrt(dzdx * dzdx + dzdy * dzdy)
+    slope = F.degrees(F.atan(grad))
+    zen = _m.radians(90.0 - _DEM_Z)
+    az = _m.radians(_DEM_AZ)
+    hs = (
+        F.lit(_m.cos(zen)) * F.cos(F.atan(grad))
+        + F.lit(_m.sin(zen)) * F.sin(F.atan(grad))
+        * F.cos(F.lit(az) - F.atan2(dzdy, -dzdx))
+    )
+    return g.select(
+        "x", "y",
+        R(slope, 6).alias("slope_deg"),
+        R(F.lit(255.0) * F.greatest(F.lit(0.0), hs), 4).alias("hillshade"),
+    )
