@@ -2995,3 +2995,64 @@ def q_dem_slope_hillshade(spark, sf_dir):
         R(slope, 6).alias("slope_deg"),
         R(F.lit(255.0) * F.greatest(F.lit(0.0), hs), 4).alias("hillshade"),
     )
+
+
+# ===========================================================================
+# 20. Contour extraction — marching squares (alg/contour.cpp, gdal_contour)
+# ===========================================================================
+
+from gdal_spark.operators.contour import (  # noqa: E402
+    case_and_length_cols,
+    sql_case_and_length,
+)
+
+_CT_W = 48
+_CT_LEVEL = 50.5  # half-integer: never equals an (integer) corner value
+
+
+def _sql_contour_cells() -> str:
+    case_expr, len_expr = sql_case_and_length(_CT_LEVEL)
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {_CT_W - 2})) AS i),
+cells AS (
+  SELECT gx.i AS x, gy.i AS y,
+         {_dem_pix('gx.i', 'gy.i')} AS z00,
+         {_dem_pix('gx.i + 1', 'gy.i')} AS z10,
+         {_dem_pix('gx.i + 1', 'gy.i + 1')} AS z11,
+         {_dem_pix('gx.i', 'gy.i + 1')} AS z01
+  FROM g gx CROSS JOIN g gy),
+m AS (SELECT x, y, {case_expr} AS case_id, {len_expr} AS iso_len FROM cells)
+SELECT x, y, case_id::int AS case_id, {SR('iso_len', 6)} AS iso_len
+FROM m WHERE case_id NOT IN (0, 15)"""
+
+
+@register("contour_cells", _sql_contour_cells())
+def q_contour_cells(spark, sf_dir):
+    """Marching-squares contour at one iso-level over the closed-form DEM
+    (gdal_contour / alg/contour.cpp): per-cell case id + interpolated
+    segment length, saddles resolved by the center-mean rule. Map-only
+    column math (the case/length expressions are generated from ONE shared
+    table for both engines)."""
+    from gdal_spark.operators.contour import case_and_length_cols
+
+    g = spark.range((_CT_W - 1) * (_CT_W - 1)).select(
+        (F.col("id") % (_CT_W - 1)).alias("x"),
+        (F.col("id") / (_CT_W - 1)).cast("long").alias("y"),
+    )
+
+    def pix(dx, dy):
+        gx = F.col("x") + F.lit(dx)
+        gy = F.col("y") + F.lit(dy)
+        return ((gx * gx) % 97 + (gy * 13) % 89).cast("double")
+
+    cells = g.select(
+        "x", "y",
+        pix(0, 0).alias("z00"), pix(1, 0).alias("z10"),
+        pix(1, 1).alias("z11"), pix(0, 1).alias("z01"),
+    )
+    case_c, len_c = case_and_length_cols(_CT_LEVEL)
+    out = cells.select(
+        "x", "y", case_c.cast("int").alias("case_id"),
+        R(len_c, 6).alias("iso_len"),
+    )
+    return out.filter(~F.col("case_id").isin(0, 15))
