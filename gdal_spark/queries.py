@@ -3056,3 +3056,114 @@ def q_contour_cells(spark, sf_dir):
         R(len_c, 6).alias("iso_len"),
     )
     return out.filter(~F.col("case_id").isin(0, 15))
+
+
+# ===========================================================================
+# 21. Viewshed (alg/viewshed.cpp MVP) + proximity (alg/gdalproximity.cpp)
+# ===========================================================================
+
+_VS_W = 48
+_VS_OX, _VS_OY = 24, 24   # observer pixel
+_VS_OBS_H = 20.0          # observer height above terrain
+_VS_BEARING_BINS = 256
+
+
+@register(
+    "dem_viewshed",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_VS_W - 1})) AS i),
+px AS (
+  SELECT gx.i AS x, gy.i AS y, {_dem_pix('gx.i', 'gy.i')} AS z
+  FROM g gx CROSS JOIN g gy
+  WHERE NOT (gx.i = {_VS_OX} AND gy.i = {_VS_OY})),
+ang AS (
+  SELECT x, y, z,
+         floor((atan2((y - {_VS_OY})::double, (x - {_VS_OX})::double) + pi())
+               / (2 * pi()) * {_VS_BEARING_BINS}) AS ray,
+         sqrt((x - {_VS_OX})::double * (x - {_VS_OX})::double
+            + (y - {_VS_OY})::double * (y - {_VS_OY})::double) AS dist,
+         (z - ({_dem_pix(str(_VS_OX), str(_VS_OY))} + {_VS_OBS_H!r}))
+           / sqrt((x - {_VS_OX})::double * (x - {_VS_OX})::double
+                + (y - {_VS_OY})::double * (y - {_VS_OY})::double) AS elev_tan
+  FROM px),
+vs AS (
+  SELECT x, y, ray, dist, elev_tan,
+         max(elev_tan) OVER (PARTITION BY ray ORDER BY dist, x, y
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_before
+  FROM ang)
+SELECT x, y,
+       (max_before IS NULL OR elev_tan >= max_before) AS visible
+FROM vs""",
+)
+def q_dem_viewshed(spark, sf_dir):
+    """VIEWSHED MVP (alg/viewshed.cpp semantics, bearing-quantized rays —
+    the Wang-et-al style sweep): pixels group by quantized bearing from the
+    observer; along each ray, a running max of the elevation angle decides
+    visibility. ONE shuffle on the ray key + a window — no per-ray driver
+    loops, scales with pixel count."""
+    import math as _m
+
+    g = spark.range(_VS_W * _VS_W).select(
+        (F.col("id") % _VS_W).alias("x"),
+        (F.col("id") / _VS_W).cast("long").alias("y"),
+    ).filter(~((F.col("x") == _VS_OX) & (F.col("y") == _VS_OY)))
+    z = ((F.col("x") * F.col("x")) % 97 + (F.col("y") * 13) % 89).cast("double")
+    obs_z = float((_VS_OX * _VS_OX) % 97 + (_VS_OY * 13) % 89) + _VS_OBS_H
+    dx = (F.col("x") - F.lit(_VS_OX)).cast("double")
+    dy = (F.col("y") - F.lit(_VS_OY)).cast("double")
+    dist = F.sqrt(dx * dx + dy * dy)
+    ray = F.floor(
+        (F.atan2(dy, dx) + F.lit(float(_m.pi)))
+        / F.lit(2 * float(_m.pi)) * F.lit(_VS_BEARING_BINS)
+    )
+    elev = (z - F.lit(obs_z)) / dist
+    from pyspark.sql import Window
+
+    ang = g.select(
+        "x", "y", ray.alias("ray"), dist.alias("dist"),
+        elev.alias("elev_tan"),
+    )
+    w = (
+        Window.partitionBy("ray")
+        .orderBy("dist", "x", "y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ang.select(
+        "x", "y",
+        (
+            F.max("elev_tan").over(w).isNull()
+            | (F.col("elev_tan") >= F.max("elev_tan").over(w))
+        ).alias("visible"),
+    )
+
+
+_PROX_TARGETS = [(3, 5), (17, 9), (30, 30), (44, 12), (8, 40), (40, 44)]
+
+
+@register(
+    "raster_proximity",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_VS_W - 1})) AS i),
+t(tx, ty) AS (VALUES {', '.join(f'({a}, {b})' for a, b in _PROX_TARGETS)})
+SELECT gx.i AS x, gy.i AS y,
+       {SR('min(sqrt((gx.i - tx) * (gx.i - tx) + (gy.i - ty) * (gy.i - ty)))', 6)} AS prox
+FROM g gx CROSS JOIN g gy CROSS JOIN t
+GROUP BY gx.i, gy.i""",
+)
+def q_raster_proximity(spark, sf_dir):
+    """PROXIMITY raster (alg/gdalproximity.cpp: per-pixel distance to the
+    nearest target pixel): targets are a broadcast-small set → the distance
+    is array_min over per-target column expressions — map-only, no shuffle,
+    no UDF (the quadtree sweep of the reference becomes a fused column
+    reduction)."""
+    g = spark.range(_VS_W * _VS_W).select(
+        (F.col("id") % _VS_W).alias("x"),
+        (F.col("id") / _VS_W).cast("long").alias("y"),
+    )
+    dists = F.array(*[
+        F.sqrt(
+            (F.col("x") - F.lit(a)) * (F.col("x") - F.lit(a))
+            + (F.col("y") - F.lit(b)) * (F.col("y") - F.lit(b))
+        ).cast("double")
+        for a, b in _PROX_TARGETS
+    ])
+    return g.select("x", "y", R(F.array_min(dists), 6).alias("prox"))
