@@ -59,6 +59,16 @@ BENCH_QUERIES = [
     "sort_quadkey",
     "knn_adaptive",
     "geom_point_distance",
+    # named-algorithm + curation additions
+    "dedup_clusters",
+    "events_asof_join",
+    "range_price_join",
+    "polygonize_regions",
+    "dem_slope_hillshade",
+    "contour_cells",
+    "dem_viewshed",
+    "embed_ann_ivf",
+    "tpch_q1",
 ]
 
 
