@@ -3167,3 +3167,63 @@ def q_raster_proximity(spark, sf_dir):
         for a, b in _PROX_TARGETS
     ])
     return g.select("x", "y", R(F.array_min(dists), 6).alias("prox"))
+
+
+# ===========================================================================
+# 22. EXACT polygon rasterization — pixel-center burn rule
+#     (alg/llrasterize.cpp scanline fill == center-in-polygon sampling)
+# ===========================================================================
+
+_RZ_X0, _RZ_Y0 = -6.0, 14.0
+_RZ_RES = 0.5
+_RZ_NX, _RZ_NY = 84, 80  # grid covers mosaic + hexagon + L + hole polygons
+
+
+@register(
+    "rasterize_polygons",
+    f"""WITH gx AS (SELECT unnest(generate_series(0, {_RZ_NX - 1})) AS i),
+gy AS (SELECT unnest(generate_series(0, {_RZ_NY - 1})) AS j),
+pts AS (
+  SELECT gx.i AS i, gy.j AS j,
+         {_RZ_X0!r} + (gx.i + 0.5) * {_RZ_RES!r} AS lon,
+         {_RZ_Y0!r} + (gy.j + 0.5) * {_RZ_RES!r} AS lat
+  FROM gx CROSS JOIN gy),
+seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()}),
+cross_counts AS (
+  SELECT p.i, p.j, s.poly_id,
+         sum(CASE WHEN (((s.y1a - p.lat) > 0 AND (s.y2a - p.lat) <= 0)
+                     OR ((s.y2a - p.lat) > 0 AND (s.y1a - p.lat) <= 0))
+                  AND ((s.x1a - p.lon) * (s.y2a - p.lat)
+                     - (s.x2a - p.lon) * (s.y1a - p.lat))
+                      / ((s.y2a - p.lat) - (s.y1a - p.lat)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM pts p CROSS JOIN seg s
+  GROUP BY p.i, p.j, s.poly_id),
+burned AS (
+  SELECT i, j, min(poly_id) AS poly_id
+  FROM cross_counts WHERE n_cross % 2 = 1 GROUP BY i, j)
+SELECT poly_id, count(*) AS n_burned,
+       sum(i + j * 10000)::bigint AS px_checksum
+FROM burned GROUP BY poly_id""",
+)
+def q_rasterize_polygons(spark, sf_dir):
+    """EXACT polygon rasterization, center-burn rule: GDAL's scanline fill
+    (alg/llrasterize.cpp:58 dda) burns a pixel iff its CENTER is interior —
+    equivalent to a PIP test of the pixel-center lattice, which is the
+    engine's broadcast map-only join. Output: per-polygon burned-pixel
+    count + coordinate checksum (window covers mosaic + hexagon + L-shape +
+    hole polygon, so concave shapes and holes are exercised)."""
+    g = spark.range(_RZ_NX * _RZ_NY).select(
+        (F.col("id") % _RZ_NX).alias("i"),
+        (F.col("id") / _RZ_NX).cast("long").alias("j"),
+    )
+    centers = g.select(
+        "i", "j",
+        (F.lit(_RZ_X0) + (F.col("i") + F.lit(0.5)) * F.lit(_RZ_RES)).alias("lon"),
+        (F.lit(_RZ_Y0) + (F.col("j") + F.lit(0.5)) * F.lit(_RZ_RES)).alias("lat"),
+    )
+    joined = PIP.pip_join(centers, polygons_df(spark), first_match=True)
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_burned"),
+        F.sum(F.col("i") + F.col("j") * 10000).alias("px_checksum"),
+    )
