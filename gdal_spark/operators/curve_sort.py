@@ -29,11 +29,18 @@ from pyspark.sql import functions as F
 
 def curve_rank(
     df: DataFrame, *order_cols: str, pos_name: str = "pos",
-    num_partitions: int | None = None,
+    num_partitions: int | None = None, materialize: bool = True,
 ) -> DataFrame:
     """Add a 1-based global dense position over ``order_cols`` without a
     single-partition window. ``order_cols`` must be a total order (append a
-    unique tiebreak column)."""
+    unique tiebreak column).
+
+    ``materialize=True`` (default) eagerly computes the result and
+    unpersists the intermediate cache — the ranked input is consumed twice
+    (counts + ranks), so SOME materialization is inherent; this way the
+    only retained blocks are the result the caller actually uses.
+    ``materialize=False`` returns the lazy plan and leaves the intermediate
+    persisted (caller manages lifetime)."""
     cols = [F.col(c) for c in order_cols]
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
@@ -57,4 +64,7 @@ def curve_rank(
         .withColumn(pos_name, (F.col("_off") + F.col("_lr")).cast("long"))
         .drop("_pid", "_lr", "_off")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        ranged.unpersist()
     return out

@@ -140,28 +140,6 @@ def shingles_from_tokens(toks_col: str, w: int = 3) -> Column:
     )
 
 
-def _py_tokens(t: str) -> list[str]:
-    """Python mirror of split(trim(text), ' +') — spaces only, like F.trim."""
-    import re
-
-    t = (t or "").strip(" ")
-    return re.split(" +", t)
-
-
-def _py_shingle_hashes(t: str, w: int) -> "np.ndarray":
-    """Python/numpy mirror of shingle_hashes: DISTINCT w-shingles (first-
-    occurrence order is irrelevant — only min survives) → md5[:8hex] ints."""
-    import hashlib
-
-    toks = _py_tokens(t)
-    m = max(len(toks) - w + 1, 1)
-    sh = {" ".join(toks[i:i + w]) for i in range(m)}
-    return np.array(
-        [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) for s in sh],
-        dtype=np.int64,
-    )
-
-
 def sql_shingle_hashes(text_expr: str = "text", w: int = 3) -> str:
     return (
         f"list_transform({sql_shingles(text_expr, w)}, "
@@ -509,6 +487,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); pass a larger max_iter"
+        )
     edges.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(

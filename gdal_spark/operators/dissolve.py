@@ -92,7 +92,10 @@ def union_coverage_rings(rings_list: list[list[np.ndarray]]) -> list[np.ndarray]
         best = min(range(len(cands)), key=lambda i: turn_key(cands[i]))
         return cands.pop(best)
 
-    # 3: trace rings
+    # 3: trace rings; a walk that revisits a vertex is PINCHED (e.g. two
+    # holes or two parts touching at a point) — split the closed loop off
+    # as its own SIMPLE ring, exactly the decomposition GEOS produces for
+    # point-touching boundaries (OGC validity: rings must be simple).
     rings_out: list[np.ndarray] = []
     while out_map:
         p0 = next(iter(out_map))
@@ -100,14 +103,28 @@ def union_coverage_rings(rings_list: list[list[np.ndarray]]) -> list[np.ndarray]
         if not out_map[p0]:
             del out_map[p0]
         ring = [p0, q0]
+        seen_at = {p0: 0, q0: 1}
         p, q = p0, q0
         while q != p0:
             r = take_leftmost(p, q)
             if not out_map[q]:
                 del out_map[q]
+            if r in seen_at and r != p0:
+                # close the sub-loop r → ... → q → r as a simple ring
+                cut = seen_at[r]
+                sub = ring[cut:] + [r]
+                rings_out.append(np.array(sub, dtype=np.float64))
+                for v in ring[cut + 1:]:
+                    seen_at.pop(v, None)
+                ring = ring[:cut + 1]
+                p, q = q, r
+                continue
             ring.append(r)
+            seen_at[r] = len(ring) - 1
             p, q = q, r
-        rings_out.append(np.array(ring, dtype=np.float64))
+        ring.append(p0) if ring[-1] != p0 else None
+        if len(ring) >= 4:
+            rings_out.append(np.array(ring, dtype=np.float64))
     return rings_out
 
 

@@ -30,13 +30,18 @@ from gdal_spark.operators.dissolve import _ring_signed_area, union_coverage_ring
 
 def polygonize(
     cells: DataFrame, x: str = "gx", y: str = "gy", value: str = "val",
-    width: int | None = None,
+    width: int | None = None, cc_max_iter: int | None = None,
 ) -> DataFrame:
     """Polygonize a cell table (one row per pixel). ``width`` is the grid
     width used to derive the scalar cell id (y*width + x); defaults to
-    max(x)+1 computed from the data (one tiny aggregate)."""
+    max(x)+1 computed from the data (one tiny aggregate). ``cc_max_iter``
+    bounds the label-propagation rounds (default 8×width — one hop per
+    round, so serpentine regions longer than that raise instead of being
+    silently split)."""
     if width is None:
         width = cells.agg(F.max(x)).first()[0] + 1
+    if cc_max_iter is None:
+        cc_max_iter = max(8 * int(width), 64)
     c = cells.select(
         (F.col(y) * width + F.col(x)).alias("cid"),
         F.col(x).alias("_x"), F.col(y).alias("_y"),
@@ -59,7 +64,7 @@ def polygonize(
     ).select(F.col("cid").alias("id_a"), F.col("cid_b").alias("id_b"))
     edges = e_right.unionAll(e_down)
 
-    comp = connected_components(edges).select(
+    comp = connected_components(edges, max_iter=cc_max_iter).select(
         F.col("doc_id").alias("cid"), F.col("cluster_id").alias("region_id")
     )
     # singleton cells (no same-value neighbor) are their own region

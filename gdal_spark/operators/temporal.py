@@ -30,18 +30,26 @@ def asof_join(
     """Backward as-of join. Output = left columns + right ``payload``
     columns (null when no prior right row exists). ``right_id`` makes the
     pick among equal-ts right rows deterministic (largest id wins)."""
+    # payload rides in a STRUCT: the struct wrapper is non-null for every
+    # right row even when individual payload FIELDS are null, so a latest
+    # right row with a null value is still the one matched (a bare-column
+    # last(ignorenulls) would skip it and fall back to an older row,
+    # diverging from merge_asof semantics)
     l_tag = left.select(
         "*", F.lit(1).alias("_side"), F.col(left_ts).alias("_ts"),
         F.lit(2 ** 62).alias("_rid"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {dict(right.dtypes)[c]}" for c in payload
+            ) + ">"
+        ).alias("_p"),
     )
-    for c in payload:
-        l_tag = l_tag.withColumn(f"_p_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     r_tag = right.select(
         F.col(key),
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_ts"),
         (F.col(right_id) if right_id else F.lit(0)).cast("long").alias("_rid"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("_p"),
     )
     for c in l_tag.columns:
         if c not in r_tag.columns:
@@ -55,16 +63,16 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in payload:
-        out = out.withColumn(
-            f"_p_{c}",
-            F.last(F.when(F.col("_side") == 0, F.col(f"_p_{c}")), ignorenulls=True).over(w),
-        )
+    out = unioned.withColumn(
+        "_p",
+        F.last(
+            F.when(F.col("_side") == 0, F.col("_p")), ignorenulls=True
+        ).over(w),
+    )
     out = out.filter(F.col("_side") == 1).drop("_side", "_ts", "_rid")
     for c in payload:
-        out = out.withColumnRenamed(f"_p_{c}", c)
-    return out
+        out = out.withColumn(c, F.col("_p")[c])
+    return out.drop("_p")
 
 
 def range_join(
@@ -77,9 +85,10 @@ def range_join(
     one bucket; equi-join on the int bucket; exact range filter. Shuffle
     keys are ints; output = values columns + intervals columns."""
     b_lo = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long")
-    b_hi = F.floor(
-        (F.col(hi_col) - F.lit(1e-12)) / F.lit(bucket_width)
-    ).cast("long")
+    # hi exactly on a bucket boundary yields one spurious (empty) bucket —
+    # the exact post-join filter discards it; an epsilon here would instead
+    # silently DROP matches when hi sits within eps above a boundary
+    b_hi = F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long")
     iv = intervals.withColumn(
         "_bucket", F.explode(F.sequence(b_lo, F.greatest(b_hi, b_lo)))
     )

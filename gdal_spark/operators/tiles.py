@@ -582,8 +582,15 @@ def sample_lanczos(
     r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
     joined = req.join(r, on=["tx", "ty"], how="left")
     val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    # normalize over VALID taps only: a missing source tile (left-join null)
+    # must renormalize the remaining weights (GWKResample accumulates weight
+    # only for valid samples), not scale the value down
+    wv = F.when(val.isNotNull(), F.col("_w")).otherwise(F.lit(0.0))
     return joined.groupBy(point_id).agg(
-        (F.sum(F.col("_w") * val) / F.sum("_w")).alias(value_name)
+        (
+            F.sum(F.when(val.isNotNull(), F.col("_w") * val).otherwise(F.lit(0.0)))
+            / F.when(F.sum(wv) != 0, F.sum(wv))
+        ).alias(value_name)
     )
 
 

@@ -320,18 +320,15 @@ def py_compact_cells(cells: "set[tuple[int, int]]", zoom: int) -> "list[tuple[in
     cur = set(cells)
     z = zoom
     while z > 0 and cur:
-        parents: dict[tuple[int, int], int] = {}
-        for tx, ty in cur:
-            p = (tx >> 1, ty >> 1)
-            parents[p] = parents.get(p, 0) + 1
+        children: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for tx, ty in cur:  # one grouped pass: O(cells) per level
+            children.setdefault((tx >> 1, ty >> 1), []).append((tx, ty))
         nxt = set()
-        for (px, py), cnt in parents.items():
-            if cnt == 4:
-                nxt.add((px, py))
+        for p, kids in children.items():
+            if len(kids) == 4:
+                nxt.add(p)
             else:
-                for tx, ty in cur:
-                    if (tx >> 1, ty >> 1) == (px, py):
-                        out.append((z, tx, ty))
+                out.extend((z, tx, ty) for tx, ty in kids)
         cur = nxt
         z -= 1
     out.extend((z, tx, ty) for tx, ty in cur)

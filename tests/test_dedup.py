@@ -133,3 +133,20 @@ def test_connected_components_known_graph(spark):
     assert {rows[i] for i in (1, 2, 3, 4, 5)} == {(1, 5)}
     assert rows[10] == (10, 2) and rows[11] == (10, 2)
     assert {rows[i] for i in (20, 21, 22)} == {(20, 3)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Regression (round-2 code review): a chain deeper than max_iter must
+    RAISE, not silently return split components."""
+    import pytest as _pt
+
+    from gdal_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3).collect()
+    # and with enough budget it converges fine
+    out = connected_components(pairs, max_iter=15)
+    assert out.filter("cluster_id = 0").count() == 13

@@ -58,3 +58,17 @@ def test_dissolve_union_dataframe(spark):
         assert r["union_area"] == pytest.approx(3.0 * r["n_src"], abs=1e-9)
         assert 1 <= r["n_parts"] <= r["n_src"]
         assert r["n_rings"] >= r["n_parts"]
+
+
+def test_union_diagonal_holes_stay_simple():
+    """Regression (round-2 code review): two holes touching at a corner
+    must yield two SIMPLE hole rings, not a self-intersecting figure-eight
+    (the leftmost-turn walk is pinch-split at repeated vertices)."""
+    cells = [rect(i, j, i + 1, j + 1) for i in range(4) for j in range(4)
+             if (i, j) not in [(1, 1), (2, 2)]]
+    rings = union_coverage_rings(cells)
+    areas = sorted(round(_ring_signed_area(r), 6) for r in rings)
+    assert areas == [-1.0, -1.0, 16.0]
+    for r in rings:
+        pts = [tuple(p) for p in r[:-1]]
+        assert len(pts) == len(set(pts))  # simple: no repeated vertex

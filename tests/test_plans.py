@@ -75,7 +75,9 @@ def test_curve_rank_no_single_partition_window(spark):
     from gdal_spark.operators.curve_sort import curve_rank
 
     pts = Q.order_points(spark, SF).select("o_orderkey")
-    ranked = curve_rank(pts, "o_orderkey")
+    # materialize=False: inspect the LAZY plan (the default eagerly
+    # checkpoints, which replaces the plan with an ExistingRDD scan)
+    ranked = curve_rank(pts, "o_orderkey", materialize=False)
     import io
     from contextlib import redirect_stdout
 

@@ -178,3 +178,39 @@ def test_overview_stat_kernels_vs_numpy(spark):
         assert len(out) == 1
         got = np.asarray(out[0]["data"]).reshape(16, 16)
         assert np.allclose(got, want), stat
+
+
+def test_lanczos_renormalizes_over_missing_tiles(spark):
+    """Regression (round-2 code review): lanczos taps landing on MISSING
+    tiles must renormalize over valid taps, not scale the value down.
+    With a constant-value raster the sample must equal that constant even
+    at the edge of coverage."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators import tiles as TL
+
+    # single z2 tile at (1,1), constant value 7
+    base = TL.synthetic_raster(spark, zoom=2, bands=1, tile_size=16,
+                               tx_range=(1, 1), ty_range=(1, 1))
+    const = base.withColumn(
+        "data", F.transform("data", lambda v: F.lit(7.0))
+    )
+    # a point near the tile's top-left corner: part of the 6x6 tap window
+    # falls on missing neighbor tiles
+    import numpy as np
+
+    from gdal_spark.spatial import tilemath as TM
+
+    res = TM.resolution(2) * 256 / 16  # meters per pixel at ts=16
+    # global pixel (16.6, 16.6) → inside tile (1,1) near its corner
+    mx = (16.6) * (2 * TM.ORIGIN_SHIFT / (4 * 16)) - TM.ORIGIN_SHIFT
+    my = TM.ORIGIN_SHIFT - (16.6) * (2 * TM.ORIGIN_SHIFT / (4 * 16))
+    lon = mx / TM.ORIGIN_SHIFT * 180.0
+    lat = 180.0 / np.pi * (
+        2.0 * np.arctan(np.exp(my / TM.ORIGIN_SHIFT * np.pi)) - np.pi / 2.0
+    )
+    pts = spark.createDataFrame(
+        [(1, float(lon), float(lat))], "i long, lon double, lat double"
+    )
+    out = TL.sample_lanczos(pts, const, zoom=2, tile_size=16).collect()
+    assert out[0]["lanczos_val"] == pytest.approx(7.0, abs=1e-9)
