@@ -180,31 +180,46 @@ def main():
         spark.stop()
         time.sleep(1)
 
-        def _measure(cores: int) -> tuple[float, int]:
-            """Steady-state time at `cores`: 1 warmup job + median of 3."""
+        def _one_run(cores: int) -> tuple[float, int]:
+            """One steady-state run at `cores` (fresh session + warmup)."""
             s = _session(f"local[{cores}]", 32)
             scaling_flagship(s, 100_000)  # JVM/Arrow warmup
-            times, n_rows = [], 0
-            for _ in range(3):
-                t, n_rows = scaling_flagship(s, SCALE_ROWS)
-                times.append(t)
+            t, n_rows = scaling_flagship(s, SCALE_ROWS)
             s.stop()
             time.sleep(1)
-            return sorted(times)[1], n_rows
+            return t, n_rows
 
+        # INTERLEAVED pairs: this VM's aggregate CPU throughput drifts on
+        # minute scales (hypervisor neighbors); measuring all-N then all-4N
+        # lets a drift phase bias the ratio. Back-to-back (N, 4N) pairs hit
+        # both levels in the same machine phase; the median of per-pair
+        # efficiencies is robust to outlier phases.
         n_cores, n4_cores = SCALE_N, 4 * SCALE_N
-        t_n, n_rows = _measure(n_cores)
-        t_4n, _ = _measure(n4_cores)
-        thr_n = n_rows / t_n
-        thr_4n = n_rows / t_4n
+        pairs = []
+        thr_n_all, thr_4n_all = [], []
+        n_rows = SCALE_ROWS
+        for _ in range(3):
+            t_n, n_rows = _one_run(n_cores)
+            t_4n, _ = _one_run(n4_cores)
+            thr_n = n_rows / t_n
+            thr_4n = n_rows / t_4n
+            thr_n_all.append(thr_n)
+            thr_4n_all.append(thr_4n)
+            pairs.append(round(thr_4n / (4 * thr_n), 3))
+        eff = sorted(pairs)[len(pairs) // 2]
         scaling = {
             "scale_rows": SCALE_ROWS,
             "n_cores": n_cores,
             "n4_cores": n4_cores,
-            "repeats": "median-of-3 after warmup",
-            f"local{n_cores}_docs_per_sec": round(thr_n, 1),
-            f"local{n4_cores}_docs_per_sec": round(thr_4n, 1),
-            "efficiency_n_to_4n": round(thr_4n / (4 * thr_n), 3),
+            "repeats": "3 interleaved (N,4N) pairs; median per-pair efficiency",
+            f"local{n_cores}_docs_per_sec": round(
+                sorted(thr_n_all)[1], 1
+            ),
+            f"local{n4_cores}_docs_per_sec": round(
+                sorted(thr_4n_all)[1], 1
+            ),
+            "per_pair_efficiency": pairs,
+            "efficiency_n_to_4n": eff,
         }
     else:
         spark.stop()
