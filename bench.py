@@ -198,7 +198,7 @@ def main():
         pairs = []
         thr_n_all, thr_4n_all = [], []
         n_rows = SCALE_ROWS
-        for _ in range(3):
+        for _ in range(5):
             t_n, n_rows = _one_run(n_cores)
             t_4n, _ = _one_run(n4_cores)
             thr_n = n_rows / t_n
@@ -211,12 +211,12 @@ def main():
             "scale_rows": SCALE_ROWS,
             "n_cores": n_cores,
             "n4_cores": n4_cores,
-            "repeats": "3 interleaved (N,4N) pairs; median per-pair efficiency",
+            "repeats": "5 interleaved (N,4N) pairs; median per-pair efficiency",
             f"local{n_cores}_docs_per_sec": round(
-                sorted(thr_n_all)[1], 1
+                sorted(thr_n_all)[len(thr_n_all) // 2], 1
             ),
             f"local{n4_cores}_docs_per_sec": round(
-                sorted(thr_4n_all)[1], 1
+                sorted(thr_4n_all)[len(thr_4n_all) // 2], 1
             ),
             "per_pair_efficiency": pairs,
             "efficiency_n_to_4n": eff,
