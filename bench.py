@@ -4,9 +4,10 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Also evidences the north rule's two-cluster-size scaling criterion in-sandbox
 (per driver instruction): the flagship spatial-join + tile-assignment job is
-run at local[8] and local[32] on the same input; throughput at both plus
-scaling efficiency (throughput_4N / (4 × throughput_N)) are reported under
-"scaling" and mirrored in BENCH.md.
+run at local[N] and local[4N] on the same input (default 1→4, inside this
+VM's linear region — see BENCH.md §2) as 5 INTERLEAVED (N, 4N) pairs;
+throughput at both levels plus the median per-pair scaling efficiency
+(throughput_4N / (4 × throughput_N)) are reported under "scaling".
 
 Usage: python bench.py [--skip-scaling]
 """
