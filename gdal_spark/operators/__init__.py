@@ -34,3 +34,25 @@ from gdal_spark.operators.tiles import (  # noqa: F401
     sample_nearest,
     synthetic_raster,
 )
+
+# round-2 operator surface
+from gdal_spark.operators.curve_sort import curve_rank  # noqa: F401
+from gdal_spark.operators.dedup import connected_components  # noqa: F401
+from gdal_spark.operators.dissolve import dissolve_union  # noqa: F401
+from gdal_spark.operators.poly_join import (  # noqa: F401
+    clip_to_rect,
+    layer_erase_area_rect,
+    layer_intersection_rect,
+    poly_relate_join,
+)
+# NOTE: polygonize's function is NOT re-exported — like pip_join, the name
+# would shadow the `gdal_spark.operators.polygonize` submodule.
+# Use `from gdal_spark.operators.polygonize import polygonize`.
+from gdal_spark.operators.similarity import ivf_topk  # noqa: F401
+from gdal_spark.operators.temporal import asof_join, range_join  # noqa: F401
+from gdal_spark.operators.tiles import (  # noqa: F401
+    overview_level_stat,
+    render_base_tiles,
+    sample_bilinear_nodata,
+    sample_lanczos,
+)
