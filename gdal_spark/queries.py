@@ -3227,3 +3227,100 @@ def q_rasterize_polygons(spark, sf_dir):
         F.count(F.lit(1)).alias("n_burned"),
         F.sum(F.col("i") + F.col("j") * 10000).alias("px_checksum"),
     )
+
+
+# ===========================================================================
+# 23. GeoJSON writer (ogr/ogrgeojsonwriter.cpp surface) + the dedup-pipeline
+#     capstone: the SURVIVING corpus after exact + near-dup dedup
+# ===========================================================================
+
+def _geojson_values() -> str:
+    rows = []
+    for rec in polygon_records():
+        gj = G.geojson_polygon(G.rings_to_numpy(rec["rings"])).replace("'", "''")
+        rows.append(f"({rec['poly_id']}, '{gj}')")
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_geojson",
+    f"""WITH w(poly_id, geojson) AS ({_geojson_values()})
+SELECT poly_id, geojson, length(geojson) AS gj_len FROM w""",
+)
+def q_geom_geojson(spark, sf_dir):
+    """GeoJSON geometry writer (RFC 7946 Polygon; ogrgeojsonwriter.cpp):
+    serialized distributedly from the ring arrays; exact string parity
+    against an independently generated VALUES oracle (the geom_wkt
+    pattern)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, gjs = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                ids.append(pid)
+                gjs.append(G.geojson_polygon(G.rings_to_numpy(rings)))
+            yield pd.DataFrame({"poly_id": ids, "geojson": gjs})
+
+    out = p.mapInPandas(run, "poly_id long, geojson string")
+    return out.select("poly_id", "geojson", F.length("geojson").alias("gj_len"))
+
+
+def _sql_corpus_dedup_final() -> str:
+    """Survivors = docs that are BOTH their exact-hash group's canonical
+    (min doc_id per md5(text)) AND their near-dup cluster's canonical (min
+    doc_id per connected component of the MinHash pair graph; docs outside
+    the pair graph survive by default)."""
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_pairs()}) mp),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT u FROM edges),
+reach(u, r) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+survivors AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d
+  JOIN exact_keep e USING (doc_id)
+  LEFT JOIN lab l USING (doc_id)
+  WHERE l.cluster_id IS NULL OR l.cluster_id = d.doc_id)
+SELECT count(*) AS n_docs, sum(n_chars)::bigint AS total_chars
+FROM survivors"""
+
+
+@register("corpus_dedup_final", _sql_corpus_dedup_final())
+def q_corpus_dedup_final(spark, sf_dir):
+    """The dedup-pipeline CAPSTONE: the corpus that remains after exact
+    dedup (md5 canonical) AND near-dup dedup (MinHash-LSH pairs →
+    connected components → cluster canonical) — the end product a training
+    pipeline actually feeds downstream. One number pair the whole chain
+    must agree on."""
+    docs = _read(spark, sf_dir, "documents")
+    exact_keep = D.exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    pairs = D.minhash_dedup_pairs(
+        docs, num_perm=MH_PERM, bands=MH_BANDS, threshold=0.5
+    )
+    clusters = D.connected_components(pairs).select("doc_id", "cluster_id")
+    survivors = (
+        docs.join(exact_keep, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -589,3 +589,13 @@ def points_in_polygon_winding(
         on_hole = points_on_ring_boundary(px, py, hole)
         inside = inside & ~in_hole & ~on_hole
     return inside
+
+
+def geojson_polygon(rings: list[np.ndarray]) -> str:
+    """GeoJSON Polygon geometry string (RFC 7946; the ogr GeoJSON writer
+    surface, ogrgeojsonwriter.cpp) — repr-float formatting, no whitespace."""
+    ring_strs = []
+    for ring in rings:
+        pts = ",".join(f"[{_fmt(p[0])},{_fmt(p[1])}]" for p in ring)
+        ring_strs.append(f"[{pts}]")
+    return '{"type":"Polygon","coordinates":[' + ",".join(ring_strs) + "]}"
