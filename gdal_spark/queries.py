@@ -3324,3 +3324,99 @@ def q_corpus_dedup_final(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ===========================================================================
+# 24. WKB multipolygon codec gate + sliding windows + percentile menu
+# ===========================================================================
+
+def _mp_wkb_values() -> str:
+    rows = []
+    for rec in multipolygon_records():
+        parts = [G.rings_to_numpy(p) for p in rec["rings"]]
+        hexs = G.wkb_multipolygon(parts).hex()
+        rows.append(f"({rec['poly_id']}, '{hexs}')")
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "wkb_multipolygon_hex",
+    f"""WITH w(poly_id, wkb_hex) AS ({_mp_wkb_values()})
+SELECT poly_id, wkb_hex, (length(wkb_hex) // 2)::bigint AS wkb_bytes FROM w""",
+)
+def q_wkb_multipolygon_hex(spark, sf_dir):
+    """MULTIPOLYGON WKB writer (ISO WKB little-endian, the ogc.wkb Arrow
+    convention of ogrlayerarrow.cpp:720-768): serialized distributedly,
+    exact hex parity against an independently generated VALUES oracle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    mp = multipolygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hx = [], []
+            for pid, parts in zip(pdf["poly_id"], pdf["rings"]):
+                np_parts = [G.rings_to_numpy(p) for p in parts]
+                ids.append(pid)
+                hx.append(G.wkb_multipolygon(np_parts).hex())
+            yield pd.DataFrame({"poly_id": ids, "wkb_hex": hx})
+
+    out = mp.mapInPandas(run, "poly_id long, wkb_hex string")
+    return out.select(
+        "poly_id", "wkb_hex",
+        (F.length("wkb_hex") / 2).cast("bigint").alias("wkb_bytes"),
+    )
+
+
+@register(
+    "events_sliding_windows",
+    """WITH offs AS (SELECT unnest(generate_series(0, 1)) AS k),
+w AS (
+  SELECT e.event_id, e.event_type,
+         epoch(date_trunc('hour', e.ts - INTERVAL 30 MINUTE * o.k))::bigint
+           + o.k * 0 + epoch(INTERVAL 30 MINUTE * o.k)::bigint AS win_start
+  FROM events e CROSS JOIN offs o
+  WHERE epoch(e.ts) >= epoch(date_trunc('hour', e.ts - INTERVAL 30 MINUTE * o.k))
+          + epoch(INTERVAL 30 MINUTE * o.k))
+SELECT win_start, event_type, count(*) AS n
+FROM w GROUP BY win_start, event_type""",
+)
+def q_events_sliding_windows(spark, sf_dir):
+    """SLIDING event-time windows (1h window, 30min slide — the streaming
+    window shape beyond tumbling; F.window slideDuration): each event lands
+    in 2 overlapping windows; gate keys on the window start epoch."""
+    ev = _read(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("double")
+            .cast("bigint").alias("win_start"),
+            "event_type", "n",
+        )
+    )
+
+
+@register(
+    "sql_percentiles",
+    f"""SELECT o_orderpriority,
+       {SR('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+       {SR('quantile_cont(o_totalprice, 0.5)', 4)} AS p50,
+       {SR('quantile_cont(o_totalprice, 0.75)', 4)} AS p75,
+       {SR('quantile_cont(o_totalprice, 0.9)', 4)} AS p90
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_sql_percentiles(spark, sf_dir):
+    """Exact continuous percentiles (the zonal/summary quantile menu —
+    PERCENTILE_CONT linear interpolation, identical convention in Spark
+    percentile() and DuckDB quantile_cont)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        R(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        R(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        R(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        R(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+    )
