@@ -3420,3 +3420,84 @@ def q_sql_percentiles(spark, sf_dir):
         R(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
         R(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
     )
+
+
+# ===========================================================================
+# 25. SQL-surface parity tail: string funcs, date parts, pivot
+# ===========================================================================
+
+@register(
+    "sql_string_funcs",
+    """SELECT o_orderkey,
+       upper(o_orderpriority) AS up,
+       lower(o_orderstatus) AS lo,
+       replace(o_orderpriority, '-', '_') AS rep,
+       lpad(o_orderkey::varchar, 8, '0') AS padded,
+       substring(o_orderpriority, 3, 3) AS sub,
+       strpos(o_orderpriority, '-')::int AS dash_at
+FROM orders WHERE o_orderkey % 17 = 0""",
+)
+def q_sql_string_funcs(spark, sf_dir):
+    """swq/SQLite string function reach (UPPER/LOWER/REPLACE/LPAD/SUBSTR/
+    INSTR — ogr/ogrsqlitesqlfunctions.cpp + swq scalar menu) as native
+    Catalyst expressions."""
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("up"),
+        F.lower("o_orderstatus").alias("lo"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("rep"),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("padded"),
+        F.substring("o_orderpriority", 3, 3).alias("sub"),
+        F.instr(F.col("o_orderpriority"), "-").cast("int").alias("dash_at"),
+    )
+
+
+@register(
+    "sql_date_parts",
+    """SELECT year(o_orderdate)::int AS y, month(o_orderdate)::int AS m,
+       count(*) AS n,
+       min(day(o_orderdate))::int AS min_day,
+       max(dayofyear(o_orderdate))::int AS max_doy
+FROM orders GROUP BY 1, 2""",
+)
+def q_sql_date_parts(spark, sf_dir):
+    """Date-part extraction menu (OGR date/time field semantics,
+    ogr_swq date handling): year/month/day/dayofyear group rollup."""
+    o = _read(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.dayofmonth("o_orderdate")).alias("min_day"),
+        F.max(F.dayofyear("o_orderdate")).alias("max_doy"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register(
+    "events_type_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::bigint AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def q_events_type_pivot(spark, sf_dir):
+    """PIVOT/crosstab: per-user event-type counts as columns (the report
+    shape of ExecuteSQL consumers) — conditional partial-agg sums, one
+    shuffle."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                f"n_{t}"
+            )
+            for t in _EVENT_TYPES
+        ]
+    )
