@@ -3501,3 +3501,32 @@ def q_events_type_pivot(spark, sf_dir):
             for t in _EVENT_TYPES
         ]
     )
+
+
+# ===========================================================================
+# 26. The north-star flagship as a VALUE-VERIFIED gate: PIP spatial join +
+#     XYZ tile assignment + quadkey, full output
+# ===========================================================================
+
+@register(
+    "flagship_pip_tiles",
+    sql_pip_cte()
+    + f"""
+SELECT p.o_orderkey, pip.poly_id,
+       {TM.sql_tile_x('p.lon', Z_ASSIGN)} AS tx,
+       {TM.sql_tile_y_xyz('p.lat', Z_ASSIGN)} AS ty,
+       {TM.sql_quadkey(TM.sql_tile_x('p.lon', Z_ASSIGN), TM.sql_tile_y_xyz('p.lat', Z_ASSIGN), Z_ASSIGN)} AS quadkey
+FROM pts p LEFT JOIN pip USING (o_orderkey)""",
+)
+def q_flagship_pip_tiles(spark, sf_dir):
+    """THE north-star query, value-verified end-to-end: which polygon
+    contains each page (left first-match PIP, broadcast map-only) and which
+    z12 tile + quadkey it lands in — every output column checked against
+    the crossing-number + tile-math oracle."""
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(
+        pts, polygons_df(spark), how="left", first_match=True
+    )
+    return TL.assign_tiles(joined, zoom=Z_ASSIGN).select(
+        "o_orderkey", "poly_id", "tx", "ty", "quadkey"
+    )
