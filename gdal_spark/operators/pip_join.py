@@ -294,6 +294,13 @@ def pip_join_cells(
     """
     spark = points.sparkSession
     pts = points
+    if first_match:
+        # Compact surrogate key for the first-match reduction: grouping on
+        # every point column would shuffle-key the full row (text/html-width
+        # columns at 100 TB) — a scale-killer. A 64-bit id keeps the
+        # aggregate key 8 bytes; the payload columns ride as first() aggs
+        # (all values within a group are identical by construction).
+        pts = pts.withColumn("_pip_rid", F.monotonically_increasing_id())
     tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
     pts = pts.withColumn("cell_tx", tx).withColumn("cell_ty", ty)
 
@@ -365,8 +372,20 @@ def pip_join_cells(
         .drop("cell_tx", "cell_ty", "_salt")
     )
     if first_match:
-        result = result.groupBy(*points.columns).agg(F.min("poly_id").alias("poly_id"))
+        result = _first_match_reduce(result, points.columns)
     return result
+
+
+def _first_match_reduce(matched: DataFrame, point_cols: list) -> DataFrame:
+    """min(poly_id) per input point, keyed on the compact surrogate id
+    (``_pip_rid``) rather than the full point row — the aggregate shuffle
+    moves an 8-byte key; wide payload columns travel as values only and
+    collapse map-side (partial aggregation) before the exchange."""
+    aggs = [F.first(c).alias(c) for c in point_cols]
+    aggs.append(F.min("poly_id").alias("poly_id"))
+    return (
+        matched.groupBy("_pip_rid").agg(*aggs).select(*point_cols, "poly_id")
+    )
 
 
 def pip_join_cells_compact(
@@ -408,9 +427,14 @@ def pip_join_cells_compact(
         cover_rows, "poly_id long, cell_z int, cell_tx int, cell_ty int"
     )
 
+    pts_in = points
+    if first_match:
+        # Compact key BEFORE the per-level explode so all of a row's
+        # candidate matches share one 8-byte id (see _first_match_reduce).
+        pts_in = pts_in.withColumn("_pip_rid", F.monotonically_increasing_id())
     tx, ty = TM.lonlat_to_tile(F.col(lon), F.col(lat), zoom)
     pts = (
-        points.withColumn("_tx", tx)
+        pts_in.withColumn("_tx", tx)
         .withColumn("_ty", ty)
         .withColumn("cell_z", F.explode(F.sequence(F.lit(0), F.lit(zoom))))
         .withColumn(
@@ -446,7 +470,5 @@ def pip_join_cells_compact(
         .drop("cell_z", "cell_tx", "cell_ty")
     )
     if first_match:
-        result = result.groupBy(*points.columns).agg(
-            F.min("poly_id").alias("poly_id")
-        )
+        result = _first_match_reduce(result, points.columns)
     return result

@@ -62,6 +62,40 @@ def test_cells_salted_uses_shuffled_hash_join(spark):
     assert "ShuffledHashJoin" in p
 
 
+def test_pip_first_match_aggregates_on_compact_key(spark):
+    """Library-default first_match must key its reduction on the 8-byte
+    surrogate id (_pip_rid), never the full point row — a wide text column
+    in the grouping key is the 100 TB scale-killer (VERDICT r2 #3)."""
+    import io as _io
+    from contextlib import redirect_stdout as _ro
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators import pip_join as PJ
+
+    pts = spark.range(64).select(
+        F.col("id").alias("i"),
+        (F.pmod(F.col("id") * 37, F.lit(120)) - 60).cast("double").alias("lon"),
+        (F.pmod(F.col("id") * 53, F.lit(160)) / 2 - 40).cast("double").alias("lat"),
+        F.repeat(F.lit("x"), 500).alias("text"),
+    )
+    for out in (
+        PJ.pip_join_cells(pts, polygons_df(spark), zoom=5, first_match=True),
+        PJ.pip_join_cells_compact(pts, polygons_df(spark), zoom=5, first_match=True),
+    ):
+        buf = _io.StringIO()
+        with _ro(buf):
+            out.explain("formatted")
+        p = buf.getvalue()
+        assert "Keys [1]: [_pip_rid" in p
+        assert "text" in p  # column present as payload…
+        # …but never as an aggregate grouping key
+        for line in p.splitlines():
+            if line.strip().startswith("Keys"):
+                assert "text" not in line
+
+
 def test_count_star_reads_no_columns(spark):
     p = _plan(spark, "sql_count_star")
     assert "ReadSchema: struct<>" in p
