@@ -4,10 +4,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Also evidences the north rule's two-cluster-size scaling criterion in-sandbox
 (per driver instruction): the flagship spatial-join + tile-assignment job is
-run at local[N] and local[4N] on the same input (default 1→4, inside this
-VM's linear region — see BENCH.md §2) as 5 INTERLEAVED (N, 4N) pairs;
-throughput at both levels plus the median per-pair scaling efficiency
-(throughput_4N / (4 × throughput_N)) are reported under "scaling".
+run as INTERLEAVED (N, 4N) pairs — SPARK_GRAFT_SCALE_PAIRS pairs (default 3)
+per recorded pairing, headline = median of ALL per-pair efficiencies
+(throughput_4N / (4 × throughput_N)); no round selection or retry. TWO
+pairings are recorded under "scaling": the driver-named mandated pair
+local[8]→local[32] (reported regardless of value, with the hardware
+calibration context) and the linear-region pair local[1]→local[4]
+(see BENCH.md §2 for why ≥8 active cores measures the hypervisor).
 
 Usage: python bench.py [--skip-scaling]
 """
@@ -190,56 +193,70 @@ def main():
             time.sleep(1)
             return t, n_rows
 
-        # INTERLEAVED pairs: this VM's aggregate CPU throughput drifts on
-        # minute scales (hypervisor neighbors); measuring all-N then all-4N
-        # lets a drift phase bias the ratio. Back-to-back (N, 4N) pairs hit
-        # both levels in the same machine phase; the median of per-pair
-        # efficiencies is robust to outlier phases. The VM also has outright
-        # STORM phases (minutes-long, every wall time 2-3x, even 1-core
-        # numpy — calibration in BENCH.md §2): a round measured inside one
-        # measures the hypervisor, not the engine, so up to 3 rounds run,
-        # stopping at the first healthy one; EVERY round's raw pairs are
-        # disclosed in the output.
-        n_cores, n4_cores = SCALE_N, 4 * SCALE_N
-        n_rows = SCALE_ROWS
-        rounds = []
-        best = None  # (eff, pairs, thr_n_med, thr_4n_med)
-        for attempt in range(3):
-            pairs = []
-            thr_n_all, thr_4n_all = [], []
-            for _ in range(3):
+        def _median(xs):
+            s = sorted(xs)
+            m = len(s) // 2
+            return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+        def _measure_pair(n_cores: int, n4_cores: int, n_pairs: int) -> dict:
+            """INTERLEAVED (N, 4N) pairs: this VM's aggregate CPU throughput
+            drifts on minute scales (hypervisor neighbors); measuring all-N
+            then all-4N lets a drift phase bias the ratio, while back-to-back
+            pairs hit both levels in the same machine phase. The headline is
+            the MEDIAN of ALL per-pair efficiencies --- every pair is run,
+            every pair is reported, nothing is selected or retried."""
+            pairs, thr_n_all, thr_4n_all = [], [], []
+            ratio = n4_cores / n_cores
+            for _ in range(n_pairs):
                 t_n, n_rows = _one_run(n_cores)
                 t_4n, _ = _one_run(n4_cores)
                 thr_n_all.append(n_rows / t_n)
                 thr_4n_all.append(n_rows / t_4n)
-                pairs.append(round(thr_4n_all[-1] / (4 * thr_n_all[-1]), 3))
-            eff = sorted(pairs)[len(pairs) // 2]
-            rounds.append(pairs)
-            cand = (
-                eff, pairs,
-                sorted(thr_n_all)[1], sorted(thr_4n_all)[1],
-            )
-            if best is None or cand[0] > best[0]:
-                best = cand
-            if eff >= 0.8:
-                break
-            time.sleep(20)  # let the storm phase pass
-        eff, pairs, thr_n_med, thr_4n_med = best
+                pairs.append(round(thr_4n_all[-1] / (ratio * thr_n_all[-1]), 3))
+            return {
+                "n_cores": n_cores,
+                "n4_cores": n4_cores,
+                f"local{n_cores}_docs_per_sec": round(_median(thr_n_all), 1),
+                f"local{n4_cores}_docs_per_sec": round(_median(thr_4n_all), 1),
+                "per_pair_efficiency": pairs,
+                "efficiency_n_to_4n": round(_median(pairs), 3),
+            }
+
+        # Two pairs are recorded every run:
+        #  - scaling_mandated: local[8] -> local[32], the pair the driver
+        #    instruction names. On this VM aggregate CPU is hypervisor-capped
+        #    past ~8 active cores (pure-numpy multiprocess calibration:
+        #    eff(8->32) <= 0.48 with ZERO Spark involved -- BENCH.md section
+        #    2), so this pair bounds engine x host; reported regardless of
+        #    its value.
+        #  - scaling_linear_region: local[SCALE_N] -> local[4*SCALE_N]
+        #    (default 1->4), inside the machine's linear region -- the regime
+        #    the two-cluster-size criterion is meant to observe.
+        n_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "3"))
+        mandated = _measure_pair(8, 32, n_pairs)
+        mandated["note"] = (
+            "driver-named local[8]->local[32] pair; this VM's aggregate CPU "
+            "is hypervisor-capped past ~8 active cores (numpy calibration "
+            "eff(8->32) <= 0.48 without Spark - BENCH.md section 2), so this "
+            "pair bounds engine x host, not the engine alone"
+        )
+        linear = _measure_pair(SCALE_N, 4 * SCALE_N, n_pairs)
         scaling = {
             "scale_rows": SCALE_ROWS,
-            "n_cores": n_cores,
-            "n4_cores": n4_cores,
-            "repeats": (
-                "interleaved (N,4N) pairs, median per-pair efficiency; up to "
-                "3 rounds (stops at first healthy one; storm phases measure "
-                "the hypervisor, not the engine - see BENCH.md \u00a72)"
+            "methodology": (
+                "interleaved (N,4N) pairs; headline = median of ALL "
+                "per-pair efficiencies (no round selection, no retry)"
             ),
-            f"local{n_cores}_docs_per_sec": round(thr_n_med, 1),
-            f"local{n4_cores}_docs_per_sec": round(thr_4n_med, 1),
-            "per_pair_efficiency": pairs,
-            "all_rounds": rounds,
-            "efficiency_n_to_4n": eff,
+            "scaling_mandated": mandated,
+            "scaling_linear_region": linear,
         }
+        # top-level fields mirror the linear-region pair (the criterion's
+        # regime), keeping the r1/r2 JSON shape readable
+        for k in ("n_cores", "n4_cores", "per_pair_efficiency",
+                  "efficiency_n_to_4n",
+                  f"local{SCALE_N}_docs_per_sec",
+                  f"local{4 * SCALE_N}_docs_per_sec"):
+            scaling[k] = linear[k]
     else:
         spark.stop()
 
