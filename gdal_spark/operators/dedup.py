@@ -462,7 +462,20 @@ def connected_components(
     labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
         "lbl", F.col("id")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # Per-round lifecycle: each round persists its labels and unpersists the
+    # previous round's blocks once the next round is materialized (the
+    # curve_rank materialize-then-unpersist pattern) — long sessions no
+    # longer accumulate one block set per round. Lineage is truncated with a
+    # localCheckpoint every _TRUNC_EVERY rounds, so at most
+    # ceil(rounds/_TRUNC_EVERY) checkpoint block sets are left to the
+    # ContextCleaner instead of one per round. _TRUNC_EVERY must stay small:
+    # each round references `labels` TWICE (neighbor-min + the update join),
+    # so the un-truncated logical plan doubles per round — 2^_TRUNC_EVERY
+    # leaf references is the depth cap.
+    _TRUNC_EVERY = 4
+    prev = None  # previous round's persisted labels (explicitly freed)
+    converged = False
+    for rnd in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["v"] == labels["id"])
             .groupBy("u")
@@ -476,24 +489,38 @@ def connected_components(
                     F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
+            .count()  # materializes new_labels into its persist blocks
         )
-        labels = new_labels
+        if prev is not None:
+            prev.unpersist()
+        prev = labels = new_labels
         if changed == 0:
+            converged = True
             break
-    else:
+        if (rnd + 1) % _TRUNC_EVERY == 0:
+            labels = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            prev = None
+    if not converged:
         edges.unpersist()
+        if prev is not None:
+            prev.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the budget); pass a larger max_iter"
         )
     edges.unpersist()
+    if prev is not None:
+        # final snapshot: downstream reads labels twice (sizes + join);
+        # checkpoint once and free the last round's persist blocks
+        labels = labels.localCheckpoint(eager=True)
+        prev.unpersist()
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         F.col("id").alias("doc_id"),

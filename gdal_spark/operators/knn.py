@@ -35,7 +35,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from gdal_spark.spatial import geometry as G
 from gdal_spark.spatial import tilemath as TM
@@ -276,6 +282,7 @@ def knn_cell_join_adaptive(
     lon: str = "lon",
     lat: str = "lat",
     include_self: bool = False,
+    on_capped: str = "error",
 ) -> DataFrame:
     """Expanding k-ring kNN — the distributed analog of the reference's
     expanding quadtree window (alg/gdalgrid.cpp:905+, cpl_quad_tree.cpp:
@@ -299,8 +306,15 @@ def knn_cell_join_adaptive(
       rectangle. The final window top-k over the union is therefore EXACT
       (Mercator's sec(lat) anisotropy is handled by construction, not by a
       heuristic additive margin). Queries that never reach k candidates
-      within max_ring return their best-effort set (documented cap).
+      within max_ring get no phase-2 exactness guarantee; ``on_capped``
+      controls what happens to them: ``"error"`` (default) raises so a
+      silent best-effort result can never masquerade as exact, ``"flag"``
+      returns them with a boolean ``exact`` column (False for capped
+      queries, True otherwise — the column is always present in flag mode
+      so the schema is deterministic).
     """
+    if on_capped not in ("error", "flag"):
+        raise ValueError("on_capped must be 'error' or 'flag'")
     spark = points.sparkSession
     out_cols = ["query_id", "neighbor_id", "rank", "dist_m"]
     n_cells = 1 << zoom
@@ -385,17 +399,34 @@ def knn_cell_join_adaptive(
     if collected is None:  # empty query set
         pts.unpersist()
         todo.unpersist()
-        schema = StructType(
-            [
-                StructField("query_id", LongType()),
-                StructField("neighbor_id", LongType()),
-                StructField("rank", LongType()),
-                StructField("dist_m", DoubleType()),
-            ]
-        )
-        return spark.createDataFrame([], schema)
+        fields = [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("rank", LongType()),
+            StructField("dist_m", DoubleType()),
+        ]
+        if on_capped == "flag":
+            fields.append(StructField("exact", BooleanType()))
+        return spark.createDataFrame([], StructType(fields))
 
-    # stragglers that hit the max_ring cap: best-effort (no phase-2 bound)
+    # stragglers that hit the max_ring cap have no phase-2 exactness bound:
+    # raise (default) or mark them, never return silent best-effort rows
+    capped = None
+    if n_todo > 0:
+        if on_capped == "error":
+            pts.unpersist()
+            todo.unpersist()
+            raise RuntimeError(
+                f"{n_todo} queries did not reach k={k} candidates within "
+                f"max_ring={max_ring}; their results would be best-effort. "
+                "Raise max_ring/lower zoom, or pass on_capped='flag' to get "
+                "them with exact=false."
+            )
+        capped = (
+            todo.select("query_id")
+            .withColumn("_capped", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
     qstate = todo.withColumn("_probed", F.lit(min(max(hi // 2, 1), max_ring)))
     for part in done_parts:
         qstate = qstate.unionByName(part)
@@ -458,6 +489,15 @@ def knn_cell_join_adaptive(
         .filter(F.col("rank") <= k)
         .select(*out_cols)
     )
+    if on_capped == "flag":
+        if capped is not None:
+            out = (
+                out.join(F.broadcast(capped), "query_id", "left")
+                .withColumn("exact", F.col("_capped").isNull())
+                .drop("_capped")
+            )
+        else:
+            out = out.withColumn("exact", F.lit(True))
     # materialize before unpersisting the inputs the plan references
     out = out.localCheckpoint(eager=True)
     pts.unpersist()

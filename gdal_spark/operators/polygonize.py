@@ -35,13 +35,17 @@ def polygonize(
     """Polygonize a cell table (one row per pixel). ``width`` is the grid
     width used to derive the scalar cell id (y*width + x); defaults to
     max(x)+1 computed from the data (one tiny aggregate). ``cc_max_iter``
-    bounds the label-propagation rounds (default 8×width — one hop per
-    round, so serpentine regions longer than that raise instead of being
-    silently split)."""
-    if width is None:
-        width = cells.agg(F.max(x)).first()[0] + 1
-    if cc_max_iter is None:
-        cc_max_iter = max(8 * int(width), 64)
+    bounds the label-propagation rounds; min-label propagation advances one
+    hop per round and a serpentine region's diameter can approach the CELL
+    COUNT (not the width), so the safe default is width×height. Convergence
+    exits early, so the budget only costs rounds when a region actually
+    needs them — pass a smaller ``cc_max_iter`` to fail fast instead."""
+    if width is None or cc_max_iter is None:
+        ext = cells.agg(F.max(x).alias("mx"), F.max(y).alias("my")).first()
+        if width is None:
+            width = ext["mx"] + 1
+        if cc_max_iter is None:
+            cc_max_iter = max(int(width) * (int(ext["my"]) + 1), 64)
     c = cells.select(
         (F.col(y) * width + F.col(x)).alias("cid"),
         F.col(x).alias("_x"), F.col(y).alias("_y"),

@@ -111,8 +111,14 @@ def sql_ws_token_count(text_expr: str) -> str:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish token count via regexp matches (letters|digits|punct)."""
-    return F.size(F.expr(f"regexp_extract_all(text, '{BPE_TOKEN_PATTERN}', 0)")).cast("long")
+    """BPE-ish token count via regexp matches (letters|digits|punct).
+
+    Operates on the Column argument itself (a previous version built the
+    expression with a hardcoded ``text`` column name, silently miscounting
+    on any renamed column)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    ).cast("long")
 
 
 def sql_bpe_token_count(text_expr: str) -> str:
@@ -127,8 +133,11 @@ STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"]
 
 
 def _count_word(text: Column, w: str) -> Column:
-    # word-boundary count via regexp; \\b is identical in Java and RE2.
-    return F.size(F.expr(f"regexp_extract_all(lower(text), '\\\\b{w}\\\\b', 0)"))
+    # word-boundary count via regexp; \b is identical in Java and RE2.
+    # Column-based (not F.expr) so renamed text columns count correctly.
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(f"\\b{w}\\b"), F.lit(0))
+    )
 
 
 def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
@@ -143,7 +152,7 @@ def quality_columns(df: DataFrame, text: str = "text") -> DataFrame:
     t = F.col(text)
     n_chars = F.length(t)
     n_tokens = ws_token_count(t)
-    n_punct = F.size(F.expr(f"regexp_extract_all({text}, '[^A-Za-z0-9 ]', 0)"))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9 ]"), F.lit(0)))
     stop_hits = None
     for w in STOPWORDS:
         c = _count_word(t, w)

@@ -163,3 +163,35 @@ def test_adaptive_knn_empty_queries(spark):
     out = knn_cell_join_adaptive(pts, queries, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "rank", "dist_m"]
+
+
+def test_adaptive_knn_capped_raises_or_flags(spark):
+    """A query that cannot reach k candidates within max_ring must never
+    return silent best-effort rows: default raises; on_capped='flag'
+    returns the rows with exact=False (satisfied queries get exact=True)."""
+    import pytest
+
+    from gdal_spark.operators.knn import knn_cell_join_adaptive
+
+    # 3 points total; k=5 is unreachable for every query — and max_ring=1
+    # stops the expansion immediately
+    pts = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.1), (2, 80.0, -40.0)],
+        "i long, lon double, lat double",
+    )
+    queries = spark.createDataFrame(
+        [(0, 10.0, 10.0)], "query_id long, lon double, lat double"
+    )
+    with pytest.raises(RuntimeError, match="best-effort"):
+        knn_cell_join_adaptive(pts, queries, k=5, zoom=6, max_ring=1)
+    out = knn_cell_join_adaptive(
+        pts, queries, k=5, zoom=6, max_ring=1, on_capped="flag"
+    ).collect()
+    assert len(out) > 0
+    assert all(r["exact"] is False for r in out)
+
+    # satisfied queries under flag mode carry exact=True
+    ok = knn_cell_join_adaptive(
+        pts, queries, k=2, zoom=2, max_ring=8, on_capped="flag"
+    ).collect()
+    assert len(ok) == 2 and all(r["exact"] is True for r in ok)

@@ -43,3 +43,24 @@ def test_polygonize_diagonal_cells_are_separate(spark):
     rows = [(0, 0, 5), (1, 1, 5)]
     out = polygonize(_cells(spark, rows), width=2).collect()
     assert len(out) == 2
+
+
+def test_polygonize_default_budget_scales_with_cell_count(spark, monkeypatch):
+    """The default CC round budget must scale with the CELL COUNT, not the
+    grid width: min-label propagation is 1 hop/round and a serpentine
+    region's diameter is O(width*height) — a tall raster under the old
+    8*width default raised on valid input."""
+    import gdal_spark.operators.polygonize as PZ
+
+    seen = {}
+    real = PZ.connected_components
+
+    def spy(edges, **kw):
+        seen.update(kw)
+        return real(edges, **kw)
+
+    monkeypatch.setattr(PZ, "connected_components", spy)
+    # sparse singletons on a 2-wide × 100-tall grid (fast CC convergence)
+    rows = [(0, y, 1) for y in range(0, 100, 3)] + [(1, 0, 1)]
+    PZ.polygonize(_cells(spark, rows)).collect()
+    assert seen["max_iter"] == 200  # width(2) × height(100)

@@ -60,6 +60,29 @@ def test_token_counts_vs_duckdb(spark, docs):
     assert got == want
 
 
+def test_token_counts_on_renamed_column(spark, docs):
+    """Regression: bpe_token_count/_count_word previously hardcoded the
+    column name 'text' inside F.expr — counting on a renamed column
+    silently used the wrong (or missing) column."""
+    renamed = docs.select("doc_id", F.col("text").alias("body"))
+    got = {
+        r["doc_id"]: r["bpe"]
+        for r in renamed.select(
+            "doc_id", T.bpe_token_count(F.col("body")).alias("bpe")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["bpe"]
+        for r in docs.select(
+            "doc_id", T.bpe_token_count(F.col("text")).alias("bpe")
+        ).collect()
+    }
+    assert got == want
+    # quality_columns on the renamed column must also work end-to-end
+    q = T.quality_columns(renamed, text="body")
+    assert q.filter(F.col("q_score").isNull()).count() == 0
+
+
 def test_quality_vs_duckdb(spark, docs):
     frags = T.sql_quality_select("text")
     sql = "SELECT doc_id, " + ", ".join(
