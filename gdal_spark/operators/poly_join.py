@@ -276,3 +276,133 @@ def layer_erase_area_rect(
         .withColumn("erased_area", F.coalesce("erased_area", F.lit(0.0)))
         .withColumn("remaining_area", F.col("area") - F.col("erased_area"))
     )
+
+
+def layer_erase_parts_rect(
+    a: DataFrame, b: DataFrame,
+    id_a: str = "poly_id", id_b: str = "poly_id", rings_a: str = "rings",
+) -> DataFrame:
+    """GEOMETRIC Erase(A, B) for an axis-rect B layer with interior-disjoint
+    features (OGRLayer::Erase, ogrlayer.cpp:7847): every A feature is erased
+    by each envelope-intersecting rect via the 4-slab difference kernel
+    (geometry.erase_rings_rect), iterating over the produced parts. B is a
+    dimension (collected + broadcast); A streams through one map-only
+    mapInPandas stage — no shuffle, linear in A at 100 TB. Output one row
+    per surviving A feature: (id_a, remaining_area, n_parts)."""
+    spark = a.sparkSession
+    rects = sorted(
+        (int(r[id_b]), float(r["xmin"]), float(r["ymin"]),
+         float(r["xmax"]), float(r["ymax"]))
+        for r in b.select(id_b, "xmin", "ymin", "xmax", "ymax").collect()
+    )
+    bc = spark.sparkContext.broadcast(rects)
+    src = a.select(F.col(id_a).alias("id_a"), F.col(rings_a).alias("_rings"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        boxes = bc.value
+        for pdf in batches:
+            ids, rem, nparts = [], [], []
+            for pid, rings in zip(pdf["id_a"], pdf["_rings"]):
+                parts = [G.rings_to_numpy(rings)]
+                for (_rid, bx0, by0, bx1, by1) in boxes:
+                    nxt = []
+                    for p in parts:
+                        e = G.rings_envelope(p)
+                        if (e[2] <= bx0 or e[0] >= bx1
+                                or e[3] <= by0 or e[1] >= by1):
+                            nxt.append(p)  # no interior overlap: untouched
+                        else:
+                            nxt.extend(
+                                G.erase_rings_rect(p, bx0, by0, bx1, by1)
+                            )
+                    parts = nxt
+                    if not parts:
+                        break
+                area = float(sum(G.rings_area(p) for p in parts))
+                if parts and area > 0.0:
+                    ids.append(pid)
+                    rem.append(area)
+                    nparts.append(len(parts))
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(ids, dtype="int64"),
+                    "remaining_area": pd.Series(rem, dtype="float64"),
+                    "n_parts": pd.Series(nparts, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(run, "id_a long, remaining_area double, n_parts int")
+
+
+OVERLAY_OPS = ("union", "symdifference", "identity", "update")
+
+
+def layer_overlay_rect(
+    a: DataFrame, b: DataFrame, op: str, zoom: int = 5,
+    id_a: str = "poly_id", id_b: str = "poly_id", rings_a: str = "rings",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Layer-algebra overlay family against an axis-rect method layer B with
+    mutually interior-disjoint features — OGRLayer::Union (ogrlayer.cpp:
+    5804), ::SymDifference (:6341), ::Identity (:6771), ::Update (:7189).
+    GDAL's per-feature driver loop is re-expressed as set algebra over the
+    distributed intersection join:
+
+      union          = (A∩B_i pairs) ∪ (A − ∪B) ∪ (B − ∪A)
+      symdifference  = (A − ∪B) ∪ (B − ∪A)
+      identity       = (A∩B_i pairs) ∪ (A − ∪B)
+      update         = (A − ∪B) ∪ B            (B features pass unchanged)
+
+    A-side remainders come from the GEOMETRIC erase kernel (4-slab
+    difference parts, layer_erase_parts_rect) — not arithmetic — so an
+    interval-math oracle independently cross-checks the kernel. B-side
+    remainders use area(B) − Σ area(A∩B_i), exact when A's features are
+    interior-disjoint (the coverage contract, documented). Output rows:
+    (cls, id_a, id_b, area) with -1 for the absent side's id (sentinel
+    instead of NULL so cross-engine hashing stays dtype-stable); rows with
+    area <= eps are dropped on BOTH engines (eps guards last-ulp float
+    disagreement on fully-covered features, far below any real fixture
+    area)."""
+    if op not in OVERLAY_OPS:
+        raise ValueError(f"op must be one of {OVERLAY_OPS}")
+    inter = layer_intersection_rect(a, b, zoom, id_a, id_b, rings_a)
+    both = inter.select(
+        F.lit("both").alias("cls"), "id_a", "id_b",
+        F.col("inter_area").alias("area"),
+    )
+    a_rem = layer_erase_parts_rect(a, b, id_a, id_b, rings_a)
+    a_only = a_rem.filter(F.col("remaining_area") > eps).select(
+        F.lit("a_only").alias("cls"), "id_a",
+        F.lit(-1).cast("long").alias("id_b"),
+        F.col("remaining_area").alias("area"),
+    )
+    b_areas = b.select(
+        F.col(id_b).alias("id_b"),
+        ((F.col("xmax") - F.col("xmin"))
+         * (F.col("ymax") - F.col("ymin"))).alias("_ba"),
+    )
+    if op == "update":
+        b_side = b_areas.select(
+            F.lit("b_update").alias("cls"),
+            F.lit(-1).cast("long").alias("id_a"),
+            "id_b", F.col("_ba").alias("area"),
+        )
+    else:
+        cut_b = inter.groupBy("id_b").agg(F.sum("inter_area").alias("_cb"))
+        b_side = (
+            b_areas.join(cut_b, "id_b", "left")
+            .withColumn("_rem", F.col("_ba") - F.coalesce("_cb", F.lit(0.0)))
+            .filter(F.col("_rem") > eps)
+            .select(
+                F.lit("b_only").alias("cls"),
+                F.lit(-1).cast("long").alias("id_a"),
+                "id_b", F.col("_rem").alias("area"),
+            )
+        )
+    if op == "union":
+        return both.unionByName(a_only).unionByName(b_side)
+    if op == "symdifference":
+        return a_only.unionByName(b_side)
+    if op == "identity":
+        return both.unionByName(a_only)
+    return a_only.unionByName(b_side)  # update

@@ -2300,6 +2300,88 @@ def q_overlay_erase(spark, sf_dir):
     )
 
 
+# --- overlay family completion: Union / SymDifference / Identity / Update
+#     (ogrlayer.cpp:5804, 6341, 6771, 7189) --------------------------------
+
+# Interior-disjoint probe-rect subset (pairwise interiors disjoint; touching
+# edges allowed): equals-cell, within-cell, corner-touch, 4-cell overlap,
+# far-disjoint, edge-touch — every overlay class is exercised.
+_OVERLAY_B_IDS = (1000, 1001, 1004, 1005, 1006, 1009)
+
+
+def _sql_overlay(op: str) -> str:
+    b_recs = [r for r in polygon_records_b() if r["poly_id"] in _OVERLAY_B_IDS]
+    classes = {
+        "union": "SELECT * FROM both_rows UNION ALL SELECT * FROM a_only "
+                 "UNION ALL SELECT * FROM b_only",
+        "symdifference": "SELECT * FROM a_only UNION ALL SELECT * FROM b_only",
+        "identity": "SELECT * FROM both_rows UNION ALL SELECT * FROM a_only",
+        "update": "SELECT * FROM a_only UNION ALL SELECT * FROM b_update",
+    }[op]
+    return f"""
+WITH a(id_a, axmin, aymin, axmax, aymax) AS ({_envelope_values(polygon_records()[:64], 'id_a')}),
+b(id_b, bxmin, bymin, bxmax, bymax) AS ({_envelope_values(b_recs, 'id_b')}),
+j AS (
+  SELECT id_a, id_b,
+         greatest(0.0, least(axmax, bxmax) - greatest(axmin, bxmin))
+       * greatest(0.0, least(aymax, bymax) - greatest(aymin, bymin)) AS ia
+  FROM a CROSS JOIN b),
+both_rows AS (SELECT 'both' AS cls, id_a, id_b, ia AS area FROM j WHERE ia > 0),
+cuta AS (SELECT id_a, sum(ia) AS e FROM j GROUP BY id_a),
+cutb AS (SELECT id_b, sum(ia) AS e FROM j GROUP BY id_b),
+a_only AS (
+  SELECT 'a_only' AS cls, id_a, (-1)::bigint AS id_b,
+         (axmax - axmin) * (aymax - aymin) - coalesce(e, 0.0) AS area
+  FROM a LEFT JOIN cuta USING (id_a)
+  WHERE (axmax - axmin) * (aymax - aymin) - coalesce(e, 0.0) > 1e-9),
+b_only AS (
+  SELECT 'b_only' AS cls, (-1)::bigint AS id_a, id_b,
+         (bxmax - bxmin) * (bymax - bymin) - coalesce(e, 0.0) AS area
+  FROM b LEFT JOIN cutb USING (id_b)
+  WHERE (bxmax - bxmin) * (bymax - bymin) - coalesce(e, 0.0) > 1e-9),
+b_update AS (
+  SELECT 'b_update' AS cls, (-1)::bigint AS id_a, id_b,
+         (bxmax - bxmin) * (bymax - bymin) AS area FROM b)
+SELECT cls, id_a, id_b, {SR('area', 6)} AS area FROM ({classes})"""
+
+
+def _q_overlay(spark, op):
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    b = polygons_b_df(spark).filter(F.col("poly_id").isin(*_OVERLAY_B_IDS))
+    out = PJ.layer_overlay_rect(a, b, op, zoom=5)
+    return out.select("cls", "id_a", "id_b", R("area", 6).alias("area"))
+
+
+@register("overlay_union", _sql_overlay("union"))
+def q_overlay_union(spark, sf_dir):
+    """Layer Union (ogrlayer.cpp:5804): A∩B pieces + A−∪B remainders
+    (GEOMETRIC 4-slab erase kernel) + B−∪A remainders, as set algebra over
+    the distributed intersection join. The interval oracle independently
+    cross-checks the erase kernel's remaining areas."""
+    return _q_overlay(spark, "union")
+
+
+@register("overlay_symdiff", _sql_overlay("symdifference"))
+def q_overlay_symdiff(spark, sf_dir):
+    """Layer SymDifference (ogrlayer.cpp:6341): both remainders, no
+    intersection pieces."""
+    return _q_overlay(spark, "symdifference")
+
+
+@register("overlay_identity", _sql_overlay("identity"))
+def q_overlay_identity(spark, sf_dir):
+    """Layer Identity (ogrlayer.cpp:6771): input-layer geometry split by the
+    method layer — A∩B pieces + A−∪B remainders only."""
+    return _q_overlay(spark, "identity")
+
+
+@register("overlay_update", _sql_overlay("update"))
+def q_overlay_update(spark, sf_dir):
+    """Layer Update (ogrlayer.cpp:7189): method-layer features replace the
+    overlapped parts of A — A−∪B remainders + B features unchanged."""
+    return _q_overlay(spark, "update")
+
+
 @register("pip_cells_compact", _PIP_ORACLE)
 def q_pip_cells_compact(spark, sf_dir):
     """Compacted-cover PIP join (H3-compact analog on the tile quadtree):

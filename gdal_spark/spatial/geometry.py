@@ -545,6 +545,37 @@ def clip_rings_rect(rings: list[np.ndarray], xmin: float, ymin: float,
     return out
 
 
+def erase_rings_rect(rings: list[np.ndarray], xmin: float, ymin: float,
+                     xmax: float, ymax: float) -> list[list[np.ndarray]]:
+    """Difference polygon − axis box as a list of INTERIOR-DISJOINT polygon
+    parts, by clipping against the 4-slab decomposition of the box
+    complement (west/east slabs full-height of the polygon envelope,
+    south/north strips within the box's x-span). The slabs partition the
+    envelope outside the box, so Σ area(parts) + area(polygon ∩ box) =
+    area(polygon) exactly. Reference semantics: OGRGeometry::Difference
+    (ogr/ogrgeometry.cpp:5748) restricted to rectangular subtrahends — the
+    GEOS representation would be a holed/multi polygon; the slab partition
+    covers the same point set, which is what area/PIP consumers observe."""
+    exmin, eymin, exmax, eymax = rings_envelope(rings)
+    slabs = []
+    if exmin < xmin:
+        slabs.append((exmin, eymin, xmin, eymax))
+    if exmax > xmax:
+        slabs.append((xmax, eymin, exmax, eymax))
+    sx0, sx1 = max(exmin, xmin), min(exmax, xmax)
+    if sx0 < sx1:
+        if eymin < ymin:
+            slabs.append((sx0, eymin, sx1, ymin))
+        if eymax > ymax:
+            slabs.append((sx0, ymax, sx1, eymax))
+    parts = []
+    for (x0, y0, x1, y1) in slabs:
+        c = clip_rings_rect(rings, x0, y0, x1, y1)
+        if c and rings_area(c) > 0.0:
+            parts.append(c)
+    return parts
+
+
 def rings_area(rings: list[np.ndarray]) -> float:
     """|shoelace(exterior)| − Σ|shoelace(holes)| (planar area)."""
     total = 0.0

@@ -155,3 +155,59 @@ def test_clip_to_rect_dataframe(spark):
     assert 66 in rows and rows[66]["n_rings"] == 2  # hole survives
     assert 64 not in rows  # hexagon outside window
     assert all(r["clip_area"] > 0 for r in rows.values())
+
+
+def test_erase_rings_rect_partition_invariant():
+    """Σ area(erase parts) + area(clip) == area(polygon) for boxes inside,
+    overlapping, containing, and disjoint from the polygon (incl. a holed
+    polygon) — the exactness contract of the 4-slab decomposition."""
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    def ring(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+
+    holed = [ring(0, 0, 10, 10), ring(3, 3, 5, 5)[::-1].copy()]
+    boxes = [
+        (2, 2, 6, 6),       # overlaps the hole
+        (-1, -1, 11, 11),   # contains everything -> no parts
+        (20, 20, 30, 30),   # disjoint -> parts = original
+        (4, -2, 7, 4),      # straddles the bottom edge
+    ]
+    for bx in boxes:
+        parts = G.erase_rings_rect(holed, *bx)
+        clip = G.clip_rings_rect(holed, *bx)
+        part_area = sum(G.rings_area(p) for p in parts)
+        clip_area = G.rings_area(clip) if clip else 0.0
+        assert part_area + clip_area == pytest.approx(G.rings_area(holed))
+
+
+def test_layer_overlay_rect_classes(spark):
+    """Union must partition area: sum over union classes == area(A) part
+    not covered + covered pieces + B-only — i.e. area(∪A ∪ ∪B) for
+    interior-disjoint A and B layers; symdiff/identity/update are
+    the documented subsets of the same classes."""
+    from gdal_spark.queries import _OVERLAY_B_IDS
+
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    b = polygons_b_df(spark).filter(F.col("poly_id").isin(*_OVERLAY_B_IDS))
+    rows = PJ.layer_overlay_rect(a, b, "union").collect()
+    classes = {r["cls"] for r in rows}
+    assert classes == {"both", "a_only", "b_only"}
+    total = sum(r["area"] for r in rows)
+    # area(∪A) = 64 mosaic cells x (2.0 x 1.5); area(B \ A) from the three
+    # non-overlapping probe rects (corner/edge-touch + far-disjoint)
+    area_a = 64 * 2.0 * 1.5
+    b_free = sum(
+        r["area"] for r in rows if r["cls"] == "b_only"
+    )
+    assert total == pytest.approx(area_a + b_free)
+    sym = PJ.layer_overlay_rect(a, b, "symdifference").collect()
+    assert {r["cls"] for r in sym} == {"a_only", "b_only"}
+    upd = PJ.layer_overlay_rect(a, b, "update").collect()
+    assert {r["cls"] for r in upd} == {"a_only", "b_update"}
+    with pytest.raises(ValueError):
+        PJ.layer_overlay_rect(a, b, "bogus")
