@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "grid_moving_avg",
     "sort_quadkey",
     "knn_adaptive",
+    # round 3 additions
+    "knn_cells_z7",
+    "overlay_union",
+    "overlay_symdiff",
     "geom_point_distance",
     # named-algorithm + curation additions
     "dedup_clusters",

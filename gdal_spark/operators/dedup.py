@@ -165,6 +165,15 @@ def minhash_signatures(
     across the whole Arrow batch with np.minimum.reduceat (no per-doc
     Python loop either). Values are bit-identical to sql_minhash_sig.
     """
+    # Honest parallelism for the compute-heavy sketch stage: a small-file
+    # input (e.g. one parquet row group locally) would otherwise run the
+    # whole shingle+hash+reduce as ONE task. At scale inputs already carry
+    # >= defaultParallelism partitions, so this is a no-op — no shuffle is
+    # ever added to a well-partitioned 100 TB table.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+
     A = np.array([_perm_ab(j)[0] for j in range(num_perm)], dtype=np.int64)
     B = np.array([_perm_ab(j)[1] for j in range(num_perm)], dtype=np.int64)
 
