@@ -223,6 +223,37 @@ def polygons_b_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(polygon_records_b(), schema=POLYGON_SCHEMA)
 
 
+def tjunction_records() -> list[dict]:
+    """NON-edge-matched coverage fixture (FIXTURES §2d): three dissolve
+    groups whose shared boundaries are only PARTIALLY matched — every group
+    contains at least one T-junction (a vertex of one polygon in the
+    interior of a neighbour's edge), so plain edge cancellation fails and
+    coverage noding (clean-coverage analog) is required.
+
+      eas 501: wide rect over two half-width rects  → 4×4 square
+               (area 16, 1 part, 1 ring)
+      eas 502: U/notch of three rects               → area 7, 1 part, 1 ring
+      eas 503: 4 rects ringing a unit hole          → area 8, 1 part, 2 rings
+    """
+    groups = [
+        (501, [_rect(0, 2, 4, 4), _rect(0, 0, 2, 2), _rect(2, 0, 4, 2)]),
+        (502, [_rect(0, 0, 3, 1), _rect(0, 1, 1, 3), _rect(1, 2, 3, 3)]),
+        (503, [_rect(0, 0, 1, 3), _rect(1, 2, 3, 3), _rect(2, 0, 3, 2),
+               _rect(1, 0, 2, 1)]),
+    ]
+    recs = []
+    pid = 5000
+    for eas, rect_list in groups:
+        for rings in rect_list:
+            recs.append(_rec(pid, eas, rings))
+            pid += 1
+    return recs
+
+
+def tjunction_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(tjunction_records(), schema=POLYGON_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # MultiPolygon layer (FIXTURES §2c): features whose geometry is a LIST of
 # polygon parts — including a part with a hole — so the PIP path exercises

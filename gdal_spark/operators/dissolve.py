@@ -43,6 +43,69 @@ def _ring_signed_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def node_coverage_rings(
+    rings_list: list[list[np.ndarray]], snap: float = 0.0,
+) -> list[list[np.ndarray]]:
+    """Coverage NODING — the clean-coverage analog
+    (apps/gdalalg_vector_clean_coverage.cpp): make a coverage with
+    T-junctions edge-matched by (a) optional snap-rounding of every vertex
+    to a ``snap`` grid (stable floor(x/snap + 0.5) rule, 0 = off) and
+    (b) splitting every edge at any OTHER vertex lying on its interior.
+    After noding, a partially-shared boundary becomes pairs of identical
+    sub-edges, so ``union_coverage_rings``' cancellation applies. Crossing
+    edges (a non-coverage input) are NOT handled — same contract as the
+    reference's coverage tooling.
+
+    Cost: per-edge candidate vertices are pruned by the edge bbox; the
+    collinearity test is exact (cross == 0 on snapped coordinates), so no
+    tolerance leaks into the cancellation stage."""
+    arrs: list[list[np.ndarray]] = []
+    verts = set()
+    for rings in rings_list:
+        pr = []
+        for ring in rings:
+            a = np.asarray(ring, dtype=np.float64).copy()
+            if snap > 0.0:
+                a = np.floor(a / snap + 0.5) * snap
+            pr.append(a)
+            for i in range(a.shape[0] - 1):
+                verts.add((float(a[i, 0]), float(a[i, 1])))
+        arrs.append(pr)
+    V = np.array(sorted(verts), dtype=np.float64)
+    out: list[list[np.ndarray]] = []
+    for rings in arrs:
+        new_rings = []
+        for a in rings:
+            pts: list[tuple] = []
+            for i in range(a.shape[0] - 1):
+                p, q = a[i], a[i + 1]
+                pts.append((float(p[0]), float(p[1])))
+                if (p == q).all():
+                    continue
+                xmn, xmx = min(p[0], q[0]), max(p[0], q[0])
+                ymn, ymx = min(p[1], q[1]), max(p[1], q[1])
+                m = (
+                    (V[:, 0] >= xmn) & (V[:, 0] <= xmx)
+                    & (V[:, 1] >= ymn) & (V[:, 1] <= ymx)
+                )
+                cand = V[m]
+                if cand.shape[0] == 0:
+                    continue
+                dx, dy = q[0] - p[0], q[1] - p[1]
+                cross = dx * (cand[:, 1] - p[1]) - dy * (cand[:, 0] - p[0])
+                t = (
+                    (cand[:, 0] - p[0]) * dx + (cand[:, 1] - p[1]) * dy
+                ) / (dx * dx + dy * dy)
+                keep = (cross == 0.0) & (t > 0.0) & (t < 1.0)
+                order = np.argsort(t[keep], kind="stable")
+                for vx, vy in cand[keep][order]:
+                    pts.append((float(vx), float(vy)))
+            pts.append((float(a[-1, 0]), float(a[-1, 1])))
+            new_rings.append(np.array(pts, dtype=np.float64))
+        out.append(new_rings)
+    return out
+
+
 def union_coverage_rings(rings_list: list[list[np.ndarray]]) -> list[np.ndarray]:
     """Union of an edge-matched coverage: list of polygons (each a ring
     list) → union boundary rings (CCW outers, CW holes)."""
@@ -129,13 +192,19 @@ def union_coverage_rings(rings_list: list[list[np.ndarray]]) -> list[np.ndarray]
 
 
 def dissolve_union(
-    df: DataFrame, key: str = "eas_id", rings_col: str = "rings"
+    df: DataFrame, key: str = "eas_id", rings_col: str = "rings",
+    node: bool = False, snap: float = 0.0,
 ) -> DataFrame:
     """Per-key coverage union. Output: (key, n_src, union_area, n_parts,
-    n_rings) — n_parts = CCW outer rings, n_rings includes holes."""
+    n_rings) — n_parts = CCW outer rings, n_rings includes holes.
+    ``node=True`` runs T-junction noding (node_coverage_rings) per group
+    first, accepting coverages whose shared boundaries are only partially
+    matched; ``snap`` additionally snap-rounds vertices to a grid."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rings_list = [G.rings_to_numpy(r) for r in pdf[rings_col]]
+        if node:
+            rings_list = node_coverage_rings(rings_list, snap=snap)
         merged = union_coverage_rings(rings_list)
         areas = [_ring_signed_area(r) for r in merged]
         return pd.DataFrame(

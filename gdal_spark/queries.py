@@ -2409,6 +2409,30 @@ def q_overlay_erase(spark, sf_dir):
     )
 
 
+@register(
+    "dissolve_noded",
+    """SELECT eas_id, n_src, union_area, n_parts, n_rings FROM (VALUES
+  (501::bigint, 3::bigint, 16.0::double, 1::int, 1::int),
+  (502::bigint, 3::bigint,  7.0::double, 1::int, 1::int),
+  (503::bigint, 4::bigint,  8.0::double, 1::int, 2::int)
+) AS t(eas_id, n_src, union_area, n_parts, n_rings)""",
+)
+def q_dissolve_noded(spark, sf_dir):
+    """Dissolve of a NON-edge-matched coverage (VERDICT r2 #8): every group
+    of the T-junction fixture has partially-shared boundaries, so plain
+    edge cancellation cannot dissolve it — node_coverage_rings (the
+    clean-coverage analog, apps/gdalalg_vector_clean_coverage.cpp) splits
+    edges at interior vertices first. Oracle = hand-derived area/part/ring
+    counts of the three unions (square, notch, ring-with-hole)."""
+    from gdal_spark.data.pages import tjunction_df
+
+    out = DV.dissolve_union(tjunction_df(spark), node=True)
+    return out.select(
+        "eas_id", "n_src", R("union_area", 6).alias("union_area"),
+        "n_parts", "n_rings",
+    )
+
+
 # --- overlay family completion: Union / SymDifference / Identity / Update
 #     (ogrlayer.cpp:5804, 6341, 6771, 7189) --------------------------------
 

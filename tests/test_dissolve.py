@@ -72,3 +72,54 @@ def test_union_diagonal_holes_stay_simple():
     for r in rings:
         pts = [tuple(p) for p in r[:-1]]
         assert len(pts) == len(set(pts))  # simple: no repeated vertex
+
+
+def test_node_coverage_splits_t_junction_edges():
+    """A vertex of one polygon on the interior of another's edge must split
+    that edge into matching sub-edges."""
+    import numpy as np
+
+    from gdal_spark.operators.dissolve import node_coverage_rings
+
+    wide = [np.array([[0.0, 2], [4, 2], [4, 4], [0, 4], [0, 2]])]
+    left = [np.array([[0.0, 0], [2, 0], [2, 2], [0, 2], [0, 0]])]
+    noded = node_coverage_rings([wide, left])
+    # wide's bottom edge (0,2)->(4,2) gains the vertex (2,2)
+    assert [tuple(p) for p in noded[0][0]][:3] == [
+        (0.0, 2.0), (2.0, 2.0), (4.0, 2.0)
+    ]
+
+
+def test_node_coverage_snap_rounding():
+    import numpy as np
+
+    from gdal_spark.operators.dissolve import node_coverage_rings
+
+    a = [np.array([[0.0, 0.0], [1.0000004, 0.0], [1.0000004, 1.0],
+                   [0.0, 1.0], [0.0, 0.0]])]
+    b = [np.array([[0.9999996, 0.0], [2.0, 0.0], [2.0, 1.0],
+                   [0.9999996, 1.0], [0.9999996, 0.0]])]
+    noded = node_coverage_rings([a, b], snap=1e-6)
+    # both shared-edge x coordinates snap to the same 1e-6 grid value
+    xs = {round(p[0], 7) for ring in noded for arr in [ring[0]] for p in arr}
+    assert 1.0 in xs and 1.0000004 not in xs and 0.9999996 not in xs
+
+
+def test_dissolve_union_noded_t_fixture(spark):
+    """The T-junction fixture dissolves to the hand-known topology only
+    with node=True; the raw edge-cancellation output has fragmented rings
+    (documented limitation of the un-noded kernel)."""
+    from gdal_spark.data.pages import tjunction_df
+    from gdal_spark.operators.dissolve import dissolve_union
+
+    want = {501: (16.0, 1, 1), 502: (7.0, 1, 1), 503: (8.0, 1, 2)}
+    got = {
+        r["eas_id"]: (r["union_area"], r["n_parts"], r["n_rings"])
+        for r in dissolve_union(tjunction_df(spark), node=True).collect()
+    }
+    assert got == want
+    raw = {
+        r["eas_id"]: r["n_rings"]
+        for r in dissolve_union(tjunction_df(spark)).collect()
+    }
+    assert any(raw[k] != want[k][2] for k in want)
