@@ -28,18 +28,21 @@ from gdal_spark.operators.dedup import connected_components
 from gdal_spark.operators.dissolve import _ring_signed_area, union_coverage_rings
 
 
-def polygonize(
+def label_regions(
     cells: DataFrame, x: str = "gx", y: str = "gy", value: str = "val",
     width: int | None = None, cc_max_iter: int | None = None,
 ) -> DataFrame:
-    """Polygonize a cell table (one row per pixel). ``width`` is the grid
-    width used to derive the scalar cell id (y*width + x); defaults to
-    max(x)+1 computed from the data (one tiny aggregate). ``cc_max_iter``
-    bounds the label-propagation rounds; min-label propagation advances one
-    hop per round and a serpentine region's diameter can approach the CELL
-    COUNT (not the width), so the safe default is width×height. Convergence
-    exits early, so the budget only costs rounds when a region actually
-    needs them — pass a smaller ``cc_max_iter`` to fail fast instead."""
+    """Connected-component region labeling of a cell table (4-adjacency,
+    same value) — the shared first stage of polygonize and the sieve filter.
+    Output: (cid, _x, _y, _v, region_id) with region_id = min cid of the
+    component. ``width`` is the grid width used to derive the scalar cell
+    id (y*width + x); defaults to max(x)+1 computed from the data (one tiny
+    aggregate). ``cc_max_iter`` bounds the label-propagation rounds;
+    min-label propagation advances one hop per round and a serpentine
+    region's diameter can approach the CELL COUNT (not the width), so the
+    safe default is width×height. Convergence exits early, so the budget
+    only costs rounds when a region actually needs them — pass a smaller
+    ``cc_max_iter`` to fail fast instead."""
     if width is None or cc_max_iter is None:
         ext = cells.agg(F.max(x).alias("mx"), F.max(y).alias("my")).first()
         if width is None:
@@ -72,9 +75,18 @@ def polygonize(
         F.col("doc_id").alias("cid"), F.col("cluster_id").alias("region_id")
     )
     # singleton cells (no same-value neighbor) are their own region
-    labeled = c.join(comp, "cid", "left").withColumn(
+    return c.join(comp, "cid", "left").withColumn(
         "region_id", F.coalesce("region_id", F.col("cid"))
     )
+
+
+def polygonize(
+    cells: DataFrame, x: str = "gx", y: str = "gy", value: str = "val",
+    width: int | None = None, cc_max_iter: int | None = None,
+) -> DataFrame:
+    """Polygonize a cell table (one row per pixel): region labeling
+    (label_regions) + per-region boundary-ring tracing."""
+    labeled = label_regions(cells, x, y, value, width, cc_max_iter)
 
     def trace(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = int(pdf["region_id"].iloc[0])

@@ -3385,6 +3385,231 @@ def q_raster_proximity(spark, sf_dir):
 
 
 # ===========================================================================
+# 21b. Raster stencils: sieve / fill-nodata / pansharpen
+#      (alg/gdalsievefilter.cpp, alg/gdalfillnodata.cpp, alg/gdalpansharpen.cpp)
+# ===========================================================================
+
+from gdal_spark.operators import stencil as ST  # noqa: E402
+
+_SIEVE_W = 12
+_SIEVE_THRESHOLD = 3
+
+
+def _sieve_fixture_rows() -> list[tuple[int, int, int]]:
+    """Deterministic 12×12 grid: background 0, two blobs (1, 4), an interior
+    speckle inside blob 1, and three small speckles below the threshold."""
+    rows = []
+    for yy in range(_SIEVE_W):
+        for xx in range(_SIEVE_W):
+            v = 0
+            if 2 <= xx <= 5 and 2 <= yy <= 5:
+                v = 1
+            if 2 <= xx <= 4 and 7 <= yy <= 10:
+                v = 4
+            if (xx, yy) == (3, 3):
+                v = 6          # speckle INSIDE blob 1 → merges into 1
+            if (xx, yy) == (8, 1):
+                v = 2          # isolated speckle → background
+            if (xx, yy) in ((8, 8), (9, 8)):
+                v = 3          # 2-cell speckle → background
+            if (xx, yy) == (11, 11):
+                v = 5          # corner speckle → background
+            rows.append((xx, yy, v))
+    return rows
+
+
+def _sieve_oracle_rows() -> list[tuple[int, int, int]]:
+    """INDEPENDENT python mirror of one sieve pass: BFS flood-fill labeling
+    (no Spark, no CC machinery) + merge regions < threshold into their
+    largest neighbour (ties → smallest region id)."""
+    grid = {(xx, yy): v for xx, yy, v in _sieve_fixture_rows()}
+    label, regions = {}, []
+    for cell in sorted(grid):
+        if cell in label:
+            continue
+        rid = len(regions)
+        stack, members = [cell], []
+        label[cell] = rid
+        while stack:
+            cx, cy = stack.pop()
+            members.append((cx, cy))
+            for nx, ny in ((cx + 1, cy), (cx - 1, cy), (cx, cy + 1), (cx, cy - 1)):
+                if (nx, ny) in grid and (nx, ny) not in label \
+                        and grid[(nx, ny)] == grid[(cx, cy)]:
+                    label[(nx, ny)] = rid
+                    stack.append((nx, ny))
+        regions.append(members)
+    # region ids as min scalar cell id, to mirror the engine's tie rule
+    rid_of = {
+        i: min(yy * _SIEVE_W + xx for xx, yy in m)
+        for i, m in enumerate(regions)
+    }
+    out_val = {}
+    for i, members in enumerate(regions):
+        v = grid[members[0]]
+        if len(members) < _SIEVE_THRESHOLD:
+            nbrs = {}
+            for cx, cy in members:
+                for nx, ny in ((cx + 1, cy), (cx - 1, cy),
+                               (cx, cy + 1), (cx, cy - 1)):
+                    if (nx, ny) in grid and label[(nx, ny)] != i:
+                        j = label[(nx, ny)]
+                        nbrs[j] = (len(regions[j]), -rid_of[j])
+            if nbrs:
+                best = max(nbrs, key=lambda j: nbrs[j])
+                v = grid[regions[best][0]]
+        out_val[i] = v
+    return sorted(
+        (xx, yy, out_val[label[(xx, yy)]])
+        for xx, yy, _ in _sieve_fixture_rows()
+    )
+
+
+def _sql_sieve() -> str:
+    vals = ", ".join(f"({a}, {b}, {v})" for a, b, v in _sieve_oracle_rows())
+    return (
+        "SELECT gx, gy, val::bigint AS val FROM (VALUES "
+        + vals + ") AS t(gx, gy, val)"
+    )
+
+
+@register("raster_sieve", _sql_sieve())
+def q_raster_sieve(spark, sf_dir):
+    """Sieve filter (GDALSieveFilter, alg/gdalsievefilter.cpp): 4-connected
+    regions under 3 cells take their largest neighbour's value. Engine =
+    distributed CC labeling + two keyed aggregates; oracle = independent
+    python BFS mirror of the same rule (inline-values style)."""
+    cells = spark.createDataFrame(
+        _sieve_fixture_rows(), "gx int, gy int, val long"
+    )
+    return ST.sieve_filter(cells, _SIEVE_THRESHOLD).select(
+        "gx", "gy", F.col("val").cast("long").alias("val")
+    )
+
+
+_FN_W = 16
+_FN_DIST = 3
+
+
+def _sql_fillnodata() -> str:
+    v_expr = (
+        f"CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN NULL "
+        f"ELSE ((gx.i * 31 + gy.i * 17) % 256)::double END"
+    )
+    return f"""
+WITH s AS (SELECT unnest(generate_series(0, {_FN_W - 1})) AS i),
+g AS (SELECT gx.i AS x, gy.i AS y, {v_expr} AS v
+      FROM s gx CROSS JOIN s gy),
+valid AS (SELECT * FROM g WHERE v IS NOT NULL),
+nod AS (SELECT x, y FROM g WHERE v IS NULL),
+L AS (SELECT n.x, n.y, max(b.x) AS nx FROM nod n JOIN valid b
+      ON b.y = n.y AND b.x < n.x AND n.x - b.x <= {_FN_DIST} GROUP BY n.x, n.y),
+R_ AS (SELECT n.x, n.y, min(b.x) AS nx FROM nod n JOIN valid b
+      ON b.y = n.y AND b.x > n.x AND b.x - n.x <= {_FN_DIST} GROUP BY n.x, n.y),
+U AS (SELECT n.x, n.y, max(b.y) AS ny FROM nod n JOIN valid b
+      ON b.x = n.x AND b.y < n.y AND n.y - b.y <= {_FN_DIST} GROUP BY n.x, n.y),
+D AS (SELECT n.x, n.y, min(b.y) AS ny FROM nod n JOIN valid b
+      ON b.x = n.x AND b.y > n.y AND b.y - n.y <= {_FN_DIST} GROUP BY n.x, n.y),
+t AS (
+  SELECT n.x, n.y,
+         lv.v AS lv, (n.x - L.nx)::double AS ld,
+         rv.v AS rv, (R_.nx - n.x)::double AS rd,
+         uv.v AS uv, (n.y - U.ny)::double AS ud,
+         dv.v AS dv, (D.ny - n.y)::double AS dd
+  FROM nod n
+  LEFT JOIN L ON L.x = n.x AND L.y = n.y
+  LEFT JOIN valid lv ON lv.y = n.y AND lv.x = L.nx
+  LEFT JOIN R_ ON R_.x = n.x AND R_.y = n.y
+  LEFT JOIN valid rv ON rv.y = n.y AND rv.x = R_.nx
+  LEFT JOIN U ON U.x = n.x AND U.y = n.y
+  LEFT JOIN valid uv ON uv.x = n.x AND uv.y = U.ny
+  LEFT JOIN D ON D.x = n.x AND D.y = n.y
+  LEFT JOIN valid dv ON dv.x = n.x AND dv.y = D.ny),
+f AS (
+  SELECT x, y,
+         coalesce(lv / ld, 0.0) + coalesce(rv / rd, 0.0)
+       + coalesce(uv / ud, 0.0) + coalesce(dv / dd, 0.0) AS num,
+         coalesce(1.0 / ld, 0.0) + coalesce(1.0 / rd, 0.0)
+       + coalesce(1.0 / ud, 0.0) + coalesce(1.0 / dd, 0.0) AS den
+  FROM t)
+SELECT g.x AS gx, g.y AS gy,
+       {SR('CASE WHEN g.v IS NOT NULL THEN g.v WHEN f.den > 0 THEN f.num / f.den END', 6)} AS val,
+       (g.v IS NULL AND coalesce(f.den, 0.0) > 0) AS filled
+FROM g LEFT JOIN f ON f.x = g.x AND f.y = g.y"""
+
+
+@register("raster_fillnodata", _sql_fillnodata())
+def q_raster_fillnodata(spark, sf_dir):
+    """FillNodata (GDALFillNodata, alg/gdalfillnodata.cpp — 4-direction
+    nearest-valid IDW, no smoothing): the engine's directional scans are
+    last_value(ignorenulls) windows; the oracle finds each direction's
+    nearest valid pixel with aggregate joins — two independent plans, same
+    interpolation."""
+    g = spark.range(_FN_W * _FN_W).select(
+        (F.col("id") % _FN_W).cast("int").alias("gx"),
+        (F.col("id") / _FN_W).cast("int").alias("gy"),
+    ).select(
+        "gx", "gy",
+        F.when(
+            (F.col("gx") * 7 + F.col("gy") * 11) % 13 == 0, F.lit(None)
+        ).otherwise(
+            ((F.col("gx") * 31 + F.col("gy") * 17) % 256).cast("double")
+        ).alias("val"),
+    )
+    out = ST.fill_nodata(g, _FN_DIST, x="gx", y="gy", value="val")
+    return out.select("gx", "gy", R("val", 6).alias("val"), "filled")
+
+
+_PS_W = 16  # pan grid; MS at half resolution
+
+
+def _sql_pansharpen() -> str:
+    ms = lambda b: f"(((gx.i // 2) * 31 + (gy.i // 2) * 17 + {b} * 7) % 256)::double"
+    pan = "((gx.i * 13 + gy.i * 7) % 256)::double"
+    pseudo = f"(0.25 * {ms(1)} + 0.5 * {ms(2)} + 0.25 * {ms(3)})"
+    sel = ", ".join(
+        f"{SR(f'CASE WHEN {pseudo} > 0 THEN {ms(b)} * {pan} / {pseudo} ELSE 0.0 END', 6)} AS sharp_b{b}"
+        for b in (1, 2, 3)
+    )
+    return f"""
+WITH s AS (SELECT unnest(generate_series(0, {_PS_W - 1})) AS i)
+SELECT gx.i AS gx, gy.i AS gy, {pan} AS pan, {sel}
+FROM s gx CROSS JOIN s gy"""
+
+
+@register("raster_pansharpen", _sql_pansharpen())
+def q_raster_pansharpen(spark, sf_dir):
+    """Weighted-Brovey pansharpening (GDALPansharpenOperation,
+    alg/gdalpansharpen.cpp): 3 MS bands at half resolution upsampled
+    nearest to the 16×16 pan grid, out_i = ms_i·pan/(Σ w_i·ms_i),
+    weights (0.25, 0.5, 0.25)."""
+    pan = spark.range(_PS_W * _PS_W).select(
+        (F.col("id") % _PS_W).cast("int").alias("gx"),
+        (F.col("id") / _PS_W).cast("int").alias("gy"),
+    ).withColumn(
+        "pan", ((F.col("gx") * 13 + F.col("gy") * 7) % 256).cast("double")
+    )
+    h = _PS_W // 2
+    ms = spark.range(h * h).select(
+        (F.col("id") % h).cast("int").alias("gx"),
+        (F.col("id") / h).cast("int").alias("gy"),
+    )
+    for b in (1, 2, 3):
+        ms = ms.withColumn(
+            f"b{b}",
+            ((F.col("gx") * 31 + F.col("gy") * 17 + b * 7) % 256)
+            .cast("double"),
+        )
+    out = ST.pansharpen_brovey(
+        pan, ms, [0.25, 0.5, 0.25], band_cols=("b1", "b2", "b3")
+    )
+    return out.select(
+        "gx", "gy", "pan",
+        *[R(f"sharp_b{b}", 6).alias(f"sharp_b{b}") for b in (1, 2, 3)],
+    )
+
+
+# ===========================================================================
 # 22. EXACT polygon rasterization — pixel-center burn rule
 #     (alg/llrasterize.cpp scanline fill == center-in-polygon sampling)
 # ===========================================================================
