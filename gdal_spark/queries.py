@@ -279,6 +279,110 @@ def q_knn_cells(spark, sf_dir):
 
 
 from gdal_spark.spatial import crs as CRS  # noqa: E402
+from gdal_spark.spatial import curves as CV  # noqa: E402
+
+
+def _curve_fixture_rows():
+    """Curve WKB fixture with ANALYTIC parameters (the oracle computes the
+    expected chord-sum lengths/areas from center/radius/sweep in closed
+    form — an independent evaluation path from the engine's vertex walk).
+
+      1: half circle r=10 (CircularString)           sweep 180°, m=45
+      2: quarter arc r=5 centre (3,4), 90°→180°      sweep 90°,  m=23
+      3: CurvePolygon full circle r=8 centre (1,2)   two arcs, 90-gon
+      4: CompoundCurve line(0,0→10,0) + half arc r=5 joint at (10,0)
+    """
+    import math as _m
+
+    s2 = 5.0 / _m.sqrt(2.0)
+    rows = [
+        (1, CV.wkb_circularstring([(10, 0), (0, 10), (-10, 0)])),
+        (2, CV.wkb_circularstring([(3, 9), (3 - s2, 4 + s2), (-2, 4)])),
+        (3, CV.wkb_curvepolygon([
+            CV.wkb_circularstring(
+                [(9, 2), (1, 10), (-7, 2), (1, -6), (9, 2)]
+            )
+        ])),
+        (4, CV.wkb_compoundcurve([
+            CV.wkb_linestring([(0, 0), (10, 0)]),
+            CV.wkb_circularstring([(10, 0), (15, 5), (20, 0)]),
+        ])),
+    ]
+    return [(i, bytearray(w)) for i, w in rows]
+
+
+def _sql_curve_linearize() -> str:
+    # closed-form chord sums: m segments of central angle θ/m on radius r
+    # have total length m·2r·sin(θ/(2m)); the inscribed m-gon area is
+    # (m/2)·r²·sin(2π/m)
+    half = "45 * 2.0 * 10.0 * sin(pi() / 90.0)"
+    quarter = "23 * 2.0 * 5.0 * sin(pi() / 92.0)"
+    ring_len = "90 * 2.0 * 8.0 * sin(pi() / 90.0)"
+    ring_area = "45.0 * 64.0 * sin(pi() / 45.0)"
+    compound = f"10.0 + 45 * 2.0 * 5.0 * sin(pi() / 90.0)"
+    return f"""
+SELECT curve_id, kind, n_points,
+       {SR('len_expr', 6)} AS length, {SR('area_expr', 6)} AS area
+FROM (VALUES
+  (1, 'line', 46, {half}, 0.0),
+  (2, 'line', 24, {quarter}, 0.0),
+  (3, 'polygon', 91, {ring_len}, {ring_area}),
+  (4, 'line', 47, {compound}, 0.0)
+) AS t(curve_id, kind, n_points, len_expr, area_expr)"""
+
+
+@register("curve_linearize", _sql_curve_linearize())
+def q_curve_linearize(spark, sf_dir):
+    """Curve geometries (ogr_geometry.h:1496-2461 CircularString /
+    CompoundCurve / CurvePolygon — previously rejected by the WKB codec):
+    parse curve WKB, stroke arcs at the OGR default 4° step
+    (OGRGeometryFactory::curveToLineString semantics), and report vertex
+    count + linearized length (+ ring area for CurvePolygon). Oracle =
+    closed-form chord-sum/inscribed-polygon formulas evaluated by DuckDB
+    from the fixture's analytic parameters."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        _curve_fixture_rows(), "curve_id int, wkb binary"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, kinds, npts, lens, areas = [], [], [], [], []
+            for cid, blob in zip(pdf["curve_id"], pdf["wkb"]):
+                kind, lin = CV.curve_to_line_wkb(bytes(blob))
+                if kind == "polygon":
+                    ring = lin[0]
+                    n = sum(r.shape[0] for r in lin)
+                    length = sum(CV.line_length(r) for r in lin)
+                    area = G.rings_area(lin)
+                else:
+                    n = lin.shape[0]
+                    length = CV.line_length(lin)
+                    area = 0.0
+                ids.append(int(cid))
+                kinds.append(kind)
+                npts.append(n)
+                lens.append(length)
+                areas.append(area)
+            yield pd.DataFrame(
+                {
+                    "curve_id": pd.Series(ids, dtype="int32"),
+                    "kind": kinds,
+                    "n_points": pd.Series(npts, dtype="int32"),
+                    "length": pd.Series(lens, dtype="float64"),
+                    "area": pd.Series(areas, dtype="float64"),
+                }
+            )
+
+    out = df.mapInPandas(
+        run,
+        "curve_id int, kind string, n_points int, length double, area double",
+    )
+    return out.select(
+        "curve_id", "kind", "n_points",
+        R("length", 6).alias("length"), R("area", 6).alias("area"),
+    )
 
 
 def _sql_utm() -> str:
