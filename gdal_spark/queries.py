@@ -331,6 +331,86 @@ FROM (VALUES
 ) AS t(curve_id, kind, n_points, len_expr, area_expr)"""
 
 
+DELAUNAY_PRED = "o_orderkey % 101 = 7"
+
+# The fixture's 1e-4-quantized geotags contain EXACTLY collinear triples
+# (hundreds at sf0.01) — not the general position Euler's t = 2n−2−h and
+# Bowyer–Watson assume. A deterministic QUADRATIC jitter (linear jitter
+# preserves collinearity) in integer-mod arithmetic — identical doubles on
+# both engines — restores general position; amplitude 1e-6 ≪ the 1e-4 grid.
+_DJX = "((o_orderkey * o_orderkey) % 89) * 1e-6"
+_DJY = "((o_orderkey * o_orderkey * o_orderkey) % 83) * 1e-6"
+
+
+def _sql_delaunay() -> str:
+    # INDEPENDENT oracle: no triangulation at all — hull edges by the
+    # O(n³) all-points-left test, then Euler's relation for a triangulation
+    # of an n-point set in general position: t = 2n − 2 − h, and the
+    # triangulated area = the convex hull area = ½ Σ cross over the
+    # directed hull edges (cycle sum needs no ordering).
+    return f"""
+WITH pts AS ({SQL_POINTS}),
+p AS (SELECT o_orderkey AS i, lon + {_DJX} AS x, lat + {_DJY} AS y
+      FROM pts WHERE {DELAUNAY_PRED}),
+he AS (
+  SELECT a.i AS ia, a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+  FROM p a JOIN p b ON a.i <> b.i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p c WHERE c.i <> a.i AND c.i <> b.i
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0))
+SELECT (SELECT count(*) FROM p)::int AS n_points,
+       (SELECT count(*) FROM he)::int AS n_hull,
+       (2 * (SELECT count(*) FROM p) - 2 - (SELECT count(*) FROM he))::int
+         AS n_triangles,
+       {SR('(SELECT sum(xa * yb - xb * ya) FROM he) / 2.0', 6)} AS total_area"""
+
+
+@register("delaunay_triangulate", _sql_delaunay())
+def q_delaunay_triangulate(spark, sf_dir):
+    """Delaunay triangulation (ogrgeometry.cpp:7112): Bowyer–Watson group
+    kernel over a deterministic point subset. The oracle never
+    triangulates — it derives hull-edge count via the all-points-left test,
+    the triangle count from Euler's relation t = 2n−2−h, and the total
+    area from the directed hull-edge cycle sum; the engine must agree on
+    all three, which pins both the combinatorics and the geometry."""
+    import pandas as pd
+
+    from gdal_spark.operators import triangulate as TRI
+
+    pts = (
+        order_points(spark, sf_dir)
+        .filter(F.expr(DELAUNAY_PRED))
+        .select(
+            "o_orderkey",
+            (F.col("lon") + F.expr(_DJX)).alias("lon"),
+            (F.col("lat") + F.expr(_DJY)).alias("lat"),
+        )
+    )
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = np.stack(
+            [pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64)],
+            axis=1,
+        )
+        tris = TRI.delaunay(p)
+        return pd.DataFrame(
+            {
+                "n_points": [p.shape[0]],
+                "n_hull": [len(TRI.boundary_edges(tris))],
+                "n_triangles": [tris.shape[0]],
+                "total_area": [float(TRI.tri_areas(p, tris).sum())],
+            }
+        )
+
+    out = pts.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        run, "n_points int, n_hull int, n_triangles int, total_area double"
+    )
+    return out.select(
+        "n_points", "n_hull", "n_triangles",
+        R("total_area", 6).alias("total_area"),
+    )
+
+
 @register("curve_linearize", _sql_curve_linearize())
 def q_curve_linearize(spark, sf_dir):
     """Curve geometries (ogr_geometry.h:1496-2461 CircularString /
