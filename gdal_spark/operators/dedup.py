@@ -536,3 +536,45 @@ def connected_components(
         F.col("lbl").alias("cluster_id"),
         "cluster_size",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap between a training corpus and
+# an evaluation/benchmark set (the train/test-leak scan every LLM data
+# pipeline runs before training; same bucketed-join shape as LSH).
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame,
+    text: str = "text", id_col: str = "doc_id",
+    w: int = 3, min_shared: int = 2,
+) -> DataFrame:
+    """Flag corpus documents sharing >= ``min_shared`` distinct w-gram
+    shingles with ANY benchmark document.
+
+    Plan (100 TB shape): both sides shingle+hash JVM-side (whole-stage
+    codegen md5, the MinHash universe), explode to (shingle_hash, id) pairs,
+    equi-join on the 8-byte hash — the benchmark side is small (an eval
+    set) so Catalyst broadcasts it — then one partial-agg count per
+    (corpus doc, benchmark doc). Output: (doc_id, bench_id, n_shared) for
+    flagged pairs; distinct doc_ids are the contaminated set."""
+    def _sh(df, out_id):
+        step = df.select(
+            F.col(id_col).alias(out_id),
+            F.split(F.trim(F.col(text)), " +").alias("_toks"),
+        )
+        step = step.select(
+            out_id, shingles_from_tokens("_toks", w).alias("_sh")
+        )
+        return step.select(
+            out_id, F.explode(F.transform("_sh", md5_h32)).alias("_h")
+        )
+
+    c = _sh(corpus, "doc_id")
+    b = _sh(benchmark, "bench_id")
+    return (
+        c.join(b, "_h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -333,3 +333,49 @@ def sql_repetition_select(text_expr: str = "text") -> dict[str, str]:
             f"list_max({counts})::double / len({words})::double"
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — email / phone / IPv4 redaction (map-only regexp_replace
+# chains; patterns restricted to the Java-regex ∩ RE2 common dialect so the
+# DuckDB oracle applies the byte-identical transformation)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails → [EMAIL], phones → [PHONE], IPv4 → [IP]. Email runs
+    first (its domain part would otherwise be chewed up by the IP rule for
+    numeric hosts). Pure JVM regexp — map-only at any scale."""
+    out = F.regexp_replace(text, PII_EMAIL, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4, "[IP]")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) BEFORE scrubbing."""
+    def n(pat):
+        return F.size(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return n(PII_EMAIL), n(PII_PHONE), n(PII_IPV4)
+
+
+def sql_pii_scrub(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{PII_EMAIL}', '[EMAIL]', 'g'), "
+        f"'{PII_PHONE}', '[PHONE]', 'g'), "
+        f"'{PII_IPV4}', '[IP]', 'g')"
+    )
+
+
+def sql_pii_counts(expr: str) -> tuple[str, str, str]:
+    def n(pat):
+        return f"len(regexp_extract_all({expr}, '{pat}', 0))::bigint"
+
+    return n(PII_EMAIL), n(PII_PHONE), n(PII_IPV4)

@@ -4182,3 +4182,70 @@ def q_flagship_pip_tiles(spark, sf_dir):
     return TL.assign_tiles(joined, zoom=Z_ASSIGN).select(
         "o_orderkey", "poly_id", "tx", "ty", "quadkey"
     )
+
+
+# ===========================================================================
+# 27. Training-pipeline curation tail: decontamination + PII scrubbing
+# ===========================================================================
+
+_DECON_BENCH_PRED = "doc_id % 23 = 5"
+_DECON_MIN_SHARED = 5
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+WITH c AS (SELECT doc_id, unnest({D.sql_shingle_hashes('text', 3)}) AS h
+           FROM documents WHERE NOT ({_DECON_BENCH_PRED})),
+b AS (SELECT doc_id AS bench_id, unnest({D.sql_shingle_hashes('text', 3)}) AS h
+      FROM documents WHERE {_DECON_BENCH_PRED})
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+FROM c JOIN b USING (h)
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= {_DECON_MIN_SHARED}""",
+)
+def q_corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the train/test n-gram-leak scan every LLM
+    data pipeline runs): corpus docs sharing >= 5 distinct 3-gram shingles
+    with any doc of the held-out benchmark slice. JVM shingle md5 both
+    sides, equi-join on the 8-byte hash (benchmark side broadcast), one
+    partial-agg count per (doc, bench) pair."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_DECON_BENCH_PRED))
+    return D.decontaminate(
+        corpus, bench, min_shared=_DECON_MIN_SHARED
+    )
+
+
+def _sql_pii() -> str:
+    t2 = (
+        "('u' || doc_id || '@ex.com call 555-123-4567 at 10.0.0.'"
+        " || (doc_id % 256) || ' ' || substring(text, 1, 40))"
+    )
+    ne, np_, ni = T.sql_pii_counts(t2)
+    return f"""
+SELECT doc_id, md5({T.sql_pii_scrub(t2)}) AS scrubbed_md5,
+       {ne} AS n_emails, {np_} AS n_phones, {ni} AS n_ips
+FROM documents"""
+
+
+@register("text_pii_scrub", _sql_pii())
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (email/phone/IPv4 redaction — map-only JVM regexp over
+    the Java∩RE2 pattern dialect): deterministic PII is spliced into each
+    document identically on both engines, then the scrubbed text's md5 and
+    the per-class match counts must agree byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com call 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(" "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    ne, np_, ni = T.pii_counts(t2)
+    return docs.select(
+        "doc_id",
+        F.md5(T.pii_scrub(t2)).alias("scrubbed_md5"),
+        ne.alias("n_emails"), np_.alias("n_phones"), ni.alias("n_ips"),
+    )

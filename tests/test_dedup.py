@@ -150,3 +150,23 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough budget it converges fine
     out = connected_components(pairs, max_iter=15)
     assert out.filter("cluster_id = 0").count() == 13
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from gdal_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["bench_id"]): r["n_shared"]
+           for r in decontaminate(corpus, bench, min_shared=3).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 3
+    assert not any(d == 2 for d, _ in out)

@@ -164,3 +164,25 @@ def test_extract_text_edge_cases_all_three_engines(spark):
         ).fetchall()
     ]
     assert got_duck == expected
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@foo.org or 555-867-5309; host 192.168.1.7 ok"),
+         (2, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.pii_scrub(F.col("text")).alias("s"),
+            *[c.alias(n) for c, n in zip(
+                T.pii_counts(F.col("text")), ["ne", "np", "ni"]
+            )],
+        ).collect()
+    }
+    assert out[1]["s"] == "mail [EMAIL] or [PHONE]; host [IP] ok"
+    assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (1, 1, 1)
+    assert out[2]["s"] == "no pii here at all"
+    assert (out[2]["ne"], out[2]["np"], out[2]["ni"]) == (0, 0, 0)
