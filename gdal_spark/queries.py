@@ -4249,3 +4249,65 @@ def q_text_pii_scrub(spark, sf_dir):
         F.md5(T.pii_scrub(t2)).alias("scrubbed_md5"),
         ne.alias("n_emails"), np_.alias("n_phones"), ni.alias("n_ips"),
     )
+
+
+# ===========================================================================
+# 28. MakeValid — bowtie/self-intersection repair (ogrgeometry.cpp:4176)
+# ===========================================================================
+
+def _mv_fixture_rows():
+    def fl(rings):
+        return [[[float(x), float(y)] for x, y in ring] for ring in rings]
+
+    bowtie = fl([[[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]]])
+    holed = fl([
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],            # CCW outer
+        [[3, 3], [3, 5], [5, 5], [5, 3], [3, 3]],                # CW hole
+    ])
+    tri = fl([[[0, 0], [6, 0], [3, 3], [0, 0]]])
+    return [(1, bowtie), (2, holed), (3, tri)]
+
+
+@register(
+    "geom_make_valid",
+    """SELECT geom_id, n_parts, n_rings, total_area FROM (VALUES
+  (1, 2, 2,  8.0::double),
+  (2, 1, 2, 96.0::double),
+  (3, 1, 1,  9.0::double)
+) AS t(geom_id, n_parts, n_rings, total_area)""",
+)
+def q_geom_make_valid(spark, sf_dir):
+    """MakeValid (ogrgeometry.cpp:4176, GEOS MakeValid linework semantics):
+    the bowtie splits into its two lobes at the noded crossing (2 parts,
+    area 8 = two triangles of 4), the valid holed square and the triangle
+    pass through unchanged. Oracle = hand-derived part/ring/area values."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        _mv_fixture_rows(), "geom_id int, rings array<array<array<double>>>"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, np_, nr, ar = [], [], [], []
+            for gid, rings in zip(pdf["geom_id"], pdf["rings"]):
+                parts = G.make_valid(G.rings_to_numpy(rings))
+                ids.append(int(gid))
+                np_.append(len(parts))
+                nr.append(sum(len(p) for p in parts))
+                ar.append(float(sum(G.rings_area(p) for p in parts)))
+            yield pd.DataFrame(
+                {
+                    "geom_id": pd.Series(ids, dtype="int32"),
+                    "n_parts": pd.Series(np_, dtype="int32"),
+                    "n_rings": pd.Series(nr, dtype="int32"),
+                    "total_area": pd.Series(ar, dtype="float64"),
+                }
+            )
+
+    out = df.mapInPandas(
+        run, "geom_id int, n_parts int, n_rings int, total_area double"
+    )
+    return out.select(
+        "geom_id", "n_parts", "n_rings", R("total_area", 6).alias("total_area")
+    )

@@ -630,3 +630,104 @@ def geojson_polygon(rings: list[np.ndarray]) -> str:
         pts = ",".join(f"[{_fmt(p[0])},{_fmt(p[1])}]" for p in ring)
         ring_strs.append(f"[{pts}]")
     return '{"type":"Polygon","coordinates":[' + ",".join(ring_strs) + "]}"
+
+
+# ---------------------------------------------------------------------------
+# MakeValid — self-intersection repair (OGRGeometry::MakeValid,
+# ogr/ogrgeometry.cpp:4176; GEOS MakeValid "linework" semantics for the
+# bowtie/figure-eight class: node the self-crossings, re-trace SIMPLE
+# rings, re-orient lobes, regroup holes)
+# ---------------------------------------------------------------------------
+
+def _node_ring_self(ring: np.ndarray) -> np.ndarray:
+    """Insert proper self-intersection points as vertices (each crossing
+    point is computed ONCE and spliced into both segments bit-identically,
+    so the downstream tracer sees one shared vertex)."""
+    pts = np.asarray(ring, dtype=np.float64)
+    n = pts.shape[0] - 1  # closed ring: last == first
+    inserts: dict[int, list] = {}
+    for i in range(n):
+        p, r = pts[i], pts[i + 1] - pts[i]
+        for j in range(i + 1, n):
+            if j == i or (i == 0 and j == n - 1) or j == i + 1:
+                continue  # adjacent segments share an endpoint, skip
+            q, s = pts[j], pts[j + 1] - pts[j]
+            denom = r[0] * s[1] - r[1] * s[0]
+            if denom == 0.0:
+                continue
+            t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / denom
+            u = ((q[0] - p[0]) * r[1] - (q[1] - p[1]) * r[0]) / denom
+            if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+                x = (p[0] + t * r[0], p[1] + t * r[1])
+                inserts.setdefault(i, []).append((t, x))
+                inserts.setdefault(j, []).append((u, x))
+    if not inserts:
+        return pts
+    out = []
+    for i in range(n):
+        out.append((float(pts[i, 0]), float(pts[i, 1])))
+        for _t, x in sorted(inserts.get(i, []), key=lambda e: e[0]):
+            out.append(x)
+    out.append(out[0])
+    return np.array(out, dtype=np.float64)
+
+
+def _ring_centroid(ring: np.ndarray) -> tuple[float, float]:
+    x, y = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cr = x * y2 - x2 * y
+    a = cr.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + x2) * cr).sum() / (6.0 * a)
+    cy = ((y + y2) * cr).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def make_valid(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Repair a polygon whose rings self-intersect (bowtie class): node the
+    crossings, trace SIMPLE rings (the coverage tracer's pinch-split walk),
+    then classify by containment depth of each ring's centroid — even depth
+    ⇒ an outer lobe (re-oriented CCW), odd ⇒ a hole of its immediate
+    parent (oriented CW). Returns a list of polygon parts (each a ring
+    list), i.e. the MultiPolygon GEOS MakeValid produces for a figure
+    eight. Valid input passes through with the same decomposition.
+    Centroid-in-ring depth classification assumes lobes contain their own
+    centroid (true for the bowtie/pinch class; not for pathological
+    spirals — documented MVP bound)."""
+    from gdal_spark.operators.dissolve import union_coverage_rings
+
+    noded = [_node_ring_self(r) for r in rings]
+    simple = union_coverage_rings([noded])
+    if not simple:
+        return []
+    cents = [_ring_centroid(r) for r in simple]
+    areas = [
+        0.5 * float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+        for r in simple
+    ]
+    px = np.array([c[0] for c in cents])
+    py = np.array([c[1] for c in cents])
+    depth = np.zeros(len(simple), dtype=np.int64)
+    parent = [-1] * len(simple)
+    for k, r in enumerate(simple):
+        mask = np.ones(len(simple), dtype=bool)
+        mask[k] = False
+        inside = points_in_ring(px, py, r) & mask
+        for m in np.nonzero(inside)[0]:
+            depth[m] += 1
+            # immediate parent = smallest containing ring by |area|
+            if parent[m] < 0 or abs(areas[k]) < abs(areas[parent[m]]):
+                parent[m] = k
+    parts: dict[int, list] = {}
+    order = []
+    for k in range(len(simple)):
+        if depth[k] % 2 == 0:
+            ring = simple[k] if areas[k] > 0 else simple[k][::-1].copy()
+            parts[k] = [ring]
+            order.append(k)
+    for k in range(len(simple)):
+        if depth[k] % 2 == 1 and parent[k] in parts:
+            hole = simple[k] if areas[k] < 0 else simple[k][::-1].copy()
+            parts[parent[k]].append(hole)
+    return [parts[k] for k in order]

@@ -177,3 +177,46 @@ def test_winding_handles_self_overlapping_ring():
     assert wind[0]  # winding: inside (wn=2)
     assert not cross[0]  # even-odd parity calls it outside
     assert not wind[1] and not cross[1]  # far point: both outside
+
+
+def test_make_valid_splits_bowtie():
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    bowtie = [np.array([[0.0, 0], [4, 4], [4, 0], [0, 4], [0, 0]])]
+    parts = G.make_valid(bowtie)
+    assert len(parts) == 2
+    areas = sorted(G.rings_area(p) for p in parts)
+    assert areas == pytest.approx([4.0, 4.0])
+    # every part is a simple CCW ring
+    for p in parts:
+        ring = p[0]
+        assert len({tuple(v) for v in ring[:-1]}) == ring.shape[0] - 1
+
+
+def test_make_valid_passthrough_valid_polygon():
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    holed = [
+        np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]),
+        np.array([[3.0, 3], [3, 5], [5, 5], [5, 3], [3, 3]]),
+    ]
+    parts = G.make_valid(holed)
+    assert len(parts) == 1 and len(parts[0]) == 2
+    assert G.rings_area(parts[0]) == pytest.approx(96.0)
+
+
+def test_node_ring_self_inserts_crossing():
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    noded = G._node_ring_self(
+        np.array([[0.0, 0], [4, 4], [4, 0], [0, 4], [0, 0]])
+    )
+    assert [2.0, 2.0] in noded.tolist()
+    # crossing inserted on BOTH segments -> appears exactly twice
+    assert sum(1 for v in noded.tolist() if v == [2.0, 2.0]) == 2
