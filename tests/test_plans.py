@@ -196,3 +196,60 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     p_plan = _plan(spark, "range_price_join")
     assert "BroadcastNestedLoopJoin" not in p_plan
     assert "Join" in p_plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark (eval-set) side of the decontamination join is small by
+    construction — it must broadcast, never shuffle the corpus on the hash."""
+    p = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "HashAggregate" in p  # partial-agg pair counts
+
+
+def test_fill_nodata_is_windows_not_joins(spark):
+    """fill_nodata's directional scans are window functions; the plan must
+    contain NO join operator at all."""
+    p = _plan(spark, "raster_fillnodata")
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_pansharpen_broadcasts_ms_side(spark):
+    p = _plan(spark, "raster_pansharpen")
+    assert "BroadcastHashJoin" in p
+
+
+def test_utm_is_map_only(spark):
+    """UTM projection is pure column math over the scan — zero Exchange."""
+    p = _plan(spark, "utm_project")
+    assert "Exchange" not in p
+    assert "codegen id" in p  # whole-stage codegen spans the projection
+
+
+def test_pii_scrub_is_map_only(spark):
+    p = _plan(spark, "text_pii_scrub")
+    assert "Exchange" not in p
+
+
+def test_overlay_erase_kernel_is_map_only_stage(spark):
+    """The geometric A-side erase streams map-only (B broadcast as a plain
+    python list): its MapInPandas must sit directly over the scan with no
+    Exchange between."""
+    from gdal_spark.data.pages import polygons_b_df, polygons_df
+    from gdal_spark.operators import poly_join as PJ
+    from gdal_spark.queries import _OVERLAY_B_IDS
+
+    import io as _io
+    from contextlib import redirect_stdout as _ro
+
+    from pyspark.sql import functions as F
+
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    b = polygons_b_df(spark).filter(F.col("poly_id").isin(*_OVERLAY_B_IDS))
+    out = PJ.layer_erase_parts_rect(a, b)
+    buf = _io.StringIO()
+    with _ro(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    first_exchange = p.index("Exchange") if "Exchange" in p else 10 ** 9
+    assert p.index("MapInPandas") < first_exchange
