@@ -66,6 +66,14 @@ BENCH_QUERIES = [
     "knn_cells_z7",
     "overlay_union",
     "overlay_symdiff",
+    "dissolve_noded",
+    "utm_project",
+    "raster_sieve",
+    "raster_fillnodata",
+    "raster_pansharpen",
+    "delaunay_triangulate",
+    "corpus_decontaminate",
+    "text_pii_scrub",
     "geom_point_distance",
     # named-algorithm + curation additions
     "dedup_clusters",

@@ -455,13 +455,15 @@ def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components by iterative MIN-LABEL propagation: every
-    vertex starts labeled with itself; each round takes the min of its own
-    and its neighbors' labels; converges in O(component diameter) rounds
-    (near-dup clusters are shallow — typically 2-4). Each round is one
-    join + one aggregate; lineage is truncated per round. Output:
-    (doc_id, cluster_id, cluster_size) for every vertex in the pair graph,
-    cluster_id = min doc_id of the component."""
+    """Connected components by min-label propagation WITH pointer jumping:
+    each round (a) takes the min of own and neighbours' labels (one hop),
+    then (b) path-halves by following its label's label (lbl ←
+    labels[lbl].lbl — monotone: every node's label ≤ its id, so the jump
+    only decreases). One-hop-only propagation needs O(diameter) rounds —
+    a serpentine raster region made that the dominant cost; with the jump
+    the round count is O(log diameter). Output: (doc_id, cluster_id,
+    cluster_size) for every vertex in the pair graph, cluster_id = min
+    doc_id of the component."""
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionAll(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -478,10 +480,10 @@ def connected_components(
     # localCheckpoint every _TRUNC_EVERY rounds, so at most
     # ceil(rounds/_TRUNC_EVERY) checkpoint block sets are left to the
     # ContextCleaner instead of one per round. _TRUNC_EVERY must stay small:
-    # each round references `labels` TWICE (neighbor-min + the update join),
-    # so the un-truncated logical plan doubles per round — 2^_TRUNC_EVERY
-    # leaf references is the depth cap.
-    _TRUNC_EVERY = 4
+    # each half-step references its parent twice, so the un-truncated
+    # logical plan grows geometrically per round; with the O(log d) round
+    # count, truncating every 2 rounds keeps plans tiny.
+    _TRUNC_EVERY = 2
     prev = None  # previous round's persisted labels (explicitly freed)
     converged = False
     for rnd in range(max_iter):
@@ -490,12 +492,28 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("lbl").alias("_nl"))
         )
-        new_labels = (
+        hop = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        # pointer jump (path halving): lbl' = labels[lbl].lbl — every label
+        # IS some node's id, and labels only decrease, so the jump is
+        # monotone toward the component minimum
+        jump_src = hop.select(
+            F.col("id").alias("_jid"), F.col("lbl").alias("_jlbl")
+        )
+        new_labels = (
+            hop.join(jump_src, hop["lbl"] == jump_src["_jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_jlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .persist()
@@ -506,6 +524,7 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()  # materializes new_labels into its persist blocks
         )
+        hop.unpersist()
         if prev is not None:
             prev.unpersist()
         prev = labels = new_labels
