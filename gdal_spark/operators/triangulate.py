@@ -133,7 +133,31 @@ def delaunay(points: np.ndarray) -> np.ndarray:
         )
 
     for i in range(n):
-        bad = [t for t in tris if _incircle(all_pts, t, i)]
+        # vectorized adaptive in-circle over ALL current triangles: float
+        # determinant with error bound; only near-zero dets fall back to
+        # the exact per-triangle predicate (rare)
+        T = np.asarray(tris, dtype=np.int64)
+        P = all_pts[i]
+        A = all_pts[T[:, 0]] - P
+        B = all_pts[T[:, 1]] - P
+        C = all_pts[T[:, 2]] - P
+        t1 = (A[:, 0] * A[:, 0] + A[:, 1] * A[:, 1]) * (
+            B[:, 0] * C[:, 1] - C[:, 0] * B[:, 1]
+        )
+        t2 = (B[:, 0] * B[:, 0] + B[:, 1] * B[:, 1]) * (
+            A[:, 0] * C[:, 1] - C[:, 0] * A[:, 1]
+        )
+        t3 = (C[:, 0] * C[:, 0] + C[:, 1] * C[:, 1]) * (
+            A[:, 0] * B[:, 1] - B[:, 0] * A[:, 1]
+        )
+        det = t1 - t2 + t3
+        err = 1e-12 * (np.abs(t1) + np.abs(t2) + np.abs(t3))
+        sure_in = det > err
+        uncertain = np.nonzero(np.abs(det) <= err)[0]
+        bad = [tris[k] for k in np.nonzero(sure_in)[0]]
+        bad += [
+            tris[k] for k in uncertain if _incircle(all_pts, tris[k], i)
+        ]
         if len(bad) > 1:
             # The float in-circle filter can admit far-away sliver
             # triangles, making the cavity non-star-shaped and leaving
