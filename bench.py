@@ -104,8 +104,16 @@ def _run_query(spark, name: str) -> tuple[float, int]:
     n = df.count()
     dt = time.perf_counter() - t0
     # drop persisted/checkpointed blocks a query may have left behind so
-    # later timings measure the query, not accumulated cache pressure
+    # later timings measure the query, not accumulated cache pressure.
+    # clearCache() only covers cacheManager entries (df.persist); the RDD
+    # blocks behind localCheckpoint live in getPersistentRDDs and must be
+    # unpersisted explicitly or they accumulate across the sweep.
     spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # cleanup is best-effort; never fail the bench over it
     return dt, n
 
 

@@ -4311,3 +4311,156 @@ def q_geom_make_valid(spark, sf_dir):
     return out.select(
         "geom_id", "n_parts", "n_rings", R("total_area", 6).alias("total_area")
     )
+
+
+# ===========================================================================
+# 29. Corpus mixing + full-curation capstone
+# ===========================================================================
+
+def _sql_mix() -> str:
+    # weight per source from its numeric suffix (1, 2 or 3); achievable
+    # corpus size = min_s floor(n_s * sum_w / w_s); k_s = floor(w_s * total
+    # / sum_w); the SAMPLE ITSELF is gated (md5 of the ordered id list),
+    # not just its size
+    return """
+WITH s AS (SELECT source, count(*) AS n,
+                  1 + (substring(source, 4)::int % 3) AS w
+           FROM documents GROUP BY source),
+sw AS (SELECT sum(w)::bigint AS sum_w FROM s),
+tot AS (SELECT min((n * (SELECT sum_w FROM sw)) // w) AS total FROM s),
+k AS (SELECT source, (w * (SELECT total FROM tot)) // (SELECT sum_w FROM sw) AS k_s FROM s),
+r AS (SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::varchar), doc_id
+             ) AS rk
+      FROM documents)
+SELECT r.source, count(*)::bigint AS n_kept,
+       md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id)) AS ids_md5
+FROM r JOIN k USING (source) WHERE rk <= k_s
+GROUP BY r.source"""
+
+
+@register("corpus_mix", _sql_mix())
+def q_corpus_mix(spark, sf_dir):
+    """Deterministic source-mix sampling (the data-mixing step of a
+    training pipeline): per-source target weights → the largest corpus
+    achievable at those ratios → per-source md5-ranked exact sample. The
+    per-source quota math runs on a COLLECTED per-source stats dimension
+    (sources are few at any scale); the sample itself is one window per
+    source partition. The gate hashes the ordered id list per source, so
+    the exact sample — not just its size — is verified."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    weights = {s: 1 + (int(s[3:]) % 3) for s in stats}
+    sum_w = sum(weights.values())
+    total = min((n * sum_w) // weights[s] for s, n in stats.items())
+    quotas = {s: (w * total) // sum_w for s, w in weights.items()}
+    quota_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(quotas.items()), "source string, k_s long"
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .join(quota_df, "source")
+        .filter(F.col("rk") <= F.col("k_s"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            )
+        ).alias("ids_md5"),
+    )
+
+
+_CURATE_Q_MIN = 0.5
+
+
+def _sql_curate() -> str:
+    frags = T.sql_quality_select("text")
+    return f"""
+WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_pairs()}) mp),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT u FROM edges),
+reach(u, r) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.u, rc.r FROM edges e JOIN reach rc ON rc.u = e.v),
+lab AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest({D.sql_shingle_hashes('text', 3)}) AS h
+        FROM documents WHERE NOT ({_DECON_BENCH_PRED})) c
+  JOIN (SELECT doc_id AS bench_id, unnest({D.sql_shingle_hashes('text', 3)}) AS h
+        FROM documents WHERE {_DECON_BENCH_PRED}) b USING (h)
+  GROUP BY c.doc_id, b.bench_id HAVING count(*) >= {_DECON_MIN_SHARED}),
+quality AS (SELECT doc_id, {frags['q_score']} AS q FROM documents),
+survivors AS (
+  SELECT d.doc_id, d.n_chars
+  FROM documents d
+  JOIN exact_keep e USING (doc_id)
+  JOIN quality q USING (doc_id)
+  LEFT JOIN lab l USING (doc_id)
+  WHERE NOT ({_DECON_BENCH_PRED})
+    AND q.q >= {_CURATE_Q_MIN}
+    AND (l.cluster_id IS NULL OR l.cluster_id = d.doc_id)
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT count(*)::bigint AS n_docs, sum(n_chars)::bigint AS total_chars,
+       md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id)) AS ids_md5
+FROM survivors"""
+
+
+@register("corpus_curate_final", _sql_curate())
+def q_corpus_curate_final(spark, sf_dir):
+    """The FULL curation capstone — the corpus a training run would
+    actually ingest: exact-dedup canonical ∧ near-dup cluster canonical ∧
+    quality score ≥ 0.5 ∧ not in the benchmark slice ∧ not contaminated by
+    it. Every stage is an already-gated operator; this query pins their
+    COMPOSITION (count, chars, and the md5 of the surviving id list)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_DECON_BENCH_PRED))
+    exact_keep = D.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    pairs = D.minhash_dedup_pairs(
+        docs, num_perm=MH_PERM, bands=MH_BANDS, threshold=0.5
+    )
+    clusters = D.connected_components(pairs).select("doc_id", "cluster_id")
+    contaminated = (
+        D.decontaminate(corpus, bench, min_shared=_DECON_MIN_SHARED)
+        .select("doc_id").distinct()
+    )
+    quality = T.quality_columns(docs).select("doc_id", "q_score")
+    survivors = (
+        corpus.join(exact_keep, "doc_id")
+        .join(quality, "doc_id")
+        .filter(F.col("q_score") >= _CURATE_Q_MIN)
+        .join(clusters, "doc_id", "left")
+        .filter(
+            F.col("cluster_id").isNull()
+            | (F.col("cluster_id") == F.col("doc_id"))
+        )
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("doc_id")).cast("array<string>")
+            )
+        ).alias("ids_md5"),
+    )
