@@ -589,3 +589,41 @@ def rename_layer(spark: SparkSession, old: str, new: str) -> None:
     df = spark.table(old)
     df.createOrReplaceTempView(new)
     spark.catalog.dropTempView(old)
+
+
+# ---------------------------------------------------------------------------
+# Serialized pipeline (GDALG analog, frmts/gdalg/gdalgdriver.cpp): a JSON
+# document {"input": <table>, "pipeline": [{"step": ..., ...args}]} evaluated
+# LAZILY on open — deserialization builds the Spark logical plan; nothing
+# executes until an action runs, exactly the GDALG contract.
+# ---------------------------------------------------------------------------
+
+GDALG_STEPS = {
+    "filter": lambda df, a: filter_expr(df, a["where"]),
+    "select": lambda df, a: select_fields(df, *a["fields"]),
+    "sort": lambda df, a: sort_by(df, *a["by"], desc=a.get("desc", False)),
+    "limit": lambda df, a: limit_rows(df, a["n"], a.get("offset", 0)),
+    "swap_xy": lambda df, a: swap_xy(df, a.get("lon", "lon"), a.get("lat", "lat")),
+    "reproject_3857": lambda df, a: reproject_3857(df),
+    "segmentize": lambda df, a: segmentize(df, a["max_len"]),
+    "simplify": lambda df, a: simplify(df, a["tolerance"]),
+    "buffer": lambda df, a: buffer(df, a["distance"], quad_segs=a.get("quad_segs", 8)),
+    "clip": lambda df, a: clip(df, a["xmin"], a["ymin"], a["xmax"], a["ymax"]),
+}
+
+
+def run_serialized(spec, **tables: DataFrame) -> DataFrame:
+    """Evaluate a serialized pipeline document (dict or JSON string) against
+    named input tables. Unknown steps raise — the GDALG driver's behaviour
+    for unknown entries."""
+    import json as _json
+
+    if isinstance(spec, str):
+        spec = _json.loads(spec)
+    df = tables[spec["input"]]
+    for st in spec["pipeline"]:
+        step = st["step"]
+        if step not in GDALG_STEPS:
+            raise ValueError(f"unknown pipeline step {step!r}")
+        df = GDALG_STEPS[step](df, st)
+    return df

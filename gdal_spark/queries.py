@@ -4464,3 +4464,193 @@ def q_corpus_curate_final(spark, sf_dir):
             )
         ).alias("ids_md5"),
     )
+
+
+# ===========================================================================
+# 30. Pipeline-step promotion gates: buffer / segmentize+simplify /
+#     convex hull / serialized (GDALG) pipeline
+# ===========================================================================
+
+from gdal_spark import pipeline as PL  # noqa: E402
+
+_BUF_D, _BUF_Q = 0.5, 8
+
+
+@register(
+    "geom_buffer",
+    f"""WITH cells AS (SELECT unnest(range(0, 64)) AS poly_id)
+SELECT poly_id::bigint AS poly_id, {4 * _BUF_Q + 5} AS n_points,
+       {SR(f'3.0 + 7.0 * {_BUF_D} + 2.0 * {_BUF_D} * {_BUF_D} * {_BUF_Q} * sin(pi() / (2.0 * {_BUF_Q}))', 6)} AS buf_area
+FROM cells""",
+)
+def q_geom_buffer(spark, sf_dir):
+    """Round-join buffer (ogrgeometry.cpp:4942 Buffer → GEOS BufferOp,
+    convex path): every 2×1.5 mosaic cell buffered by 0.5 with 8 segments
+    per quarter arc. Closed-form oracle: area = A + P·d + Σ discretized
+    corner fans = A + P·d + 2·d²·q·sin(π/2q); vertex count 4q+5."""
+    import pandas as pd
+
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    buf = PL.buffer(a, _BUF_D, quad_segs=_BUF_Q)
+
+    def meas(batches):
+        for pdf in batches:
+            ids, np_, ar = [], [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                rr = G.rings_to_numpy(rings)
+                ids.append(int(pid))
+                np_.append(int(rr[0].shape[0]))
+                ar.append(G.rings_area(rr))
+            yield pd.DataFrame(
+                {
+                    "poly_id": pd.Series(ids, dtype="int64"),
+                    "n_points": pd.Series(np_, dtype="int32"),
+                    "buf_area": pd.Series(ar, dtype="float64"),
+                }
+            )
+
+    out = buf.mapInPandas(meas, "poly_id long, n_points int, buf_area double")
+    return out.select(
+        "poly_id", "n_points", R("buf_area", 6).alias("buf_area")
+    )
+
+
+def _seg_oracle_values() -> str:
+    # per-cell expected vertex counts from the ACTUAL envelope floats: the
+    # mosaic coordinates are derived floats, so an edge can measure
+    # 2.0000000000000004 and ceil(len/0.5) gains a segment — mirror the
+    # exact doubles, not the nominal 2x1.5
+    import math as _m
+
+    rows = []
+    for rec in polygon_records()[:64]:
+        w = rec["xmax"] - rec["xmin"]
+        h = rec["ymax"] - rec["ymin"]
+        n_seg = 1 + 2 * (_m.ceil(w / 0.5) + _m.ceil(h / 0.5))
+        rows.append(f"({rec['poly_id']}, {n_seg})")
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_segmentize_simplify",
+    "WITH cells(poly_id, n_seg) AS (" + _seg_oracle_values() + ")\n"
+    "SELECT poly_id::bigint AS poly_id, n_seg, 5 AS n_simplified, "
+    + SR("3.0", 6) + " AS area FROM cells",
+)
+def q_geom_segmentize_simplify(spark, sf_dir):
+    """segmentize (max 0.5: the 2.0 edges split in 4, the 1.5 edges in 3 →
+    15 ring vertices) then Douglas–Peucker simplify (tol 1e-9: collinear
+    inserts removed → back to the 5 corner vertices), area invariant
+    throughout (ogrgeometry.cpp:6771 Simplify / OGRSimpleCurve::segmentize
+    semantics)."""
+    import pandas as pd
+
+    a = polygons_df(spark).filter(F.col("poly_id") < 64)
+    seg = PL.segmentize(a, 0.5)
+
+    def count1(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["poly_id"].astype("int64"),
+                    "n_seg": [
+                        len(r[0]) for r in pdf["rings"]
+                    ],
+                }
+            )
+
+    n_seg = seg.mapInPandas(count1, "poly_id long, n_seg int")
+    simp = PL.simplify(seg, 1e-9)
+
+    def count2(batches):
+        for pdf in batches:
+            rows_n, rows_a = [], []
+            for rings in pdf["rings"]:
+                rr = G.rings_to_numpy(rings)
+                rows_n.append(int(rr[0].shape[0]))
+                rows_a.append(G.rings_area(rr))
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf["poly_id"].astype("int64"),
+                    "n_simplified": pd.Series(rows_n, dtype="int32"),
+                    "area": pd.Series(rows_a, dtype="float64"),
+                }
+            )
+
+    fin = simp.mapInPandas(
+        count2, "poly_id long, n_simplified int, area double"
+    )
+    return (
+        n_seg.join(fin, "poly_id")
+        .select("poly_id", "n_seg", "n_simplified", R("area", 6).alias("area"))
+    )
+
+
+@register(
+    "geom_convex_hull",
+    f"""SELECT poly_id, n_hull, {SR('hull_area', 6)} AS hull_area FROM (VALUES
+  (65::bigint, 5, 14.0),
+  (66::bigint, 4, 48.0),
+  (0::bigint, 4, 3.0),
+  (9::bigint, 4, 3.0)
+) AS t(poly_id, n_hull, hull_area)""",
+)
+def q_geom_convex_hull(spark, sf_dir):
+    """ConvexHull (ogrgeometry.cpp:4442, Andrew monotone chain): the
+    L-shape's hull fills its notch (5 vertices, area 16−2), the holed
+    polygon's hull is its outer rect (hole ignored, area 48), rect cells
+    hull to themselves."""
+    import pandas as pd
+
+    a = polygons_df(spark).filter(F.col("poly_id").isin(65, 66, 0, 9))
+    h = PL.convex_hull(a)
+
+    def meas(batches):
+        for pdf in batches:
+            ids, nh, ar = [], [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                rr = G.rings_to_numpy(rings)
+                ids.append(int(pid))
+                nh.append(int(rr[0].shape[0] - 1))  # distinct hull vertices
+                ar.append(G.rings_area(rr))
+            yield pd.DataFrame(
+                {
+                    "poly_id": pd.Series(ids, dtype="int64"),
+                    "n_hull": pd.Series(nh, dtype="int32"),
+                    "hull_area": pd.Series(ar, dtype="float64"),
+                }
+            )
+
+    out = h.mapInPandas(meas, "poly_id long, n_hull int, hull_area double")
+    return out.select(
+        "poly_id", "n_hull", R("hull_area", 6).alias("hull_area")
+    )
+
+
+_GDALG_SPEC = {
+    "input": "orders",
+    "pipeline": [
+        {"step": "filter", "where": "o_orderkey % 3 = 1"},
+        {"step": "select", "fields": ["o_orderkey", "o_totalprice"]},
+        {"step": "sort", "by": ["o_totalprice", "o_orderkey"], "desc": True},
+        {"step": "limit", "n": 20},
+    ],
+}
+
+
+@register(
+    "pipeline_gdalg",
+    """SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 3 = 1
+ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 20""",
+)
+def q_pipeline_gdalg(spark, sf_dir):
+    """Serialized-pipeline evaluation (the GDALG format analog,
+    frmts/gdalg/gdalgdriver.cpp): a JSON pipeline document —
+    filter → select → sort → limit — deserialized into the lazy Spark plan
+    and executed on action; oracle is the equivalent plain SQL."""
+    import json
+
+    return PL.run_serialized(
+        json.dumps(_GDALG_SPEC), orders=_read(spark, sf_dir, "orders")
+    )
