@@ -4654,3 +4654,394 @@ def q_pipeline_gdalg(spark, sf_dir):
     return PL.run_serialized(
         json.dumps(_GDALG_SPEC), orders=_read(spark, sf_dir, "orders")
     )
+
+
+# ===========================================================================
+# 31. DEM menu completion: aspect / TPI / TRI / roughness / color-relief
+#     (apps/gdaldem_lib.cpp) over the distributed 3x3 neighborhood pivot
+# ===========================================================================
+
+from gdal_spark.operators import dem as DEM  # noqa: E402
+from gdal_spark.operators import rastermath as RM  # noqa: E402
+
+_R2D = repr(180.0 / 3.141592653589793)  # 180/pi, same literal both engines
+
+
+def _dem_cells(spark, w: int):
+    """Closed-form integer DEM materialized as a DISTRIBUTED (gx, gy, val)
+    raster — the operators see an opaque cell table, not the formula."""
+    return spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+        (
+            ((F.col("id") % w) * (F.col("id") % w)) % 97
+            + ((F.col("id") / w).cast("long") * 13) % 89
+        ).cast("double").alias("val"),
+    )
+
+
+def _sql_dem_menu() -> str:
+    nbr = {}
+    for k, (dx, dy) in enumerate(
+        [(ddx, ddy) for ddy in (-1, 0, 1) for ddx in (-1, 0, 1)]
+    ):
+        nbr[k] = _dem_pix(f"x + {dx}", f"y + {dy}")
+    hdx = (
+        f"((({nbr[2]}) + ({nbr[5]}) + ({nbr[5]}) + ({nbr[8]})) - "
+        f"(({nbr[0]}) + ({nbr[3]}) + ({nbr[3]}) + ({nbr[6]})))"
+    )
+    hdy = (
+        f"((({nbr[6]}) + ({nbr[7]}) + ({nbr[7]}) + ({nbr[8]})) - "
+        f"(({nbr[0]}) + ({nbr[1]}) + ({nbr[1]}) + ({nbr[2]})))"
+    )
+    zdx = f"(({nbr[5]}) - ({nbr[3]}))"
+    zdy = f"(({nbr[7]}) - ({nbr[1]}))"
+
+    def az(dx, dy):
+        a = f"(atan2(-({dx}), ({dy})) * {_R2D})"
+        return (
+            f"CASE WHEN ({dx}) = 0 AND ({dy}) = 0 THEN -9999.0 "
+            f"WHEN {a} < 0 THEN {a} + 360.0 ELSE {a} END"
+        )
+
+    def trig(dx, dy):
+        a = f"(atan2(({dy}), -({dx})) * {_R2D})"
+        return (
+            f"CASE WHEN ({dx}) = 0 AND ({dy}) = 0 THEN -9999.0 "
+            f"WHEN {a} < 0 THEN {a} + 360.0 ELSE {a} END"
+        )
+
+    sq_sum = " + ".join(
+        f"(({nbr[k]}) - ({nbr[4]})) * (({nbr[k]}) - ({nbr[4]}))"
+        for k in range(9) if k != 4
+    )
+    abs_sum = " + ".join(
+        f"abs(({nbr[k]}) - ({nbr[4]}))" for k in range(9) if k != 4
+    )
+    n_sum = " + ".join(f"({nbr[k]})" for k in range(9) if k != 4)
+    all9 = ", ".join(f"({nbr[k]})" for k in range(9))
+    return f"""
+WITH g AS (SELECT unnest(generate_series(1, {_DEM_W - 2})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy)
+SELECT x, y,
+       {SR(az(hdx, hdy), 6)} AS aspect_az,
+       {SR(az(zdx, zdy), 6)} AS aspect_zt,
+       {SR(trig(hdx, hdy), 6)} AS aspect_trig,
+       {SR(f'sqrt({sq_sum})', 6)} AS tri_riley,
+       {SR(f'({abs_sum}) * 0.125', 6)} AS tri_wilson,
+       {SR(f'({nbr[4]}) - ({n_sum}) * 0.125', 6)} AS tpi,
+       {SR(f'greatest({all9}) - least({all9})', 6)} AS roughness
+FROM px"""
+
+
+@register("dem_aspect_menu", _sql_dem_menu())
+def q_dem_aspect_menu(spark, sf_dir):
+    """gdaldem aspect (Horn + Zevenbergen-Thorne, azimuth + trig modes),
+    TRI (Riley + Wilson), TPI and roughness (apps/gdaldem_lib.cpp:1441,
+    1481,2317,2330,2354,2369) over the distributed 3x3 neighborhood pivot:
+    one explode + one groupBy(pixel) shuffle, kernels as pure column math
+    in whole-stage codegen."""
+    cells = _dem_cells(spark, _DEM_W)
+    win = DEM.neighborhood3x3(cells, "gx", "gy", "val")
+    return win.select(
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        R(DEM.aspect_col(), 6).alias("aspect_az"),
+        R(DEM.aspect_col(zevenbergen=True), 6).alias("aspect_zt"),
+        R(DEM.aspect_col(azimuth=False), 6).alias("aspect_trig"),
+        R(DEM.tri_riley_col(), 6).alias("tri_riley"),
+        R(DEM.tri_wilson_col(), 6).alias("tri_wilson"),
+        R(DEM.tpi_col(), 6).alias("tpi"),
+        R(DEM.roughness_col(), 6).alias("roughness"),
+    )
+
+
+_RELIEF_ENTRIES = [
+    (0.0, 0, 0, 255, 255),
+    (60.0, 0, 255, 0, 255),
+    (120.0, 255, 255, 0, 255),
+    (180.0, 255, 0, 0, 255),
+]
+
+
+def _sql_color_relief() -> str:
+    r, g, b, a = DEM.sql_color_relief(_dem_pix("x", "y"), _RELIEF_ENTRIES)
+    return f"""
+WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy)
+SELECT x, y, {r} AS r, {g} AS g, {b} AS b, {a} AS a FROM px"""
+
+
+@register("dem_color_relief", _sql_color_relief())
+def q_dem_color_relief(spark, sf_dir):
+    """gdaldem color-relief, interpolate mode (GDALColorReliefGetRGBA,
+    apps/gdaldem_lib.cpp:1639): breakpoint LUT with per-channel linear
+    interpolation clamp(floor(0.5 + c0 + ratio*(c1-c0)), 0, 255), end
+    colors clamped.  Map-only generated CASE — no UDF, no join."""
+    cells = _dem_cells(spark, _DEM_W)
+    r, g, b, a = DEM.color_relief_cols(F.col("val"), _RELIEF_ENTRIES)
+    return cells.select(
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        r.alias("r"), g.alias("g"), b.alias("b"), a.alias("a"),
+    )
+
+
+# ===========================================================================
+# 32. Band-level raster math: checksum / stats / histogram / reclassify /
+#     calc / mosaic / locationinfo (alg/gdalchecksum.cpp,
+#     gcore/gdalrasterband.cpp, frmts/vrt/vrtreclassifier.cpp,
+#     apps/gdalalg_raster_{calc,reclassify}.cpp, gdal_merge,
+#     gdallocationinfo)
+# ===========================================================================
+
+
+def _sql_cs(val: str) -> str:
+    return RM.sql_checksum_term("x", "y", val, _DEM_W)
+
+
+@register(
+    "raster_checksum",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} AS val FROM px)
+SELECT (sum({_sql_cs('val')}) % 65536)::int AS cs_int,
+       (sum({_sql_cs('val * 0.5 + 0.25')}) % 65536)::int AS cs_float
+FROM v""",
+)
+def q_raster_checksum(spark, sf_dir):
+    """GDALChecksumImage (alg/gdalchecksum.cpp:48) — the reference
+    autotest suite's canonical oracle — as a distributed reduction:
+    per-pixel int(val) % primes[(y*W+x) % 11], one global SUM, 16-bit
+    mask once at the end (mask commutes with addition).  cs_float runs
+    the float->Int32 GDALCopyWords rule (floor(v+0.5)) first."""
+    cells = _dem_cells(spark, _DEM_W)
+    idx = (F.col("gy") * F.lit(_DEM_W) + F.col("gx")) % 11
+    prime = F.element_at(
+        F.array(*[F.lit(p) for p in RM.CHECKSUM_PRIMES]),
+        (idx + 1).cast("int"),
+    )
+    t1 = RM.checksum_int_col(F.col("val")) % prime
+    t2 = RM.checksum_int_col(F.col("val") * 0.5 + 0.25) % prime
+    return cells.agg(
+        F.pmod(F.sum(t1), F.lit(65536)).cast("int").alias("cs_int"),
+        F.pmod(F.sum(t2), F.lit(65536)).cast("int").alias("cs_float"),
+    )
+
+
+@register(
+    "raster_stats",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+v AS (SELECT {_dem_pix('gx.i', 'gy.i')} AS val
+      FROM g gx CROSS JOIN g gy)
+SELECT min(val) AS vmin, max(val) AS vmax,
+       {SR('avg(val)', 6)} AS vmean,
+       {SR('sqrt(avg(val * val) - avg(val) * avg(val))', 6)} AS vstddev,
+       count(*)::bigint AS n
+FROM v""",
+)
+def q_raster_stats(spark, sf_dir):
+    """GDALRasterBand::ComputeStatistics (gcore/gdalrasterband.cpp):
+    min / max / mean / POPULATION stddev (sqrt(E[x^2] - mean^2)) — one
+    partially-aggregated reduction, exact because the DEM is integer-
+    valued (double sums < 2^53 are exact in both engines)."""
+    out = RM.compute_statistics(_dem_cells(spark, _DEM_W))
+    return out.select(
+        "vmin", "vmax",
+        R("vmean", 6).alias("vmean"),
+        R("vstddev", 6).alias("vstddev"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+_HIST_MIN, _HIST_MAX, _HIST_NB = 0.0, 160.0, 32
+
+
+@register(
+    "raster_histogram",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+v AS (SELECT {_dem_pix('gx.i', 'gy.i')} AS val
+      FROM g gx CROSS JOIN g gy),
+b AS (SELECT greatest(0, least({_HIST_NB - 1},
+        floor((val - {_HIST_MIN!r}) * {_HIST_NB / (_HIST_MAX - _HIST_MIN)!r})::bigint
+      )) AS bucket FROM v),
+c AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+SELECT f.bucket, coalesce(c.n, 0)::bigint AS n
+FROM (SELECT unnest(generate_series(0, {_HIST_NB - 1}))::bigint AS bucket) f
+LEFT JOIN c USING (bucket)""",
+)
+def q_raster_histogram(spark, sf_dir):
+    """GDALRasterBand::GetHistogram (gcore/gdalrasterband.cpp): bucket =
+    floor((val - min) * nBuckets/(max-min)), out-of-range clamped into the
+    end buckets (bIncludeOutOfRange), zero-filled bucket frame.  One
+    groupBy on <= 32 keys with map-side combine + a broadcast zero-fill
+    join."""
+    out = RM.histogram(
+        _dem_cells(spark, _DEM_W), _HIST_MIN, _HIST_MAX, _HIST_NB,
+        include_out_of_range=True,
+    )
+    return out.select("bucket", F.col("n").cast("long").alias("n"))
+
+
+_RECLASS_MAP = (
+    "[0,40)=1;[40,90)=2;[90,140]=3;(140,160)=PASS_THROUGH;"
+    "160=7;NO_DATA=0;DEFAULT=9"
+)
+
+
+@register(
+    "raster_reclassify",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y, {_dem_pix('gx.i', 'gy.i')} AS val
+      FROM g gx CROSS JOIN g gy)
+SELECT x, y,
+       CASE WHEN val >= 0 AND val < 40 THEN 1.0
+            WHEN val >= 40 AND val < 90 THEN 2.0
+            WHEN val >= 90 AND val <= 140 THEN 3.0
+            WHEN val > 140 AND val < 160 THEN val
+            WHEN val = 160 THEN 7.0
+            WHEN val = -1.0 THEN 0.0
+            ELSE 9.0 END AS val_out
+FROM v""",
+)
+def q_raster_reclassify(spark, sf_dir):
+    """gdal raster reclassify (frmts/vrt/vrtreclassifier.cpp grammar:
+    open/closed intervals, constants, NO_DATA, PASS_THROUGH, DEFAULT) —
+    the mapping string parsed into one generated CASE column, map-only."""
+    cells = _dem_cells(spark, _DEM_W)
+    return cells.select(
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        RM.reclassify_col(
+            F.col("val"), _RECLASS_MAP, nodata=-1.0
+        ).alias("val_out"),
+    )
+
+
+@register(
+    "raster_calc_ndvi",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy),
+ab AS (SELECT x, y,
+         ((x * 3 + y * 7) % 50 + 10)::double AS A,
+         ((x * 5 + y * 11) % 60 + 20)::double AS B
+       FROM px)
+SELECT x, y, {SR('(B - A) / (B + A)', 6)} AS ndvi FROM ab""",
+)
+def q_raster_calc_ndvi(spark, sf_dir):
+    """gdal raster calc (apps/gdalalg_raster_calc.cpp): named-band pixel
+    algebra — two band rasters equi-joined on the compact pixel key, the
+    expression as one JVM column expression (co-partitioned join + map)."""
+    w = _DEM_W
+    px = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+    )
+    band_a = px.select(
+        "gx", "gy",
+        ((F.col("gx") * 3 + F.col("gy") * 7) % 50 + 10)
+        .cast("double").alias("val"),
+    )
+    band_b = px.select(
+        "gx", "gy",
+        ((F.col("gx") * 5 + F.col("gy") * 11) % 60 + 20)
+        .cast("double").alias("val"),
+    )
+    out = RM.raster_calc({"A": band_a, "B": band_b}, "(B - A) / (B + A)")
+    return out.select(
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        R("val", 6).alias("ndvi"),
+    )
+
+
+_MOSAIC_ND = 255.0
+
+
+@register(
+    "raster_mosaic",
+    f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+r1 AS (SELECT gx.i AS x, gy.i AS y,
+         CASE WHEN (gx.i + gy.i) % 5 = 0 THEN {_MOSAIC_ND!r}
+              ELSE ((gx.i * 7 + gy.i * 3) % 100)::double END AS v,
+         0 AS src
+       FROM g gx CROSS JOIN g gy WHERE gx.i < 48),
+r2 AS (SELECT gx.i AS x, gy.i AS y,
+         CASE WHEN (gx.i * gy.i) % 7 = 0 THEN {_MOSAIC_ND!r}
+              ELSE ((gx.i * 11 + gy.i) % 90)::double END AS v,
+         1 AS src
+       FROM g gx CROSS JOIN g gy WHERE gx.i >= 32),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT x AS gx, y AS gy, arg_max(v, src) AS val
+FROM u WHERE v <> {_MOSAIC_ND!r} GROUP BY x, y""",
+)
+def q_raster_mosaic(spark, sf_dir):
+    """gdal_merge / gdal raster mosaic: inputs stack in argument order,
+    LAST non-nodata wins per pixel — union + one groupBy(pixel) with
+    max_by partial aggregation (no join, no window)."""
+    w = _DEM_W
+    px = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+    )
+    nd = F.lit(_MOSAIC_ND)
+    r1 = px.filter(F.col("gx") < 48).select(
+        "gx", "gy",
+        F.when((F.col("gx") + F.col("gy")) % 5 == 0, nd)
+        .otherwise(((F.col("gx") * 7 + F.col("gy") * 3) % 100)
+                   .cast("double")).alias("val"),
+    )
+    r2 = px.filter(F.col("gx") >= 32).select(
+        "gx", "gy",
+        F.when((F.col("gx") * F.col("gy")) % 7 == 0, nd)
+        .otherwise(((F.col("gx") * 11 + F.col("gy")) % 90)
+                   .cast("double")).alias("val"),
+    )
+    return RM.mosaic([r1, r2], nodata=_MOSAIC_ND)
+
+
+_LOC_W = 256  # zoom-0 world raster, 256x256 "pixels"
+_LOC_ORG = 20037508.342789244
+_LOC_PS = 2.0 * _LOC_ORG / _LOC_W
+
+
+@register(
+    "raster_locationinfo",
+    f"""WITH pts AS (
+  SELECT o_orderkey, {sql_lon('o_orderkey')} AS lon,
+         {sql_lat('o_orderkey')} AS lat
+  FROM orders WHERE o_orderkey % 7 = 0),
+pl AS (
+  SELECT o_orderkey,
+         floor(({TM.sql_meters_x('lon')} - (-{_LOC_ORG!r})) / {_LOC_PS!r})::bigint AS pixel,
+         floor(({_LOC_ORG!r} - {TM.sql_meters_y('lat')}) / {_LOC_PS!r})::bigint AS line
+  FROM pts)
+SELECT o_orderkey, pixel, line,
+       ((pixel * pixel) % 97 + (line * 13) % 89)::double AS value
+FROM pl""",
+)
+def q_raster_locationinfo(spark, sf_dir):
+    """gdallocationinfo: web-page geotag points -> inverse geotransform
+    (pixel = floor((X - originX)/ps), line = floor((originY - Y)/ps)) ->
+    band value under each point, via a BROADCAST equi-join on the compact
+    (pixel, line) key against the zoom-0 world raster."""
+    pts = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0
+    ).select(
+        "o_orderkey",
+        derived_lon(F.col("o_orderkey")).alias("lon"),
+        derived_lat(F.col("o_orderkey")).alias("lat"),
+    )
+    mx, my = TM.lonlat_to_meters(F.col("lon"), F.col("lat"))
+    pts = pts.select("o_orderkey", mx.alias("mx"), my.alias("my"))
+    w = _LOC_W
+    cells = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+        (
+            ((F.col("id") % w) * (F.col("id") % w)) % 97
+            + ((F.col("id") / w).cast("long") * 13) % 89
+        ).cast("double").alias("val"),
+    )
+    out = RM.locationinfo(
+        pts, cells, origin_x=-_LOC_ORG, origin_y=_LOC_ORG,
+        pixel_size=_LOC_PS,
+    )
+    return out.select("o_orderkey", "pixel", "line",
+                      F.col("value").alias("value"))
