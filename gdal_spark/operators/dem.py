@@ -236,6 +236,230 @@ def color_relief_cols(val: Column,
     return [chan(c) for c in range(4)]
 
 
+# ---------------------------------------------------------------------------
+# Hillshade menu: standard / combined / Igor / multidirectional
+# ---------------------------------------------------------------------------
+#
+# Reference semantics (apps/gdaldem_lib.cpp, float32 there — float64 here,
+# which is what makes the Spark and DuckDB twins cross-engine comparable):
+#
+# * Gradient (Gradient<T, HORN>::calc, gdaldem_lib.cpp:783):
+#   x = ((w0 + 2*w3 + w6) - (w2 + 2*w5 + w8)) / (xres * xscale)
+#   y = ((w6 + 2*w7 + w8) - (w0 + 2*w1 + w2)) / (yres * yscale)
+#   with yres NEGATIVE for north-up rasters (geotransform[5]); the z
+#   factor z/8 (z/2 for Zevenbergen-Thorne) is folded into the shading
+#   constants exactly as GDALCreateHillshadeData does.
+# * Standard (GDALHillshadeAlg, :1016): cang_mul_254 =
+#   (254*sin(alt) - (y*cos(az) - x*sin(az))*cos(alt)*zf*254)
+#   / sqrt(1 + zf^2*(x^2+y^2)); output 1.0 when <= 0 else 1 + cang_mul_254.
+# * Combined (GDALHillshadeCombinedAlg, :1151): slope = zf^2*(x^2+y^2);
+#   cang = 1 - acos(standard_cosine) * atan(sqrt(slope)) * 4/pi^2;
+#   output 1.0 when <= 0 else 1 + 254*cang.
+# * Igor (GDALHillshadeIgorAlg, :947): slopeStrength = slopeDeg/90;
+#   aspect = atan2(dy2, -dx_aspect) (unscaled Horn sums, aspect-sign
+#   convention); aspectStrength = 1 - angdiff(aspect, 3pi/2 - az)/pi;
+#   output 255 * (1 - slopeStrength*aspectStrength).
+# * Multidirectional (GDALHillshadeMultiDirectionalAlg, :1255, USGS
+#   OF 92-422): per-azimuth lambertian terms at 225/270/315/360 deg
+#   clamped at 0, blended with weights sin^2(aspect - az) expressed in
+#   x/y (w225 = (x^2+y^2)/2 - x*y, w270 = x^2, w315 = (x^2+y^2) - w225,
+#   w360 = y^2), normalized by (x^2+y^2) and the slope denominator; flat
+#   pixels return 1 + 254*sin(alt).
+
+_HS_MODES = ("standard", "combined", "igor", "multidirectional")
+
+
+def _hs_consts(z: float, xres: float, yres: float, xscale: float,
+               yscale: float, alt: float, az: float,
+               zevenbergen: bool) -> dict:
+    zf = z / (2.0 if zevenbergen else 8.0)
+    altr, azr = math.radians(alt), math.radians(az)
+    return {
+        "inv_ew": 1.0 / (xres * xscale),
+        "inv_ns": 1.0 / (yres * yscale),
+        "zf": zf,
+        "sin_alt": math.sin(altr),
+        "cos_az_cos_alt_z": math.cos(azr) * math.cos(altr) * zf,
+        "sin_az_cos_alt_z": math.sin(azr) * math.cos(altr) * zf,
+        "square_z": zf * zf,
+        "cos_alt_z": math.cos(altr) * zf,
+        "cos225_cos_alt_z": math.cos(math.radians(225.0))
+        * math.cos(altr) * zf,
+        # Igor's reference direction 3pi/2 - az, pre-normalized into
+        # [0, 2pi) so the twins share one constant
+        "igor_ref": (1.5 * math.pi - azr) % (2.0 * math.pi),
+    }
+
+
+def hillshade_col(mode: str = "standard",
+                  w: Sequence[Column] | None = None,
+                  z: float = 1.0, xres: float = 1.0, yres: float = -1.0,
+                  xscale: float = 1.0, yscale: float = 1.0,
+                  alt: float = 45.0, az: float = 315.0,
+                  zevenbergen: bool = False) -> Column:
+    """One hillshade mode over a w0..w8 window as pure column math."""
+    if mode not in _HS_MODES:
+        raise ValueError(f"unknown hillshade mode {mode!r}")
+    w = _wcols(w)
+    c = _hs_consts(z, xres, yres, xscale, yscale, alt, az, zevenbergen)
+    if zevenbergen:
+        x = (w[3] - w[5]) * F.lit(c["inv_ew"])
+        y = (w[7] - w[1]) * F.lit(c["inv_ns"])
+    else:
+        x = ((w[0] + w[3] + w[3] + w[6]) - (w[2] + w[5] + w[5] + w[8])) \
+            * F.lit(c["inv_ew"])
+        y = ((w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])) \
+            * F.lit(c["inv_ns"])
+    xx_yy = x * x + y * y
+
+    if mode == "standard":
+        num = (
+            F.lit(254.0 * c["sin_alt"])
+            - (y * F.lit(254.0 * c["cos_az_cos_alt_z"])
+               - x * F.lit(254.0 * c["sin_az_cos_alt_z"]))
+        )
+        cang = num / F.sqrt(F.lit(1.0) + F.lit(c["square_z"]) * xx_yy)
+        return F.when(cang <= 0.0, F.lit(1.0)).otherwise(F.lit(1.0) + cang)
+
+    if mode == "combined":
+        slope = xx_yy * F.lit(c["square_z"])
+        cosine = (
+            F.lit(c["sin_alt"])
+            - (y * F.lit(c["cos_az_cos_alt_z"])
+               - x * F.lit(c["sin_az_cos_alt_z"]))
+        ) / F.sqrt(F.lit(1.0) + slope)
+        cang = F.lit(1.0) - F.acos(cosine) * F.atan(F.sqrt(slope)) \
+            * F.lit(4.0 / (math.pi * math.pi))
+        return F.when(cang <= 0.0, F.lit(1.0)).otherwise(
+            F.lit(1.0) + F.lit(254.0) * cang
+        )
+
+    if mode == "igor":
+        slope_deg = F.degrees(F.atan(F.sqrt(xx_yy) * F.lit(c["zf"])))
+        if zevenbergen:
+            adx = w[5] - w[3]
+            ady = w[7] - w[1]
+        else:
+            # aspect gradient: unscaled Horn sums, east-positive sign
+            adx = (w[2] + w[5] + w[5] + w[8]) - (w[0] + w[3] + w[3] + w[6])
+            ady = (w[6] + w[7] + w[7] + w[8]) - (w[0] + w[1] + w[1] + w[2])
+        aspect = F.atan2(ady, -adx)
+        # DifferenceBetweenAngles(aspect, 3pi/2 - az, 2pi): aspect is in
+        # (-pi, pi] so its normalization is one conditional add
+        n1 = F.when(aspect < 0, aspect + F.lit(2.0 * math.pi)) \
+            .otherwise(aspect)
+        diff = F.abs(n1 - F.lit(c["igor_ref"]))
+        diff = F.when(diff > F.lit(math.pi),
+                      F.lit(2.0 * math.pi) - diff).otherwise(diff)
+        strength = (slope_deg * F.lit(1.0 / 90.0)) \
+            * (F.lit(1.0) - diff * F.lit(1.0 / math.pi))
+        return F.lit(255.0) * (F.lit(1.0) - strength)
+
+    # multidirectional
+    def clamp0(v: Column) -> Column:
+        return F.when(v <= 0.0, F.lit(0.0)).otherwise(v)
+
+    v225 = clamp0(F.lit(127.0 * c["sin_alt"])
+                  + (x - y) * F.lit(127.0 * c["cos225_cos_alt_z"]))
+    v270 = clamp0(F.lit(127.0 * c["sin_alt"])
+                  - x * F.lit(127.0 * c["cos_alt_z"]))
+    v315 = clamp0(F.lit(127.0 * c["sin_alt"])
+                  + (x + y) * F.lit(127.0 * c["cos225_cos_alt_z"]))
+    v360 = clamp0(F.lit(127.0 * c["sin_alt"])
+                  - y * F.lit(127.0 * c["cos_alt_z"]))
+    w225 = F.lit(0.5) * xx_yy - x * y
+    w270 = x * x
+    w315 = xx_yy - w225
+    w360 = y * y
+    blended = (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360) / xx_yy
+    cang = F.lit(1.0) + blended / F.sqrt(
+        F.lit(1.0) + F.lit(c["square_z"]) * xx_yy
+    )
+    return F.when(xx_yy == 0.0,
+                  F.lit(1.0 + 254.0 * c["sin_alt"])).otherwise(cang)
+
+
+def sql_hillshade(mode: str, nbr: Sequence[str],
+                  z: float = 1.0, xres: float = 1.0, yres: float = -1.0,
+                  xscale: float = 1.0, yscale: float = 1.0,
+                  alt: float = 45.0, az: float = 315.0,
+                  zevenbergen: bool = False) -> str:
+    """DuckDB twin of :func:`hillshade_col` — identical expression tree
+    and double constants over 9 neighbor-pixel SQL expressions (afWin
+    order), so the engines agree to libm ULP."""
+    if mode not in _HS_MODES:
+        raise ValueError(f"unknown hillshade mode {mode!r}")
+    c = _hs_consts(z, xres, yres, xscale, yscale, alt, az, zevenbergen)
+    n = [f"({e})" for e in nbr]
+    if zevenbergen:
+        x = f"(({n[3]} - {n[5]}) * {c['inv_ew']!r})"
+        y = f"(({n[7]} - {n[1]}) * {c['inv_ns']!r})"
+    else:
+        x = (f"((({n[0]} + {n[3]} + {n[3]} + {n[6]}) - "
+             f"({n[2]} + {n[5]} + {n[5]} + {n[8]})) * {c['inv_ew']!r})")
+        y = (f"((({n[6]} + {n[7]} + {n[7]} + {n[8]}) - "
+             f"({n[0]} + {n[1]} + {n[1]} + {n[2]})) * {c['inv_ns']!r})")
+    xx_yy = f"({x} * {x} + {y} * {y})"
+
+    if mode == "standard":
+        num = (f"({254.0 * c['sin_alt']!r} - ({y} * "
+               f"{254.0 * c['cos_az_cos_alt_z']!r} - {x} * "
+               f"{254.0 * c['sin_az_cos_alt_z']!r}))")
+        cang = f"({num} / sqrt(1.0 + {c['square_z']!r} * {xx_yy}))"
+        return f"CASE WHEN {cang} <= 0.0 THEN 1.0 ELSE 1.0 + {cang} END"
+
+    if mode == "combined":
+        slope = f"({xx_yy} * {c['square_z']!r})"
+        cosine = (f"(({c['sin_alt']!r} - ({y} * {c['cos_az_cos_alt_z']!r} "
+                  f"- {x} * {c['sin_az_cos_alt_z']!r})) / "
+                  f"sqrt(1.0 + {slope}))")
+        cang = (f"(1.0 - acos({cosine}) * atan(sqrt({slope})) * "
+                f"{4.0 / (math.pi * math.pi)!r})")
+        return (f"CASE WHEN {cang} <= 0.0 THEN 1.0 "
+                f"ELSE 1.0 + 254.0 * {cang} END")
+
+    if mode == "igor":
+        slope_deg = f"degrees(atan(sqrt({xx_yy}) * {c['zf']!r}))"
+        if zevenbergen:
+            adx = f"({n[5]} - {n[3]})"
+            ady = f"({n[7]} - {n[1]})"
+        else:
+            adx = (f"(({n[2]} + {n[5]} + {n[5]} + {n[8]}) - "
+                   f"({n[0]} + {n[3]} + {n[3]} + {n[6]}))")
+            ady = (f"(({n[6]} + {n[7]} + {n[7]} + {n[8]}) - "
+                   f"({n[0]} + {n[1]} + {n[1]} + {n[2]}))")
+        aspect = f"atan2({ady}, -{adx})"
+        n1 = (f"(CASE WHEN {aspect} < 0 THEN {aspect} + "
+              f"{2.0 * math.pi!r} ELSE {aspect} END)")
+        diff = f"abs({n1} - {c['igor_ref']!r})"
+        diff = (f"(CASE WHEN {diff} > {math.pi!r} THEN "
+                f"{2.0 * math.pi!r} - {diff} ELSE {diff} END)")
+        strength = (f"(({slope_deg}) * {1.0 / 90.0!r}) * "
+                    f"(1.0 - {diff} * {1.0 / math.pi!r})")
+        return f"255.0 * (1.0 - {strength})"
+
+    # multidirectional
+    def clamp0(v: str) -> str:
+        return f"(CASE WHEN {v} <= 0.0 THEN 0.0 ELSE {v} END)"
+
+    sa127 = repr(127.0 * c["sin_alt"])
+    v225 = clamp0(f"({sa127} + ({x} - {y}) * "
+                  f"{127.0 * c['cos225_cos_alt_z']!r})")
+    v270 = clamp0(f"({sa127} - {x} * {127.0 * c['cos_alt_z']!r})")
+    v315 = clamp0(f"({sa127} + ({x} + {y}) * "
+                  f"{127.0 * c['cos225_cos_alt_z']!r})")
+    v360 = clamp0(f"({sa127} - {y} * {127.0 * c['cos_alt_z']!r})")
+    w225 = f"(0.5 * {xx_yy} - {x} * {y})"
+    w270 = f"({x} * {x})"
+    w315 = f"({xx_yy} - {w225})"
+    w360 = f"({y} * {y})"
+    blended = (f"(({w225} * {v225} + {w270} * {v270} + {w315} * {v315} + "
+               f"{w360} * {v360}) / {xx_yy})")
+    cang = (f"(1.0 + {blended} / sqrt(1.0 + {c['square_z']!r} * {xx_yy}))")
+    return (f"CASE WHEN {xx_yy} = 0.0 THEN {1.0 + 254.0 * c['sin_alt']!r} "
+            f"ELSE {cang} END")
+
+
 def sql_color_relief(val_expr: str, entries: Sequence[ColorEntry]) -> list[str]:
     """DuckDB twin of :func:`color_relief_cols` — same CASE structure and
     the same double literals, so interpolation is cross-engine exact."""

@@ -4785,6 +4785,44 @@ def q_dem_color_relief(spark, sf_dir):
     )
 
 
+def _sql_hillshade_menu() -> str:
+    nbr = [
+        _dem_pix(f"x + {dx}", f"y + {dy}")
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+    ]
+    cols = ", ".join(
+        f"{SR(DEM.sql_hillshade(m, nbr), 5)} AS hs_{m[:5]}"
+        for m in ("standard", "combined", "igor", "multidirectional")
+    )
+    zt = SR(DEM.sql_hillshade("standard", nbr, zevenbergen=True), 5)
+    return f"""
+WITH g AS (SELECT unnest(generate_series(1, {_DEM_W - 2})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy)
+SELECT x, y, {cols}, {zt} AS hs_zt FROM px"""
+
+
+@register("dem_hillshade_menu", _sql_hillshade_menu())
+def q_dem_hillshade_menu(spark, sf_dir):
+    """gdaldem hillshade menu — standard (254-scaled lambertian,
+    GDALHillshadeAlg apps/gdaldem_lib.cpp:1016), -combined (:1151),
+    -igor (:947) and -multidirectional (USGS OF 92-422, :1255), plus the
+    Zevenbergen-Thorne gradient variant — over the distributed 3x3
+    neighborhood pivot: one explode + one groupBy(pixel) shuffle, then
+    all five shaders as whole-stage-codegen column math (float64
+    rendering of the reference's float32 kernels)."""
+    cells = _dem_cells(spark, _DEM_W)
+    win = DEM.neighborhood3x3(cells, "gx", "gy", "val")
+    return win.select(
+        F.col("gx").alias("x"), F.col("gy").alias("y"),
+        *[
+            R(DEM.hillshade_col(m), 5).alias(f"hs_{m[:5]}")
+            for m in ("standard", "combined", "igor", "multidirectional")
+        ],
+        R(DEM.hillshade_col("standard", zevenbergen=True), 5)
+        .alias("hs_zt"),
+    )
+
+
 # ===========================================================================
 # 32. Band-level raster math: checksum / stats / histogram / reclassify /
 #     calc / mosaic / locationinfo (alg/gdalchecksum.cpp,

@@ -109,6 +109,65 @@ def test_tri_tpi_roughness_values(spark):
 
 
 # ---------------------------------------------------------------------------
+# hillshade menu
+# ---------------------------------------------------------------------------
+
+def test_hillshade_flat_pixel_all_modes(spark):
+    df = _one_window(spark, [7] * 9)
+    row = df.select(
+        DEM.hillshade_col("standard").alias("std"),
+        DEM.hillshade_col("combined").alias("comb"),
+        DEM.hillshade_col("igor").alias("igor"),
+        DEM.hillshade_col("multidirectional").alias("multi"),
+    ).collect()[0]
+    sin45 = math.sin(math.radians(45.0))
+    # standard: 1 + 254*sin(alt); combined: acos(sin_alt)*atan(0) = 0
+    # -> 1 + 254*1; igor: slopeStrength 0 -> 255; multi: flat branch
+    assert row["std"] == pytest.approx(1 + 254 * sin45)
+    assert row["comb"] == pytest.approx(255.0)
+    assert row["igor"] == pytest.approx(255.0)
+    assert row["multi"] == pytest.approx(1 + 254 * sin45)
+
+
+def test_hillshade_standard_shadow_clamps_to_one(spark):
+    # steep slope facing AWAY from a NW sun (az=315): rising hard to
+    # the north-west -> cang goes negative -> clamp to 1.0
+    w = [100, 50, 0, 50, 0, -50, 0, -50, -100]
+    v = _one_window(spark, w).select(
+        DEM.hillshade_col("standard", alt=5.0).alias("h")
+    ).collect()[0]["h"]
+    assert v == 1.0
+
+
+def test_hillshade_matches_closed_form(spark):
+    # standard mode cross-checked against the formula written out in
+    # plain python for one asymmetric window
+    w = [1, 2, 3, 4, 5, 6, 9, 8, 7]
+    got = _one_window(spark, w).select(
+        DEM.hillshade_col("standard").alias("h")
+    ).collect()[0]["h"]
+    zf = 1.0 / 8.0
+    x = ((w[0] + 2 * w[3] + w[6]) - (w[2] + 2 * w[5] + w[8])) / 1.0
+    y = ((w[6] + 2 * w[7] + w[8]) - (w[0] + 2 * w[1] + w[2])) / -1.0
+    alt = math.radians(45.0)
+    az = math.radians(315.0)
+    num = 254.0 * math.sin(alt) - (
+        y * math.cos(az) * math.cos(alt) * zf * 254.0
+        - x * math.sin(az) * math.cos(alt) * zf * 254.0
+    )
+    cang = num / math.sqrt(1.0 + zf * zf * (x * x + y * y))
+    exp = 1.0 if cang <= 0 else 1.0 + cang
+    assert got == pytest.approx(exp)
+
+
+def test_hillshade_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        DEM.hillshade_col("osten")
+    with pytest.raises(ValueError):
+        DEM.sql_hillshade("osten", ["0"] * 9)
+
+
+# ---------------------------------------------------------------------------
 # color relief
 # ---------------------------------------------------------------------------
 
