@@ -5083,3 +5083,125 @@ def q_raster_locationinfo(spark, sf_dir):
     )
     return out.select("o_orderkey", "pixel", "line",
                       F.col("value").alias("value"))
+
+
+# ===========================================================================
+# 33. Line rasterization: Bresenham burn + ALL_TOUCHED supercover
+#     (alg/llrasterize.cpp GDALdllImageLine:256 /
+#      GDALdllImageLineAllTouched:407) — closed-form re-derivations,
+#     explode + column math, one merge shuffle
+# ===========================================================================
+
+from gdal_spark.operators import rasterize_lines as RL  # noqa: E402
+
+_RLINES_W = 64  # 64x64 target raster
+
+
+def _rlines_segments(spark):
+    """Deterministic polyline fixture: 40 two-segment slanted lines plus
+    8 vertical and 8 horizontal single-segment lines, all with
+    non-integer coordinates (fractions >= 0.05) inside the 64x64 grid."""
+    j = F.col("id")
+
+    def vx(i):
+        return ((j * 7 + i * 13) % 57).cast("double") \
+            + ((j * 3 + i) % 10).cast("double") * 0.1 + 0.05
+
+    def vy(i):
+        return ((j * 11 + i * 5) % 57).cast("double") \
+            + ((j + i * 7) % 10).cast("double") * 0.1 + 0.05
+
+    slant = None
+    for i in (0, 1):
+        seg = spark.range(40).select(
+            j.alias("line_id"), F.lit(i).alias("seq"),
+            F.lit(i == 1).alias("is_last"),
+            vx(i).alias("x0"), vy(i).alias("y0"),
+            vx(i + 1).alias("x1"), vy(i + 1).alias("y1"),
+            ((j % 5) + 1).cast("double").alias("burn"),
+        )
+        slant = seg if slant is None else slant.unionAll(seg)
+    vert = spark.range(8).select(
+        (j + 100).alias("line_id"), F.lit(0).alias("seq"),
+        F.lit(True).alias("is_last"),
+        ((j * 6 % 50).cast("double") + 0.35).alias("x0"),
+        ((j * 5 % 40).cast("double") + 0.2).alias("y0"),
+        ((j * 6 % 50).cast("double") + 0.35).alias("x1"),
+        ((j * 5 % 40).cast("double") + 7.8 + j.cast("double")).alias("y1"),
+        F.lit(2.0).alias("burn"),
+    )
+    horz = spark.range(8).select(
+        (j + 200).alias("line_id"), F.lit(0).alias("seq"),
+        F.lit(True).alias("is_last"),
+        ((j * 4 % 45).cast("double") + 0.6).alias("x0"),
+        ((j * 9 % 50).cast("double") + 0.45).alias("y0"),
+        ((j * 4 % 45).cast("double") + 9.3 + j.cast("double")).alias("x1"),
+        ((j * 9 % 50).cast("double") + 0.45).alias("y1"),
+        F.lit(3.0).alias("burn"),
+    )
+    return slant.unionAll(vert).unionAll(horz)
+
+
+_RLINES_SEGS_SQL = """segs AS (
+  SELECT j AS line_id, i AS seq, i = 1 AS is_last,
+         ((j * 7 + i * 13) % 57)::double
+           + ((j * 3 + i) % 10)::double * 0.1 + 0.05 AS x0,
+         ((j * 11 + i * 5) % 57)::double
+           + ((j + i * 7) % 10)::double * 0.1 + 0.05 AS y0,
+         ((j * 7 + (i + 1) * 13) % 57)::double
+           + ((j * 3 + i + 1) % 10)::double * 0.1 + 0.05 AS x1,
+         ((j * 11 + (i + 1) * 5) % 57)::double
+           + ((j + (i + 1) * 7) % 10)::double * 0.1 + 0.05 AS y1,
+         ((j % 5) + 1)::double AS burn
+  FROM (SELECT unnest(generate_series(0, 39)) AS j),
+       (SELECT unnest(generate_series(0, 1)) AS i)
+  UNION ALL
+  SELECT j + 100, 0, true,
+         (j * 6 % 50)::double + 0.35, (j * 5 % 40)::double + 0.2,
+         (j * 6 % 50)::double + 0.35,
+         (j * 5 % 40)::double + 7.8 + j::double, 2.0
+  FROM (SELECT unnest(generate_series(0, 7)) AS j)
+  UNION ALL
+  SELECT j + 200, 0, true,
+         (j * 4 % 45)::double + 0.6, (j * 9 % 50)::double + 0.45,
+         (j * 4 % 45)::double + 9.3 + j::double,
+         (j * 9 % 50)::double + 0.45, 3.0
+  FROM (SELECT unnest(generate_series(0, 7)) AS j)
+)"""
+
+
+@register(
+    "rasterize_lines_bresenham",
+    f"""WITH {_RLINES_SEGS_SQL},
+px AS ({RL.sql_bresenham_pixels('segs', _RLINES_W, _RLINES_W)})
+SELECT ix, iy, sum(burn) AS val FROM px GROUP BY ix, iy""",
+)
+def q_rasterize_lines_bresenham(spark, sf_dir):
+    """gdal_rasterize over linestrings, default (Bresenham) burn with
+    MERGE_ALG=ADD (GDALdllImageLine, alg/llrasterize.cpp:256): the error
+    recurrence replaced by its closed form off(k) = ceil((2k*dmin -
+    dmax)/(2*dmax)), so the whole burn is explode + JVM column math and
+    ONE groupBy(pixel) merge shuffle; intermediate polyline vertices
+    burn once (non-final segment end points skipped, :330)."""
+    segs = _rlines_segments(spark)
+    px = RL.burn_segments_bresenham(segs, _RLINES_W, _RLINES_W)
+    return RL.merge_burns(px, merge_alg="add")
+
+
+@register(
+    "rasterize_lines_all_touched",
+    f"""WITH {_RLINES_SEGS_SQL},
+px AS ({RL.sql_all_touched_pixels('segs', _RLINES_W, _RLINES_W)})
+SELECT ix, iy, arg_max(burn, line_id * 1000000 + seq) AS val
+FROM px GROUP BY ix, iy""",
+)
+def q_rasterize_lines_all_touched(spark, sf_dir):
+    """gdal_rasterize -at (ALL_TOUCHED supercover,
+    GDALdllImageLineAllTouched alg/llrasterize.cpp:407) with the default
+    last-feature-wins merge: the stepping loop re-derived as per-column
+    row spans (rising: r_hi = ceil(y_exit)-1, falling: r_lo =
+    floor(y_exit); vertical/horizontal .01 thresholds with the 1e-4
+    end-pixel epsilon) — two nested explodes, one merge shuffle."""
+    segs = _rlines_segments(spark)
+    px = RL.burn_segments_all_touched(segs, _RLINES_W, _RLINES_W)
+    return RL.merge_burns(px, merge_alg="replace")
