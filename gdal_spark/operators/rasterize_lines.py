@@ -62,21 +62,29 @@ def burn_segments_bresenham(
     segments: DataFrame, width: int, height: int,
     line_id: str = "line_id", seq: str = "seq", is_last: str = "is_last",
     x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1",
-    burn: str = "burn",
+    burn: str = "burn", z: "tuple[str, str] | None" = None,
 ) -> DataFrame:
     """Per-segment Bresenham pixels -> (line_id, seq, ix, iy, burn).
 
     One explode over the driving axis; off(k) closed form replaces the
     error recurrence.  End points of non-final segments are skipped
     (llrasterize.cpp:330) so polyline vertices burn once.
+
+    ``z=(z0_col, z1_col)`` enables BURN_VALUE_FROM=Z (llrasterize.cpp:
+    322,361): the variant interpolates linearly over the FLOORED
+    driving-axis pixel delta — v(k) = v0 + k*(v1-v0)/dmax, v(k) = v0
+    when dmax = 0 — and is emitted as an extra ``zval`` column.
     """
     ix0 = F.floor(F.col(x0)).cast("long")
     iy0 = F.floor(F.col(y0)).cast("long")
     ix1 = F.floor(F.col(x1)).cast("long")
     iy1 = F.floor(F.col(y1)).cast("long")
+    zcols = []
+    if z is not None:
+        zcols = [F.col(z[0]).alias("_z0"), F.col(z[1]).alias("_z1")]
     p = segments.select(
         F.col(line_id).alias("line_id"), F.col(seq).alias("seq"),
-        F.col(burn).alias("burn"),
+        F.col(burn).alias("burn"), *zcols,
         ix0.alias("_ix0"), iy0.alias("_iy0"),
         F.abs(ix1 - ix0).alias("_ddx"), F.abs(iy1 - iy0).alias("_ddy"),
         F.when(ix0 > ix1, F.lit(-1)).otherwise(F.lit(1)).alias("_xs"),
@@ -113,25 +121,42 @@ def burn_segments_bresenham(
     iy = F.when(
         F.col("_xdrv"), F.col("_iy0") + off * F.col("_ys")
     ).otherwise(F.col("_iy0") + F.col("_k") * F.col("_ys"))
-    return e.select(
-        "line_id", "seq", ix.alias("ix"), iy.alias("iy"), "burn"
-    ).filter(
+    out_cols = ["line_id", "seq", ix.alias("ix"), iy.alias("iy"), "burn"]
+    if z is not None:
+        zval = F.when(F.col("_dmax") == 0, F.col("_z0")).otherwise(
+            F.col("_z0")
+            + F.col("_k") * (F.col("_z1") - F.col("_z0")) / F.col("_dmax")
+        )
+        out_cols.append(zval.alias("zval"))
+    return e.select(*out_cols).filter(
         (F.col("ix") >= 0) & (F.col("ix") < width)
         & (F.col("iy") >= 0) & (F.col("iy") < height)
     )
 
 
-def sql_bresenham_pixels(segs: str, width: int, height: int) -> str:
+def sql_bresenham_pixels(
+    segs: str, width: int, height: int, z: bool = False,
+) -> str:
     """DuckDB twin of :func:`burn_segments_bresenham` over a CTE named
     ``segs`` with columns (line_id, seq, is_last, x0, y0, x1, y1, burn).
-    Returns a SELECT producing (line_id, seq, ix, iy, burn)."""
+    Returns a SELECT producing (line_id, seq, ix, iy, burn).  With
+    ``z=True`` the CTE must also carry (z0, z1) and the output gains the
+    interpolated ``zval`` (v0 + k*(v1-v0)/dmax over the floored
+    driving-axis delta, llrasterize.cpp:322,361)."""
+    zsel = zthru0 = zthru1 = ""
+    if z:
+        zsel = """,
+       CASE WHEN _dmax = 0 THEN _z0
+            ELSE _z0 + _k * (_z1 - _z0) / _dmax END AS zval"""
+        zthru0 = " z0 AS _z0, z1 AS _z1,"
+        zthru1 = " _z0, _z1,"
     return f"""
 SELECT line_id, seq,
        CASE WHEN _xdrv THEN _ix0 + _k * _xs
             ELSE _ix0 + _off * _xs END AS ix,
        CASE WHEN _xdrv THEN _iy0 + _off * _ys
             ELSE _iy0 + _k * _ys END AS iy,
-       burn
+       burn{zsel}
 FROM (
   SELECT *,
          CASE WHEN _dmax = 0 THEN 0
@@ -140,13 +165,13 @@ FROM (
   FROM (
     SELECT *, unnest(generate_series(0, _n)) AS _k
     FROM (
-      SELECT line_id, seq, burn, _ix0, _iy0, _xs, _ys,
+      SELECT line_id, seq, burn,{zthru1} _ix0, _iy0, _xs, _ys,
              greatest(_ddx, _ddy) AS _dmax, least(_ddx, _ddy) AS _dmin,
              _ddx >= _ddy AS _xdrv,
              greatest(_ddx, _ddy)
                - CASE WHEN is_last THEN 0 ELSE 1 END AS _n
       FROM (
-        SELECT line_id, seq, is_last, burn,
+        SELECT line_id, seq, is_last, burn,{zthru0}
                floor(x0)::bigint AS _ix0, floor(y0)::bigint AS _iy0,
                abs(floor(x1)::bigint - floor(x0)::bigint) AS _ddx,
                abs(floor(y1)::bigint - floor(y0)::bigint) AS _ddy,
@@ -168,7 +193,7 @@ def burn_segments_all_touched(
     segments: DataFrame, width: int, height: int,
     line_id: str = "line_id", seq: str = "seq",
     x0: str = "x0", y0: str = "y0", x1: str = "x1", y1: str = "y1",
-    burn: str = "burn",
+    burn: str = "burn", intersect_only: bool = False,
 ) -> DataFrame:
     """Supercover pixels per segment -> (line_id, seq, ix, iy, burn).
 
@@ -177,6 +202,13 @@ def burn_segments_all_touched(
     end-pixel epsilon follow llrasterize.cpp:479,560.  Assumes geometry
     is inside (or near) the raster — fully-off-raster pixels are
     filtered, matching the reference's clipping for in-range input.
+
+    ``intersect_only`` is the reference's bIntersectOnly (set when
+    burning POLYGON boundaries in ALL_TOUCHED mode,
+    gdalrasterize.cpp:748): vertical/horizontal segments whose constant
+    coordinate sits within 1e-4 of a pixel boundary are skipped
+    entirely, so pixel-aligned polygon edges do not over-burn the
+    neighbouring row/column (GDAL issues #6414 / #7523).
     """
     eps = EPSILON_INTERSECT_ONLY
     # left-to-right swap (llrasterize.cpp:470)
@@ -192,6 +224,16 @@ def burn_segments_all_touched(
     )
     vert = F.abs(F.col("_x0") - F.col("_x1")) < 0.01
     horz = F.abs(F.col("_y0") - F.col("_y1")) < 0.01
+    if intersect_only:
+        aligned_x = (
+            (F.abs(F.col("_x0") - F.round(F.col("_x0"))) < F.lit(eps))
+            & (F.abs(F.col("_x1") - F.round(F.col("_x1"))) < F.lit(eps))
+        )
+        aligned_y = (
+            (F.abs(F.col("_y0") - F.round(F.col("_y0"))) < F.lit(eps))
+            & (F.abs(F.col("_y1") - F.round(F.col("_y1"))) < F.lit(eps))
+        )
+        p = p.filter(~(vert & aligned_x) & ~(horz & aligned_y))
     # column range: vertical -> the single floor(x1) column; horizontal
     # -> floor(xmin)..floor(xmax - eps); general -> floor(x0) up to the
     # last column whose entry x is strictly below the segment end
@@ -271,11 +313,21 @@ def burn_segments_all_touched(
     return rows.select("line_id", "seq", "ix", "iy", "burn")
 
 
-def sql_all_touched_pixels(segs: str, width: int, height: int) -> str:
+def sql_all_touched_pixels(
+    segs: str, width: int, height: int, intersect_only: bool = False,
+) -> str:
     """DuckDB twin of :func:`burn_segments_all_touched` over a CTE named
     ``segs`` (line_id, seq, x0, y0, x1, y1, burn) ->
     (line_id, seq, ix, iy, burn)."""
     eps = EPSILON_INTERSECT_ONLY
+    skip = ""
+    if intersect_only:
+        skip = f""" AND NOT (_vert
+            AND abs(_x0 - round(_x0)) < {eps!r}
+            AND abs(_x1 - round(_x1)) < {eps!r})
+          AND NOT (_horz
+            AND abs(_y0 - round(_y0)) < {eps!r}
+            AND abs(_y1 - round(_y1)) < {eps!r})"""
     return f"""
 SELECT line_id, seq, ix,
        unnest(generate_series(greatest(_rlo, 0),
@@ -320,7 +372,7 @@ FROM (
                  abs(y0 - y1) < 0.01 AS _horz
           FROM {segs}
         )
-      ) WHERE _cxhi >= _cxlo AND _cxhi >= 0 AND _cxlo < {width}
+      ) WHERE _cxhi >= _cxlo AND _cxhi >= 0 AND _cxlo < {width}{skip}
     )
   )
 ) WHERE _rhi >= _rlo AND _rhi >= 0 AND _rlo < {height}"""

@@ -5205,3 +5205,160 @@ def q_rasterize_lines_all_touched(spark, sf_dir):
     segs = _rlines_segments(spark)
     px = RL.burn_segments_all_touched(segs, _RLINES_W, _RLINES_W)
     return RL.merge_burns(px, merge_alg="replace")
+
+
+# ===========================================================================
+# 34. Polygon ALL_TOUCHED rasterization (gdal_rasterize -at over polygons):
+#     supercover boundary burn with bIntersectOnly=true + scanline interior
+#     fill (gdalrasterize.cpp:740-778 composition)
+# ===========================================================================
+
+_RAT_W = 40  # 40x40 pixel-space grid
+
+
+def _rat_polys():
+    """Pixel-space polygon fixture exercising every -at boundary class:
+      0 diamond        — slanted edges (general supercover case);
+      1 L-shape        — OFF-grid axis-aligned edges (vertical/horizontal
+                         special cases with the floor(end - 1e-4) epsilon);
+      2 aligned square — edges within 1e-4 of pixel boundaries: skipped
+                         entirely by bIntersectOnly (GDAL #6414/#7523), so
+                         the burn equals the interior fill alone;
+      3 triangle+hole  — hole-ring boundaries burn too."""
+    D = [(20.35, 4.45), (35.65, 19.75), (20.35, 35.05), (5.05, 19.75),
+         (20.35, 4.45)]
+    L = [(2.35, 2.45), (12.85, 2.45), (12.85, 6.55), (6.15, 6.55),
+         (6.15, 12.25), (2.35, 12.25), (2.35, 2.45)]
+    S = [(30.00004, 30.00004), (38.00004, 30.00004), (38.00004, 38.00004),
+         (30.00004, 38.00004), (30.00004, 30.00004)]
+    T_out = [(4.35, 24.55), (16.85, 24.55), (10.55, 37.45), (4.35, 24.55)]
+    T_hole = [(8.35, 27.55), (10.45, 31.85), (12.65, 27.55), (8.35, 27.55)]
+    return [(0, [D]), (1, [L]), (2, [S]), (3, [T_out, T_hole])]
+
+
+def _rat_segment_rows():
+    rows = []
+    for pid, rings in _rat_polys():
+        seq = 0
+        for ring in rings:
+            for a, b in zip(ring, ring[1:]):
+                rows.append((pid, seq, True, a[0], a[1], b[0], b[1],
+                             float(pid)))
+                seq += 1
+    return rows
+
+
+def _sql_rat() -> str:
+    seg_vals = ", ".join(
+        f"({pid}, {seq}, {x0!r}::double, {y0!r}::double, "
+        f"{x1!r}::double, {y1!r}::double, {b!r}::double)"
+        for pid, seq, _, x0, y0, x1, y1, b in _rat_segment_rows()
+    )
+    at_sql = RL.sql_all_touched_pixels("segs", _RAT_W, _RAT_W,
+                                       intersect_only=True)
+    return f"""
+WITH segs(line_id, seq, x0, y0, x1, y1, burn) AS (VALUES {seg_vals}),
+g AS (SELECT unnest(generate_series(0, {_RAT_W - 1})) AS i),
+ctr AS (SELECT gx.i AS i, gy.i AS j, gx.i + 0.5 AS cx, gy.i + 0.5 AS cy
+        FROM g gx CROSS JOIN g gy),
+cross_counts AS (
+  SELECT p.i, p.j, s.line_id AS poly_id,
+         sum(CASE WHEN (((s.y1 - p.cy) > 0 AND (s.y0 - p.cy) <= 0)
+                     OR ((s.y0 - p.cy) > 0 AND (s.y1 - p.cy) <= 0))
+                  AND ((s.x1 - p.cx) * (s.y0 - p.cy)
+                     - (s.x0 - p.cx) * (s.y1 - p.cy))
+                      / ((s.y0 - p.cy) - (s.y1 - p.cy)) > 0
+             THEN 1 ELSE 0 END) AS n_cross
+  FROM ctr p CROSS JOIN segs s GROUP BY p.i, p.j, s.line_id),
+fill AS (SELECT poly_id, i AS ix, j AS iy
+         FROM cross_counts WHERE n_cross % 2 = 1),
+at_px AS ({at_sql}),
+u AS (SELECT poly_id, ix, iy FROM fill
+      UNION SELECT line_id AS poly_id, ix, iy FROM at_px)
+SELECT poly_id, count(*)::bigint AS n_burned,
+       sum(ix + iy * 10000)::bigint AS px_checksum
+FROM u GROUP BY poly_id"""
+
+
+@register("rasterize_polygons_all_touched", _sql_rat())
+def q_rasterize_polygons_all_touched(spark, sf_dir):
+    """gdal_rasterize -at over polygons (gdalrasterize.cpp:740-778):
+    ALL_TOUCHED supercover of every ring with bIntersectOnly=true
+    (pixel-aligned straight edges are skipped so aligned polygons don't
+    over-burn — GDAL #6414/#7523) UNIONed with the scanline center-fill;
+    engine plan = two map-only explode kernels + one distinct + one
+    groupBy, all JVM column math."""
+    import numpy as np
+
+    from gdal_spark.data.pages import POLYGON_SCHEMA, _rec
+
+    recs = [
+        _rec(pid, 200 + pid, [np.asarray(r, dtype=np.float64)
+                              for r in rings])
+        for pid, rings in _rat_polys()
+    ]
+    polys = spark.createDataFrame(recs, schema=POLYGON_SCHEMA)
+    g = spark.range(_RAT_W * _RAT_W).select(
+        (F.col("id") % _RAT_W).cast("int").alias("i"),
+        (F.col("id") / _RAT_W).cast("long").cast("int").alias("j"),
+    )
+    centers = g.select(
+        "i", "j",
+        (F.col("i") + F.lit(0.5)).alias("lon"),
+        (F.col("j") + F.lit(0.5)).alias("lat"),
+    )
+    fill = PIP.pip_join(centers, polys, first_match=False).select(
+        F.col("poly_id").cast("long").alias("poly_id"),
+        F.col("i").cast("long").alias("ix"),
+        F.col("j").cast("long").alias("iy"),
+    )
+    segs = spark.createDataFrame(
+        _rat_segment_rows(),
+        "line_id long, seq int, is_last boolean, x0 double, y0 double, "
+        "x1 double, y1 double, burn double",
+    )
+    bd = RL.burn_segments_all_touched(
+        segs, _RAT_W, _RAT_W, intersect_only=True
+    ).select(
+        F.col("line_id").alias("poly_id"), "ix", "iy"
+    )
+    u = fill.unionAll(bd).distinct()
+    return u.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_burned"),
+        F.sum(F.col("ix") + F.col("iy") * 10000).alias("px_checksum"),
+    )
+
+
+_RLZ_Z0 = "(line_id % 9) * 1.5 + 0.25"
+_RLZ_Z1 = "(line_id % 9) * 1.5 + 0.25 + ((line_id % 4) + 1) * 2.0"
+
+
+@register(
+    "rasterize_lines_z",
+    f"""WITH {_RLINES_SEGS_SQL},
+segz AS (SELECT *, {_RLZ_Z0} AS z0, {_RLZ_Z1} AS z1 FROM segs),
+px AS ({RL.sql_bresenham_pixels('segz', _RLINES_W, _RLINES_W, z=True)})
+SELECT ix, iy, count(*)::bigint AS n_burns,
+       {SR('sum(zval)', 6)} AS z_sum
+FROM px GROUP BY ix, iy""",
+)
+def q_rasterize_lines_z(spark, sf_dir):
+    """gdal_rasterize BURN_VALUE_FROM=Z over linestrings with
+    MERGE_ALG=ADD (GDALdllImageLine variant path, llrasterize.cpp:
+    322,361): the burn value interpolates linearly along each segment
+    over the FLOORED driving-axis pixel delta, v(k) = v0 +
+    k*(v1-v0)/dmax — still one explode of JVM column math + one merge
+    shuffle."""
+    segs = _rlines_segments(spark).withColumn(
+        "z0", (F.col("line_id") % 9) * 1.5 + 0.25
+    ).withColumn(
+        "z1",
+        (F.col("line_id") % 9) * 1.5 + 0.25
+        + ((F.col("line_id") % 4) + 1) * 2.0,
+    )
+    px = RL.burn_segments_bresenham(
+        segs, _RLINES_W, _RLINES_W, z=("z0", "z1"))
+    return px.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).alias("n_burns"),
+        R(F.sum("zval"), 6).alias("z_sum"),
+    )

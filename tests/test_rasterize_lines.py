@@ -174,3 +174,32 @@ def test_bresenham_plan_is_map_only_until_merge(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_intersect_only_skips_pixel_aligned_edges(spark):
+    # GDAL #6414/#7523: a polygon edge lying within 1e-4 of a pixel
+    # boundary must not burn in -at mode (bIntersectOnly=true)
+    rows = [(0, 0, True, 30.00004, 30.00004, 38.00004, 30.00004, 1.0),
+            (0, 1, True, 38.00004, 30.00004, 38.00004, 38.00004, 1.0),
+            (0, 2, True, 38.00004, 38.00004, 30.00004, 38.00004, 1.0),
+            (0, 3, True, 30.00004, 38.00004, 30.00004, 30.00004, 1.0)]
+    df = spark.createDataFrame(
+        rows, "line_id long, seq int, is_last boolean, x0 double, "
+              "y0 double, x1 double, y1 double, burn double")
+    assert RL.burn_segments_all_touched(
+        df, 64, 64, intersect_only=True).count() == 0
+    # without the flag the same edges burn their floor row/column
+    assert RL.burn_segments_all_touched(
+        df, 64, 64, intersect_only=False).count() > 0
+
+
+def test_intersect_only_keeps_off_grid_axis_edges(spark):
+    # an axis-aligned edge NOT near a pixel boundary still burns
+    rows = [(0, 0, True, 2.35, 6.55, 12.85, 6.55, 1.0)]
+    df = spark.createDataFrame(
+        rows, "line_id long, seq int, is_last boolean, x0 double, "
+              "y0 double, x1 double, y1 double, burn double")
+    got = {(r["ix"], r["iy"]) for r in RL.burn_segments_all_touched(
+        df, 64, 64, intersect_only=True).collect()}
+    # row floor(6.55) = 6, cols floor(2.35)..floor(12.85 - 1e-4)
+    assert got == {(i, 6) for i in range(2, 13)}
