@@ -543,8 +543,8 @@ def q_raster_sample_nearest(spark, sf_dir):
     )
 
 
-def _sql_bilinear_val() -> str:
-    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+def _sql_bilinear_val(id_expr: str = "o_orderkey") -> str:
+    gx, gy = _sql_global_px(sql_lon(id_expr), sql_lat(id_expr))
     ix0 = f"floor(({gx}) - 0.5)"
     iy0 = f"floor(({gy}) - 0.5)"
     wx = f"(({gx}) - 0.5 - ({ix0}))"
@@ -5361,4 +5361,190 @@ def q_rasterize_lines_z(spark, sf_dir):
     return px.groupBy("ix", "iy").agg(
         F.count(F.lit(1)).alias("n_burns"),
         R(F.sum("zval"), 6).alias("z_sum"),
+    )
+
+
+# ===========================================================================
+# Warp with cutline mask (gdalwarp -cutline -crop_to_cutline -dstnodata)
+# ===========================================================================
+
+_CUT_NODATA = -9999.0
+
+
+@register(
+    "warp_cutline",
+    sql_pip_cte()
+    + f""", attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax) AS ({_poly_attr_values()}),
+env AS (SELECT min(xmin) AS x0, min(ymin) AS y0,
+               max(xmax) AS x1, max(ymax) AS y1 FROM attrs)
+SELECT p.o_orderkey AS o_orderkey,
+       CASE WHEN pip.poly_id IS NOT NULL
+            THEN {_sql_bilinear_val('p.o_orderkey')}
+            ELSE {_CUT_NODATA!r} END AS cutline_val
+FROM pts p CROSS JOIN env e
+LEFT JOIN pip ON p.o_orderkey = pip.o_orderkey
+WHERE p.lon >= e.x0 AND p.lon <= e.x1
+  AND p.lat >= e.y0 AND p.lat <= e.y1""",
+)
+def q_warp_cutline(spark, sf_dir):
+    """gdalwarp cutline semantics (alg/gdalcutline.cpp:224
+    GDALWarpCutlineMasker: destination pixels whose centers fall outside
+    the cutline polygons get dstnodata) with -crop_to_cutline
+    (apps/gdalwarp_lib.cpp:450 CropToCutline: output extent clipped to
+    the cutline envelope) over the bilinear warp kernel.
+
+    Plan shape: the crop is a pushed-down bbox filter on the point scan;
+    the mask is the broadcast map-only PIP join (zero shuffle); the warp
+    is the standard 4-tap bilinear tile join. At 100 TB this adds ONE
+    map stage to the warp — no extra shuffle."""
+    recs = polygon_records()
+    x0 = min(r["xmin"] for r in recs)
+    y0 = min(r["ymin"] for r in recs)
+    x1 = max(r["xmax"] for r in recs)
+    y1 = max(r["ymax"] for r in recs)
+    pts = order_points(spark, sf_dir).filter(
+        (F.col("lon") >= x0) & (F.col("lon") <= x1)
+        & (F.col("lat") >= y0) & (F.col("lat") <= y1)
+    )
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    vals = TL.sample_bilinear(
+        pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
+    )
+    mask = PIP.pip_join(
+        pts, polygons_df(spark), how="left", first_match=True
+    ).select("o_orderkey", "poly_id")
+    return vals.join(mask, "o_orderkey").select(
+        "o_orderkey",
+        F.when(
+            F.col("poly_id").isNotNull(), R(F.col("bilinear_val"), 6)
+        ).otherwise(F.lit(_CUT_NODATA)).alias("cutline_val"),
+    )
+
+
+# ===========================================================================
+# gdal_grid linear: TIN (Delaunay) barycentric interpolation
+# ===========================================================================
+
+# Inline 40-point scatter with quadratic jitter (general position: no
+# collinear/cocircular quadruples) and a closed-form z — both engines
+# derive identical doubles from the same integer expressions.
+_GL_N = 40
+_GL_X = "((k * k * 7 + k * 13) % 101) / 5.0 + ((k * k * k) % 89) * 1e-4"
+_GL_Y = "((k * k * 11 + k * 5) % 103) / 5.0 + ((k * k * k + 7 * k) % 83) * 1e-4"
+_GL_Z = "((k * 17) % 23) * 1.5 + 0.25"
+_GL_W = 20  # 20x20 grid, node centers at (gx+0.5, gy+0.5)
+_GL_NODATA = -9999.0
+
+
+def _sql_grid_linear() -> str:
+    # Independent oracle: the Delaunay triangle set by the O(n^3)
+    # all-triples empty-circumcircle test (incircle determinant sign,
+    # orientation-adjusted), then point-in-triangle by barycentric
+    # coordinates and linear interpolation. Unique under general position,
+    # so the engine's Bowyer-Watson must produce the same TIN.
+    a2 = "((ax-d.x)*(ax-d.x) + (ay-d.y)*(ay-d.y))"
+    b2 = "((bx-d.x)*(bx-d.x) + (by_-d.y)*(by_-d.y))"
+    c2 = "((cx-d.x)*(cx-d.x) + (cy-d.y)*(cy-d.y))"
+    mbc = "((bx-d.x)*(cy-d.y) - (by_-d.y)*(cx-d.x))"
+    mac = "((ax-d.x)*(cy-d.y) - (ay-d.y)*(cx-d.x))"
+    mab = "((ax-d.x)*(by_-d.y) - (ay-d.y)*(bx-d.x))"
+    incircle = f"({a2} * {mbc} - {b2} * {mac} + {c2} * {mab})"
+    wa = "(((bx-qx)*(cy-qy) - (by_-qy)*(cx-qx)) / orient)"
+    wb = "(((cx-qx)*(ay-qy) - (cy-qy)*(ax-qx)) / orient)"
+    wc = f"(1.0 - {wa} - {wb})"
+    return f"""
+WITH ks AS (SELECT unnest(generate_series(0, {_GL_N - 1})) AS k),
+p AS (SELECT k AS i, {_GL_X} AS x, {_GL_Y} AS y, {_GL_Z} AS z FROM ks),
+tri AS (
+  SELECT a.x AS ax, a.y AS ay, a.z AS az,
+         b.x AS bx, b.y AS by_, b.z AS bz,
+         c.x AS cx, c.y AS cy, c.z AS cz,
+         (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) AS orient
+  FROM p a JOIN p b ON a.i < b.i JOIN p c ON b.i < c.i
+  WHERE abs((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)) > 1e-12
+    AND NOT EXISTS (
+      SELECT 1 FROM p d
+      WHERE d.i <> a.i AND d.i <> b.i AND d.i <> c.i
+        AND {incircle} * sign((b.x - a.x) * (c.y - a.y)
+                            - (b.y - a.y) * (c.x - a.x)) > 0)),
+gs AS (SELECT unnest(generate_series(0, {_GL_W - 1})) AS v),
+g AS (SELECT x.v AS gx, y.v AS gy,
+             x.v + 0.5 AS qx, y.v + 0.5 AS qy
+      FROM gs x CROSS JOIN gs y),
+hit AS (
+  SELECT g.gx, g.gy, {wa} * az + {wb} * bz + {wc} * cz AS val
+  FROM g CROSS JOIN tri
+  WHERE {wa} >= 0 AND {wb} >= 0 AND {wc} >= 0)
+SELECT g.gx::int AS gx, g.gy::int AS gy,
+       {SR(f'coalesce(avg(h.val), {_GL_NODATA!r})', 6)} AS z_val
+FROM g LEFT JOIN hit h ON g.gx = h.gx AND g.gy = h.gy
+GROUP BY g.gx, g.gy"""
+
+
+@register("grid_linear", _sql_grid_linear())
+def q_grid_linear(spark, sf_dir):
+    """gdal_grid 'linear' algorithm (alg/gdalgrid.cpp:2594 GDALGridLinear:
+    Delaunay TIN + barycentric interpolation inside the containing
+    triangle, nodata outside the hull).
+
+    Plan shape: the TIN is built ONCE from the dimension-sized scatter
+    (Bowyer-Watson, operators/triangulate.py — the prepared-geometry
+    pattern) and broadcast; grid nodes stream through a broadcast join +
+    pure JVM column math (barycentric inside-test + lerp). At 100 TB of
+    nodes this is one map stage — no shuffle beyond the per-node avg of
+    the 1-2 edge-tie triangles."""
+    from gdal_spark.operators import triangulate as TRI
+
+    k = np.arange(_GL_N, dtype=np.int64)
+    x = ((k * k * 7 + k * 13) % 101) / 5.0 + ((k ** 3) % 89) * 1e-4
+    y = ((k * k * 11 + k * 5) % 103) / 5.0 + ((k ** 3 + 7 * k) % 83) * 1e-4
+    z = ((k * 17) % 23) * 1.5 + 0.25
+    tris = TRI.delaunay(np.stack([x, y], axis=1))
+    rows = [
+        (
+            float(x[a]), float(y[a]), float(z[a]),
+            float(x[b]), float(y[b]), float(z[b]),
+            float(x[c]), float(y[c]), float(z[c]),
+        )
+        for a, b, c in tris
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "ax double, ay double, az double, bx double, by_ double, bz double, "
+        "cx double, cy double, cz double",
+    )
+    grid = spark.range(_GL_W * _GL_W).select(
+        (F.col("id") % _GL_W).cast("int").alias("gx"),
+        (F.col("id") / _GL_W).cast("long").cast("int").alias("gy"),
+    ).select(
+        "gx", "gy",
+        (F.col("gx") + F.lit(0.5)).alias("qx"),
+        (F.col("gy") + F.lit(0.5)).alias("qy"),
+    )
+    j = grid.crossJoin(F.broadcast(tdf))
+    orient = (
+        (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+        - (F.col("by_") - F.col("ay")) * (F.col("cx") - F.col("ax"))
+    )
+    wa = (
+        (F.col("bx") - F.col("qx")) * (F.col("cy") - F.col("qy"))
+        - (F.col("by_") - F.col("qy")) * (F.col("cx") - F.col("qx"))
+    ) / orient
+    wb = (
+        (F.col("cx") - F.col("qx")) * (F.col("ay") - F.col("qy"))
+        - (F.col("cy") - F.col("qy")) * (F.col("ax") - F.col("qx"))
+    ) / orient
+    wc = F.lit(1.0) - wa - wb
+    hit = (
+        j.filter((wa >= 0) & (wb >= 0) & (wc >= 0))
+        .select(
+            "gx", "gy",
+            (wa * F.col("az") + wb * F.col("bz") + wc * F.col("cz")).alias("val"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.avg("val").alias("val"))
+    )
+    return grid.select("gx", "gy").join(hit, ["gx", "gy"], "left").select(
+        "gx", "gy",
+        R(F.coalesce(F.col("val"), F.lit(_GL_NODATA)), 6).alias("z_val"),
     )
