@@ -5548,3 +5548,113 @@ def q_grid_linear(spark, sf_dir):
         "gx", "gy",
         R(F.coalesce(F.col("val"), F.lit(_GL_NODATA)), 6).alias("z_val"),
     )
+
+
+# ===========================================================================
+# gdal_translate: -srcwin subset + -scale linear stretch + -ot Byte
+# ===========================================================================
+
+_TR_Z = 2           # 1024x1024 global pixels
+_TR_X0, _TR_Y0 = 137, 301
+_TR_W, _TR_H = 300, 200
+# -scale 20 220 0 255: v' = (v - 20) * (255/200); Byte write clamps then
+# rounds via floor(v + 0.5) (gcore/rasterio.cpp GDALCopyWords float->byte)
+_TR_SCALE_SQL = "least(255, greatest(0, floor((v - 20.0) * (255.0 / 200.0) + 0.5)))"
+
+
+@register(
+    "raster_translate",
+    f"""WITH xs AS (SELECT unnest(generate_series({_TR_X0}, {_TR_X0 + _TR_W - 1})) AS gx),
+ys AS (SELECT unnest(generate_series({_TR_Y0}, {_TR_Y0 + _TR_H - 1})) AS gy),
+px AS (SELECT gx, gy, {TL.sql_pixel_value('gx', 'gy', '1')} AS v
+       FROM xs CROSS JOIN ys),
+sc AS (SELECT gx, gy, {_TR_SCALE_SQL}::bigint AS b FROM px)
+SELECT gy::bigint AS iy, count(*)::bigint AS n_px, sum(b)::bigint AS b_sum,
+       min(b)::bigint AS b_min, max(b)::bigint AS b_max,
+       sum(b * (gx - {_TR_X0} + 1))::bigint AS b_cksum
+FROM sc GROUP BY gy""",
+)
+def q_raster_translate(spark, sf_dir):
+    """gdal_translate -srcwin -scale -ot Byte (apps/gdal_translate_lib.cpp:
+    676 GDALTranslate; scale params :74-79): pixel-window subset, linear
+    stretch (v-srcMin)*(dstMax-dstMin)/(srcMax-srcMin), byte clamp with
+    GDALCopyWords' floor(v+0.5) rounding. Output = per-scanline aggregates.
+
+    Plan shape: tile-range pruning at GENERATION (only the 2 tiles
+    intersecting the window exist in the scan), then posexplode →
+    window filter → byte math → one groupBy(iy) shuffle — all JVM
+    column math after the Arrow tile fill."""
+    ts = 256
+    tx0, tx1 = _TR_X0 // ts, (_TR_X0 + _TR_W - 1) // ts
+    ty0, ty1 = _TR_Y0 // ts, (_TR_Y0 + _TR_H - 1) // ts
+    r = TL.synthetic_raster(
+        spark, _TR_Z, bands=1, tx_range=(tx0, tx1), ty_range=(ty0, ty1)
+    )
+    px = r.select(
+        "tx", "ty", F.posexplode("data").alias("pos", "v")
+    ).select(
+        (F.col("tx") * ts + F.col("pos") % ts).alias("gx"),
+        (F.col("ty") * ts + (F.col("pos") / ts).cast("long")).alias("gy"),
+        "v",
+    ).filter(
+        (F.col("gx") >= _TR_X0) & (F.col("gx") < _TR_X0 + _TR_W)
+        & (F.col("gy") >= _TR_Y0) & (F.col("gy") < _TR_Y0 + _TR_H)
+    )
+    b = F.least(
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("v") - F.lit(20.0)) * F.lit(255.0 / 200.0) + F.lit(0.5)),
+        ),
+    ).cast("long")
+    return (
+        px.withColumn("b", b)
+        .groupBy(F.col("gy").alias("iy"))
+        .agg(
+            F.count(F.lit(1)).alias("n_px"),
+            F.sum("b").alias("b_sum"),
+            F.min("b").alias("b_min"),
+            F.max("b").alias("b_max"),
+            F.sum(F.col("b") * (F.col("gx") - F.lit(_TR_X0) + 1)).alias("b_cksum"),
+        )
+    )
+
+
+# ===========================================================================
+# gdal2xyz: raster -> (x, y, value) point export with -skip
+# ===========================================================================
+
+_XYZ_Z = 1          # 512x512 global pixels
+_XYZ_SKIP = 16
+
+
+@register(
+    "raster_xyz",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, 511, {_XYZ_SKIP})) AS v)
+SELECT x.v::bigint AS gx, y.v::bigint AS gy,
+       {SR(f"(x.v + 0.5) * {2 * TM.ORIGIN_SHIFT / 512!r} - {TM.ORIGIN_SHIFT!r}", 4)} AS mx,
+       {SR(f"{TM.ORIGIN_SHIFT!r} - (y.v + 0.5) * {2 * TM.ORIGIN_SHIFT / 512!r}", 4)} AS my,
+       {TL.sql_pixel_value('x.v', 'y.v', '1')} AS val
+FROM gs x CROSS JOIN gs y""",
+)
+def q_raster_xyz(spark, sf_dir):
+    """gdal2xyz with -skip (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py):
+    every skip-th pixel exported as (georeferenced center x, center y,
+    value) — the geotransform here is global WebMercator at z1. Map-only:
+    posexplode + modulo filter + closed-form coordinate math."""
+    ts = 256
+    res = 2 * TM.ORIGIN_SHIFT / 512
+    r = TL.synthetic_raster(spark, _XYZ_Z, bands=1)
+    px = r.select(
+        "tx", "ty", F.posexplode("data").alias("pos", "v")
+    ).select(
+        (F.col("tx") * ts + F.col("pos") % ts).alias("gx"),
+        (F.col("ty") * ts + (F.col("pos") / ts).cast("long")).alias("gy"),
+        "v",
+    ).filter((F.col("gx") % _XYZ_SKIP == 0) & (F.col("gy") % _XYZ_SKIP == 0))
+    return px.select(
+        "gx", "gy",
+        R((F.col("gx") + F.lit(0.5)) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT), 4).alias("mx"),
+        R(F.lit(TM.ORIGIN_SHIFT) - (F.col("gy") + F.lit(0.5)) * F.lit(res), 4).alias("my"),
+        "v",
+    ).withColumnRenamed("v", "val")
