@@ -5658,3 +5658,178 @@ def q_raster_xyz(spark, sf_dir):
         R(F.lit(TM.ORIGIN_SHIFT) - (F.col("gy") + F.lit(0.5)) * F.lit(res), 4).alias("my"),
         "v",
     ).withColumnRenamed("v", "val")
+
+
+# ===========================================================================
+# SQL-dialect surface tail 2: HAVING/CASE, subqueries, set ops, ROLLUP, Q3
+# ===========================================================================
+
+@register(
+    "sql_having_case",
+    f"""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'low'
+            WHEN o_totalprice < 150000.0 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       o_orderstatus,
+       count(*)::bigint AS n_orders, {SR('sum(o_totalprice)', 2)} AS revenue
+FROM orders
+GROUP BY bucket, o_orderstatus
+HAVING count(*) > 50""",
+)
+def q_sql_having_case(spark, sf_dir):
+    """CASE WHEN bucketing + GROUP BY + HAVING (OGR SQL WHERE/HAVING
+    grammar, ogr/ogr_swq.cpp select parsing) — pure Catalyst aggregate
+    with a post-aggregation filter."""
+    o = _read(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000.0, "low")
+        .when(F.col("o_totalprice") < 150000.0, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"), "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 50)
+    )
+
+
+@register(
+    "sql_exists_anti",
+    """SELECT c.c_nationkey::int AS c_nationkey, count(*)::bigint AS n_inactive
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey""",
+)
+def q_sql_exists_anti(spark, sf_dir):
+    """NOT EXISTS correlated subquery = left-anti join (the plan Catalyst
+    picks; the build side broadcasts when small). Customers with no
+    orders, counted per nation."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    f"""WITH m AS (SELECT {SR('avg(o_totalprice)', 2)} AS avg_price FROM orders)
+SELECT o_orderstatus, count(*)::bigint AS n_above,
+       {SR('sum(o_totalprice)', 2)} AS rev_above
+FROM orders, m WHERE o_totalprice > m.avg_price
+GROUP BY o_orderstatus""",
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    """Scalar subquery in WHERE (orders above the global mean price).
+    The mean is stable-rounded on BOTH sides so the comparison threshold
+    is the identical double — aggregation-order float noise cannot move
+    boundary rows. Plan: one tiny aggregate broadcast into a map filter."""
+    o = _read(spark, sf_dir, "orders")
+    m = o.agg(R(F.avg("o_totalprice"), 2).alias("avg_price"))
+    return (
+        o.join(F.broadcast(m))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            R(F.sum("o_totalprice"), 2).alias("rev_above"),
+        )
+    )
+
+
+@register(
+    "sql_set_ops",
+    """SELECT 'intersect' AS op, count(*)::bigint AS n FROM (
+  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'except' AS op, count(*)::bigint AS n FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders)""",
+)
+def q_sql_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (distinct rows): customers with vs
+    without orders. Catalyst plans both as distinct + semi/anti join."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    inter = c.intersect(o).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = c.exceptAll(o.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    return inter.unionAll(exc)
+
+
+@register(
+    "sql_rollup",
+    f"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       (grouping(o_orderstatus) * 2 + grouping(o_orderpriority))::int AS gid,
+       count(*)::bigint AS n_orders, {SR('sum(o_totalprice)', 2)} AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+)
+def q_sql_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals with grouping indicators — subtotal rows per
+    status, plus the grand total; one shuffle (Spark expands grouping sets
+    map-side)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            R(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n_orders", "revenue",
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    f"""SELECT l.l_orderkey, {SR("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)} AS revenue,
+       o.o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+LIMIT 10""",
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority top-k) adapted to the generated columns:
+    3-way join, filtered both sides of the date pivot, revenue top-10.
+    Revenue is stable-rounded BEFORE the ordering on both engines so the
+    top-k cut is float-deterministic. Plan: customer broadcast, one
+    shuffle on l_orderkey, TakeOrderedAndProject for the top-k."""
+    c = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            R(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
