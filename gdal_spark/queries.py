@@ -5833,3 +5833,118 @@ def q_tpch_q3(spark, sf_dir):
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+# ===========================================================================
+# PointOnSurface: guaranteed-interior representative point
+# ===========================================================================
+
+@register(
+    "geom_point_on_surface",
+    f"""WITH attrs(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()}),
+seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()}),
+base AS (SELECT poly_id, (ymin + ymax) / 2.0 AS ys0, ymax - ymin AS h
+         FROM attrs),
+hit AS (SELECT b.poly_id,
+               max(CASE WHEN s.y1a = b.ys0 OR s.y2a = b.ys0
+                        THEN 1 ELSE 0 END) AS f
+        FROM base b JOIN seg s USING (poly_id) GROUP BY b.poly_id),
+sl AS (SELECT b.poly_id, b.ys0 + h.f * b.h * 1e-4 AS ys
+       FROM base b JOIN hit h USING (poly_id)),
+cr AS (SELECT s.poly_id,
+              s.x2a + (sl.ys - s.y2a) * (s.x1a - s.x2a) / (s.y1a - s.y2a) AS x,
+              sl.ys AS ys
+       FROM seg s JOIN sl USING (poly_id)
+       WHERE (s.y2a > sl.ys) <> (s.y1a > sl.ys)),
+iv AS (SELECT poly_id, ys, x,
+              lead(x) OVER (PARTITION BY poly_id ORDER BY x) AS nx,
+              row_number() OVER (PARTITION BY poly_id ORDER BY x) AS rn
+       FROM cr),
+best AS (SELECT poly_id, ys, (x + nx) / 2.0 AS px,
+                row_number() OVER (PARTITION BY poly_id
+                                   ORDER BY nx - x DESC, x) AS bn
+         FROM iv WHERE rn % 2 = 1)
+SELECT poly_id, {SR('px', 6)} AS pos_x, {SR('ys', 6)} AS pos_y
+FROM best WHERE bn = 1""",
+)
+def q_geom_point_on_surface(spark, sf_dir):
+    """PointOnSurface (ogrgeometry.cpp:6661 OGR_G_PointOnSurface → GEOS
+    InteriorPointArea semantics): midpoint of the WIDEST interior interval
+    of the horizontal bisector scanline y = (ymin+ymax)/2, nudged by
+    height·1e-4 when a vertex lies exactly on it (so crossings are
+    non-degenerate); even-odd pairing across all rings keeps the point
+    out of holes.
+
+    Plan shape: rings explode to edges (arrays_zip of shifted slices —
+    pure JVM), crossings are column math, the interval pairing is a
+    per-feature window over a handful of crossings — bounded by geometry
+    complexity, not table size; map-scale at 100 TB of features."""
+    from pyspark.sql import Window
+
+    p = polygons_df(spark).select("poly_id", "ymin", "ymax", "rings")
+    base = p.select(
+        "poly_id",
+        ((F.col("ymin") + F.col("ymax")) / 2.0).alias("ys0"),
+        (F.col("ymax") - F.col("ymin")).alias("h"),
+        "rings",
+    )
+    segs = base.select(
+        "poly_id", "ys0", "h", F.explode("rings").alias("ring")
+    ).select(
+        "poly_id", "ys0", "h",
+        F.explode(
+            F.expr(
+                "arrays_zip(slice(ring, 1, size(ring) - 1), "
+                "slice(ring, 2, size(ring) - 1))"
+            )
+        ).alias("e"),
+    ).select(
+        "poly_id", "ys0", "h",
+        F.col("e")["0"].getItem(0).alias("px_"),
+        F.col("e")["0"].getItem(1).alias("py_"),
+        F.col("e")["1"].getItem(0).alias("cx_"),
+        F.col("e")["1"].getItem(1).alias("cy_"),
+    )
+    hit = segs.groupBy("poly_id").agg(
+        F.max(
+            F.when(
+                (F.col("py_") == F.col("ys0")) | (F.col("cy_") == F.col("ys0")),
+                1,
+            ).otherwise(0)
+        ).alias("f")
+    )
+    sl = base.select("poly_id", "ys0", "h").distinct().join(hit, "poly_id").select(
+        "poly_id",
+        (F.col("ys0") + F.col("f") * F.col("h") * F.lit(1e-4)).alias("ys"),
+    )
+    cr = segs.join(sl, "poly_id").filter(
+        (F.col("py_") > F.col("ys")) != (F.col("cy_") > F.col("ys"))
+    ).select(
+        "poly_id",
+        (
+            F.col("px_")
+            + (F.col("ys") - F.col("py_"))
+            * (F.col("cx_") - F.col("px_"))
+            / (F.col("cy_") - F.col("py_"))
+        ).alias("x"),
+        "ys",
+    )
+    w = Window.partitionBy("poly_id").orderBy("x")
+    iv = cr.select(
+        "poly_id", "ys", "x",
+        F.lead("x").over(w).alias("nx"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") % 2 == 1)
+    wb = Window.partitionBy("poly_id").orderBy(
+        F.desc(F.col("nx") - F.col("x")), F.col("x")
+    )
+    return iv.select(
+        "poly_id", "ys",
+        ((F.col("x") + F.col("nx")) / 2.0).alias("px"),
+        F.row_number().over(wb).alias("bn"),
+    ).filter(F.col("bn") == 1).select(
+        "poly_id",
+        R("px", 6).alias("pos_x"),
+        R("ys", 6).alias("pos_y"),
+    )

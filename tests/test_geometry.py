@@ -220,3 +220,37 @@ def test_node_ring_self_inserts_crossing():
     assert [2.0, 2.0] in noded.tolist()
     # crossing inserted on BOTH segments -> appears exactly twice
     assert sum(1 for v in noded.tolist() if v == [2.0, 2.0]) == 2
+
+
+def test_point_on_surface_is_strictly_interior():
+    """The widest-bisector-interval midpoint must land strictly inside its
+    polygon (even-odd across holes) — the PointOnSurface contract."""
+    import numpy as np
+
+    from gdal_spark.data.pages import polygon_records
+    from gdal_spark.spatial import geometry as G
+
+    for rec in polygon_records():
+        ys0 = (rec["ymin"] + rec["ymax"]) / 2.0
+        rings = [np.asarray(r, dtype=np.float64) for r in rec["rings"]]
+        allv = np.concatenate([r[:, 1] for r in rings])
+        ys = ys0 + (1e-4 * (rec["ymax"] - rec["ymin"]) if np.any(allv == ys0) else 0.0)
+        xs = []
+        for ring in rings:
+            for i in range(1, ring.shape[0]):
+                (px, py), (cx, cy) = ring[i - 1], ring[i]
+                if (py > ys) != (cy > ys):
+                    xs.append(px + (ys - py) * (cx - px) / (cy - py))
+        xs = sorted(xs)
+        assert len(xs) % 2 == 0 and xs, rec["poly_id"]
+        widths = [(xs[i + 1] - xs[i], xs[i]) for i in range(0, len(xs), 2)]
+        wbest, x0 = max(widths, key=lambda t: (t[0], -t[1]))
+        posx = x0 + wbest / 2.0
+        inside = G.points_in_ring(
+            np.array([posx]), np.array([ys]), rings[0]
+        )
+        for hole in rings[1:]:
+            inside = inside & ~G.points_in_ring(
+                np.array([posx]), np.array([ys]), hole
+            )
+        assert bool(inside[0]), rec["poly_id"]
