@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "dem_viewshed",
     "embed_ann_ivf",
     "tpch_q1",
+    # round 3 (session 2): translate/cutline/TIN/SQL tail
+    "grid_linear",
+    "warp_cutline",
+    "raster_translate",
+    "tpch_q3",
 ]
 
 

@@ -5948,3 +5948,191 @@ def q_geom_point_on_surface(spark, sf_dir):
         R("px", 6).alias("pos_x"),
         R("ys", 6).alias("pos_y"),
     )
+
+
+# ===========================================================================
+# Corpus TF-IDF vocabulary (distributed term statistics)
+# ===========================================================================
+
+@register(
+    "corpus_tfidf",
+    f"""WITH n AS (SELECT count(*)::double AS nd FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+SELECT term, count(*)::bigint AS term_count,
+       count(DISTINCT doc_id)::bigint AS doc_freq,
+       {SR('ln((SELECT nd FROM n) / count(DISTINCT doc_id))', 6)} AS idf
+FROM tok GROUP BY term
+ORDER BY term_count DESC, term LIMIT 20""",
+)
+def q_corpus_tfidf(spark, sf_dir):
+    """Corpus vocabulary statistics: token explode → term count + document
+    frequency + idf (ln(N/df)) — the standard training-corpus vocab sweep.
+    Plan: one shuffle on term (partial counts map-side; countDistinct
+    expands to a two-phase aggregate), top-k via TakeOrderedAndProject."""
+    d = _read(spark, sf_dir, "documents")
+    n = d.count()
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .select(
+            "term", "term_count", "doc_freq",
+            R(F.log(F.lit(float(n)) / F.col("doc_freq")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("term_count"), "term")
+        .limit(20)
+    )
+
+
+# ===========================================================================
+# gdal_footprint MVP: valid-mask area / perimeter / bbox
+# ===========================================================================
+
+_FP_W = 48
+_FP_VALID = "((i * 31 + j * 17 + 7) % 9) < 5"
+
+
+@register(
+    "raster_footprint",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, {_FP_W - 1})) AS v),
+g AS (SELECT a.v AS i, b.v AS j FROM gs a CROSS JOIN gs b),
+val AS (SELECT i, j FROM g WHERE {_FP_VALID}),
+nb AS (SELECT v.i, v.j, v.i + d.di AS ni, v.j + d.dj AS nj
+       FROM val v CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS d(di, dj)),
+edge AS (SELECT nb.i, nb.j FROM nb LEFT JOIN val t ON nb.ni = t.i AND nb.nj = t.j
+         WHERE t.i IS NULL)
+SELECT (SELECT count(*) FROM val)::bigint AS n_cells,
+       (SELECT count(*)::double FROM val) AS area,
+       (SELECT count(*) FROM edge)::bigint AS perimeter,
+       (SELECT min(i) FROM val)::bigint AS min_i,
+       (SELECT max(i) FROM val)::bigint AS max_i,
+       (SELECT min(j) FROM val)::bigint AS min_j,
+       (SELECT max(j) FROM val)::bigint AS max_j""",
+)
+def q_raster_footprint(spark, sf_dir):
+    """gdal_footprint MVP (apps/gdal_footprint_lib.cpp: vectorize the
+    valid-data mask): mask area (cell units), boundary perimeter (valid
+    cell edges facing invalid/outside — the footprint ring length), and
+    mask envelope. Plan: valid mask is a map-only filter; the perimeter
+    is a 4-neighbor explode + left-anti equi-join on the cell key (the
+    distributed halo probe); aggregates are partial map-side."""
+    g = spark.range(_FP_W * _FP_W).select(
+        (F.col("id") % _FP_W).cast("long").alias("i"),
+        (F.col("id") / _FP_W).cast("long").alias("j"),
+    )
+    val = g.filter(F.expr(_FP_VALID))
+    offs = F.array(
+        F.struct(F.lit(1).alias("di"), F.lit(0).alias("dj")),
+        F.struct(F.lit(-1).alias("di"), F.lit(0).alias("dj")),
+        F.struct(F.lit(0).alias("di"), F.lit(1).alias("dj")),
+        F.struct(F.lit(0).alias("di"), F.lit(-1).alias("dj")),
+    )
+    nb = val.select(
+        "i", "j", F.explode(offs).alias("d")
+    ).select(
+        "i", "j",
+        (F.col("i") + F.col("d.di")).alias("ni"),
+        (F.col("j") + F.col("d.dj")).alias("nj"),
+    )
+    tgt = val.select(F.col("i").alias("ti"), F.col("j").alias("tj"))
+    edge = nb.join(
+        tgt, (nb["ni"] == tgt["ti"]) & (nb["nj"] == tgt["tj"]), "left_anti"
+    )
+    stats = val.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count(F.lit(1)).cast("double").alias("area"),
+        F.min("i").alias("min_i"), F.max("i").alias("max_i"),
+        F.min("j").alias("min_j"), F.max("j").alias("max_j"),
+    )
+    perim = edge.agg(F.count(F.lit(1)).alias("perimeter"))
+    return stats.crossJoin(perim).select(
+        "n_cells", "area", "perimeter",
+        "min_i", "max_i", "min_j", "max_j",
+    )
+
+
+# ===========================================================================
+# gdaltindex: raster tile index (location + WKT footprint per tile)
+# ===========================================================================
+
+_TI_Z = 2
+
+
+def _ti_wkt(tx: int, ty: int) -> tuple[str, str]:
+    import math as _m
+
+    res = TM.resolution(_TI_Z)
+    os_ = TM.ORIGIN_SHIFT
+
+    def rnd(x):
+        return _m.floor(x * 10**4 + 0.5) / 10**4
+
+    x0 = rnd(tx * 256.0 * res - os_)
+    x1 = rnd((tx + 1) * 256.0 * res - os_)
+    y1 = rnd(os_ - ty * 256.0 * res)
+    y0 = rnd(os_ - (ty + 1) * 256.0 * res)
+    wkt = (
+        f"POLYGON(({x0!r} {y0!r},{x0!r} {y1!r},{x1!r} {y1!r},"
+        f"{x1!r} {y0!r},{x0!r} {y0!r}))"
+    )
+    return f"{_TI_Z}/{tx}/{ty}.png", wkt
+
+
+def _sql_tile_index() -> str:
+    rows = []
+    for ty in range(1 << _TI_Z):
+        for tx in range(1 << _TI_Z):
+            loc, wkt = _ti_wkt(tx, ty)
+            rows.append(f"('{loc}', '{wkt}')")
+    return (
+        "SELECT location, wkt FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(location, wkt)"
+    )
+
+
+@register("tile_index", _sql_tile_index())
+def q_tile_index(spark, sf_dir):
+    """gdaltindex (apps/gdaltindex_lib.cpp): one row per raster tile with
+    its dataset location and WKT footprint polygon in EPSG:3857 (XYZ
+    y-down bounds, gdal2tiles.py TileBounds). Exact-string parity: both
+    engines format the identical stable-rounded doubles; the oracle is an
+    independently generated VALUES fixture (the geom_wkt pattern).
+    Distributed string assembly via mapInPandas — map-only."""
+    import math as _m
+
+    import pandas as pd
+
+    n = 1 << _TI_Z
+    tiles = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("tx"),
+        (F.col("id") / n).cast("long").cast("int").alias("ty"),
+    )
+    res = TM.resolution(_TI_Z)
+    os_ = TM.ORIGIN_SHIFT
+
+    def run(batches):
+        def rnd(x):
+            return _m.floor(x * 10**4 + 0.5) / 10**4
+
+        for pdf in batches:
+            locs, wkts = [], []
+            for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                tx, ty = int(tx), int(ty)
+                x0 = rnd(tx * 256.0 * res - os_)
+                x1 = rnd((tx + 1) * 256.0 * res - os_)
+                y1 = rnd(os_ - ty * 256.0 * res)
+                y0 = rnd(os_ - (ty + 1) * 256.0 * res)
+                locs.append(f"{_TI_Z}/{tx}/{ty}.png")
+                wkts.append(
+                    f"POLYGON(({x0!r} {y0!r},{x0!r} {y1!r},{x1!r} {y1!r},"
+                    f"{x1!r} {y0!r},{x0!r} {y0!r}))"
+                )
+            yield pd.DataFrame({"location": locs, "wkt": wkts})
+
+    return tiles.mapInPandas(run, "location string, wkt string")
