@@ -6136,3 +6136,93 @@ def q_tile_index(spark, sf_dir):
             yield pd.DataFrame({"location": locs, "wkt": wkts})
 
     return tiles.mapInPandas(run, "location string, wkt string")
+
+
+# ---------------------------------------------------------------------------
+# S2 cell index (the north rule's "H3/S2-encoded geotags", S2 flavor):
+# cube-face Hilbert geocells per the published S2 spec — see spatial/s2.py.
+# ---------------------------------------------------------------------------
+from gdal_spark.spatial import s2 as S2  # noqa: E402
+
+_S2_L = 12          # encode level (4^12 cells/face)
+_S2_RL = 8          # rollup level
+
+
+def _s2_encode_oracle() -> str:
+    chain = S2.sql_s2_key(sql_lon("o_orderkey"), sql_lat("o_orderkey"), _S2_L)
+    mask = 4**_S2_L - 1
+    return f"""WITH keys AS (SELECT {chain} AS k FROM orders)
+SELECT k >> {2 * _S2_L} AS face,
+       count(*)::BIGINT AS n,
+       sum(k & {mask})::BIGINT AS sum_pos,
+       min(k & {mask})::BIGINT AS min_pos,
+       max(k & {mask})::BIGINT AS max_pos,
+       count(DISTINCT (k & {mask}) >> 12)::BIGINT AS n_l6
+FROM keys GROUP BY 1 ORDER BY 1"""
+
+
+@register("s2_cell_encode", _s2_encode_oracle())
+def q_s2_cell_encode(spark, sf_dir):
+    """S2 cell encode at level 12 over the orders geotags (north rule:
+    "geotags are H3/S2-encoded via vectorized pandas-on-Arrow UDFs").
+    Map-only Arrow-batched kernel (spatial/s2.py), then one partial-agg
+    shuffle on the 6 face keys; per-face exact bigint sums + the distinct
+    level-6 parent count exercise the Hilbert prefix hierarchy."""
+    pts = order_points(spark, sf_dir)
+    key = S2.s2_key(F.col("lon"), F.col("lat"), _S2_L)
+    mask = 4**_S2_L - 1
+    cells = pts.select(key.alias("k")).select(
+        F.shiftright("k", 2 * _S2_L).alias("face"),
+        F.col("k").bitwiseAND(F.lit(mask)).alias("pos"),
+    )
+    return (
+        cells.groupBy("face")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("sum_pos"),
+            F.min("pos").alias("min_pos"),
+            F.max("pos").alias("max_pos"),
+            F.countDistinct(F.shiftright(F.col("pos"), 12)).alias("n_l6"),
+        )
+        .orderBy("face")
+    )
+
+
+def _s2_rollup_oracle() -> str:
+    chain = S2.sql_s2_key(sql_lon("pid"), sql_lat("pid"), _S2_RL)
+    mask = 4**_S2_RL - 1
+    hex_sql = S2.sql_s2_cell_hex("face", "pos", _S2_RL)
+    return f"""WITH pts AS (
+  SELECT l_orderkey * 10 + l_linenumber AS pid FROM lineitem),
+keys AS (SELECT {chain} AS k FROM pts),
+agg AS (SELECT k >> {2 * _S2_RL} AS face, k & {mask} AS pos,
+               count(*)::BIGINT AS n
+        FROM keys GROUP BY 1, 2)
+SELECT face, pos, n, {hex_sql} AS cell_hex
+FROM agg ORDER BY n DESC, face, pos LIMIT 15"""
+
+
+@register("s2_parent_rollup", _s2_rollup_oracle())
+def q_s2_parent_rollup(spark, sf_dir):
+    """Level-8 S2 cell rollup over lineitem geotags with the canonical
+    64-bit cell id rendered as 16-char hex (hi/lo 32-bit halves — no
+    signed-64 overflow for faces >= 4).  Top-15 hottest cells, fully
+    deterministic tie-break (n DESC, face, pos)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid")
+    )
+    key = S2.s2_key(derived_lon(F.col("pid")), derived_lat(F.col("pid")), _S2_RL)
+    mask = 4**_S2_RL - 1
+    cells = li.select(key.alias("k")).select(
+        F.shiftright("k", 2 * _S2_RL).alias("face"),
+        F.col("k").bitwiseAND(F.lit(mask)).alias("pos"),
+    )
+    agg = cells.groupBy("face", "pos").agg(F.count("*").alias("n"))
+    return (
+        agg.select(
+            "face", "pos", "n",
+            S2.s2_cell_hex(F.col("face"), F.col("pos"), _S2_RL).alias("cell_hex"),
+        )
+        .orderBy(F.desc("n"), "face", "pos")
+        .limit(15)
+    )
