@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "warp_cutline",
     "raster_translate",
     "tpch_q3",
+    # round 3 (session 3): S2 geocell encode (north rule's H3/S2 naming)
+    "s2_cell_encode",
 ]
 
 

@@ -6226,3 +6226,365 @@ def q_s2_parent_rollup(spark, sf_dir):
         .orderBy(F.desc("n"), "face", "pos")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# ogr2ogr -explodecollections / gdalcompare / ST_Project / geodesic area /
+# URL normalization (webtext curation)
+# ---------------------------------------------------------------------------
+
+def _mp_part_segment_values() -> str:
+    """Directed ring segments of every multipolygon part, keyed by
+    (poly_id, part_idx, ring_idx) — the explodecollections oracle input."""
+    rows = []
+    for rec in multipolygon_records():
+        for part_idx, part in enumerate(rec["rings"]):
+            for ring_idx, ring in enumerate(part):
+                arr = np.asarray(ring, dtype=np.float64)
+                for i in range(1, arr.shape[0]):
+                    x1_, y1_ = arr[i - 1]
+                    x2_, y2_ = arr[i]
+                    rows.append(
+                        f"({rec['poly_id']}, {part_idx}, {ring_idx}, "
+                        f"{x1_!r}::double, {y1_!r}::double, "
+                        f"{x2_!r}::double, {y2_!r}::double)"
+                    )
+    return "VALUES " + ", ".join(rows)
+
+
+_EXPLODE_ORACLE = f"""
+WITH seg(poly_id, part_idx, ring_idx, x1a, y1a, x2a, y2a)
+  AS ({_mp_part_segment_values()}),
+ring_area AS (
+  SELECT poly_id, part_idx, ring_idx,
+         0.5 * sum(x1a * y2a - x2a * y1a) AS sa
+  FROM seg GROUP BY 1, 2, 3),
+part_area AS (
+  SELECT poly_id, part_idx,
+         count(*)::BIGINT AS n_rings,
+         sum(CASE WHEN ring_idx = 0 THEN abs(sa) ELSE -abs(sa) END) AS area
+  FROM ring_area GROUP BY 1, 2),
+env AS (
+  SELECT poly_id, part_idx,
+         min(least(x1a, x2a)) AS xmin, min(least(y1a, y2a)) AS ymin,
+         max(greatest(x1a, x2a)) AS xmax, max(greatest(y1a, y2a)) AS ymax
+  FROM seg GROUP BY 1, 2)
+SELECT a.poly_id, a.part_idx, a.n_rings, {SR('a.area', 6)} AS area,
+       e.xmin, e.ymin, e.xmax, e.ymax
+FROM part_area a JOIN env e USING (poly_id, part_idx)
+ORDER BY a.poly_id, a.part_idx"""
+
+
+@register("explode_collections", _EXPLODE_ORACLE)
+def q_explode_collections(spark, sf_dir):
+    """ogr2ogr -explodecollections (apps/ogr2ogr_lib.cpp; one output
+    feature per collection part): posexplode of the multipolygon parts
+    array — a map-only explode at scale, no shuffle — then per-part ring
+    count, planar area (|outer| − Σ|holes| shoelace) and envelope."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    mp = multipolygons_df(spark).select(
+        "poly_id", F.posexplode("rings").alias("part_idx", "part")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("poly_id", "part_idx", "n_rings", "area",
+                    "xmin", "ymin", "xmax", "ymax")}
+            for pid, pidx, part in zip(
+                pdf["poly_id"], pdf["part_idx"], pdf["part"]
+            ):
+                rings = [np.asarray([list(pt) for pt in ring],
+                                    dtype=np.float64) for ring in part]
+                xmin, ymin, xmax, ymax = G.rings_envelope(rings)
+                out["poly_id"].append(pid)
+                out["part_idx"].append(int(pidx))
+                out["n_rings"].append(len(rings))
+                out["area"].append(G.rings_area(rings))
+                out["xmin"].append(xmin)
+                out["ymin"].append(ymin)
+                out["xmax"].append(xmax)
+                out["ymax"].append(ymax)
+            yield pd.DataFrame(out)
+
+    parts = mp.mapInPandas(
+        run,
+        "poly_id long, part_idx int, n_rings bigint, area double, "
+        "xmin double, ymin double, xmax double, ymax double",
+    )
+    return parts.select(
+        "poly_id", "part_idx", "n_rings", R("area", 6).alias("area"),
+        "xmin", "ymin", "xmax", "ymax",
+    ).orderBy("poly_id", "part_idx")
+
+
+_CMP_W = 256  # compare-grid width (one z0-sized tile per band)
+
+
+def _cmp_perturb_sql(gx: str, gy: str, band: str) -> str:
+    return (
+        f"(CASE WHEN (({gx}) * 7 + ({gy}) * 13 + ({band}) * 5) % 97 = 0 "
+        f"THEN (CASE WHEN ({band}) = 1 THEN 3.0 ELSE -2.0 END) "
+        f"ELSE 0.0 END)"
+    )
+
+
+_CMP_ORACLE = f"""
+WITH g AS (SELECT unnest(generate_series(0, {_CMP_W - 1})) AS i),
+b AS (SELECT unnest(generate_series(1, 2)) AS band),
+px AS (
+  SELECT b.band,
+         {_cmp_perturb_sql('gx.i', 'gy.i', 'b.band')} AS delta
+  FROM b CROSS JOIN g gx CROSS JOIN g gy)
+SELECT band,
+       sum(CASE WHEN delta <> 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_diff,
+       max(abs(delta)) AS max_diff,
+       sum(abs(delta)) AS sum_abs_diff,
+       count(*)::BIGINT AS n_pixels
+FROM px GROUP BY band ORDER BY band"""
+
+
+@register("raster_compare", _CMP_ORACLE)
+def q_raster_compare(spark, sf_dir):
+    """gdalcompare (swig/python/gdal-utils/.../gdalcompare.py semantics:
+    count of differing pixels + max difference per band between a golden
+    and a new raster).  Golden = the closed-form world raster; new = golden
+    with a deterministic sparse perturbation; the diff is pure JVM column
+    math over one range() scan — map-side partial agg, no wide shuffle."""
+    n = _CMP_W * _CMP_W
+    cells = spark.range(n * 2).select(
+        (F.col("id") % _CMP_W).alias("gx"),
+        ((F.col("id") / _CMP_W).cast("long") % _CMP_W).alias("gy"),
+        ((F.col("id") / n).cast("long") + 1).alias("band"),
+    )
+    delta = (
+        F.when(
+            (F.col("gx") * 7 + F.col("gy") * 13 + F.col("band") * 5) % 97
+            == 0,
+            F.when(F.col("band") == 1, F.lit(3.0)).otherwise(F.lit(-2.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    px = cells.select("band", delta.alias("delta"))
+    return (
+        px.groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("delta") != 0.0, 1).otherwise(0)).alias(
+                "n_diff"
+            ),
+            F.max(F.abs("delta")).alias("max_diff"),
+            F.sum(F.abs("delta")).alias("sum_abs_diff"),
+            F.count("*").alias("n_pixels"),
+        )
+        .orderBy("band")
+    )
+
+
+def _sql_spherical_area_km2() -> str:
+    rr = G.EARTH_RADIUS
+    term = (
+        "((x2a - x1a) * (pi() / 180.0)) * "
+        "(2.0 + sin(y1a * (pi() / 180.0)) + sin(y2a * (pi() / 180.0)))"
+    )
+    return f"""WITH seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()})
+SELECT poly_id,
+       {SR(f'abs(sum({term})) * {rr!r} * {rr!r} / 2.0 / 1000000.0', 3)}
+         AS area_km2
+FROM seg GROUP BY poly_id"""
+
+
+@register("geom_area_geodesic", _sql_spherical_area_km2())
+def q_geom_area_geodesic(spark, sf_dir):
+    """Spherical polygon area (OGR_G_GeodesicArea family,
+    ogr/ogrgeometry.cpp — sphere flavor here, radius = the great-circle
+    EARTH_RADIUS, not the GeographicLib ellipsoid): the classic
+    sum-over-edges formula  R^2/2 * |Σ Δλ·(2 + sin φ1 + sin φ2)|
+    ("Some Algorithms for Polygons on a Sphere", Chamberlain & Duquette,
+    JPL 2007).  Holes traverse reversed so they subtract before |·|."""
+    import math as _m
+    from typing import Iterator
+
+    import pandas as pd
+
+    rr = G.EARTH_RADIUS
+    d2r = _m.pi / 180.0
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, areas = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                total = 0.0
+                for ring in G.rings_to_numpy(rings):
+                    t = ((ring[1:, 0] - ring[:-1, 0]) * d2r) * (
+                        2.0
+                        + np.sin(ring[:-1, 1] * d2r)
+                        + np.sin(ring[1:, 1] * d2r)
+                    )
+                    for v in t:  # sequential — SQL sum() association
+                        total += float(v)
+                ids.append(pid)
+                areas.append(abs(total) * rr * rr / 2.0 / 1000000.0)
+            yield pd.DataFrame({"poly_id": ids, "area_km2": areas})
+
+    out = p.mapInPandas(run, "poly_id long, area_km2 double")
+    return out.select("poly_id", R("area_km2", 3).alias("area_km2"))
+
+
+def _sql_st_project() -> str:
+    rr = G.EARTH_RADIUS
+    lat1 = f"({sql_lat('o_orderkey')} * (pi() / 180.0))"
+    lon1 = f"({sql_lon('o_orderkey')} * (pi() / 180.0))"
+    brg = "((o_orderkey % 360)::double * (pi() / 180.0))"
+    dlt = f"((50000.0 + (o_orderkey % 200)::double * 1000.0) / {rr!r})"
+    sinp2 = (
+        f"(sin({lat1}) * cos({dlt}) + "
+        f"cos({lat1}) * sin({dlt}) * cos({brg}))"
+    )
+    lat2 = f"asin(least(1.0, greatest(-1.0, {sinp2})))"
+    lon2 = (
+        f"({lon1} + atan2(sin({brg}) * sin({dlt}) * cos({lat1}), "
+        f"cos({dlt}) - sin({lat1}) * {sinp2}))"
+    )
+    return f"""SELECT o_orderkey,
+       {SR(f'degrees({lon2})', 6)} AS dst_lon,
+       {SR(f'degrees({lat2})', 6)} AS dst_lat
+FROM orders ORDER BY o_orderkey LIMIT 500"""
+
+
+@register("st_project", _sql_st_project())
+def q_st_project(spark, sf_dir):
+    """ST_Project (the Spatialite function GDAL exposes through its SQLite
+    dialect, ogr/ogrsqlitesqlfunctions.cpp) — geodesy direct problem on the
+    sphere: destination point from (origin, bearing, distance), closed-form
+    sin/cos/atan2 column math (map-only; lon left unwrapped, documented)."""
+    import math as _m
+
+    pts = order_points(spark, sf_dir)
+    d2r = _m.pi / 180.0
+    rr = G.EARTH_RADIUS
+    lat1 = F.col("lat") * d2r
+    lon1 = F.col("lon") * d2r
+    brg = (F.col("o_orderkey") % 360).cast("double") * d2r
+    dlt = (
+        F.lit(50000.0) + (F.col("o_orderkey") % 200).cast("double") * 1000.0
+    ) / rr
+    sinp2 = F.sin(lat1) * F.cos(dlt) + F.cos(lat1) * F.sin(dlt) * F.cos(brg)
+    lat2 = F.asin(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), sinp2)))
+    lon2 = lon1 + F.atan2(
+        F.sin(brg) * F.sin(dlt) * F.cos(lat1),
+        F.cos(dlt) - F.sin(lat1) * sinp2,
+    )
+    return (
+        pts.select(
+            "o_orderkey",
+            R(F.degrees(lon2), 6).alias("dst_lon"),
+            R(F.degrees(lat2), 6).alias("dst_lat"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+_URL_N = 4000
+
+
+def _sql_url_raw(id_: str) -> str:
+    """Deterministic synthetic URL corpus (no external data): mixed-case
+    schemes/hosts, www. prefixes, default + explicit ports, trailing
+    slashes, query strings, fragments."""
+    return (
+        f"(CASE WHEN ({id_}) % 2 = 0 THEN 'http' ELSE 'HTTPS' END) || '://' "
+        f"|| (CASE WHEN ({id_}) % 3 = 0 THEN 'www.' ELSE '' END) "
+        f"|| (CASE WHEN ({id_}) % 7 = 0 THEN 'NEWS' ELSE 'news' END) "
+        f"|| CAST(({id_}) % 5 AS VARCHAR) || '.example' "
+        f"|| (CASE ({id_}) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org' "
+        f"WHEN 2 THEN '.net' ELSE '.io' END) "
+        f"|| (CASE WHEN ({id_}) % 6 = 0 THEN "
+        f"(CASE WHEN ({id_}) % 2 = 0 THEN ':80' ELSE ':443' END) "
+        f"WHEN ({id_}) % 11 = 0 THEN ':8080' ELSE '' END) "
+        f"|| '/Page/' || CAST(({id_}) % 13 AS VARCHAR) "
+        f"|| (CASE WHEN ({id_}) % 9 = 0 THEN '/' ELSE '' END) "
+        f"|| (CASE WHEN ({id_}) % 10 = 0 THEN '?b=2&a=1' ELSE '' END) "
+        f"|| (CASE WHEN ({id_}) % 8 = 0 THEN '#Sec' ELSE '' END)"
+    )
+
+
+_URL_ORACLE = f"""
+WITH raw AS (SELECT {_sql_url_raw('range')} AS url FROM range({_URL_N})),
+parts AS (
+  SELECT url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme_n,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '(\\?[^#]*)', 1) AS query
+  FROM raw),
+norm1 AS (
+  SELECT url, scheme_n, path, query,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                        '^www\\.', '') AS host_n,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s
+  FROM parts),
+norm AS (
+  SELECT host_n, url,
+         scheme_n || '://' || host_n ||
+         (CASE WHEN port_s = '' THEN ''
+               WHEN scheme_n = 'http'  AND port_s = '80'  THEN ''
+               WHEN scheme_n = 'https' AND port_s = '443' THEN ''
+               ELSE ':' || port_s END) ||
+         (CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+               ELSE regexp_replace(path, '/$', '') END) || query AS url_n
+  FROM norm1)
+SELECT host_n,
+       count(*)::BIGINT AS n,
+       count(DISTINCT url)::BIGINT AS n_raw,
+       count(DISTINCT url_n)::BIGINT AS n_norm,
+       min(url_n) AS sample_norm
+FROM norm GROUP BY host_n ORDER BY host_n"""
+
+
+@register("url_normalize", _URL_ORACLE)
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization for web-corpus dedup (the Common-Crawl-style
+    curation step ahead of exact dedup: lowercase scheme+host, strip www.,
+    drop default ports, trim trailing slash, drop fragment, keep query).
+    Pure JVM regexp column math — map-only, then one agg shuffle on the
+    registrable host; at 100 TB this is the cheap normalize-then-groupBy
+    that collapses scheme/port/fragment aliases before hashing."""
+    raw = spark.range(_URL_N).select(
+        F.expr(_sql_url_raw("id").replace("::VARCHAR", "")
+               .replace(" AS VARCHAR", " AS STRING")).alias("url")
+    )
+    scheme_n = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract("url", r"(\?[^#]*)", 1)
+    host_n = F.regexp_replace(
+        F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1)), r"^www\.", ""
+    )
+    port_s = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    port_n = (
+        F.when(port_s == "", "")
+        .when((scheme_n == "http") & (port_s == "80"), "")
+        .when((scheme_n == "https") & (port_s == "443"), "")
+        .otherwise(F.concat(F.lit(":"), port_s))
+    )
+    path_t = F.regexp_replace(path, r"/$", "")
+    path_n = F.when(path_t == "", "/").otherwise(path_t)
+    url_n = F.concat(scheme_n, F.lit("://"), host_n, port_n, path_n, query)
+    norm = raw.select(
+        host_n.alias("host_n"), F.col("url"), url_n.alias("url_n")
+    )
+    return (
+        norm.groupBy("host_n")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("url").alias("n_raw"),
+            F.countDistinct("url_n").alias("n_norm"),
+            F.min("url_n").alias("sample_norm"),
+        )
+        .orderBy("host_n")
+    )
