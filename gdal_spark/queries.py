@@ -6588,3 +6588,227 @@ def q_url_normalize(spark, sf_dir):
         )
         .orderBy("host_n")
     )
+
+
+_WDL_TRACKS, _WDL_VERTS = 60, 8
+
+
+_WDL_ORACLE = f"""
+WITH v AS (
+  SELECT range // {_WDL_VERTS} AS tid, range % {_WDL_VERTS} AS j
+  FROM range({_WDL_TRACKS * _WDL_VERTS})),
+pts AS (
+  SELECT tid, j,
+         ((160 + tid + j * (5 + (tid % 7) * 3) + 180) % 360 - 180)::double
+           AS lon,
+         (-60 + (tid * 31 + j * 17) % 120)::double AS lat
+  FROM v),
+seg AS (
+  SELECT tid, j, lon AS x1, lat AS y1,
+         lead(lon) OVER (PARTITION BY tid ORDER BY j) AS x2,
+         lead(lat) OVER (PARTITION BY tid ORDER BY j) AS y2
+  FROM pts),
+unw AS (
+  SELECT tid, x1, y1, y2,
+         (CASE WHEN x2 - x1 > 180.0 THEN x2 - 360.0
+               WHEN x2 - x1 < -180.0 THEN x2 + 360.0 ELSE x2 END) AS x2u
+  FROM seg WHERE x2 IS NOT NULL),
+cr AS (
+  SELECT tid, x1, y1, y2, x2u,
+         (CASE WHEN x2u > 180.0 THEN 1 WHEN x2u < -180.0 THEN 1 ELSE 0 END)
+           AS crossed,
+         (CASE WHEN x2u > 180.0 THEN
+                 y1 + (180.0 - x1) / (x2u - x1) * (y2 - y1)
+               WHEN x2u < -180.0 THEN
+                 y1 + (-180.0 - x1) / (x2u - x1) * (y2 - y1)
+               ELSE 0.0 END) AS clat,
+         sqrt((x2u - x1) * (x2u - x1) + (y2 - y1) * (y2 - y1)) AS slen
+  FROM unw)
+SELECT tid,
+       count(*)::BIGINT AS n_segments,
+       sum(crossed)::BIGINT AS n_crossings,
+       (sum(crossed) + 1)::BIGINT AS n_parts,
+       {SR('sum(slen)', 6)} AS len_deg,
+       {SR('sum(crossed * clat)', 6)} AS sum_crossing_lat
+FROM cr GROUP BY tid ORDER BY tid"""
+
+
+@register("wrapdateline", _WDL_ORACLE)
+def q_wrapdateline(spark, sf_dir):
+    """ogr2ogr -wrapdateline (OGRGeometryFactory::transformWithOptions,
+    ogr/ogrgeometryfactory.cpp WRAPDATELINE path): detect antimeridian
+    crossings per track segment (|Δlon| > 180 ⇒ wrapped), unwrap, and
+    split at lon = ±180 with the interpolated crossing latitude.  Gate
+    reports per track: segment/crossing/part counts, unwrapped planar
+    length, Σ crossing latitudes.  Plan: one window (partitioned by track
+    — parallel across tracks at scale) + map-only math + one agg."""
+    from pyspark.sql import Window
+
+    n = _WDL_TRACKS * _WDL_VERTS
+    v = spark.range(n).select(
+        (F.col("id") / _WDL_VERTS).cast("long").alias("tid"),
+        (F.col("id") % _WDL_VERTS).alias("j"),
+    )
+    step = F.lit(5) + (F.col("tid") % 7) * 3
+    lon_u = F.lit(160) + F.col("tid") + F.col("j") * step
+    pts = v.select(
+        "tid", "j",
+        ((lon_u + 180) % 360 - 180).cast("double").alias("lon"),
+        (F.lit(-60) + (F.col("tid") * 31 + F.col("j") * 17) % 120)
+        .cast("double").alias("lat"),
+    )
+    w = Window.partitionBy("tid").orderBy("j")
+    seg = pts.select(
+        "tid",
+        F.col("lon").alias("x1"), F.col("lat").alias("y1"),
+        F.lead("lon").over(w).alias("x2"),
+        F.lead("lat").over(w).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    x2u = (
+        F.when(F.col("x2") - F.col("x1") > 180.0, F.col("x2") - 360.0)
+        .when(F.col("x2") - F.col("x1") < -180.0, F.col("x2") + 360.0)
+        .otherwise(F.col("x2"))
+    )
+    seg = seg.withColumn("x2u", x2u)
+    crossed = (
+        F.when(F.col("x2u") > 180.0, 1)
+        .when(F.col("x2u") < -180.0, 1)
+        .otherwise(0)
+    )
+    clat = (
+        F.when(
+            F.col("x2u") > 180.0,
+            F.col("y1") + (F.lit(180.0) - F.col("x1"))
+            / (F.col("x2u") - F.col("x1")) * (F.col("y2") - F.col("y1")),
+        )
+        .when(
+            F.col("x2u") < -180.0,
+            F.col("y1") + (F.lit(-180.0) - F.col("x1"))
+            / (F.col("x2u") - F.col("x1")) * (F.col("y2") - F.col("y1")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    slen = F.sqrt(
+        (F.col("x2u") - F.col("x1")) * (F.col("x2u") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    cr = seg.select(
+        "tid", crossed.alias("crossed"), clat.alias("clat"),
+        slen.alias("slen"),
+    )
+    return (
+        cr.groupBy("tid")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("crossed").alias("n_crossings"),
+            (F.sum("crossed") + 1).alias("n_parts"),
+            R(F.sum("slen"), 6).alias("len_deg"),
+            R(F.sum(F.col("crossed") * F.col("clat")), 6).alias(
+                "sum_crossing_lat"
+            ),
+        )
+        .orderBy("tid")
+    )
+
+
+_LIP_ORACLE = f"""
+WITH v AS (
+  SELECT range // {_WDL_VERTS} AS tid, range % {_WDL_VERTS} AS j
+  FROM range({_WDL_TRACKS * _WDL_VERTS})),
+pts AS (
+  SELECT tid, j,
+         (160 + tid + j * (5 + (tid % 7) * 3))::double AS x,
+         (-60 + (tid * 31 + j * 17) % 120)::double AS y
+  FROM v),
+seg AS (
+  SELECT tid, j, x AS x1, y AS y1,
+         lead(x) OVER (PARTITION BY tid ORDER BY j) AS x2,
+         lead(y) OVER (PARTITION BY tid ORDER BY j) AS y2
+  FROM pts),
+lens AS (
+  SELECT tid, j, x1, y1, x2, y2,
+         sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS slen
+  FROM seg WHERE x2 IS NOT NULL),
+cum AS (
+  SELECT *,
+         sum(slen) OVER (PARTITION BY tid ORDER BY j
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(slen) OVER (PARTITION BY tid) AS total
+  FROM lens),
+hit AS (
+  SELECT *, ((tid % 5) + 1) / 6.0 AS f,
+         ((tid % 5) + 1) / 6.0 * total AS d,
+         cum - slen AS cum_prev
+  FROM cum)
+SELECT tid, {SR('f', 6)} AS frac,
+       {SR('x1 + (d - cum_prev) / slen * (x2 - x1)', 6)} AS px,
+       {SR('y1 + (d - cum_prev) / slen * (y2 - y1)', 6)} AS py,
+       {SR('degrees(atan2(x2 - x1, y2 - y1))', 6)} AS azimuth_deg
+FROM hit WHERE cum_prev <= d AND d < cum
+ORDER BY tid"""
+
+
+@register("line_interpolate_point", _LIP_ORACLE)
+def q_line_interpolate_point(spark, sf_dir):
+    """ST_Line_Interpolate_Point + ST_Azimuth (the Spatialite functions
+    GDAL's SQLite dialect exposes, ogr/ogrsqlitedialect docs): point at
+    fraction f along each track — running-length window cumsum, pick the
+    containing segment, lerp.  One window per track partition (parallel
+    across tracks), no driver loop; total length via the full-partition
+    window both engines share."""
+    from pyspark.sql import Window
+
+    n = _WDL_TRACKS * _WDL_VERTS
+    v = spark.range(n).select(
+        (F.col("id") / _WDL_VERTS).cast("long").alias("tid"),
+        (F.col("id") % _WDL_VERTS).alias("j"),
+    )
+    step = F.lit(5) + (F.col("tid") % 7) * 3
+    pts = v.select(
+        "tid", "j",
+        (F.lit(160) + F.col("tid") + F.col("j") * step)
+        .cast("double").alias("x"),
+        (F.lit(-60) + (F.col("tid") * 31 + F.col("j") * 17) % 120)
+        .cast("double").alias("y"),
+    )
+    w = Window.partitionBy("tid").orderBy("j")
+    seg = pts.select(
+        "tid", "j",
+        F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.lead("x").over(w).alias("x2"),
+        F.lead("y").over(w).alias("y2"),
+    ).where(F.col("x2").isNotNull())
+    slen = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    seg = seg.withColumn("slen", slen)
+    wc = Window.partitionBy("tid").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("tid")
+    seg = seg.withColumn("cum", F.sum("slen").over(wc)).withColumn(
+        "total", F.sum("slen").over(wt)
+    )
+    f_ = ((F.col("tid") % 5) + 1) / 6.0
+    seg = (
+        seg.withColumn("f", f_)
+        .withColumn("d", f_ * F.col("total"))
+        .withColumn("cum_prev", F.col("cum") - F.col("slen"))
+    )
+    t = (F.col("d") - F.col("cum_prev")) / F.col("slen")
+    hit = seg.where(
+        (F.col("cum_prev") <= F.col("d")) & (F.col("d") < F.col("cum"))
+    )
+    return hit.select(
+        "tid",
+        R(F.col("f"), 6).alias("frac"),
+        R(F.col("x1") + t * (F.col("x2") - F.col("x1")), 6).alias("px"),
+        R(F.col("y1") + t * (F.col("y2") - F.col("y1")), 6).alias("py"),
+        R(
+            F.degrees(
+                F.atan2(F.col("x2") - F.col("x1"), F.col("y2") - F.col("y1"))
+            ),
+            6,
+        ).alias("azimuth_deg"),
+    ).orderBy("tid")
