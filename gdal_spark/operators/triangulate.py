@@ -261,3 +261,53 @@ def concave_hull(
             break
     kept_arr = np.array(sorted(kept), dtype=np.int32)
     return kept_arr, float(tri_areas(pts, kept_arr).sum())
+
+
+def voronoi_interior_cells(
+    points: np.ndarray,
+) -> list[tuple[int, np.ndarray]]:
+    """Bounded Voronoi cells — the dual of the Delaunay triangulation
+    (GEOSVoronoiDiagram / the Spatialite ST_VoronojDiagram GDAL's SQLite
+    dialect exposes; built here from our own ``delaunay``, not GEOS).
+
+    A site strictly inside the convex hull has a BOUNDED cell whose
+    vertices are exactly the circumcenters of its incident triangles,
+    ordered by angle around the site (CCW).  Hull sites have unbounded
+    cells and are skipped (clipping rays to a frame is the gate's
+    documented non-goal).  Returns [(site_index, cell_vertices CCW)].
+    """
+    from collections import defaultdict
+
+    tris = delaunay(points)
+    cnt: dict[tuple[int, int], int] = defaultdict(int)
+    for t in tris:
+        for u, w in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+            cnt[(min(u, w), max(u, w))] += 1
+    hull: set[int] = set()
+    for (u, w), k in cnt.items():
+        if k == 1:
+            hull.add(int(u))
+            hull.add(int(w))
+    centers: list[tuple[float, float] | None] = []
+    for t in tris:
+        c = _circum(
+            points[t[0], 0], points[t[0], 1],
+            points[t[1], 0], points[t[1], 1],
+            points[t[2], 0], points[t[2], 1],
+        )
+        centers.append(None if c is None else (c[0], c[1]))
+    incident: dict[int, list[int]] = defaultdict(list)
+    for ti, t in enumerate(tris):
+        for vv in t:
+            incident[int(vv)].append(ti)
+    cells: list[tuple[int, np.ndarray]] = []
+    for v, tl in incident.items():
+        if v in hull:
+            continue
+        cs = [centers[ti] for ti in tl]
+        if any(c is None for c in cs):
+            continue
+        arr = np.asarray(cs, dtype=np.float64)
+        ang = np.arctan2(arr[:, 1] - points[v, 1], arr[:, 0] - points[v, 0])
+        cells.append((v, arr[np.argsort(ang, kind="stable")]))
+    return cells

@@ -6812,3 +6812,147 @@ def q_line_interpolate_point(spark, sf_dir):
             6,
         ).alias("azimuth_deg"),
     ).orderBy("tid")
+
+
+# ---------------------------------------------------------------------------
+# Voronoi diagram (dual of the Delaunay gate's triangulation)
+# ---------------------------------------------------------------------------
+
+_VOR_P = 600
+_VOR_PX = "((pid * 104729 + 9001) % 3600000) / 10000.0 - 180.0" \
+    " + ((pid * pid) % 97) * 1e-6"
+_VOR_PY = "((pid * 95231 + 4567) % 1660000) / 10000.0 - 83.0" \
+    " + ((pid * pid * pid) % 91) * 1e-6"
+
+
+def _sql_voronoi() -> str:
+    # INDEPENDENT oracle: never builds a cell.  The Voronoi region of site
+    # s is {q : s = argmin dist(q, site)}, so probe ownership is brute-
+    # force nearest-site; interior sites (bounded cells) are those NOT on
+    # the convex hull (all-points-left edge test, delaunay-oracle style).
+    return f"""
+WITH pts AS ({SQL_POINTS}),
+s AS (SELECT o_orderkey AS sid, lon + {_DJX} AS x, lat + {_DJY} AS y
+      FROM pts WHERE {DELAUNAY_PRED}),
+he AS (
+  SELECT a.sid AS ia FROM s a JOIN s b ON a.sid <> b.sid
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s c WHERE c.sid <> a.sid AND c.sid <> b.sid
+      AND (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0)),
+hull_v AS (SELECT DISTINCT ia AS sid FROM he),
+pr AS (SELECT range AS pid, {_VOR_PX} AS px, {_VOR_PY} AS py
+       FROM range({_VOR_P})),
+cand AS (
+  SELECT pr.pid, s.sid,
+         (s.x - pr.px) * (s.x - pr.px) + (s.y - pr.py) * (s.y - pr.py)
+           AS d2
+  FROM pr CROSS JOIN s),
+best AS (
+  SELECT pid, sid, d2,
+         row_number() OVER (PARTITION BY pid ORDER BY d2, sid) AS rk
+  FROM cand)
+SELECT pid AS probe_id, sid AS site_id, {SR('sqrt(d2)', 6)} AS dist
+FROM best
+WHERE rk = 1 AND sid NOT IN (SELECT sid FROM hull_v)
+ORDER BY pid"""
+
+
+@register("voronoi_assign", _sql_voronoi())
+def q_voronoi_assign(spark, sf_dir):
+    """Voronoi diagram via the Delaunay dual (ST_VoronojDiagram — the
+    Spatialite function GDAL's SQLite dialect exposes; GEOSVoronoiDiagram
+    semantics): bounded cells for interior sites = angle-ordered
+    circumcenters of incident triangles (operators/triangulate.py
+    voronoi_interior_cells), then probe points assigned by convex-cell
+    point-in-polygon.  The oracle never constructs a cell — it assigns
+    probes by brute-force nearest-site and keeps those owned by interior
+    (non-hull) sites; agreement pins the dual construction geometrically.
+    Plan: group kernel builds the (tiny) cell dimension, broadcast to a
+    map-only probe scan — same prepared-geometry shape as pip_broadcast."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gdal_spark.operators import triangulate as TRI
+
+    sites = (
+        order_points(spark, sf_dir)
+        .filter(F.expr(DELAUNAY_PRED))
+        .select(
+            "o_orderkey",
+            (F.col("lon") + F.expr(_DJX)).alias("x"),
+            (F.col("lat") + F.expr(_DJY)).alias("y"),
+        )
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        p = np.stack(
+            [pdf["x"].to_numpy(np.float64), pdf["y"].to_numpy(np.float64)],
+            axis=1,
+        )
+        sids = pdf["o_orderkey"].to_numpy(np.int64)
+        rows = {"site_id": [], "sx": [], "sy": [], "vxs": [], "vys": []}
+        for v, cell in TRI.voronoi_interior_cells(p):
+            rows["site_id"].append(int(sids[v]))
+            rows["sx"].append(float(p[v, 0]))
+            rows["sy"].append(float(p[v, 1]))
+            rows["vxs"].append([float(c) for c in cell[:, 0]])
+            rows["vys"].append([float(c) for c in cell[:, 1]])
+        return pd.DataFrame(rows)
+
+    cells_df = sites.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+        build,
+        "site_id long, sx double, sy double, "
+        "vxs array<double>, vys array<double>",
+    )
+    # Tiny dimension: collect + broadcast (the prepared-geometry pattern).
+    cells = [
+        (r["site_id"], r["sx"], r["sy"],
+         np.asarray(r["vxs"]), np.asarray(r["vys"]))
+        for r in cells_df.collect()
+    ]
+    cells.sort(key=lambda c: c[0])
+    bc = spark.sparkContext.broadcast(cells)
+    import math as _m
+
+    probes = spark.range(_VOR_P).select(
+        F.col("id").alias("pid"),
+        F.expr(_VOR_PX.replace("pid", "id")).alias("px"),
+        F.expr(_VOR_PY.replace("pid", "id")).alias("py"),
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cs = bc.value
+        envs = [
+            (vxs.min(), vys.min(), vxs.max(), vys.max(), sid, sx, sy,
+             vxs, vys)
+            for sid, sx, sy, vxs, vys in cs
+        ]
+        for pdf in batches:
+            out = {"probe_id": [], "site_id": [], "dist": []}
+            for pid, px, py in zip(pdf["pid"], pdf["px"], pdf["py"]):
+                px_, py_ = float(px), float(py)
+                for x0, y0, x1, y1, sid, sx, sy, vxs, vys in envs:
+                    if not (x0 <= px_ <= x1 and y0 <= py_ <= y1):
+                        continue
+                    nx = np.roll(vxs, -1)
+                    ny = np.roll(vys, -1)
+                    cross = (nx - vxs) * (py_ - vys) - (ny - vys) * (
+                        px_ - vxs
+                    )
+                    if np.all(cross >= 0.0):
+                        d2 = (sx - px_) * (sx - px_) + (sy - py_) * (
+                            sy - py_
+                        )
+                        out["probe_id"].append(int(pid))
+                        out["site_id"].append(int(sid))
+                        out["dist"].append(_m.sqrt(d2))
+                        break
+            yield pd.DataFrame(out)
+
+    matched = probes.mapInPandas(
+        assign, "probe_id long, site_id long, dist double"
+    )
+    return matched.select(
+        "probe_id", "site_id", R("dist", 6).alias("dist")
+    ).orderBy("probe_id")
