@@ -90,8 +90,11 @@ BENCH_QUERIES = [
     "warp_cutline",
     "raster_translate",
     "tpch_q3",
-    # round 3 (session 3): S2 geocell encode (north rule's H3/S2 naming)
+    # round 3 (session 3): S2 geocell encode (north rule's H3/S2 naming),
+    # Voronoi dual, web-corpus URL canonicalization
     "s2_cell_encode",
+    "voronoi_assign",
+    "url_normalize",
 ]
 
 

@@ -279,8 +279,14 @@ def multipolygon_records() -> list[dict]:
     mp1_b = part(-30.00003, 10.00003, -26.00003, 14.00003)
     recs = []
     for pid, parts in ((2000, [[p] for p in mp0]), (2001, [mp1_a, mp1_b[0:1]])):
-        flat = [r for prt in parts for r in prt]
-        xmin, ymin, xmax, ymax = G.rings_envelope(flat)
+        # feature envelope = union of the PART envelopes (rings_envelope is
+        # exterior-ring-only by design; a flat ring list would reduce to the
+        # first part's exterior and under-cover multi-part features)
+        part_envs = [G.rings_envelope(prt) for prt in parts]
+        xmin = min(e[0] for e in part_envs)
+        ymin = min(e[1] for e in part_envs)
+        xmax = max(e[2] for e in part_envs)
+        ymax = max(e[3] for e in part_envs)
         recs.append(
             {
                 "poly_id": pid,

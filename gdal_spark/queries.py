@@ -6956,3 +6956,162 @@ def q_voronoi_assign(spark, sf_dir):
     return matched.select(
         "probe_id", "site_id", R("dist", 6).alias("dist")
     ).orderBy("probe_id")
+
+
+_LAEA_LON0, _LAEA_LAT1 = 10.0, 52.0  # ETRS89-LAEA-style center (EPSG:3035)
+
+
+def _sql_laea() -> str:
+    x, y = CRS.sql_laea_forward(
+        sql_lon("o_orderkey"), sql_lat("o_orderkey"), _LAEA_LON0, _LAEA_LAT1
+    )
+    return f"""SELECT o_orderkey, {SR(x, 3)} AS laea_x, {SR(y, 3)} AS laea_y
+FROM orders ORDER BY o_orderkey LIMIT 400"""
+
+
+@register("laea_project", _sql_laea())
+def q_laea_project(spark, sf_dir):
+    """Lambert Azimuthal Equal-Area forward (the projection method behind
+    EPSG:3035, reached by the reference through PROJ — ogr/ogrct.cpp;
+    spherical Snyder 24-2..24-4 here, same sphere as the geodesic gates):
+    pure column math, map-only, whole-stage codegen."""
+    pts = order_points(spark, sf_dir)
+    x, y = CRS.laea_forward(
+        F.col("lon"), F.col("lat"), _LAEA_LON0, _LAEA_LAT1
+    )
+    return (
+        pts.select(
+            "o_orderkey",
+            R(x, 3).alias("laea_x"),
+            R(y, 3).alias("laea_y"),
+        )
+        .orderBy("o_orderkey")
+        .limit(400)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lineage / metrics / checkpoint-resume gate (north rule: "Every stage
+# writes per-partition lineage and row/byte metrics to metadata tables and
+# is resumable from the last committed checkpoint snapshot")
+# ---------------------------------------------------------------------------
+
+_LINEAGE_ORACLE = """
+WITH c AS (SELECT count(*)::BIGINT AS n FROM orders WHERE o_orderkey % 3 = 0)
+SELECT * FROM (
+  SELECT 'filtered' AS stage, n AS rows_total, 1 AS committed,
+         1 AS skipped_on_rerun, 1 AS has_partition_metrics,
+         1 AS bytes_positive FROM c
+  UNION ALL
+  SELECT 'tiled', n, 1, 1, 1, 1 FROM c)
+ORDER BY stage"""
+
+
+@register("lineage_metrics", _LINEAGE_ORACLE)
+def q_lineage_metrics(spark, sf_dir):
+    """End-to-end lineage/metrics/resume gate (plans/lineage.py — the
+    Iceberg-snapshot pattern over plain parquet: per-stage atomic _COMMIT
+    manifests, per-partition (rows, bytes) metrics tables, fingerprint-
+    keyed skip-on-rerun).  Runs a 2-stage pipeline TWICE: first run
+    commits both stages, second run must skip both from the checkpoint
+    manifests; the per-partition metrics table must reproduce each
+    stage's exact row count with positive byte estimates.  The oracle
+    recomputes the expected row counts straight from the source table —
+    the engine numbers come from the committed manifests + metrics
+    parquet, so agreement pins the whole protocol."""
+    import shutil
+    import tempfile
+
+    from gdal_spark.plans.lineage import Pipeline
+
+    root = tempfile.mkdtemp(prefix="gdalspark_lineage_gate_")
+    pl = (
+        Pipeline(root)
+        .stage("filtered", lambda df: df.where(F.col("o_orderkey") % 3 == 0))
+        .stage(
+            "tiled",
+            lambda df: TL.assign_tiles(df, zoom=6, with_quadkey=False),
+        )
+    )
+    src = order_points(spark, sf_dir)
+    first = pl.run(spark, src)
+    second = pl.run(spark, src)  # must resume: both stages skipped
+    met = (
+        pl.metrics(spark)
+        .groupBy("stage")
+        .agg(
+            F.sum("rows").alias("m_rows"),
+            F.min("bytes_est").alias("m_bytes_min"),
+            F.count("*").alias("m_parts"),
+        )
+        .collect()
+    )
+    met_by_stage = {r["stage"]: r for r in met}
+    rows = []
+    for r1, r2 in zip(first, second):
+        m = met_by_stage.get(r1.name)
+        rows.append(
+            (
+                r1.name,
+                int(r1.rows),
+                int((not r1.skipped) and m is not None
+                    and int(m["m_rows"]) == int(r1.rows)),
+                int(r2.skipped and r2.rows == r1.rows),
+                int(m is not None and int(m["m_parts"]) >= 1),
+                int(m is not None and int(m["m_bytes_min"]) > 0),
+            )
+        )
+    shutil.rmtree(root, ignore_errors=True)
+    out = spark.createDataFrame(
+        rows,
+        "stage string, rows_total long, committed int, "
+        "skipped_on_rerun int, has_partition_metrics int, bytes_positive int",
+    )
+    return out.orderBy("stage")
+
+
+_OGRINFO_ORACLE = f"""
+WITH pseg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()}),
+mseg(poly_id, x2a, y2a, x1a, y1a) AS ({_mp_segment_values()}),
+layers AS (
+  SELECT 'polygons' AS layer, 'POLYGON' AS geom_type, poly_id,
+         x1a, y1a, x2a, y2a FROM pseg
+  UNION ALL
+  SELECT 'multipolygons', 'MULTIPOLYGON', poly_id, x1a, y1a, x2a, y2a
+  FROM mseg)
+SELECT layer, geom_type,
+       count(DISTINCT poly_id)::BIGINT AS n_features,
+       min(least(x1a, x2a)) AS xmin, min(least(y1a, y2a)) AS ymin,
+       max(greatest(x1a, x2a)) AS xmax, max(greatest(y1a, y2a)) AS ymax
+FROM layers GROUP BY layer, geom_type ORDER BY layer"""
+
+
+@register("ogrinfo_summary", _OGRINFO_ORACLE)
+def q_ogrinfo_summary(spark, sf_dir):
+    """ogrinfo -so layer summary (apps/ogrinfo_lib.cpp ReportOnLayer:
+    feature count, layer extent, geometry type) over both polygon layers.
+    Engine side reads the layer DataFrames and reduces envelope columns —
+    a metadata-sized partial-agg reduction (at scale this is the
+    min/max/count pushdown path, no row materialization)."""
+    polys = polygons_df(spark).select(
+        F.lit("polygons").alias("layer"),
+        F.lit("POLYGON").alias("geom_type"),
+        "poly_id", "xmin", "ymin", "xmax", "ymax",
+    )
+    mpolys = multipolygons_df(spark).select(
+        F.lit("multipolygons").alias("layer"),
+        F.lit("MULTIPOLYGON").alias("geom_type"),
+        "poly_id", "xmin", "ymin", "xmax", "ymax",
+    )
+    both = polys.unionByName(mpolys)
+    return (
+        both.groupBy("layer", "geom_type")
+        .agg(
+            F.countDistinct("poly_id").alias("n_features"),
+            F.min("xmin").alias("xmin"),
+            F.min("ymin").alias("ymin"),
+            F.max("xmax").alias("xmax"),
+            F.max("ymax").alias("ymax"),
+        )
+        .orderBy("layer")
+    )

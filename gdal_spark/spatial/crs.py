@@ -19,6 +19,8 @@ points.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -173,3 +175,58 @@ def py_utm_inverse(easting, northing, zone, south=False):
     lon = np.degrees(lam) + (zone * 6.0 - 183.0)
     lat = np.degrees(phi)
     return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal-Area (spherical form — Snyder 1987 eq. 24-2..24-4;
+# the reference reaches LAEA through PROJ (ogr/ogrct.cpp), e.g. EPSG:3035's
+# projection method; sphere radius = the engine-wide EARTH_RADIUS so the
+# great-circle/geodesic gates and this one share one figure of the earth).
+# ---------------------------------------------------------------------------
+
+def laea_forward(
+    lon: Column, lat: Column, lon0: float, lat1: float
+) -> tuple[Column, Column]:
+    """Spherical LAEA forward as pure column math (map-only)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.spatial.geometry import EARTH_RADIUS
+
+    sp1 = math.sin(math.radians(lat1))
+    cp1 = math.cos(math.radians(lat1))
+    lam = F.radians(lon - lon0)
+    phi = F.radians(lat)
+    denom = (
+        F.lit(1.0)
+        + F.lit(sp1) * F.sin(phi)
+        + F.lit(cp1) * F.cos(phi) * F.cos(lam)
+    )
+    k = F.sqrt(F.lit(2.0) / denom)
+    x = F.lit(EARTH_RADIUS) * k * F.cos(phi) * F.sin(lam)
+    y = F.lit(EARTH_RADIUS) * k * (
+        F.lit(cp1) * F.sin(phi) - F.lit(sp1) * F.cos(phi) * F.cos(lam)
+    )
+    return x, y
+
+
+def sql_laea_forward(
+    lon: str, lat: str, lon0: float, lat1: float
+) -> tuple[str, str]:
+    """DuckDB fragments mirroring laea_forward term-for-term."""
+    from gdal_spark.spatial.geometry import EARTH_RADIUS
+
+    sp1 = math.sin(math.radians(lat1))
+    cp1 = math.cos(math.radians(lat1))
+    lam = f"radians(({lon}) - {lon0!r})"
+    phi = f"radians({lat})"
+    denom = (
+        f"(1.0 + {sp1!r} * sin({phi}) + "
+        f"{cp1!r} * cos({phi}) * cos({lam}))"
+    )
+    k = f"sqrt(2.0 / {denom})"
+    x = f"({EARTH_RADIUS!r} * {k} * cos({phi}) * sin({lam}))"
+    y = (
+        f"({EARTH_RADIUS!r} * {k} * ({cp1!r} * sin({phi}) - "
+        f"{sp1!r} * cos({phi}) * cos({lam})))"
+    )
+    return x, y

@@ -253,3 +253,48 @@ def test_overlay_erase_kernel_is_map_only_stage(spark):
     p = buf.getvalue()
     first_exchange = p.index("Exchange") if "Exchange" in p else 10 ** 9
     assert p.index("MapInPandas") < first_exchange
+
+
+def test_s2_encode_single_agg_shuffle(spark):
+    """S2 encode is one Arrow-batched kernel pass + a partial-agg shuffle
+    on the 6 face keys — no per-row Python, no extra exchanges."""
+    p = _plan(spark, "s2_cell_encode")
+    assert "ArrowEvalPython" in p       # pandas UDF, not BatchEvalPython
+    assert "BatchEvalPython" not in p
+    # <=3 Exchange operators (x2 in formatted output: tree + details):
+    # countDistinct partial/final + the output sort — nothing else.
+    assert p.count("Exchange") <= 6
+    assert "HashAggregate" in p
+
+
+def test_laea_and_st_project_map_only(spark):
+    for name in ("laea_project", "st_project"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name  # TakeOrderedAndProject top-k
+        assert "codegen id" in p, name    # stays in whole-stage codegen
+
+
+def test_url_normalize_jvm_regex_only(spark):
+    """URL canonicalization is JVM regexp column math: no Python eval of
+    any kind in the plan."""
+    p = _plan(spark, "url_normalize")
+    assert "EvalPython" not in p
+    assert "Aggregate" in p  # Hash- or Sort- (min(string) picks sort-based)
+
+
+def test_wrapdateline_single_window_no_cartesian(spark):
+    p = _plan(spark, "wrapdateline")
+    assert "CartesianProduct" not in p
+    # exactly one Window operator (appears twice in formatted output)
+    assert p.count("Window") == 2
+
+
+def test_voronoi_probe_scan_map_only(spark):
+    """Probe assignment streams map-only over the probe scan (cells are a
+    broadcast python list): the MapInPandas sits before any Exchange."""
+    p = _plan(spark, "voronoi_assign")
+    assert "MapInPandas" in p
+    # only the output-sort Exchange (x2 in formatted output) — no join or
+    # aggregation shuffle anywhere: cells ride a python-list broadcast.
+    assert p.count("Exchange") <= 2
+    assert "CartesianProduct" not in p and "Join" not in p
