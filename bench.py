@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "s2_cell_encode",
     "voronoi_assign",
     "url_normalize",
+    "embed_pq_adc",
 ]
 
 

@@ -382,3 +382,78 @@ def sql_ivf_probes(vec_expr: str, n_centroids: int, dim: int, nprobe: int) -> st
         f"list_transform(list_slice(list_sort({pairs}), 1, {nprobe}), "
         f"p -> p[2]::int)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the Jégou/Douze/Schmid 2011 codebook shape
+# that rounds out the ANN menu (brute / LSH / IVF / PQ).  Deterministic
+# closed-form sub-codebooks (hyperplane() family, own seed offset) so the
+# DuckDB oracle rebuilds them bit-identically; per-subspace L2 distances
+# are stable-rounded BEFORE the argmin so ordering (and first-min ties)
+# agree across engines — the IVF gate's established trick.
+# ---------------------------------------------------------------------------
+
+PQ_SEED_OFF = 211
+
+
+def pq_centroid(m: int, k: int, subdim: int) -> list[float]:
+    return [hyperplane(PQ_SEED_OFF + m * 97 + k, d) for d in range(subdim)]
+
+
+def pq_encode_cols(
+    vec: str, n_sub: int, n_codes: int, dim: int
+) -> tuple["F.Column", "F.Column"]:
+    """(code, err_micro): code = Σ (argmin_k ||v_m − c_{m,k}||²) · K^m,
+    err_micro = floor(Σ_m min-dist · 1e6 + 0.5) as bigint (exact to sum
+    downstream — no float association in the bucket aggregation)."""
+    subdim = dim // n_sub
+    vx = F.col(vec).cast("array<double>")
+    code = F.lit(0).cast("long")
+    err = F.lit(0.0)
+    for m in range(n_sub):
+        sl = F.slice(vx, m * subdim + 1, subdim)
+        dists = []
+        for k in range(n_codes):
+            c = pq_centroid(m, k, subdim)
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(sl, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dists.append(stable_round(d2, ROUND_DP))
+        darr = F.array(*dists)
+        kbest = F.array_position(darr, F.array_min(darr))
+        code = code + (kbest - 1) * (n_codes**m)
+        err = err + F.array_min(darr)
+    err_micro = F.floor(err * 1e6 + F.lit(0.5)).cast("long")
+    return code, err_micro
+
+
+def sql_pq_encode(
+    vec_expr: str, n_sub: int, n_codes: int, dim: int
+) -> tuple[str, str]:
+    """DuckDB (code_expr, err_micro_expr) mirroring pq_encode_cols."""
+    subdim = dim // n_sub
+    code_terms, err_terms = [], []
+    for m in range(n_sub):
+        dists = []
+        for k in range(n_codes):
+            c = pq_centroid(m, k, subdim)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]"
+            d2 = (
+                f"list_sum(list_transform(range(1, {subdim} + 1), "
+                f"i -> (({vec_expr})[{m * subdim} + i]::double - {clit}[i])"
+                f" * (({vec_expr})[{m * subdim} + i]::double - {clit}[i])))"
+            )
+            dists.append(sql_stable_round(d2, ROUND_DP))
+        darr = "[" + ", ".join(dists) + "]"
+        code_terms.append(
+            f"(list_position({darr}, list_min({darr})) - 1) * {n_codes**m}"
+        )
+        err_terms.append(f"list_min({darr})")
+    code = "(" + " + ".join(code_terms) + ")::bigint"
+    err_micro = (
+        "floor((" + " + ".join(err_terms) + ") * 1e6 + 0.5)::bigint"
+    )
+    return code, err_micro

@@ -7115,3 +7115,143 @@ def q_ogrinfo_summary(spark, sf_dir):
         )
         .orderBy("layer")
     )
+
+
+_PQ_M, _PQ_K = 4, 8  # 4 subspaces x 16 dims, 8 codes each -> 12-bit code
+
+
+def _sql_pq_encode() -> str:
+    code, err = SIM.sql_pq_encode("v.embedding", _PQ_M, _PQ_K, EMB_DIM)
+    return f"""WITH enc AS (
+  SELECT v.vec_id, {code} AS code, {err} AS err_micro FROM embeddings v)
+SELECT code, count(*)::BIGINT AS n, sum(err_micro)::BIGINT AS sum_err_micro,
+       min(vec_id) AS first_vec
+FROM enc GROUP BY code ORDER BY n DESC, code LIMIT 20"""
+
+
+@register("embed_pq_encode", _sql_pq_encode())
+def q_embed_pq_encode(spark, sf_dir):
+    """Product quantization encode (Jégou/Douze/Schmid 2011, the Faiss PQ
+    codebook shape — completes the ANN menu next to brute/LSH/IVF):
+    4×16-dim subspaces, 8 deterministic closed-form centroids each,
+    stable-rounded L2 argmin per subspace, 12-bit combined code.
+    Map-only JVM column math (no Python in the encode), one partial-agg
+    shuffle on the code; quantization error carried as exact integer
+    micro-units so the bucket sum is association-free."""
+    emb = _read(spark, sf_dir, "embeddings")
+    code, err = SIM.pq_encode_cols("embedding", _PQ_M, _PQ_K, EMB_DIM)
+    enc = emb.select(
+        "vec_id", code.alias("code"), err.alias("err_micro")
+    )
+    return (
+        enc.groupBy("code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("err_micro").alias("sum_err_micro"),
+            F.min("vec_id").alias("first_vec"),
+        )
+        .orderBy(F.desc("n"), "code")
+        .limit(20)
+    )
+
+
+_PQ_NQ, _PQ_TOPK = 5, 5
+
+
+def _sql_pq_adc() -> str:
+    code, _err = SIM.sql_pq_encode("v.embedding", _PQ_M, _PQ_K, EMB_DIM)
+    subdim = EMB_DIM // _PQ_M
+    # per-query lookup table: rounded L2 from the query subvector to each
+    # sub-centroid; ADC = sum over subspaces of LUT[m][code digit m]
+    lut_terms = []
+    for m in range(_PQ_M):
+        dists = []
+        for k in range(_PQ_K):
+            c = SIM.pq_centroid(m, k, subdim)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]"
+            d2 = (
+                f"list_sum(list_transform(range(1, {subdim} + 1), "
+                f"i -> ((q.embedding)[{m * subdim} + i]::double - {clit}[i])"
+                f" * ((q.embedding)[{m * subdim} + i]::double - {clit}[i])))"
+            )
+            dists.append(SIM.sql_stable_round(d2, SIM.ROUND_DP))
+        lut_terms.append(
+            f"([{', '.join(dists)}])[((e.code // {_PQ_K**m}) % {_PQ_K}) + 1]"
+        )
+    adc = "(" + " + ".join(lut_terms) + ")"
+    return f"""WITH enc AS (
+  SELECT v.vec_id, {code} AS code FROM embeddings v),
+q AS (SELECT vec_id AS qid, embedding FROM embeddings
+      WHERE vec_id % 50 = 3 ORDER BY vec_id LIMIT {_PQ_NQ}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor({adc} * 1e6 + 0.5)::bigint AS adc_micro
+  FROM q CROSS JOIN enc e WHERE e.vec_id <> q.qid),
+rk AS (
+  SELECT qid, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_micro, vec_id) AS rnk
+  FROM scored)
+SELECT qid, rnk, vec_id, adc_micro FROM rk
+WHERE rnk <= {_PQ_TOPK} ORDER BY qid, rnk"""
+
+
+@register("embed_pq_adc", _sql_pq_adc())
+def q_embed_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC, Jégou 2011 §III): queries stay
+    un-quantized; each builds an M×K lookup table of sub-distances and a
+    candidate's score is the sum of LUT entries addressed by its code
+    digits.  The LUT ride is a broadcast (queries are the tiny side);
+    candidates are scored map-only from their 12-bit code — at scale this
+    is the classic scan-codes-not-vectors plan (16 bytes/vector instead
+    of 256).  Scores carried as exact integer micro-units; top-k per
+    query, (score, id)-lexicographic ties."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    code, _err = SIM.pq_encode_cols("embedding", _PQ_M, _PQ_K, EMB_DIM)
+    enc = emb.select("vec_id", code.alias("code"))
+    queries = (
+        emb.where(F.col("vec_id") % 50 == 3)
+        .orderBy("vec_id")
+        .limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    subdim = EMB_DIM // _PQ_M
+    qx = F.col("embedding").cast("array<double>")
+    lut_cols = []
+    for m in range(_PQ_M):
+        sl = F.slice(qx, m * subdim + 1, subdim)
+        dists = []
+        for k in range(_PQ_K):
+            c = SIM.pq_centroid(m, k, subdim)
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(sl, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dists.append(SIM.stable_round(d2, SIM.ROUND_DP))
+        lut_cols.append(F.array(*dists).alias(f"lut{m}"))
+    qlut = queries.select("qid", *lut_cols)
+    joined = F.broadcast(qlut).crossJoin(enc).where(
+        F.col("vec_id") != F.col("qid")
+    )
+    adc = None
+    for m in range(_PQ_M):
+        digit = ((F.col("code") / (_PQ_K**m)).cast("long") % _PQ_K).cast(
+            "int"
+        )
+        term = F.element_at(F.col(f"lut{m}"), digit + 1)
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "qid", "vec_id",
+        F.floor(adc * 1e6 + F.lit(0.5)).cast("long").alias("adc_micro"),
+    )
+    w = Window.partitionBy("qid").orderBy("adc_micro", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "rnk", "vec_id", "adc_micro")
+        .orderBy("qid", "rnk")
+    )
