@@ -1,0 +1,186 @@
+"""Spatial clustering operators: DBSCAN and cluster-within (single linkage).
+
+Reference semantics: PostGIS ``ST_ClusterDBSCAN`` / ``ST_ClusterWithin``
+(window/aggregate forms) — the spatial clustering the reference's users run
+via the SQLite/PostGIS dialect on OGR layers (the reference delegates to the
+database engine; here we ARE the engine, so the operator is native).
+
+DBSCAN (Ester et al., KDD 1996) on planar point coordinates:
+
+* a point is **core** when ≥ ``minpts`` points (including itself) lie within
+  ``eps`` (Euclidean on the coordinate plane — PostGIS semantics: the
+  geometry's own coordinate units, here degrees);
+* clusters are the connected components of the core-core ≤ eps graph;
+* a non-core point within eps of ≥ 1 core point is a **border** point of
+  that core's cluster (ties broken by MIN cluster id — PostGIS leaves the
+  choice arbitrary; we pin it for determinism);
+* everything else is noise (emitted with ``cluster_id IS NULL``).
+
+Scale design (the 100 TB story):
+
+* The within-eps neighbor join is a **cell-bucketed equi-join**: each point
+  lands in grid cell ``(floor(x/eps), floor(y/eps))``; one side explodes to
+  its 3×3 cell neighborhood so candidates meet on an exact 2-int key — the
+  same bucket-join shape as the engine's PIP cell join and LSH band join.
+  No all-pairs product anywhere; a hot cell (the fixture teleports every
+  100th row to one spot) is exactly the skew AQE's skew-join splitting
+  handles, and the 3×3 explode constant-factors the shuffle, it does not
+  square it.
+* Cluster formation reuses :func:`gdal_spark.operators.dedup.
+  connected_components` — min-label propagation with pointer jumping,
+  O(log diameter) rounds, per-round checkpoint lifecycle.
+* Distance test is ``dx*dx + dy*dy <= eps*eps`` with the IDENTICAL float
+  expression on the oracle side, so boundary comparisons agree bit-for-bit
+  (no sqrt, no epsilon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.dedup import connected_components
+
+
+def within_eps_pairs(
+    points: DataFrame,
+    eps: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Directed pairs (u, v), u != v, with Euclidean distance ≤ eps.
+
+    Cell-bucketed: grid side = eps, so any ≤-eps pair is in the same or an
+    adjacent cell. One side explodes to the 3×3 neighborhood (constant ×9
+    row factor on the probe side only), candidates meet on an exact
+    (cx, cy) equi-join key, then the exact squared-distance filter runs
+    JVM-side in whole-stage codegen. Returns BOTH directions of each pair
+    (the degree-count and CC consumers want symmetric edges).
+    """
+    cx = F.floor(F.col(x_col) / F.lit(eps))
+    cy = F.floor(F.col(y_col) / F.lit(eps))
+    cells = points.select(
+        F.col(id_col).alias("_cid"),
+        F.col(x_col).alias("_cx_val"),
+        F.col(y_col).alias("_cy_val"),
+        cx.alias("_cell_x"),
+        cy.alias("_cell_y"),
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("_pid"),
+            F.col(x_col).alias("_px_val"),
+            F.col(y_col).alias("_py_val"),
+            cx.alias("_pcx"),
+            cy.alias("_pcy"),
+        )
+        .withColumn("_dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("_dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "_pid", "_px_val", "_py_val",
+            (F.col("_pcx") + F.col("_dx")).alias("_cell_x"),
+            (F.col("_pcy") + F.col("_dy")).alias("_cell_y"),
+        )
+    )
+    ddx = F.col("_px_val") - F.col("_cx_val")
+    ddy = F.col("_py_val") - F.col("_cy_val")
+    return (
+        probe.join(cells, ["_cell_x", "_cell_y"])
+        .filter(F.col("_pid") != F.col("_cid"))
+        .filter(ddx * ddx + ddy * ddy <= F.lit(eps) * F.lit(eps))
+        .select(F.col("_pid").alias("u"), F.col("_cid").alias("v"))
+    )
+
+
+def cluster_dbscan(
+    points: DataFrame,
+    eps: float,
+    minpts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iter: int = 25,
+) -> DataFrame:
+    """DBSCAN. Output: (id_col, cluster_id bigint-or-null, is_core bool).
+
+    cluster_id = MIN id among the cluster's core points; noise rows keep
+    their input row with cluster_id NULL / is_core false.
+    """
+    pairs = within_eps_pairs(points, eps, id_col, x_col, y_col).persist()
+    deg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
+    # core: neighbors-within-eps INCLUDING self >= minpts
+    core = deg.filter(F.col("_n") + 1 >= F.lit(minpts)).select("u").persist()
+    core_edges = (
+        pairs.join(core.withColumnRenamed("u", "_ua"), pairs["u"] == F.col("_ua"))
+        .join(core.withColumnRenamed("u", "_ub"), pairs["v"] == F.col("_ub"))
+        .filter(F.col("u") < F.col("v"))  # CC mirrors internally
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    # isolated core points (minpts=1 edge case: no core-core edge) still
+    # form singleton clusters — union them in as self-labels
+    cc = connected_components(core_edges, max_iter=max_iter).select(
+        F.col("doc_id").alias("_core_id"), F.col("cluster_id").alias("_lbl")
+    )
+    core_lbl = (
+        core.join(cc, core["u"] == cc["_core_id"], "left")
+        .select("u", F.coalesce(F.col("_lbl"), F.col("u")).alias("_lbl"))
+        .persist()
+    )
+    # border: non-core with >=1 core neighbor → min core-cluster label
+    border_lbl = (
+        pairs.join(core_lbl.withColumnRenamed("u", "_cu"), pairs["v"] == F.col("_cu"))
+        .join(core_lbl.withColumnRenamed("u", "_su").select("_su"),
+              pairs["u"] == F.col("_su"), "left_anti")
+        .groupBy("u")
+        .agg(F.min("_lbl").alias("_lbl"))
+    )
+    labels = core_lbl.select("u", "_lbl", F.lit(True).alias("is_core")).unionAll(
+        border_lbl.select("u", "_lbl", F.lit(False).alias("is_core"))
+    )
+    out = (
+        points.select(F.col(id_col).alias("u"))
+        .join(labels, "u", "left")
+        .select(
+            F.col("u").alias(id_col),
+            F.col("_lbl").alias("cluster_id"),
+            F.coalesce(F.col("is_core"), F.lit(False)).alias("is_core"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    core.unpersist()
+    core_lbl.unpersist()
+    return out
+
+
+def cluster_within(
+    points: DataFrame,
+    eps: float,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Single-linkage clustering: ST_ClusterWithin semantics — clusters are
+    connected components of the ≤-eps graph over ALL points; singletons are
+    their own cluster. Output: (id_col, cluster_id, cluster_size)."""
+    pairs = (
+        within_eps_pairs(points, eps, id_col, x_col, y_col)
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    )
+    cc = connected_components(pairs, max_iter=max_iter).select(
+        F.col("doc_id").alias("_mid"),
+        F.col("cluster_id").alias("_lbl"),
+        "cluster_size",
+    )
+    return (
+        points.select(F.col(id_col).alias("_pid2"))
+        .join(cc, F.col("_pid2") == F.col("_mid"), "left")
+        .select(
+            F.col("_pid2").alias(id_col),
+            F.coalesce(F.col("_lbl"), F.col("_pid2")).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+        )
+    )

@@ -7255,3 +7255,123 @@ def q_embed_pq_adc(spark, sf_dir):
         .select("qid", "rnk", "vec_id", "adc_micro")
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. Spatial clustering: DBSCAN + cluster-within (PostGIS ST_ClusterDBSCAN /
+# ST_ClusterWithin semantics — the reference delegates these to its SQLite/
+# PostGIS dialect engines; here the engine is native).  Points use the
+# CLUSTERED geotag rule (data/geotag.py: 8 deterministic md5-jittered blobs
+# over the sparse congruential background + the Paris hot cell), because the
+# base lattice is deliberately uniform and density clustering would find
+# nothing but Paris.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.data.geotag import (  # noqa: E402
+    clustered_lat, clustered_lon, sql_clustered_lat, sql_clustered_lon,
+)
+from gdal_spark.operators import cluster as CL  # noqa: E402
+
+DBSCAN_EPS, DBSCAN_MINPTS = 0.3, 14
+
+_SQL_CLUSTERED_PTS = (
+    f"SELECT o_orderkey AS id, {sql_clustered_lon('o_orderkey')} AS x, "
+    f"{sql_clustered_lat('o_orderkey')} AS y FROM orders"
+)
+
+
+def _sql_within_pairs(eps: float) -> str:
+    """Cell-bucketed within-eps directed pairs — the same 3x3-neighborhood
+    equi-join the engine runs (no all-pairs product in the oracle either)."""
+    return f"""
+c AS (SELECT id, x, y, floor(x / {eps}) AS cx, floor(y / {eps}) AS cy
+      FROM pts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                        (1,-1),(1,0),(1,1)),
+probe AS (SELECT id, x, y, cx + dx AS cx, cy + dy AS cy FROM c, offs),
+pairs AS (
+  SELECT a.id AS u, b.id AS v FROM probe a JOIN c b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {eps} * {eps})"""
+
+
+def _sql_dbscan() -> str:
+    return f"""
+WITH RECURSIVE pts AS ({_SQL_CLUSTERED_PTS}),{_sql_within_pairs(DBSCAN_EPS)},
+deg AS (SELECT u, count(*) AS n FROM pairs GROUP BY u),
+core AS (SELECT u FROM deg WHERE n + 1 >= {DBSCAN_MINPTS}),
+cedges AS (SELECT p.u, p.v FROM pairs p
+           JOIN core a ON p.u = a.u JOIN core b ON p.v = b.u),
+reach(u, r) AS (
+  SELECT u, u FROM core
+  UNION
+  SELECT e.u, rc.r FROM cedges e JOIN reach rc ON rc.u = e.v),
+lab AS (SELECT u, min(r) AS cluster_id FROM reach GROUP BY u),
+border AS (
+  SELECT p.u, min(l.cluster_id) AS cluster_id
+  FROM pairs p JOIN lab l ON p.v = l.u
+  WHERE p.u NOT IN (SELECT u FROM core) GROUP BY p.u),
+alllab AS (
+  SELECT u, cluster_id, TRUE AS is_core FROM lab
+  UNION ALL
+  SELECT u, cluster_id, FALSE AS is_core FROM border)
+SELECT p.id AS o_orderkey, coalesce(a.cluster_id, -1) AS cluster_id,
+       coalesce(a.is_core, FALSE) AS is_core
+FROM pts p LEFT JOIN alllab a ON p.id = a.u"""
+
+
+@register("st_cluster_dbscan", _sql_dbscan())
+def q_st_cluster_dbscan(spark, sf_dir):
+    """DBSCAN (Ester et al. 1996; PostGIS ST_ClusterDBSCAN semantics) over
+    the clustered geotag fixture: cell-bucketed eps-neighbor equi-join →
+    degree count → core points → distributed CC (min-label + pointer
+    jumping) over the core-core graph → border assignment (min core
+    cluster), noise = -1.  Oracle: independent recursive-CTE transitive
+    closure.  At scale: one bucketed shuffle for pairs, O(log diameter)
+    CC rounds — no all-pairs product, hot cells are AQE-splittable."""
+    pts = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        clustered_lon(F.col("o_orderkey")).alias("x"),
+        clustered_lat(F.col("o_orderkey")).alias("y"),
+    )
+    out = CL.cluster_dbscan(pts, eps=DBSCAN_EPS, minpts=DBSCAN_MINPTS)
+    return out.select(
+        F.col("id").alias("o_orderkey"),
+        F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cluster_id"),
+        "is_core",
+    )
+
+
+def _sql_cluster_within() -> str:
+    return f"""
+WITH RECURSIVE pts AS ({_SQL_CLUSTERED_PTS}),{_sql_within_pairs(DBSCAN_EPS)},
+verts AS (SELECT DISTINCT u FROM pairs),
+reach(u, r) AS (
+  SELECT u, u FROM verts
+  UNION
+  SELECT e.u, rc.r FROM pairs e JOIN reach rc ON rc.u = e.v),
+lab AS (SELECT u, min(r) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT p.id AS o_orderkey,
+       coalesce(l.cluster_id, p.id) AS cluster_id,
+       coalesce(s.cluster_size, 1) AS cluster_size
+FROM pts p LEFT JOIN lab l ON p.id = l.u
+LEFT JOIN sz s ON l.cluster_id = s.cluster_id"""
+
+
+@register("st_cluster_within", _sql_cluster_within())
+def q_st_cluster_within(spark, sf_dir):
+    """Single-linkage clustering (PostGIS ST_ClusterWithin): connected
+    components of the <=eps graph over ALL points; singletons are their own
+    cluster.  Same bucketed pair join + CC machinery as DBSCAN, no minpts
+    gate.  Oracle: recursive-CTE closure (independent algorithm)."""
+    pts = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        clustered_lon(F.col("o_orderkey")).alias("x"),
+        clustered_lat(F.col("o_orderkey")).alias("y"),
+    )
+    out = CL.cluster_within(pts, eps=DBSCAN_EPS)
+    return out.select(
+        F.col("id").alias("o_orderkey"), "cluster_id", "cluster_size"
+    )
