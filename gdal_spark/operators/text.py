@@ -379,3 +379,158 @@ def sql_pii_counts(expr: str) -> tuple[str, str, str]:
         return f"len(regexp_extract_all({expr}, '{pat}', 0))::bigint"
 
     return n(PII_EMAIL), n(PII_PHONE), n(PII_IPV4)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level LINE dedup (CCNet / RefinedWeb style): hash every normalized
+# pseudo-line, count DISTINCT documents per line across the whole corpus,
+# strip lines that appear in >= min_docs documents (boilerplate removal),
+# reassemble the document in order.
+#
+# The fixture's documents are single-line word soup, so "lines" are
+# deterministic non-overlapping word windows (line_words each) — the same
+# derivation the chunking operator uses; on real web text you'd split on
+# newline first and fall through to the same pipeline.
+#
+# Scale: one explode (x nlines), ONE shuffle keyed on the 16-byte line md5
+# with map-side partial agg (countDistinct via the doc-id set is per-line
+# tiny), one hash-join back, one groupBy(doc_id) to reassemble. No Python.
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 12
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    line_words: int = LINE_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Output per document: (id_col, n_lines, n_removed, n_kept_words,
+    clean_digest) — clean_digest = md5 of the space-rejoined kept lines
+    (empty string when everything was boilerplate)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " +").alias("_t"),
+    ).withColumn("_nt", F.size("_t"))
+    n_lines = F.ceil(F.col("_nt") / F.lit(line_words)).cast("long")
+    lines = toks.withColumn(
+        "_idx", F.explode(F.sequence(F.lit(0), n_lines - 1))
+    ).select(
+        id_col,
+        "_idx",
+        F.array_join(
+            F.slice(F.col("_t"), F.col("_idx") * line_words + 1, line_words),
+            " ",
+        ).alias("_line"),
+        F.least(
+            F.lit(line_words), F.col("_nt") - F.col("_idx") * line_words
+        ).alias("_lw"),
+    )
+    cnt = (
+        lines.groupBy(F.md5(F.col("_line")).alias("_lh"))
+        .agg(F.countDistinct(id_col).alias("_nd"))
+    )
+    keyed = lines.withColumn("_lh", F.md5(F.col("_line"))).join(cnt, "_lh")
+    keep = F.col("_nd") < F.lit(min_docs)
+    kept_struct = F.when(keep, F.struct(F.col("_idx"), F.col("_line")))
+    return (
+        keyed.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(keep, F.lit(0)).otherwise(F.lit(1))).alias("n_removed"),
+            F.sum(F.when(keep, F.col("_lw")).otherwise(F.lit(0))).alias(
+                "n_kept_words"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.getField("_line"),
+                    ),
+                    " ",
+                )
+            ).alias("clean_digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document EXACT-SUBSTRING dedup (ExactSubstr, Lee et al. 2022, lite):
+# rolling fixed-width character windows with stride; two documents sharing
+# any window hash share a verbatim >=window_chars span.  The full suffix-
+# array construction is replaced by the bucketed window-hash equi-join —
+# the candidate-generation shape that scales (explode x len/stride, 16-byte
+# keys, AQE-splittable hot hashes), trading exact span extents for span
+# EXISTENCE, which is what the filter decision needs.
+# ---------------------------------------------------------------------------
+
+SUBSTR_CHARS = 60
+SUBSTR_STRIDE = 20
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    window_chars: int = SUBSTR_CHARS,
+    stride: int = SUBSTR_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per document: (id_col, n_windows, n_dup_windows, n_partners).
+
+    n_dup_windows = this document's window positions whose window text
+    occurs in >= 2 distinct documents; n_partners = distinct OTHER
+    documents sharing at least one window.  Documents shorter than
+    window_chars emit zero windows (all-zero row)."""
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_x"))
+    n_win = F.floor(
+        (F.length("_x") - F.lit(window_chars)) / F.lit(stride)
+    ).cast("long") + 1
+    wins = (
+        base.filter(F.length("_x") >= window_chars)
+        .withColumn("_w", F.explode(F.sequence(F.lit(0), n_win - 1)))
+        .select(
+            id_col,
+            "_w",
+            F.md5(
+                F.substring(
+                    F.col("_x"), F.col("_w") * stride + 1, window_chars
+                )
+            ).alias("_wh"),
+        )
+    )
+    per_hash = wins.groupBy("_wh").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    dup_w = (
+        wins.join(per_hash, "_wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    dw = wins.select(F.col(id_col).alias("_da"), "_wh").distinct()
+    partners = (
+        dw.alias("a")
+        .join(dw.withColumnRenamed("_da", "_db").alias("b"), "_wh")
+        .filter(F.col("_da") != F.col("_db"))
+        .select("_da", "_db")
+        .distinct()
+        .groupBy("_da")
+        .agg(F.count(F.lit(1)).alias("n_partners"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(dup_w, id_col, "left")
+        .join(partners, F.col(id_col) == F.col("_da"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
+        )
+    )

@@ -7375,3 +7375,99 @@ def q_st_cluster_within(spark, sf_dir):
     return out.select(
         F.col("id").alias("o_orderkey"), "cluster_id", "cluster_size"
     )
+
+
+# ---------------------------------------------------------------------------
+# 24. Corpus curation: line-level dedup (CCNet/RefinedWeb) and cross-document
+# exact-substring dedup (ExactSubstr-lite) — the two boilerplate/verbatim-
+# overlap filters a training-data pipeline runs after document-level dedup.
+# ---------------------------------------------------------------------------
+
+LINE_DUP_MIN = 2
+
+
+def _sql_line_dedup() -> str:
+    lw = T.LINE_WORDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+lines AS (
+  SELECT doc_id, nt, t,
+         unnest(range(0, cast(ceil(nt / {lw}.0) as bigint))) AS idx
+  FROM n),
+lt AS (
+  SELECT doc_id, idx,
+         array_to_string(list_slice(t, idx * {lw} + 1, idx * {lw} + {lw}), ' ') AS line,
+         least({lw}, nt - idx * {lw}) AS lw
+  FROM lines),
+cnt AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS nd
+        FROM lt GROUP BY md5(line)),
+k AS (SELECT l.doc_id, l.idx, l.line, l.lw, (c.nd < {LINE_DUP_MIN}) AS keep
+      FROM lt l JOIN cnt c ON md5(l.line) = c.lh)
+SELECT doc_id, count(*)::bigint AS n_lines,
+       sum(CASE WHEN keep THEN 0 ELSE 1 END)::bigint AS n_removed,
+       sum(CASE WHEN keep THEN lw ELSE 0 END)::bigint AS n_kept_words,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, ' ' ORDER BY idx), '')) AS clean_digest
+FROM k GROUP BY doc_id"""
+
+
+@register("text_line_dedup", _sql_line_dedup())
+def q_text_line_dedup(spark, sf_dir):
+    """Corpus-level LINE dedup: strip pseudo-lines (12-word windows — the
+    fixture is single-line word soup) that occur in >= 2 distinct docs,
+    reassemble, fingerprint the cleaned text.  One shuffle on the line md5
+    (partial agg), hash-join back, one groupBy(doc_id).  Oracle: the same
+    semantics via DuckDB list ops + ordered string_agg."""
+    return T.line_dedup(
+        _read(spark, sf_dir, "documents"), min_docs=LINE_DUP_MIN
+    ).select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_kept_words").cast("long").alias("n_kept_words"),
+        "clean_digest",
+    )
+
+
+def _sql_substring_dup() -> str:
+    k, s = T.SUBSTR_CHARS, T.SUBSTR_STRIDE
+    return f"""
+WITH base AS (SELECT doc_id, text AS x FROM documents),
+eligible AS (SELECT doc_id, x FROM base WHERE length(x) >= {k}),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, (length(x) - {k}) // {s} + 1)) AS w, x
+  FROM eligible),
+wh AS (SELECT doc_id, w, md5(substr(x, w * {s} + 1, {k})) AS h FROM wins),
+per_hash AS (SELECT h, count(DISTINCT doc_id) AS nd FROM wh GROUP BY h),
+dup_w AS (
+  SELECT doc_id, count(*)::bigint AS n_windows,
+         sum(CASE WHEN p.nd >= 2 THEN 1 ELSE 0 END)::bigint AS n_dup_windows
+  FROM wh JOIN per_hash p USING (h) GROUP BY doc_id),
+dw AS (SELECT DISTINCT doc_id, h FROM wh),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM dw a JOIN dw b ON a.h = b.h AND a.doc_id <> b.doc_id),
+partners AS (SELECT da, count(*)::bigint AS n_partners FROM pairs GROUP BY da)
+SELECT b.doc_id,
+       coalesce(d.n_windows, 0) AS n_windows,
+       coalesce(d.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(p.n_partners, 0) AS n_partners
+FROM base b LEFT JOIN dup_w d ON b.doc_id = d.doc_id
+LEFT JOIN partners p ON b.doc_id = p.da"""
+
+
+@register("text_substring_dup", _sql_substring_dup())
+def q_text_substring_dup(spark, sf_dir):
+    """Cross-document EXACT-SUBSTRING dedup (ExactSubstr, Lee et al. 2022,
+    lite): 60-char windows at stride 20; a window hash shared by >= 2 docs
+    marks a verbatim span.  Bucketed window-hash equi-join replaces the
+    suffix array — the shape that scales (explode x len/stride, 16-byte
+    keys, AQE-splittable hot hashes)."""
+    return T.substring_dup_stats(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.col("n_partners").cast("long").alias("n_partners"),
+    )

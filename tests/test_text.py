@@ -186,3 +186,77 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (1, 1, 1)
     assert out[2]["s"] == "no pii here at all"
     assert (out[2]["ne"], out[2]["np"], out[2]["ni"]) == (0, 0, 0)
+
+
+def test_line_dedup_strips_shared_lines(spark):
+    # 12-word lines; docs 1 and 2 share their FIRST line verbatim
+    shared = " ".join(f"w{k}" for k in range(12))
+    uniq1 = " ".join(f"a{k}" for k in range(12))
+    uniq2 = " ".join(f"b{k}" for k in range(5))  # short tail line
+    df = spark.createDataFrame(
+        [(1, f"{shared} {uniq1} {uniq2}"),
+         (2, f"{shared}"),
+         (3, "totally different words only here")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.line_dedup(df, min_docs=2).collect()}
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[1]["n_kept_words"] == 17  # 12 + 5 kept
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (1, 1)
+    assert out[2]["n_kept_words"] == 0
+    assert (out[3]["n_lines"], out[3]["n_removed"]) == (1, 0)
+    import hashlib
+    assert out[1]["clean_digest"] == hashlib.md5(
+        f"{uniq1} {uniq2}".encode()).hexdigest()
+    assert out[2]["clean_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_line_dedup_keeps_order(spark):
+    l1 = " ".join(f"x{k}" for k in range(12))
+    l2 = " ".join(f"y{k}" for k in range(12))
+    l3 = " ".join(f"z{k}" for k in range(12))
+    df = spark.createDataFrame(
+        [(1, f"{l1} {l2} {l3}")], "doc_id long, text string"
+    )
+    out = T.line_dedup(df, min_docs=2).collect()[0]
+    import hashlib
+    assert out["clean_digest"] == hashlib.md5(
+        f"{l1} {l2} {l3}".encode()).hexdigest()
+
+
+def test_substring_dup_detects_verbatim_span(spark):
+    span = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(span) >= 60
+    df = spark.createDataFrame(
+        [(1, span + " unique suffix one two three four five six seven"),
+         (2, "prefix words here padpadpadpadpadpad " + span),
+         (3, "entirely unrelated text " + "z" * 60)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.substring_dup_stats(df).collect()}
+    # window 0 of doc 1 == a window of doc 2 only if alignment matches the
+    # stride; use stride-aligned copies instead: doc2's copy starts at 38
+    # chars -> not stride(20)-aligned, so no guaranteed hash match unless
+    # we check what actually aligned. Rebuild deterministically:
+    df2 = spark.createDataFrame(
+        [(1, span + " tail tail tail"),
+         (2, span + " other other other"),
+         (3, "entirely unrelated " + "z" * 80)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.substring_dup_stats(df2).collect()}
+    assert out[1]["n_dup_windows"] >= 1 and out[2]["n_dup_windows"] >= 1
+    assert out[1]["n_partners"] == 1 and out[2]["n_partners"] == 1
+    assert out[3] and out[3]["n_dup_windows"] == 0 and out[3]["n_partners"] == 0
+
+
+def test_substring_dup_short_docs_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "also short")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in T.substring_dup_stats(df).collect()}
+    assert all(
+        (out[i]["n_windows"], out[i]["n_dup_windows"], out[i]["n_partners"])
+        == (0, 0, 0)
+        for i in (1, 2)
+    )
