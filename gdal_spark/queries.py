@@ -7471,3 +7471,108 @@ def q_text_substring_dup(spark, sf_dir):
         F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
         F.col("n_partners").cast("long").alias("n_partners"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 25. Color quantization (rgb2pct / dithering): median-cut palette over the
+# reduced histogram + map-only nearest-palette assignment, and ordered Bayer
+# dithering (alg/gdalmediancut.cpp, alg/gdaldither.cpp semantics; FS error
+# diffusion is pytest-gated in tests/test_quantize.py — inherently serial,
+# not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import quantize as QZ  # noqa: E402
+
+_QW = 64  # quantization fixture: 64x64 RGB image, bands 1..3 closed-form
+
+
+def _qz_rgb_py() -> "np.ndarray":
+    xs, ys = np.meshgrid(np.arange(_QW), np.arange(_QW))
+    img = np.stack(
+        [(xs * 31 + ys * 17 + c * 7) % 256 for c in (1, 2, 3)], axis=-1
+    )
+    return img.reshape(-1, 3).astype(np.int64)
+
+
+def _qz_palette() -> "np.ndarray":
+    """Import-time palette from the SAME closed form + 5-bit reduction the
+    distributed path uses — embedded into the oracle as literals, so the
+    gate verifies the distributed histogram→cut→assign pipeline end-to-end."""
+    rgb = _qz_rgb_py()
+    keys = (rgb // 8)
+    uniq, counts = np.unique(keys, axis=0, return_counts=True)
+    order = np.lexsort((uniq[:, 2], uniq[:, 1], uniq[:, 0]))
+    colors = uniq[order] * 8 + 4
+    return QZ.median_cut(colors, counts[order], n_colors=16)
+
+
+_QZ_PAL = _qz_palette()
+
+
+def _qz_pixels(spark):
+    px = spark.range(_QW * _QW).select(
+        (F.col("id") % _QW).alias("x"),
+        (F.col("id") / _QW).cast("long").alias("y"),
+    )
+    return px.select(
+        "x", "y",
+        *[((F.col("x") * 31 + F.col("y") * 17 + c * 7) % 256).alias(n)
+          for c, n in ((1, "r"), (2, "g"), (3, "b"))],
+    )
+
+
+_SQL_QZ_PX = (
+    f"SELECT i % {_QW} AS x, i // {_QW} AS y, "
+    + ", ".join(
+        f"(((i % {_QW}) * 31 + (i // {_QW}) * 17 + {c} * 7) % 256)::bigint AS {n}"
+        for c, n in ((1, "r"), (2, "g"), (3, "b"))
+    )
+    + f" FROM range(0, {_QW * _QW}) t(i)"
+)
+
+
+def _sql_rgb2pct() -> str:
+    a = QZ.sql_palette_assign(_QZ_PAL, "r", "g", "b")
+    return f"""WITH px AS ({_SQL_QZ_PX})
+SELECT x, y, {a['pct_idx']} AS pct_idx,
+       {a['pr']} AS pr, {a['pg']} AS pg, {a['pb']} AS pb
+FROM px"""
+
+
+@register("raster_rgb2pct", _sql_rgb2pct())
+def q_raster_rgb2pct(spark, sf_dir):
+    """rgb2pct (GDALComputeMedianCutPCT + nearest-entry application): the
+    16-color median-cut palette is built from the DISTRIBUTED 5-bit-reduced
+    histogram (one groupBy, <=32768 groups at any scale, driver-side cut),
+    then applied map-only as an argmin over broadcast palette literals.
+    Oracle embeds the import-time numpy palette — any divergence in the
+    distributed histogram/cut fails the hash."""
+    px = _qz_pixels(spark)
+    pal = QZ.compute_median_cut_palette(px, n_colors=16)
+    return QZ.assign_palette_index(px, pal).select(
+        "x", "y", "pct_idx", "pr", "pg", "pb"
+    )
+
+
+def _sql_dither_bayer() -> str:
+    return f"""WITH px AS ({_SQL_QZ_PX})
+SELECT x, y,
+       {QZ.sql_bayer_level('r', 'x', 'y')} AS lr,
+       {QZ.sql_bayer_level('g', 'x', 'y')} AS lg,
+       {QZ.sql_bayer_level('b', 'x', 'y')} AS lb
+FROM px"""
+
+
+@register("raster_dither_bayer", _sql_dither_bayer())
+def q_raster_dither_bayer(spark, sf_dir):
+    """Ordered 4x4 Bayer dithering to 6 levels/channel (the web-safe cube):
+    pure column math on (x, y, value) — the dither that is safe to run
+    TILED at scale (FS error diffusion is serial; see dither_fs, which runs
+    per-image via applyInPandas and is pytest-verified)."""
+    px = _qz_pixels(spark)
+    return px.select(
+        "x", "y",
+        QZ.bayer_level(F.col("r"), F.col("x"), F.col("y")).alias("lr"),
+        QZ.bayer_level(F.col("g"), F.col("x"), F.col("y")).alias("lg"),
+        QZ.bayer_level(F.col("b"), F.col("x"), F.col("y")).alias("lb"),
+    )
