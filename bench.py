@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "voronoi_assign",
     "url_normalize",
     "embed_pq_adc",
+    # round 3 (session 4): spatial clustering, corpus line/substring dedup,
+    # median-cut quantization
+    "st_cluster_dbscan",
+    "text_line_dedup",
+    "text_substring_dup",
+    "raster_rgb2pct",
 ]
 
 

@@ -298,3 +298,39 @@ def test_voronoi_probe_scan_map_only(spark):
     # aggregation shuffle anywhere: cells ride a python-list broadcast.
     assert p.count("Exchange") <= 2
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_line_dedup_pure_jvm_no_nested_loop(spark):
+    """Corpus line dedup: explode + ONE agg shuffle on the line md5 + a
+    hash join back + groupBy(doc) — all JVM (no Python eval), equi-joins
+    only."""
+    p = _plan(spark, "text_line_dedup")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p  # partial agg on the line-hash count
+
+
+def test_substring_dup_bucketed_equi_joins_only(spark):
+    """ExactSubstr-lite: the window-hash candidate join must be an
+    equi-join (the suffix-array replacement that scales)."""
+    p = _plan(spark, "text_substring_dup")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dither_bayer_map_only(spark):
+    """Ordered dithering is pure column math over the pixel range — zero
+    exchanges, zero Python."""
+    p = _plan(spark, "raster_dither_bayer")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_rgb2pct_assignment_map_only(spark):
+    """Palette application (after the bounded driver-side cut) is a
+    map-only argmin over broadcast literals — no shuffle, no Python."""
+    p = _plan(spark, "raster_rgb2pct")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
