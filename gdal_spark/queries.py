@@ -7576,3 +7576,202 @@ def q_raster_dither_bayer(spark, sf_dir):
         QZ.bayer_level(F.col("g"), F.col("x"), F.col("y")).alias("lg"),
         QZ.bayer_level(F.col("b"), F.col("x"), F.col("y")).alias("lb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 26. Full concave buffer (upgrades the convex-only MVP of SURVEY row 35):
+# raw offset curve -> noding -> winding-boundary extraction.  Gate: probe
+# grid verified against the DEFINITION of the buffer — inside(buffer(P, d))
+# <=> inside(P) OR dist(probe, ∂P) <= d — with a ±0.01 exclusion band
+# around dist = d (arc discretization sagitta at quad_segs=8 is 0.0022·d,
+# well inside the band), so every kept probe must match EXACTLY.
+# ---------------------------------------------------------------------------
+
+_BUFC_D = 0.45
+_BUFC_N = 41            # 41x41 probe grid per shape
+_BUFC_STEP = 0.23       # never lands on a fixture edge (parity-checked)
+_BUFC_X0 = -1.5
+_BUFC_BAND = 0.01
+
+_BUFC_SHAPES = [
+    # bid 0: L (1 reflex vertex)
+    [[(0, 0), (4, 0), (4, 1), (1, 1), (1, 3), (0, 3)]],
+    # bid 1: U (2 reflex vertices)
+    [[(0, 0), (5, 0), (5, 3), (4, 3), (4, 1), (1, 1), (1, 3), (0, 3)]],
+    # bid 2: 4-point star (4 reflex vertices, diagonal edges)
+    [[(0, 0), (2, 1), (4, 0), (3, 2), (4, 4), (2, 3), (0, 4), (1, 2)]],
+    # bid 3: square with square hole (hole erosion path)
+    [[(0, 0), (6, 0), (6, 6), (0, 6)], [(2, 2), (2, 4), (4, 4), (4, 2)]],
+]
+
+
+def _bufc_rings_np() -> list:
+    out = []
+    for shape in _BUFC_SHAPES:
+        rings = []
+        for r in shape:
+            a = np.asarray(r, dtype=np.float64)
+            rings.append(np.vstack([a, a[:1]]))
+        out.append(rings)
+    return out
+
+
+def _bufc_seg_values() -> str:
+    rows = []
+    for bid, rings in enumerate(_bufc_rings_np()):
+        for ring in rings:
+            for i in range(ring.shape[0] - 1):
+                rows.append(
+                    f"({bid}, {ring[i, 0]!r}::double, {ring[i, 1]!r}::double, "
+                    f"{ring[i + 1, 0]!r}::double, {ring[i + 1, 1]!r}::double)"
+                )
+    return "VALUES " + ", ".join(rows)
+
+
+def _sql_buffer_concave() -> str:
+    d, n, st, x0, band = (
+        _BUFC_D, _BUFC_N, _BUFC_STEP, _BUFC_X0, _BUFC_BAND,
+    )
+    tdist = (
+        "sqrt((p.px - (s.ax + least(1.0, greatest(0.0, "
+        "((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        "/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        ")) * (s.bx - s.ax))) * (p.px - (s.ax + least(1.0, greatest(0.0, "
+        "((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        "/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        ")) * (s.bx - s.ax))) + "
+        "(p.py - (s.ay + least(1.0, greatest(0.0, "
+        "((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        "/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        ")) * (s.by - s.ay))) * (p.py - (s.ay + least(1.0, greatest(0.0, "
+        "((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        "/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        ")) * (s.by - s.ay))))"
+    )
+    crossing = (
+        "CASE WHEN (s.ay <= p.py) <> (s.by <= p.py) "
+        "AND p.px < s.ax + (p.py - s.ay) * (s.bx - s.ax) / (s.by - s.ay) "
+        "THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH probes AS (
+  SELECT i // {n * n} AS bid,
+         (i % {n * n}) // {n} AS gi, i % {n} AS gj,
+         {x0} + ((i % {n * n}) // {n}) * {st} AS px,
+         {x0} + (i % {n}) * {st} AS py
+  FROM range(0, {len(_BUFC_SHAPES) * n * n}) t(i)),
+seg(bid, ax, ay, bx, by) AS ({_bufc_seg_values()}),
+m AS (
+  SELECT p.bid, p.gi, p.gj,
+         min({tdist}) AS sd,
+         sum({crossing}) AS ncross
+  FROM probes p JOIN seg s ON p.bid = s.bid
+  GROUP BY p.bid, p.gi, p.gj)
+SELECT bid, gi * {n} + gj AS pid,
+       (ncross % 2 = 1 OR sd <= {d}) AS inside
+FROM m
+WHERE ncross % 2 = 1 OR abs(sd - {d}) > {band}"""
+
+
+@register("geom_buffer_concave", _sql_buffer_concave())
+def q_geom_buffer_concave(spark, sf_dir):
+    """FULL buffer on concave + holed polygons (ogrgeometry.cpp:4942
+    Buffer → GEOS BufferOp semantics): raw always-arc offset curve,
+    self-intersection noding, winding-number boundary extraction (keeps
+    the offset-line intersection corner at reflex vertices, drops overlap
+    lobes, erodes/vanishes holes).  Gate = 41×41 probe grid per shape vs
+    the buffer DEFINITION (inside ⇔ inside(P) ∨ dist ≤ d) outside a ±0.01
+    band at dist = d.  Scale: buffer itself is map-only per polygon; the
+    probe classification broadcasts the (tiny) buffered dimension —
+    the prepared-geometry PIP pattern."""
+    from gdal_spark import pipeline as PLL
+
+    shapes = _bufc_rings_np()
+    rows = [
+        (bid, [[list(map(float, p)) for p in ring] for ring in rings])
+        for bid, rings in enumerate(shapes)
+    ]
+    poly = spark.createDataFrame(
+        rows, "bid long, rings array<array<array<double>>>"
+    )
+    buffered = PLL.buffer_full(poly, _BUFC_D, quad_segs=8).collect()
+    buf_rings = {
+        r["bid"]: [np.asarray(ring, dtype=np.float64) for ring in r["rings"]]
+        for r in buffered
+    }
+    orig_rings = {bid: rings for bid, rings in enumerate(shapes)}
+    n, st, x0, d, band = _BUFC_N, _BUFC_STEP, _BUFC_X0, _BUFC_D, _BUFC_BAND
+    nb = len(_BUFC_SHAPES)
+
+    probes = spark.range(nb * n * n).select(
+        (F.col("id") / (n * n)).cast("long").alias("bid"),
+        ((F.col("id") % (n * n)) / n).cast("long").alias("gi"),
+        (F.col("id") % n).alias("gj"),
+    ).select(
+        "bid", "gi", "gj",
+        (F.lit(x0) + F.col("gi") * F.lit(st)).alias("px"),
+        (F.lit(x0) + F.col("gj") * F.lit(st)).alias("py"),
+    )
+
+    def classify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for bid, grp in pdf.groupby("bid"):
+                px = grp["px"].to_numpy()
+                py = grp["py"].to_numpy()
+
+                def crossings(rings):
+                    tot = np.zeros(px.shape[0], dtype=np.int64)
+                    for ring in rings:
+                        ax, ay = ring[:-1, 0], ring[:-1, 1]
+                        bx, by = ring[1:, 0], ring[1:, 1]
+                        # crossing count, SAME formula as the oracle SQL
+                        c1 = (ay[None, :] <= py[:, None]) != (
+                            by[None, :] <= py[:, None]
+                        )
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            xc = ax[None, :] + (
+                                py[:, None] - ay[None, :]
+                            ) * (bx - ax)[None, :] / (by - ay)[None, :]
+                        tot += np.sum(c1 & (px[:, None] < xc), axis=1)
+                    return tot
+
+                def segdist(rings):
+                    sd = np.full(px.shape[0], np.inf)
+                    for ring in rings:
+                        ax, ay = ring[:-1, 0], ring[:-1, 1]
+                        bx, by = ring[1:, 0], ring[1:, 1]
+                        ex, ey = (bx - ax)[None, :], (by - ay)[None, :]
+                        l2 = ex * ex + ey * ey
+                        t = np.minimum(1.0, np.maximum(0.0, (
+                            (px[:, None] - ax[None, :]) * ex
+                            + (py[:, None] - ay[None, :]) * ey
+                        ) / l2))
+                        dx = px[:, None] - (ax[None, :] + t * ex)
+                        dy = py[:, None] - (ay[None, :] + t * ey)
+                        sd = np.minimum(sd, np.sqrt(dx * dx + dy * dy).min(axis=1))
+                    return sd
+
+                orings = orig_rings[int(bid)]
+                brings = buf_rings[int(bid)]
+                inside_orig = crossings(orings) % 2 == 1
+                sd = segdist(orings)
+                inside_buf = crossings(brings) % 2 == 1
+                keep = inside_orig | (np.abs(sd - d) > band)
+                g = grp.loc[keep, ["bid", "gi", "gj"]].copy()
+                # the ENGINE answer: PIP against the buffered rings — the
+                # oracle computes the buffer DEFINITION independently
+                g["inside"] = inside_buf[keep]
+                outs.append(g)
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["bid", "gi", "gj", "inside"]
+            )
+
+    out = probes.mapInPandas(
+        classify, "bid long, gi long, gj long, inside boolean"
+    )
+    return out.select(
+        "bid", (F.col("gi") * n + F.col("gj")).alias("pid"), "inside"
+    )

@@ -274,3 +274,104 @@ def test_create_and_rename_layer(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         spark.table("lyr_old")
+
+
+# ---------------------------------------------------------------------------
+# buffer_full: concave exteriors, hole erosion, winding-boundary extraction
+# ---------------------------------------------------------------------------
+
+def _close(*pts):
+    import numpy as np
+    a = np.asarray(pts, dtype=np.float64)
+    return np.vstack([a, a[:1]])
+
+
+def _grid_buffer_area(rings, d, lo=-2.0, hi=8.0, step=0.02):
+    """Reference area of {x : dist(x, polygon) <= d} by dense grid."""
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+    gx, gy = np.meshgrid(np.arange(lo, hi, step), np.arange(lo, hi, step))
+    px, py = gx.ravel(), gy.ravel()
+    inside = np.zeros(px.shape, dtype=bool)
+    for r in rings:
+        inside ^= G.points_in_ring(px, py, r)
+    sd = np.full(px.shape, np.inf)
+    for r in rings:
+        ax, ay = r[:-1, 0], r[:-1, 1]
+        bx, by = r[1:, 0], r[1:, 1]
+        ex, ey = (bx - ax)[None, :], (by - ay)[None, :]
+        l2 = ex * ex + ey * ey
+        t = np.clip(((px[:, None] - ax[None, :]) * ex
+                     + (py[:, None] - ay[None, :]) * ey) / l2, 0, 1)
+        dx = px[:, None] - (ax[None, :] + t * ex)
+        dy = py[:, None] - (ay[None, :] + t * ey)
+        sd = np.minimum(sd, np.sqrt(dx * dx + dy * dy).min(axis=1))
+    return float((inside | (sd <= d)).sum()) * step * step
+
+
+def test_buffer_full_concave_shapes_match_distance_definition():
+    import numpy as np
+
+    from gdal_spark.pipeline import _buffer_polygon, _signed_area
+    d = 0.45
+    cases = [
+        [_close((0, 0), (4, 0), (4, 1), (1, 1), (1, 3), (0, 3))],      # L
+        [_close((0, 0), (5, 0), (5, 3), (4, 3), (4, 1), (1, 1),
+                (1, 3), (0, 3))],                                       # U
+        [_close((0, 0), (2, 1), (4, 0), (3, 2), (4, 4), (2, 3),
+                (0, 4), (1, 2))],                                       # star
+    ]
+    for rings in cases:
+        out = _buffer_polygon(rings, d, 8)
+        assert len(out) == 1  # single outer ring, no spurious lobes
+        area = sum(_signed_area(r) for r in out)
+        ref = _grid_buffer_area(rings, d)
+        # inscribed arcs -> slightly below truth; grid noise ~step*perimeter
+        assert abs(area - ref) / ref < 0.005
+
+
+def test_buffer_full_hole_erodes_exactly():
+    from gdal_spark.pipeline import _buffer_polygon, _signed_area
+    d = 0.45
+    ext = _close((0, 0), (6, 0), (6, 6), (0, 6))
+    hole = _close((2, 2), (2, 4), (4, 4), (4, 2))  # CW
+    out = _buffer_polygon([ext, hole], d, 8)
+    areas = sorted(_signed_area(r) for r in out)
+    # erosion of a 2x2 square hole by d = (2-2d)^2, SHARP corners (exact)
+    assert abs(areas[0] - (-(2 - 2 * d) ** 2)) < 1e-9
+    assert areas[1] > 36  # dilated exterior
+
+
+def test_buffer_full_hole_vanishes_when_too_small():
+    from gdal_spark.pipeline import _buffer_polygon, _signed_area
+    ext = _close((0, 0), (6, 0), (6, 6), (0, 6))
+    tiny = _close((2, 2), (2, 2.6), (2.6, 2.6), (2.6, 2))
+    out = _buffer_polygon([ext, tiny], 0.45, 8)
+    assert len(out) == 1 and _signed_area(out[0]) > 36
+
+
+def test_buffer_full_convex_matches_closed_form():
+    import numpy as np
+
+    from gdal_spark.pipeline import _buffer_polygon, _signed_area
+    d, q = 0.5, 8
+    sq = _close((0, 0), (4, 0), (4, 4), (0, 4))
+    out = _buffer_polygon([sq], d, q)
+    want = 16 + 16 * d + 2 * d * d * (2 * q) * np.sin(np.pi / (2 * 2 * q))
+    # closed form for the inscribed-arc discretization: A + P d +
+    # sum of corner fans = 4 * (quarter-circle fan of q segments)
+    fan = 4 * (0.5 * d * d * q * np.sin((np.pi / 2) / q))
+    assert abs(sum(_signed_area(r) for r in out) - (16 + 16 * d + fan)) < 1e-9
+
+
+def test_buffer_full_step_in_pipeline(spark):
+    rows = [(1, [[[0.0, 0.0], [4.0, 0.0], [4.0, 1.0], [1.0, 1.0],
+                  [1.0, 3.0], [0.0, 3.0], [0.0, 0.0]]])]
+    df = spark.createDataFrame(rows, "fid long, rings array<array<array<double>>>")
+    out = P.run_serialized(
+        {"input": "a", "pipeline": [{"step": "buffer-full", "distance": 0.45}]},
+        a=df,
+    )
+    got = out.collect()[0]["rings"]
+    assert len(got) == 1 and len(got[0]) > 10  # arcs added, single ring
