@@ -7775,3 +7775,81 @@ def q_geom_buffer_concave(spark, sf_dir):
     return out.select(
         "bid", (F.col("gi") * n + F.col("gj")).alias("pid"), "inside"
     )
+
+
+# ---------------------------------------------------------------------------
+# 27. ST_LineMerge: maximal linestring reassembly from a segment soup
+# (GEOS LineMerger semantics — join only where exactly two ends meet).
+# Fixture: 40 disjoint-band tracks of 8 vertices, segments presented in a
+# scrambled order (id * 137 mod 280 permutation) to prove order freedom.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import linemerge as LM  # noqa: E402
+
+_LM_TRACKS, _LM_VERTS = 40, 8
+_LM_SEGS = _LM_TRACKS * (_LM_VERTS - 1)
+
+
+def _lm_x(tid: str, j: str) -> str:
+    return f"(-170.0 + ({tid}) * 8 + ({j}) * 0.9)"
+
+
+def _lm_y(tid: str, j: str) -> str:
+    return f"((({tid}) * 31 + ({j}) * ({j}) * 7 + ({j}) * 13) % 97 / 10.0 - 4.0)"
+
+
+def _sql_line_merge() -> str:
+    segl = (
+        f"sqrt(({_lm_x('tid', 'j + 1')} - {_lm_x('tid', 'j')}) * "
+        f"({_lm_x('tid', 'j + 1')} - {_lm_x('tid', 'j')}) + "
+        f"({_lm_y('tid', 'j + 1')} - {_lm_y('tid', 'j')}) * "
+        f"({_lm_y('tid', 'j + 1')} - {_lm_y('tid', 'j')}))"
+    )
+    return f"""
+WITH s AS (
+  SELECT range AS sidx, range // {_LM_VERTS - 1} AS tid,
+         range % {_LM_VERTS - 1} AS j,
+         (range * 137) % {_LM_SEGS} AS sid
+  FROM range({_LM_SEGS}))
+SELECT min(sid)::bigint AS chain_id,
+       count(*)::bigint AS n_segments,
+       min({_lm_x('tid', '0')})::double AS start_x,
+       min({_lm_y('tid', '0')})::double AS start_y,
+       min({_lm_x('tid', _LM_VERTS - 1)})::double AS end_x,
+       min({_lm_y('tid', _LM_VERTS - 1)})::double AS end_y,
+       sum(floor({segl} * 1e6 + 0.5)::bigint)::bigint AS len_micro,
+       FALSE AS is_ring
+FROM s GROUP BY tid"""
+
+
+@register("st_line_merge", _sql_line_merge())
+def q_st_line_merge(spark, sf_dir):
+    """ST_LineMerge (GEOS LineMerger): endpoint-node equi-join + degree
+    count -> CC over degree-2 connections -> per-chain applyInPandas walk
+    with canonical orientation (lexicographic smaller free end first).
+    Lengths as per-segment integer micro-units so cross-engine sums are
+    order-free.  Oracle rebuilds each track from its closed form."""
+    nv = _LM_VERTS - 1
+    s = spark.range(_LM_SEGS).select(
+        (F.col("id") / nv).cast("long").alias("tid"),
+        (F.col("id") % nv).alias("j"),
+        ((F.col("id") * 137) % _LM_SEGS).alias("seg_id"),
+    )
+
+    def x(tid, j):
+        return F.lit(-170.0) + tid * 8 + j * F.lit(0.9)
+
+    def y(tid, j):
+        return ((tid * 31 + j * j * 7 + j * 13) % 97) / F.lit(10.0) - F.lit(4.0)
+
+    segs = s.select(
+        "seg_id",
+        x(F.col("tid"), F.col("j")).alias("x1"),
+        y(F.col("tid"), F.col("j")).alias("y1"),
+        x(F.col("tid"), F.col("j") + 1).alias("x2"),
+        y(F.col("tid"), F.col("j") + 1).alias("y2"),
+    )
+    return LM.line_merge(segs).select(
+        "chain_id", "n_segments", "start_x", "start_y",
+        "end_x", "end_y", "len_micro", "is_ring",
+    )
