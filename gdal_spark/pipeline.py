@@ -552,6 +552,80 @@ def make_valid(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     return df.mapInPandas(run, df.schema)
 
 
+def _set_precision_rings(
+    rings: list[np.ndarray], grid: float
+) -> list[np.ndarray]:
+    out = []
+    for ring in rings:
+        snapped = np.floor(ring / grid + 0.5) * grid
+        keep = np.ones(snapped.shape[0], dtype=bool)
+        keep[1:] = ~((snapped[1:] == snapped[:-1]).all(axis=1))
+        r = snapped[keep]
+        if r.shape[0] and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        if r.shape[0] >= 4:
+            out.append(r)
+    return out
+
+
+def set_precision(df: DataFrame, grid: float,
+                  rings_col: str = "rings") -> DataFrame:
+    """OGRGeometry::SetPrecision (ogrgeometry.cpp:7017 → GEOS precision
+    reducer): snap every coordinate to the grid (half-up, the engine's
+    stable_round), drop consecutive collapsed vertices and degenerate
+    rings.  Map-only at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [
+                [r.tolist() for r in _set_precision_rings(
+                    G.rings_to_numpy(rr), grid
+                )]
+                for rr in pdf[rings_col]
+            ]
+            pdf[rings_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
+def _normalize_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
+    fixed = _make_valid_rings(rings)  # orientation + closure first
+    out = []
+    for r in fixed:
+        body = r[:-1]
+        # rotate to start at the lexicographically smallest vertex
+        k = int(np.lexsort((body[:, 1], body[:, 0]))[0])
+        body = np.vstack([body[k:], body[:k]])
+        out.append(np.vstack([body, body[:1]]))
+    # exterior first (kept by _make_valid_rings), holes sorted by start
+    if len(out) > 2:
+        holes = sorted(out[1:], key=lambda r: (r[0, 0], r[0, 1]))
+        out = out[:1] + holes
+    return out
+
+
+def normalize(df: DataFrame, rings_col: str = "rings") -> DataFrame:
+    """OGRGeometry::Normalize (ogrgeometry.cpp:4362): canonical form —
+    each ring rotated to begin at its lexicographically smallest vertex,
+    exterior CCW first, holes CW sorted by their start vertex.  Two
+    geometries are equal iff their normalized forms are identical, which
+    makes dedup/groupBy over geometry columns exact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals = [
+                [r.tolist() for r in _normalize_rings(G.rings_to_numpy(rr))]
+                for rr in pdf[rings_col]
+            ]
+            pdf[rings_col] = pd.Series(vals, index=pdf.index, dtype=object)
+            yield pdf
+
+    return df.mapInPandas(run, df.schema)
+
+
 def convex_hull(df: DataFrame, rings_col: str = "rings") -> DataFrame:
     """`gdal vector convex-hull` (ogrgeometry.cpp:4442 ConvexHull): Andrew
     monotone chain over every vertex of the feature."""
@@ -763,6 +837,8 @@ GDALG_STEPS = {
     "buffer-full": lambda df, a: buffer_full(
         df, a["distance"], quad_segs=a.get("quad_segs", 8)
     ),
+    "set-precision": lambda df, a: set_precision(df, a["grid"]),
+    "normalize": lambda df, a: normalize(df),
     "clip": lambda df, a: clip(df, a["xmin"], a["ymin"], a["xmax"], a["ymax"]),
 }
 

@@ -7853,3 +7853,187 @@ def q_st_line_merge(spark, sf_dir):
         "chain_id", "n_segments", "start_x", "start_y",
         "end_x", "end_y", "len_micro", "is_ring",
     )
+
+
+# ---------------------------------------------------------------------------
+# 28. SetPrecision (OGRGeometry::SetPrecision, ogrgeometry.cpp:7017 → GEOS
+# precision reducer): snap to grid, collapse duplicate vertices, drop
+# degenerate rings.  Gate: 4x the signed shoelace sum over the SNAPPED
+# coordinates — with grid 0.5 every term is an exact multiple of 0.25, so
+# the sum is order-free and integer-exact cross-engine; collapsed segments
+# and dropped rings contribute exactly 0 on both sides.
+# ---------------------------------------------------------------------------
+
+_PREC_GRID = 0.5
+
+
+@register(
+    "geom_set_precision",
+    f"""WITH seg(poly_id, x2a, y2a, x1a, y1a) AS ({_segment_values()}),
+snapped AS (
+  SELECT poly_id,
+         floor(x2a / {_PREC_GRID} + 0.5) * {_PREC_GRID} AS fx,
+         floor(y2a / {_PREC_GRID} + 0.5) * {_PREC_GRID} AS fy,
+         floor(x1a / {_PREC_GRID} + 0.5) * {_PREC_GRID} AS tx,
+         floor(y1a / {_PREC_GRID} + 0.5) * {_PREC_GRID} AS ty
+  FROM seg)
+SELECT poly_id, cast(sum(4 * (fx * ty - tx * fy)) AS bigint) AS area4
+FROM snapped GROUP BY poly_id""",
+)
+def q_geom_set_precision(spark, sf_dir):
+    """SetPrecision gate: the engine snaps+collapses rings via the
+    pipeline step (map-only), then measures 4x the signed shoelace sum of
+    the surviving rings; the oracle snaps the original segment soup in SQL
+    (degenerate segments/rings cancel to zero identically)."""
+    from gdal_spark import pipeline as PLL
+
+    recs = polygon_records()
+    rows = [
+        (r["poly_id"],
+         [[list(map(float, p)) for p in ring] for ring in r["rings"]])
+        for r in recs
+    ]
+    poly = spark.createDataFrame(
+        rows, "poly_id long, rings array<array<array<double>>>"
+    )
+    snapped = PLL.set_precision(poly, _PREC_GRID)
+
+    def meas(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, a4 = [], []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                total = 0.0
+                for ring in G.rings_to_numpy(rings):
+                    x, y = ring[:, 0], ring[:, 1]
+                    total += float(np.sum(
+                        4.0 * (x[:-1] * y[1:] - x[1:] * y[:-1])
+                    ))
+                ids.append(pid)
+                a4.append(int(total))
+            yield pd.DataFrame({"poly_id": ids, "area4": a4})
+
+    return snapped.mapInPandas(meas, "poly_id long, area4 long")
+
+
+# ---------------------------------------------------------------------------
+# 29. Normalize (OGRGeometry::Normalize, ogrgeometry.cpp:4362): canonical
+# geometry form — every ring rotated to start at its lexicographically
+# smallest vertex, exterior CCW first, holes CW sorted by start vertex.
+# Gate: per polygon, the start vertex and the FIRST STEP of the normalized
+# exterior (the step direction pins orientation without any float sums) plus
+# the first hole's start/step.  The oracle derives the same vertices from
+# the raw ring soup: lexmin vertex per ring, neighbour chosen by original
+# orientation sign vs the ring's target orientation.  Pure vertex lookups —
+# no arithmetic beyond an orientation SIGN, so cross-engine exact.
+# ---------------------------------------------------------------------------
+
+def _vertex_values() -> str:
+    """(poly_id, ring_idx, seq, x, y) for every ring vertex, closing
+    duplicate dropped."""
+    rows = []
+    for rec in polygon_records():
+        for ri, ring in enumerate(rec["rings"]):
+            arr = np.asarray(ring, dtype=np.float64)
+            for i in range(arr.shape[0] - 1):
+                rows.append(
+                    f"({rec['poly_id']}, {ri}, {i}, "
+                    f"{arr[i, 0]!r}::double, {arr[i, 1]!r}::double)"
+                )
+    return "VALUES " + ", ".join(rows)
+
+
+_NORM_SENTINEL = 1e9  # stands in for NULL hole columns on both engines
+
+
+@register(
+    "geom_normalize",
+    f"""WITH v(poly_id, ring_idx, seq, x, y) AS ({_vertex_values()}),
+cnt AS (SELECT poly_id, ring_idx, count(*) AS n
+        FROM v GROUP BY poly_id, ring_idx),
+e AS (SELECT a.poly_id, a.ring_idx, a.seq, a.x, a.y,
+             b.x AS nx, b.y AS ny, c.x AS px, c.y AS py
+      FROM v a
+      JOIN cnt t ON t.poly_id = a.poly_id AND t.ring_idx = a.ring_idx
+      JOIN v b ON b.poly_id = a.poly_id AND b.ring_idx = a.ring_idx
+             AND b.seq = (a.seq + 1) % t.n
+      JOIN v c ON c.poly_id = a.poly_id AND c.ring_idx = a.ring_idx
+             AND c.seq = (a.seq - 1 + t.n) % t.n),
+orient AS (SELECT poly_id, ring_idx, sum(x * ny - nx * y) AS a2
+           FROM e GROUP BY poly_id, ring_idx),
+startv AS (SELECT e.*, row_number() OVER (
+               PARTITION BY e.poly_id, e.ring_idx
+               ORDER BY e.x, e.y, e.seq) AS rn
+           FROM e),
+sel AS (SELECT s.poly_id, s.ring_idx, s.x AS x0, s.y AS y0,
+               CASE WHEN (o.a2 > 0) = (s.ring_idx = 0)
+                    THEN s.nx ELSE s.px END AS x1,
+               CASE WHEN (o.a2 > 0) = (s.ring_idx = 0)
+                    THEN s.ny ELSE s.py END AS y1
+        FROM startv s
+        JOIN orient o ON o.poly_id = s.poly_id AND o.ring_idx = s.ring_idx
+        WHERE s.rn = 1),
+nring AS (SELECT poly_id, count(*) AS n_rings FROM cnt GROUP BY poly_id),
+hole AS (SELECT *, row_number() OVER (
+             PARTITION BY poly_id ORDER BY x0, y0) AS hrn
+         FROM sel WHERE ring_idx > 0)
+SELECT n.poly_id, n.n_rings,
+       ext.x0 AS ext_x0, ext.y0 AS ext_y0,
+       ext.x1 AS ext_x1, ext.y1 AS ext_y1,
+       coalesce(h.x0, {_NORM_SENTINEL!r}::double) AS hole_x0,
+       coalesce(h.y0, {_NORM_SENTINEL!r}::double) AS hole_y0,
+       coalesce(h.x1, {_NORM_SENTINEL!r}::double) AS hole_x1,
+       coalesce(h.y1, {_NORM_SENTINEL!r}::double) AS hole_y1
+FROM nring n
+JOIN sel ext ON ext.poly_id = n.poly_id AND ext.ring_idx = 0
+LEFT JOIN hole h ON h.poly_id = n.poly_id AND h.hrn = 1""",
+)
+def q_geom_normalize(spark, sf_dir):
+    """Normalize gate: the engine canonicalizes via the pipeline step, then
+    reads back literal vertices (ring[0], ring[1]) of the exterior and first
+    hole — rotation, orientation, and hole ordering are all pinned by exact
+    vertex equality, no floating-point accumulation anywhere."""
+    from gdal_spark import pipeline as PLL
+
+    recs = polygon_records()
+    rows = [
+        (r["poly_id"],
+         [[list(map(float, p)) for p in ring] for ring in r["rings"]])
+        for r in recs
+    ]
+    poly = spark.createDataFrame(
+        rows, "poly_id long, rings array<array<array<double>>>"
+    )
+    norm = PLL.normalize(poly)
+
+    def meas(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                rs = G.rings_to_numpy(rings)
+                ext = rs[0]
+                rec = {
+                    "poly_id": int(pid), "n_rings": len(rs),
+                    "ext_x0": float(ext[0, 0]), "ext_y0": float(ext[0, 1]),
+                    "ext_x1": float(ext[1, 0]), "ext_y1": float(ext[1, 1]),
+                    "hole_x0": _NORM_SENTINEL, "hole_y0": _NORM_SENTINEL,
+                    "hole_x1": _NORM_SENTINEL, "hole_y1": _NORM_SENTINEL,
+                }
+                if len(rs) > 1:
+                    h = rs[1]
+                    rec.update(
+                        hole_x0=float(h[0, 0]), hole_y0=float(h[0, 1]),
+                        hole_x1=float(h[1, 0]), hole_y1=float(h[1, 1]),
+                    )
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return norm.mapInPandas(
+        meas,
+        "poly_id long, n_rings long, ext_x0 double, ext_y0 double, "
+        "ext_x1 double, ext_y1 double, hole_x0 double, hole_y0 double, "
+        "hole_x1 double, hole_y1 double",
+    )
