@@ -8037,3 +8037,73 @@ def q_geom_normalize(spark, sf_dir):
         "ext_x1 double, ext_y1 double, hole_x0 double, hole_y0 double, "
         "hole_x1 double, hole_y1 double",
     )
+
+
+# ---------------------------------------------------------------------------
+# 30. Full DE-9IM relate matrix (OGR_G_Relate, ogr/ogrgeometry.cpp:6494 →
+# GEOSRelate; autotest ogr/ogr_geom.py relate cases).  Engine: general
+# noded-probe kernel (geometry.de9im_polygons) under the cell-cover join.
+# Oracle: closed-form rect×rect DE-9IM from envelope interval arithmetic —
+# for axis rects every cell of the matrix is an interval statement, fully
+# independent of the noding/ray-cast kernel.  Fixture: b-layer boxes vs the
+# 64 mosaic rects (non-rect fixtures are envelope-disjoint from every box).
+# ---------------------------------------------------------------------------
+
+def _sql_de9im_rects() -> str:
+    a_vals = _envelope_values(polygon_records()[:64], "id_a")
+    b_vals = _envelope_values(polygon_records_b(), "id_b")
+    return f"""
+WITH a(id_a, axmin, aymin, axmax, aymax) AS ({a_vals}),
+b(id_b, bxmin, bymin, bxmax, bymax) AS ({b_vals}),
+j AS (
+  SELECT id_a, id_b, axmin, aymin, axmax, aymax,
+         bxmin, bymin, bxmax, bymax,
+         least(axmax, bxmax) - greatest(axmin, bxmin) AS xo,
+         least(aymax, bymax) - greatest(aymin, bymin) AS yo,
+         (axmin <= bxmin AND bxmax <= axmax
+          AND aymin <= bymin AND bymax <= aymax) AS c_ab,
+         (bxmin <= axmin AND axmax <= bxmax
+          AND bymin <= aymin AND aymax <= bymax) AS c_ba,
+         (axmin > bxmin AND axmax < bxmax
+          AND aymin > bymin AND aymax < bymax) AS strict_ab,
+         (bxmin > axmin AND bxmax < axmax
+          AND bymin > aymin AND bymax < aymax) AS strict_ba
+  FROM a CROSS JOIN b),
+m AS (
+  SELECT id_a, id_b, xo, yo, c_ab, c_ba,
+         -- boundary(B) stretch strictly inside int(A): any of b's 4 edges
+         ((aymin < bymin AND bymin < aymax OR aymin < bymax AND bymax < aymax)
+           AND xo > 0
+          OR (axmin < bxmin AND bxmin < axmax
+              OR axmin < bxmax AND bxmax < axmax) AND yo > 0) AS ib1,
+         ((bymin < aymin AND aymin < bymax OR bymin < aymax AND aymax < bymax)
+           AND xo > 0
+          OR (bxmin < axmin AND axmin < bxmax
+              OR bxmin < axmax AND axmax < bxmax) AND yo > 0) AS bi1,
+         ((aymin = bymin OR aymin = bymax OR aymax = bymin OR aymax = bymax)
+           AND xo > 0
+          OR (axmin = bxmin OR axmin = bxmax OR axmax = bxmin
+              OR axmax = bxmax) AND yo > 0) AS bb1,
+         (NOT strict_ab AND NOT strict_ba) AS bb_touch
+  FROM j WHERE xo >= 0 AND yo >= 0)
+SELECT id_a, id_b,
+       concat(
+         CASE WHEN xo > 0 AND yo > 0 THEN '2' ELSE 'F' END,
+         CASE WHEN ib1 THEN '1' ELSE 'F' END,
+         CASE WHEN c_ba THEN 'F' ELSE '2' END,
+         CASE WHEN bi1 THEN '1' ELSE 'F' END,
+         CASE WHEN bb1 THEN '1' WHEN bb_touch THEN '0' ELSE 'F' END,
+         CASE WHEN c_ba THEN 'F' ELSE '1' END,
+         CASE WHEN c_ab THEN 'F' ELSE '2' END,
+         CASE WHEN c_ab THEN 'F' ELSE '1' END,
+         '2') AS de9im
+FROM m"""
+
+
+@register("geom_relate_de9im", _sql_de9im_rects())
+def q_geom_relate_de9im(spark, sf_dir):
+    """DE-9IM matrix join over the engineered relation fixture: cell-cover
+    candidates, exact noded-probe matrix kernel, one 9-char pattern per
+    envelope-intersecting pair."""
+    out = PJ.poly_de9im_join(polygons_df(spark), polygons_b_df(spark), zoom=5)
+    return out.filter(F.col("intersects")).select("id_a", "id_b", "de9im")

@@ -486,6 +486,145 @@ def relate_polygons(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> dic
 
 
 # ---------------------------------------------------------------------------
+# Full DE-9IM matrix (OGR_G_Relate / OGRGeometry::Relate,
+# ogr/ogrgeometry.cpp:6494 → GEOSRelate) for areal×areal inputs.
+# ---------------------------------------------------------------------------
+
+def _noded_probes(
+    edges_src: np.ndarray, edges_other: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Probe points covering the whole src boundary after noding: every src
+    edge is split at each intersection with the other edge set; returned
+    points are all split vertices plus every sub-edge midpoint.  A boundary
+    ⊆ S statement checked on these probes is exact for straight-edge
+    geometries: between consecutive nodes the edge cannot cross ∂S, so the
+    midpoint's classification holds for the whole sub-edge."""
+    pts = []
+    for k in range(edges_src.shape[0]):
+        p = edges_src[k, 0]
+        r = edges_src[k, 1]
+        d = r - p
+        ts = [0.0, 1.0]
+        if edges_other.shape[0]:
+            q = edges_other[:, 0, :]
+            s = edges_other[:, 1, :]
+            e = s - q
+            w = q - p
+            denom = d[0] * e[:, 1] - d[1] * e[:, 0]
+            wxd = w[:, 0] * d[1] - w[:, 1] * d[0]
+            nonpar = denom != 0.0
+            if nonpar.any():
+                t = (
+                    w[nonpar, 0] * e[nonpar, 1] - w[nonpar, 1] * e[nonpar, 0]
+                ) / denom[nonpar]
+                u = wxd[nonpar] / denom[nonpar]
+                ok = (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+                ts.extend(t[ok].tolist())
+            coll = (~nonpar) & (wxd == 0.0)
+            dd = float(d @ d)
+            if coll.any() and dd > 0.0:
+                tq = ((q[coll] - p) @ d) / dd
+                tsx = ((s[coll] - p) @ d) / dd
+                lo = np.maximum(np.minimum(tq, tsx), 0.0)
+                hi = np.minimum(np.maximum(tq, tsx), 1.0)
+                keep = lo <= hi
+                ts.extend(lo[keep].tolist())
+                ts.extend(hi[keep].tolist())
+        tv = np.unique(np.clip(np.asarray(ts, dtype=np.float64), 0.0, 1.0))
+        allt = np.concatenate([tv, (tv[:-1] + tv[1:]) / 2.0])
+        pts.append(p[None, :] + allt[:, None] * d[None, :])
+    if not pts:
+        return np.zeros(0), np.zeros(0)
+    out = np.concatenate(pts, axis=0)
+    return out[:, 0], out[:, 1]
+
+
+def _collinear_overlap(ea: np.ndarray, eb: np.ndarray) -> bool:
+    """True iff the two edge sets share a positive-length collinear piece
+    (dim-1 boundary∩boundary)."""
+    if ea.shape[0] == 0 or eb.shape[0] == 0:
+        return False
+    a1 = ea[:, None, 0, :]
+    a2 = ea[:, None, 1, :]
+    b1 = eb[None, :, 0, :]
+    b2 = eb[None, :, 1, :]
+    da = a2 - a1
+    db = b2 - b1
+    crs = da[..., 0] * db[..., 1] - da[..., 1] * db[..., 0]
+    w = b1 - a1
+    wxd = w[..., 0] * da[..., 1] - w[..., 1] * da[..., 0]
+    dd = (da * da).sum(axis=-1)
+    coll = (crs == 0.0) & (wxd == 0.0) & (dd > 0.0)
+    if not coll.any():
+        return False
+    t1 = ((b1 - a1) * da).sum(axis=-1) / np.where(dd == 0.0, 1.0, dd)
+    t2 = ((b2 - a1) * da).sum(axis=-1) / np.where(dd == 0.0, 1.0, dd)
+    lo = np.maximum(np.minimum(t1, t2), 0.0)
+    hi = np.minimum(np.maximum(t1, t2), 1.0)
+    return bool(((hi - lo > 0.0) & coll).any())
+
+
+def _hole_rep_strictly_inside(
+    holes: list[np.ndarray], target: list[np.ndarray]
+) -> bool:
+    """Any hole's interior representative strictly inside ``target`` — the
+    fills-a-hole violation of int(A) ⊆ closure(B)."""
+    for h in holes:
+        hx, hy = interior_point([h])
+        if bool(points_in_polygon(
+            np.array([hx]), np.array([hy]), target
+        )[0]):
+            return True
+    return False
+
+
+def de9im_polygons(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> str:
+    """The 9-char DE-9IM pattern of two valid polygons (holes supported),
+    OGC cell order II IB IE / BI BB BE / EI EB EE.
+
+    Dimension shortcuts that hold for valid areal geometry: interiors are
+    open sets, so interior∩interior and interior∩exterior are 2 or F; a
+    boundary curve meets an open set in open arcs, so boundary∩interior and
+    boundary∩exterior are 1 or F; only boundary∩boundary ranges over
+    {F, 0, 1} (isolated touch points vs shared collinear stretches)."""
+    ea = polygon_edges(rings_a)
+    eb = polygon_edges(rings_b)
+    rel = relate_polygons(rings_a, rings_b)
+    ii = rel["intersects"] and not rel["touches"]
+
+    pax, pay = _noded_probes(ea, eb)   # ∂A probes noded against ∂B
+    pbx, pby = _noded_probes(eb, ea)
+    bndB_in_intA = bool(points_in_polygon(pbx, pby, rings_a).any())
+    bndA_in_intB = bool(points_in_polygon(pax, pay, rings_b).any())
+    bndA_in_clB = bool(_closure_contains(rings_b, pax, pay).all())
+    bndB_in_clA = bool(_closure_contains(rings_a, pbx, pby).all())
+    bb_touch, _ = segments_relate(ea, eb)
+    bb_dim1 = _collinear_overlap(ea, eb)
+
+    within_ab = rel["within"] and not _hole_rep_strictly_inside(
+        rings_b[1:], rings_a
+    )
+    within_ba = rel["contains"] and not _hole_rep_strictly_inside(
+        rings_a[1:], rings_b
+    )
+    ii = ii or bndB_in_intA or bndA_in_intB
+
+    return "".join([
+        "2" if ii else "F",
+        "1" if bndB_in_intA else "F",
+        "F" if within_ab else "2",
+        "1" if bndA_in_intB else "F",
+        "1" if bb_dim1 else ("0" if bb_touch else "F"),
+        "F" if bndA_in_clB else "1",
+        "F" if within_ba else "2",
+        "F" if bndB_in_clA else "1",
+        "2",
+    ])
+
+
+# ---------------------------------------------------------------------------
 # Axis-aligned rectangle clip (Sutherland–Hodgman) — the clip MVP of
 # OGRLayer::Clip (ogr/ogrlayer.cpp:7538) / `gdal vector clip`
 # (apps/gdalalg_vector_clip.cpp) for rectangular clip geometries.

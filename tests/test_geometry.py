@@ -254,3 +254,66 @@ def test_point_on_surface_is_strictly_interior():
                 np.array([posx]), np.array([ys]), hole
             )
         assert bool(inside[0]), rec["poly_id"]
+
+
+# ---------------------------------------------------------------------------
+# DE-9IM matrix kernel (OGR_G_Relate, ogrgeometry.cpp:6494)
+# ---------------------------------------------------------------------------
+
+def _rectangle(x0, y0, x1, y1):
+    return [np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )]
+
+
+DE9IM_CASES = [
+    ("equal", _rectangle(0, 0, 2, 2), _rectangle(0, 0, 2, 2), "2FFF1FFF2"),
+    ("disjoint", _rectangle(0, 0, 1, 1), _rectangle(5, 5, 6, 6), "FF2FF1212"),
+    ("within", _rectangle(1, 1, 2, 2), _rectangle(0, 0, 3, 3), "2FF1FF212"),
+    ("contains", _rectangle(0, 0, 3, 3), _rectangle(1, 1, 2, 2), "212FF1FF2"),
+    ("edge touch", _rectangle(0, 0, 1, 1), _rectangle(1, 0, 2, 1),
+     "FF2F11212"),
+    ("corner touch", _rectangle(0, 0, 1, 1), _rectangle(1, 1, 2, 2),
+     "FF2F01212"),
+    ("overlap", _rectangle(0, 0, 2, 2), _rectangle(1, 1, 3, 3), "212101212"),
+    ("within glued", _rectangle(0, 0, 1, 1), _rectangle(0, 0, 2, 2),
+     "2FF11F212"),
+    ("contains glued", _rectangle(0, 0, 2, 2), _rectangle(0, 0, 1, 1),
+     "212F11FF2"),
+    ("overlap shared edge", _rectangle(0, 0, 2, 1), _rectangle(1, 0, 3, 1),
+     "212111212"),
+]
+
+
+def test_de9im_canonical_rect_cases():
+    for name, a, b, want in DE9IM_CASES:
+        got = G.de9im_polygons(a, b)
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_de9im_hole_cases():
+    outer = _rectangle(0, 0, 10, 10)[0]
+    hole = _rectangle(3, 3, 7, 7)[0][::-1].copy()
+    donut = [outer, hole]
+    # B strictly inside the hole: disjoint.
+    assert G.de9im_polygons(donut, _rectangle(4, 4, 6, 6)) == "FF2FF1212"
+    # B exactly fills the hole: interiors miss, boundaries share the ring.
+    assert G.de9im_polygons(donut, _rectangle(3, 3, 7, 7)) == "FF2F112F2"
+    # A is the filled rect, B the donut: the hole interior is int(A)∩ext(B)
+    # (IE='2' via the fills-a-hole guard) and the hole ring is ∂B in int(A).
+    assert G.de9im_polygons(_rectangle(0, 0, 10, 10), donut) == "212F1FFF2"
+    # Mirror orientation.
+    assert G.de9im_polygons(donut, _rectangle(0, 0, 10, 10)) == "2FF11F2F2"
+
+
+def test_de9im_consistent_with_named_predicates():
+    for _, a, b, _ in DE9IM_CASES:
+        m = G.de9im_polygons(a, b)
+        rel = G.relate_polygons(a, b)
+        assert rel["intersects"] == (
+            m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F"
+        )
+        assert rel["equals"] == (m == "2FFF1FFF2")
+        assert rel["touches"] == (
+            m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
+        )
