@@ -534,3 +534,73 @@ def substring_dup_stats(
             F.coalesce("n_partners", F.lit(0)).alias("n_partners"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 page/line cleaning (Raffel et al. 2020 §2.2, the published C4 rules as
+# implemented in tensorflow_datasets c4_utils.py): keep lines that end in a
+# terminal punctuation mark, have >= 5 words, and don't mention javascript;
+# drop whole pages containing "lorem ipsum" or a curly brace, or with fewer
+# than 3 sentences after line filtering.
+#
+# Scale: pure JVM column work — one split, HOF filter/aggregate, no explode,
+# no shuffle; linear map over any corpus size.
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 5
+C4_MIN_SENTENCES = 3
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_filter_columns(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document C4 cleaning stats: (id_col, n_lines, n_kept_lines,
+    n_kept_words, n_sentences, keep_doc, clean_digest).  clean_digest is
+    md5 of the kept lines rejoined with newlines ('' when nothing
+    survives); keep_doc applies the page-level rules on the ORIGINAL text
+    (lorem ipsum / curly brace) plus the >= 3 sentence floor on the
+    cleaned text."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(C4_TERMINAL_RE)
+        & (F.size(F.regexp_extract_all(ln, F.lit("[^ ]+"), F.lit(0)))
+           >= C4_MIN_WORDS)
+        & (F.locate("javascript", F.lower(ln)) == 0),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        F.size(lines).cast("long").alias("n_lines"),
+        kept.alias("_kept"),
+    ).select(
+        id_col,
+        "_raw",
+        "n_lines",
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            "_kept",
+            F.lit(0).cast("long"),
+            lambda acc, ln: acc + F.size(
+                F.regexp_extract_all(ln, F.lit("[^ ]+"), F.lit(0))
+            ),
+        ).alias("n_kept_words"),
+        F.array_join("_kept", "\n").alias("_clean"),
+    )
+    n_sent = F.size(
+        F.regexp_extract_all(F.col("_clean"), F.lit("[.!?]"), F.lit(0))
+    ).cast("long")
+    return staged.select(
+        id_col,
+        "n_lines",
+        "n_kept_lines",
+        "n_kept_words",
+        n_sent.alias("n_sentences"),
+        (
+            (n_sent >= C4_MIN_SENTENCES)
+            & (F.locate("lorem ipsum", F.lower(F.col("_raw"))) == 0)
+            & (F.locate("{", F.col("_raw")) == 0)
+        ).alias("keep_doc"),
+        F.md5(F.col("_clean")).alias("clean_digest"),
+    )

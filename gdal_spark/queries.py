@@ -8107,3 +8107,105 @@ def q_geom_relate_de9im(spark, sf_dir):
     envelope-intersecting pair."""
     out = PJ.poly_de9im_join(polygons_df(spark), polygons_b_df(spark), zoom=5)
     return out.filter(F.col("intersects")).select("id_a", "id_b", "de9im")
+
+
+# ---------------------------------------------------------------------------
+# 31. C4 page/line cleaning (Raffel et al. 2020 §2.2; tensorflow_datasets
+# c4_utils.py rules): terminal-punctuation line filter, >=5 words/line, no
+# javascript lines; page drop on lorem ipsum / curly brace / <3 sentences.
+# The word-soup corpus carries no punctuation, so the gate DECORATES it
+# deterministically (12-word pseudo-lines; doc_id/idx-keyed punctuation,
+# javascript prefixes, brace suffixes, a lorem-ipsum line on every 13th doc)
+# with the SAME closed-form construction on both engines, then the engine
+# runs the generic operator while the oracle applies the rules per-line in
+# SQL.
+# ---------------------------------------------------------------------------
+
+_C4L = 12
+
+
+def _sql_c4_filters() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+li AS (SELECT doc_id, t,
+              unnest(range(0, cast(ceil(nt / {_C4L}.0) AS bigint))) AS i
+       FROM n),
+dl AS (
+  SELECT doc_id, i,
+         (CASE WHEN (doc_id * 5 + i) % 7 = 0 THEN 'javascript ' ELSE '' END)
+         || array_to_string(
+              list_slice(t, i * {_C4L} + 1, i * {_C4L} + {_C4L}), ' ')
+         || (CASE (doc_id * 7 + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+             WHEN 2 THEN '' ELSE '?' END)
+         || (CASE WHEN (doc_id * 3 + i) % 11 = 0 THEN ' {{' ELSE '' END)
+           AS dline
+  FROM li
+  UNION ALL
+  SELECT doc_id, cast(ceil(nt / {_C4L}.0) AS bigint) AS i,
+         'Lorem ipsum dolor sit amet.' AS dline
+  FROM n WHERE doc_id % 13 = 0),
+fl AS (
+  SELECT doc_id, i, dline,
+         (regexp_matches(dline, '[.!?"]$')
+          AND len(regexp_extract_all(dline, '[^ ]+')) >= 5
+          AND strpos(lower(dline), 'javascript') = 0) AS keep
+  FROM dl),
+agg AS (
+  SELECT doc_id,
+         count(*)::bigint AS n_lines,
+         sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept_lines,
+         coalesce(sum(CASE WHEN keep
+                      THEN len(regexp_extract_all(dline, '[^ ]+')) END),
+                  0)::bigint AS n_kept_words,
+         coalesce(string_agg(CASE WHEN keep THEN dline END,
+                             chr(10) ORDER BY i), '') AS clean,
+         bool_or(strpos(lower(dline), 'lorem ipsum') > 0) AS has_lorem,
+         bool_or(strpos(dline, '{{') > 0) AS has_brace
+  FROM fl GROUP BY doc_id)
+SELECT doc_id, n_lines, n_kept_lines, n_kept_words,
+       len(regexp_extract_all(clean, '[.!?]'))::bigint AS n_sentences,
+       (len(regexp_extract_all(clean, '[.!?]')) >= 3
+        AND NOT has_lorem AND NOT has_brace) AS keep_doc,
+       md5(clean) AS clean_digest
+FROM agg"""
+
+
+@register("text_c4_filters", _sql_c4_filters())
+def q_text_c4_filters(spark, sf_dir):
+    """C4 cleaning gate: decorate the corpus into punctuated pseudo-lines
+    (closed-form, keyed on doc_id/line index), run the generic JVM-only
+    operator (operators/text.py c4_filter_columns), compare every stat and
+    the cleaned-text digest against the per-line SQL oracle."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("_t")
+    ).withColumn("_nt", F.size("_t"))
+    n_full = F.ceil(F.col("_nt") / F.lit(float(_C4L))).cast("long")
+
+    def dline(i):
+        base = F.array_join(
+            F.slice(F.col("_t"), (i * _C4L + 1).cast("int"), _C4L), " "
+        )
+        pre = F.when(
+            (F.col("doc_id") * 5 + i) % 7 == 0, F.lit("javascript ")
+        ).otherwise("")
+        suf = F.element_at(
+            F.array(F.lit("."), F.lit("!"), F.lit(""), F.lit("?")),
+            ((F.col("doc_id") * 7 + i) % 4 + 1).cast("int"),
+        )
+        brace = F.when(
+            (F.col("doc_id") * 3 + i) % 11 == 0, F.lit(" {")
+        ).otherwise("")
+        return F.concat(pre, base, suf, brace)
+
+    arr = F.transform(F.sequence(F.lit(0).cast("long"), n_full - 1), dline)
+    arr = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(arr, F.array(F.lit("Lorem ipsum dolor sit amet."))),
+    ).otherwise(arr)
+    decorated = toks.select(
+        "doc_id", F.array_join(arr, "\n").alias("text2")
+    )
+    return T.c4_filter_columns(decorated, text_col="text2")

@@ -260,3 +260,38 @@ def test_substring_dup_short_docs_zero(spark):
         == (0, 0, 0)
         for i in (1, 2)
     )
+
+
+def test_c4_filter_columns_hand_case(spark):
+    text = "\n".join([
+        "This line has exactly seven words total.",      # kept
+        "Too short line.",                                # <5 words
+        "No terminal punctuation here on this line",      # no punct
+        "Beware the javascript cookie banner on pages!",  # javascript
+        'He said "the quoted ending counts as terminal."',  # kept
+        "Another good sentence with many fine words!",    # kept
+        "And one more proper sentence to pass three?",    # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, body string")
+    row = T.c4_filter_columns(df, text_col="body").collect()[0]
+    assert row.n_lines == 7
+    assert row.n_kept_lines == 4
+    assert row.n_sentences == 4
+    assert row.keep_doc is True
+    assert row.n_kept_words == 7 + 8 + 7 + 8
+
+    braced = spark.createDataFrame(
+        [(2, "One good sentence stands entirely alone here. { code }")],
+        "doc_id long, body string",
+    )
+    row2 = T.c4_filter_columns(braced, text_col="body").collect()[0]
+    assert row2.keep_doc is False  # curly brace page rule
+
+    lorem = spark.createDataFrame(
+        [(3, "First proper sentence right here for sure.\n"
+             "Second proper sentence right here as well!\n"
+             "Third proper sentence with Lorem Ipsum inside?")],
+        "doc_id long, body string",
+    )
+    row3 = T.c4_filter_columns(lorem, text_col="body").collect()[0]
+    assert row3.n_sentences == 3 and row3.keep_doc is False  # lorem rule
