@@ -604,3 +604,87 @@ def c4_filter_columns(
         ).alias("keep_doc"),
         F.md5(F.col("_clean")).alias("clean_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1 — the published
+# MassiveText document filters): word-count window, mean-word-length window,
+# symbol-to-word ratio (# and ellipsis), bullet-start / ellipsis-end line
+# ratios, alphabetic-word fraction, stop-word floor.
+#
+# Scale: single projection of JVM regexp/HOF column math — no shuffle, no
+# Python; linear map at any corpus size.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_columns(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality metrics + keep flag: (id_col, n_words,
+    mean_word_len, symbol_ratio, frac_alpha_words, frac_bullet_lines,
+    frac_ellipsis_lines, n_stopwords, keep_doc).  Ratio columns are raw
+    doubles — callers gate/round as needed; keep_doc applies the published
+    thresholds (50..100k words, mean len 3..10, symbols <0.1, bullets <0.9,
+    ellipsis <0.3, alpha >=0.8, >=2 distinct stop words)."""
+    words = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    lines = F.split(F.col(text_col), "\n")
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        words.alias("_w"),
+        lines.alias("_l"),
+    ).select(
+        id_col,
+        F.size("_w").cast("long").alias("n_words"),
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).alias("_wlen"),
+        F.size(
+            F.filter("_w", lambda w: w.rlike("[A-Za-z]"))
+        ).cast("long").alias("_n_alpha"),
+        (
+            F.size(F.regexp_extract_all("_raw", F.lit("#"), F.lit(0)))
+            + F.size(F.regexp_extract_all("_raw", F.lit(r"\.\.\."), F.lit(0)))
+        ).cast("long").alias("_n_sym"),
+        F.size("_l").cast("long").alias("_n_lines"),
+        F.size(
+            F.filter("_l", lambda ln: ln.substr(F.lit(1), F.lit(2)) == "- ")
+        ).cast("long").alias("_n_bullet"),
+        F.size(
+            F.filter("_l", lambda ln: ln.rlike(r"\.\.\.$"))
+        ).cast("long").alias("_n_ell_end"),
+        sum(
+            (
+                F.array_contains(
+                    F.transform("_w", F.lower), F.lit(sw)
+                ).cast("int")
+                for sw in GOPHER_STOPWORDS
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_stopwords"),
+    )
+    nw = F.col("n_words").cast("double")
+    nl = F.col("_n_lines").cast("double")
+    mean_len = F.col("_wlen") / nw
+    sym = F.col("_n_sym") / nw
+    alpha = F.col("_n_alpha") / nw
+    bullet = F.col("_n_bullet") / nl
+    ell = F.col("_n_ell_end") / nl
+    return staged.select(
+        id_col,
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        sym.alias("symbol_ratio"),
+        alpha.alias("frac_alpha_words"),
+        bullet.alias("frac_bullet_lines"),
+        ell.alias("frac_ellipsis_lines"),
+        "n_stopwords",
+        (
+            (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+            & (mean_len >= 3.0) & (mean_len <= 10.0)
+            & (sym < 0.1) & (bullet < 0.9) & (ell < 0.3)
+            & (alpha >= 0.8) & (F.col("n_stopwords") >= 2)
+        ).alias("keep_doc"),
+    )

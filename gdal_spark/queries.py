@@ -8209,3 +8209,121 @@ def q_text_c4_filters(spark, sf_dir):
         "doc_id", F.array_join(arr, "\n").alias("text2")
     )
     return T.c4_filter_columns(decorated, text_col="text2")
+
+
+# ---------------------------------------------------------------------------
+# 32. Gopher quality rules (Rae et al. 2021 A1.1).  Decoration gives every
+# rule live signal: 12-word pseudo-lines with bullet prefixes and
+# '.'/'!'/'...'/'?' endings keyed on (doc_id, line idx), plus a stop-word
+# tail line on every 3rd doc.  Engine = generic JVM operator; oracle = the
+# same metrics via DuckDB list/regexp ops.  Ratios are exact int/int IEEE
+# divisions so the keep thresholds compare identically cross-engine.
+# ---------------------------------------------------------------------------
+
+def _sql_gopher_rules() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+li AS (SELECT doc_id, t,
+              unnest(range(0, cast(ceil(nt / {_C4L}.0) AS bigint))) AS i
+       FROM n),
+dl AS (
+  SELECT doc_id, i,
+         (CASE WHEN (doc_id * 11 + i) % 5 = 0 THEN '- ' ELSE '' END)
+         || array_to_string(
+              list_slice(t, i * {_C4L} + 1, i * {_C4L} + {_C4L}), ' ')
+         || (CASE (doc_id * 7 + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+             WHEN 2 THEN '...' ELSE '?' END) AS dline
+  FROM li
+  UNION ALL
+  SELECT doc_id, cast(ceil(nt / {_C4L}.0) AS bigint) AS i,
+         'and that have with of to be great.' AS dline
+  FROM n WHERE doc_id % 3 = 0),
+doc AS (
+  SELECT doc_id, string_agg(dline, chr(10) ORDER BY i) AS text2,
+         count(*)::bigint AS n_lines,
+         sum(CASE WHEN substr(dline, 1, 2) = '- ' THEN 1 ELSE 0
+             END)::bigint AS n_bullet,
+         sum(CASE WHEN regexp_matches(dline, '\\.\\.\\.$') THEN 1 ELSE 0
+             END)::bigint AS n_ell_end
+  FROM dl GROUP BY doc_id),
+w AS (
+  SELECT doc_id, n_lines, n_bullet, n_ell_end,
+         regexp_extract_all(text2, '\\S+') AS wl,
+         len(regexp_extract_all(text2, '#'))::bigint
+           + len(regexp_extract_all(text2, '\\.\\.\\.'))::bigint AS n_sym
+  FROM doc),
+m AS (
+  SELECT doc_id,
+         len(wl)::bigint AS n_words,
+         list_sum(list_transform(wl, x -> length(x)))::double
+           / len(wl) AS mean_word_len,
+         n_sym::double / len(wl) AS symbol_ratio,
+         len(list_filter(wl, x -> regexp_matches(x, '[A-Za-z]')))::double
+           / len(wl) AS frac_alpha_words,
+         n_bullet::double / n_lines AS frac_bullet_lines,
+         n_ell_end::double / n_lines AS frac_ellipsis_lines,
+         ({" + ".join(
+             "CASE WHEN list_contains(list_transform(wl, x -> lower(x)), "
+             f"'{sw}') THEN 1 ELSE 0 END"
+             for sw in T.GOPHER_STOPWORDS
+         )})::bigint AS n_stopwords
+  FROM w)
+SELECT doc_id, n_words,
+       {SR('mean_word_len', 6)} AS mean_word_len,
+       {SR('symbol_ratio', 6)} AS symbol_ratio,
+       {SR('frac_alpha_words', 6)} AS frac_alpha_words,
+       {SR('frac_bullet_lines', 6)} AS frac_bullet_lines,
+       {SR('frac_ellipsis_lines', 6)} AS frac_ellipsis_lines,
+       n_stopwords,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1 AND frac_bullet_lines < 0.9
+        AND frac_ellipsis_lines < 0.3 AND frac_alpha_words >= 0.8
+        AND n_stopwords >= 2) AS keep_doc
+FROM m"""
+
+
+@register("text_gopher_rules", _sql_gopher_rules())
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher document-quality gate over the decorated corpus: bullet /
+    ellipsis / stop-word signals injected deterministically, generic
+    operator vs per-list SQL oracle, every metric column compared at 6dp."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("_t")
+    ).withColumn("_nt", F.size("_t"))
+    n_full = F.ceil(F.col("_nt") / F.lit(float(_C4L))).cast("long")
+
+    def dline(i):
+        base = F.array_join(
+            F.slice(F.col("_t"), (i * _C4L + 1).cast("int"), _C4L), " "
+        )
+        pre = F.when(
+            (F.col("doc_id") * 11 + i) % 5 == 0, F.lit("- ")
+        ).otherwise("")
+        suf = F.element_at(
+            F.array(F.lit("."), F.lit("!"), F.lit("..."), F.lit("?")),
+            ((F.col("doc_id") * 7 + i) % 4 + 1).cast("int"),
+        )
+        return F.concat(pre, base, suf)
+
+    arr = F.transform(F.sequence(F.lit(0).cast("long"), n_full - 1), dline)
+    arr = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(arr, F.array(F.lit("and that have with of to be great."))),
+    ).otherwise(arr)
+    decorated = toks.select(
+        "doc_id", F.array_join(arr, "\n").alias("text2")
+    )
+    out = T.gopher_quality_columns(decorated, text_col="text2")
+    return out.select(
+        "doc_id", "n_words",
+        R(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        R(F.col("symbol_ratio"), 6).alias("symbol_ratio"),
+        R(F.col("frac_alpha_words"), 6).alias("frac_alpha_words"),
+        R(F.col("frac_bullet_lines"), 6).alias("frac_bullet_lines"),
+        R(F.col("frac_ellipsis_lines"), 6).alias("frac_ellipsis_lines"),
+        "n_stopwords", "keep_doc",
+    )

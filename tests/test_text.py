@@ -295,3 +295,35 @@ def test_c4_filter_columns_hand_case(spark):
     )
     row3 = T.c4_filter_columns(lorem, text_col="body").collect()[0]
     assert row3.n_sentences == 3 and row3.keep_doc is False  # lorem rule
+
+
+def test_gopher_quality_columns_hand_case(spark):
+    # 52 alphabetic words across 4 lines, one bullet line, one ellipsis end,
+    # stop words "the" and "with" present -> passes every Gopher rule.
+    good = "\n".join([
+        " ".join(["alpha"] * 20) + " the",
+        "- " + " ".join(["beta"] * 10),
+        " ".join(["gamma"] * 10) + "...",
+        " ".join(["delta"] * 10) + " with",
+    ])
+    df = spark.createDataFrame([(1, good)], "doc_id long, body string")
+    row = T.gopher_quality_columns(df, text_col="body").collect()[0]
+    assert row.n_words == 53  # 50 payload + 2 stopwords + the "-" token
+    assert row.n_stopwords == 2
+    assert row.frac_bullet_lines == 0.25
+    assert row.frac_ellipsis_lines == 0.25
+    assert row.keep_doc is True
+
+    short = spark.createDataFrame(
+        [(2, "only a few words here.")], "doc_id long, body string"
+    )
+    assert T.gopher_quality_columns(short, text_col="body").collect()[0] \
+        .keep_doc is False  # word-count floor
+
+    symbols = spark.createDataFrame(
+        [(3, " ".join(["word#"] * 30) + " " + " ".join(["the with"] * 15))],
+        "doc_id long, body string",
+    )
+    r3 = T.gopher_quality_columns(symbols, text_col="body").collect()[0]
+    assert r3.n_words == 60 and r3.symbol_ratio == 0.5
+    assert r3.keep_doc is False  # symbol-to-word ratio
