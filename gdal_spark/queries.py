@@ -8327,3 +8327,76 @@ def q_text_gopher_rules(spark, sf_dir):
         R(F.col("frac_ellipsis_lines"), 6).alias("frac_ellipsis_lines"),
         "n_stopwords", "keep_doc",
     )
+
+
+# ---------------------------------------------------------------------------
+# 33. GeoParquet-style storage roundtrip (GeoParquet 1.1 WKB + bbox covering
+# struct; GDAL parquet driver ogr/ogrsf_frmts/parquet).  Engine: write the
+# fixture layer Hilbert-sorted with the covering struct, re-open with an
+# envelope filter (pushed to parquet row-group stats — pinned in
+# tests/test_plans.py), decode the WKB survivors, re-derive envelope /
+# ring count / area from the DECODED bytes.  Oracle: fixture metadata VALUES
+# + the same closed interval test — fully independent of the codec.
+# ---------------------------------------------------------------------------
+
+def _gp_meta_values() -> str:
+    rows = []
+    for rec in polygon_records():
+        rows.append(
+            f"({rec['poly_id']}, {len(rec['rings'])}, "
+            f"{rec['xmin']!r}::double, {rec['ymin']!r}::double, "
+            f"{rec['xmax']!r}::double, {rec['ymax']!r}::double, "
+            f"{rec['area']!r}::double)"
+        )
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geoparquet_roundtrip",
+    f"""WITH p(poly_id, n_rings, xmin, ymin, xmax, ymax, area)
+  AS ({_gp_meta_values()})
+SELECT poly_id, n_rings, xmin, ymin, xmax, ymax,
+       {SR('area', 6)} AS area
+FROM p
+WHERE xmin <= {CLIP_W[2]!r} AND xmax >= {CLIP_W[0]!r}
+  AND ymin <= {CLIP_W[3]!r} AND ymax >= {CLIP_W[1]!r}""",
+)
+def q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet sink/scan gate: WKB+bbox write (Hilbert-clustered), bbox
+    pushdown scan, Arrow-batched decode, geometry re-measured from the
+    decoded rings (same shoelace as the fixture builder — bit-exact)."""
+    import tempfile
+
+    from gdal_spark import geoparquet as GP
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gp_gate_") + "/polys"
+    GP.write_geoparquet(polygons_df(spark), path, sort_zoom=8)
+    back = GP.read_geoparquet(spark, path, envelope=CLIP_W)
+
+    def meas(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for pid, bbox, rings in zip(
+                pdf["poly_id"], pdf["bbox"], pdf["rings"]
+            ):
+                rs = G.rings_to_numpy(rings)
+                out.append({
+                    "poly_id": int(pid),
+                    "n_rings": len(rs),
+                    "xmin": bbox["xmin"], "ymin": bbox["ymin"],
+                    "xmax": bbox["xmax"], "ymax": bbox["ymax"],
+                    "area": G.rings_area(rs),
+                })
+            yield pd.DataFrame(out)
+
+    measured = back.select("poly_id", "bbox", "rings").mapInPandas(
+        meas,
+        "poly_id long, n_rings long, xmin double, ymin double, "
+        "xmax double, ymax double, area double",
+    )
+    return measured.select(
+        "poly_id", "n_rings", "xmin", "ymin", "xmax", "ymax",
+        R(F.col("area"), 6).alias("area"),
+    )

@@ -334,3 +334,34 @@ def test_rgb2pct_assignment_map_only(spark):
     p = _plan(spark, "raster_rgb2pct")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_geoparquet_bbox_filters_pushed_to_scan(spark):
+    """The covering-struct envelope filter must reach the parquet scan
+    (row-group pruning at 100 TB) — all four bbox comparisons pushed."""
+    import tempfile
+
+    from gdal_spark import geoparquet as GP
+    from gdal_spark.data.pages import polygons_df
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gp_plan_") + "/polys"
+    GP.write_geoparquet(polygons_df(spark), path, sort_zoom=8)
+    pruned = GP.read_geoparquet(
+        spark, path, envelope=(-1.5, 30.5, 45.0, 47.0), decode=False
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    for frag in [
+        "LessThanOrEqual(bbox.xmin,45.0)",
+        "GreaterThanOrEqual(bbox.xmax,-1.5)",
+        "LessThanOrEqual(bbox.ymin,47.0)",
+        "GreaterThanOrEqual(bbox.ymax,30.5)",
+    ]:
+        assert frag in plan, f"missing pushed filter {frag}"
+    # decode path stays Arrow-batched python on survivors only
+    decoded = GP.read_geoparquet(
+        spark, path, envelope=(-1.5, 30.5, 45.0, 47.0)
+    )
+    assert decoded.count() == 26
