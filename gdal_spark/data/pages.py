@@ -304,3 +304,64 @@ def multipolygons_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         multipolygon_records(), schema=MULTIPOLYGON_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Line layer (FIXTURES §2e): deterministic polylines over the 8×8 mosaic for
+# line↔polygon predicate / clip gates.  Every coordinate is produced by
+# plain Python float arithmetic, so the oracle VALUES literals are
+# bit-identical doubles; the four touch lines start EXACTLY on a mosaic cell
+# edge (same -6.00003 + gx*2.0 expression as the cells themselves).
+# ---------------------------------------------------------------------------
+
+def line_records() -> list[dict]:
+    mx = lambda gx: -6.00003 + gx * 2.0   # noqa: E731 — mosaic bounds
+    my = lambda gy: 42.00003 + gy * 1.5   # noqa: E731
+    recs = []
+    lid = 0
+    # 24 irregular walks crossing the mosaic diagonally (6 vertices each).
+    for k in range(24):
+        x = -7.1 + (k % 8) * 0.77
+        y = 41.3 + ((k * 37) % 29) * 0.31
+        pts = [(x, y)]
+        for j in range(5):
+            x = x + 0.9 + ((k + j) % 3) * 0.4
+            y = y + (((k * 7 + j * j * 5 + 3) % 13) - 6) * 0.35
+            pts.append((x, y))
+        recs.append({"line_id": lid, "coords": [[px, py] for px, py in pts]})
+        lid += 1
+    # 4 touch lines: endpoint EXACTLY on the vertical edge x = mx(t+1) of
+    # cell (t, 1), extending east (into cell (t+1, 1)).
+    for t in range(4):
+        x0 = mx(t + 1)
+        y0 = my(1) + 0.7
+        recs.append({
+            "line_id": lid,
+            "coords": [[x0, y0], [x0 + 0.5, y0 + 0.2]],
+        })
+        lid += 1
+    # 2 lines fully inside one cell (within).
+    for t in range(2):
+        x0 = mx(3 + t) + 0.3
+        y0 = my(2 + t) + 0.2
+        recs.append({
+            "line_id": lid,
+            "coords": [[x0, y0], [x0 + 0.4, y0 + 0.3], [x0 + 0.9, y0 + 0.1]],
+        })
+        lid += 1
+    # 1 line fully outside the mosaic (disjoint from every cell).
+    recs.append({
+        "line_id": lid,
+        "coords": [[60.0, 60.0], [61.0, 61.5], [62.0, 60.5]],
+    })
+    return recs
+
+
+LINE_SCHEMA = "line_id long, coords array<array<double>>"
+
+
+def lines_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(r["line_id"], r["coords"]) for r in line_records()],
+        schema=LINE_SCHEMA,
+    )

@@ -8400,3 +8400,214 @@ def q_geoparquet_roundtrip(spark, sf_dir):
         "poly_id", "n_rings", "xmin", "ymin", "xmax", "ymax",
         R(F.col("area"), 6).alias("area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 34. TPC-H Q5 (local supplier volume): the 6-table join-ordering showcase —
+# three broadcast dims (region→nation→supplier chain + customer colocation
+# predicate), shuffles only on the two fact keys.  Revenue stable-rounded
+# on both engines before the sort.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q5",
+    f"""SELECT n.n_name,
+       {SR("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n.n_name""",
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 over the generated tables.  Only nation/region are true
+    fixed-size dims and get explicit broadcasts; customer and supplier
+    SCALE with the fact tables (at 100 TB neither fits an executor), so
+    they join by shuffle on their natural keys — custkey, orderkey,
+    suppkey — and AQE is free to demote those to broadcasts at small SF.
+    The c_nationkey = s_nationkey colocation predicate applies after both
+    sides are in scope."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            dim,
+            (l["l_suppkey"] == dim["s_suppkey"])
+            & (c["c_nationkey"] == dim["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            R(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 35. LineString ↔ polygon predicates + line clip (`gdal vector clip` on
+# line layers, ogrlayer.cpp:7538; OGC line/area Crosses/Touches/Within,
+# ogrgeometry.cpp:571+).  Engine = noded-probe kernel under the cell-cover
+# join / vectorized Liang–Barsky; oracle = per-segment interval arithmetic
+# (closed/open t-ranges) — the engine never computes a t parameter for
+# predicates, the oracle never casts a ray.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.data.pages import line_records, lines_df  # noqa: E402
+from gdal_spark.operators import lines as LN  # noqa: E402
+
+
+def _line_segment_values() -> str:
+    rows = []
+    for rec in line_records():
+        cc = rec["coords"]
+        for j in range(len(cc) - 1):
+            rows.append(
+                f"({rec['line_id']}, {j}, "
+                f"{cc[j][0]!r}::double, {cc[j][1]!r}::double, "
+                f"{cc[j + 1][0]!r}::double, {cc[j + 1][1]!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+def _sql_line_lb_core(wx0: float, wy0: float, wx1: float, wy1: float) -> str:
+    """Shared CTE text: per-segment Liang–Barsky closed t-interval against
+    an axis window (lo/hi per axis with the degenerate-axis ±1e18
+    convention, then clamped to [0,1])."""
+    return f"""
+seg(line_id, seg_idx, x1, y1, x2, y2) AS ({_line_segment_values()}),
+d AS (SELECT *, x2 - x1 AS dx, y2 - y1 AS dy FROM seg),
+r AS (SELECT line_id, seg_idx, x1, y1, dx, dy,
+  CASE WHEN dx = 0 THEN CASE WHEN x1 >= {wx0!r} AND x1 <= {wx1!r}
+       THEN -1e18 ELSE 1e18 END
+       ELSE least(({wx0!r} - x1) / dx, ({wx1!r} - x1) / dx) END AS lox,
+  CASE WHEN dx = 0 THEN CASE WHEN x1 >= {wx0!r} AND x1 <= {wx1!r}
+       THEN 1e18 ELSE -1e18 END
+       ELSE greatest(({wx0!r} - x1) / dx, ({wx1!r} - x1) / dx) END AS hix,
+  CASE WHEN dy = 0 THEN CASE WHEN y1 >= {wy0!r} AND y1 <= {wy1!r}
+       THEN -1e18 ELSE 1e18 END
+       ELSE least(({wy0!r} - y1) / dy, ({wy1!r} - y1) / dy) END AS loy,
+  CASE WHEN dy = 0 THEN CASE WHEN y1 >= {wy0!r} AND y1 <= {wy1!r}
+       THEN 1e18 ELSE -1e18 END
+       ELSE greatest(({wy0!r} - y1) / dy, ({wy1!r} - y1) / dy) END AS hiy
+  FROM d),
+c AS (SELECT line_id, seg_idx, x1, y1, dx, dy,
+             greatest(lox, loy, 0.0) AS te,
+             least(hix, hiy, 1.0) AS tx FROM r)"""
+
+
+LINE_CLIP_W = (-3.10007, 43.20007, 5.70007, 51.90007)
+
+
+@register(
+    "line_clip_rect",
+    f"""WITH {_sql_line_lb_core(*LINE_CLIP_W)}
+, p AS (SELECT line_id, seg_idx,
+             x1 + te * dx AS cx1, y1 + te * dy AS cy1,
+             x1 + tx * dx AS cx2, y1 + tx * dy AS cy2
+      FROM c WHERE te <= tx)
+SELECT line_id, seg_idx,
+       {SR('cx1', 9)} AS cx1, {SR('cy1', 9)} AS cy1,
+       {SR('cx2', 9)} AS cx2, {SR('cy2', 9)} AS cy2,
+       floor(sqrt((cx2 - cx1) * (cx2 - cx1)
+                  + (cy2 - cy1) * (cy2 - cy1)) * 1e6
+             + 0.5)::bigint AS len_micro
+FROM p""",
+)
+def q_line_clip_rect(spark, sf_dir):
+    """Line clip gate: vectorized Liang–Barsky kernel vs the interval
+    oracle; one row per surviving segment (order-free), clipped endpoints
+    at 9dp, length in integer micro-units."""
+    out = LN.clip_lines_to_rect(lines_df(spark), *LINE_CLIP_W)
+    return out.select(
+        "line_id", "seg_idx",
+        R(F.col("cx1"), 9).alias("cx1"), R(F.col("cy1"), 9).alias("cy1"),
+        R(F.col("cx2"), 9).alias("cx2"), R(F.col("cy2"), 9).alias("cy2"),
+        F.floor(F.col("seg_len") * 1e6 + 0.5).cast("long")
+         .alias("len_micro"),
+    )
+
+
+def _sql_line_poly_predicates() -> str:
+    b = _envelope_values(polygon_records()[:64], "poly_id")
+    return f"""
+WITH seg(line_id, seg_idx, x1, y1, x2, y2) AS ({_line_segment_values()}),
+box(poly_id, bxmin, bymin, bxmax, bymax) AS ({b}),
+d AS (SELECT line_id, poly_id, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy,
+             bxmin, bymin, bxmax, bymax
+      FROM seg CROSS JOIN box),
+r AS (SELECT *,
+  CASE WHEN dx = 0 THEN CASE WHEN x1 >= bxmin AND x1 <= bxmax
+       THEN -1e18 ELSE 1e18 END
+       ELSE least((bxmin - x1) / dx, (bxmax - x1) / dx) END AS lox,
+  CASE WHEN dx = 0 THEN CASE WHEN x1 >= bxmin AND x1 <= bxmax
+       THEN 1e18 ELSE -1e18 END
+       ELSE greatest((bxmin - x1) / dx, (bxmax - x1) / dx) END AS hix,
+  CASE WHEN dy = 0 THEN CASE WHEN y1 >= bymin AND y1 <= bymax
+       THEN -1e18 ELSE 1e18 END
+       ELSE least((bymin - y1) / dy, (bymax - y1) / dy) END AS loy,
+  CASE WHEN dy = 0 THEN CASE WHEN y1 >= bymin AND y1 <= bymax
+       THEN 1e18 ELSE -1e18 END
+       ELSE greatest((bymin - y1) / dy, (bymax - y1) / dy) END AS hiy
+  FROM d),
+c AS (SELECT line_id, poly_id,
+             greatest(lox, loy, 0.0) AS te, least(hix, hiy, 1.0) AS tx,
+             ((dx = 0 AND (x1 = bxmin OR x1 = bxmax))
+              OR (dy = 0 AND (y1 = bymin OR y1 = bymax))) AS on_edge
+      FROM r),
+g AS (SELECT line_id, poly_id,
+             bool_or(te <= tx) AS contact,
+             bool_or(tx > te AND NOT on_edge) AS interior,
+             bool_or(te > 0.0 OR tx < 1.0 OR te > tx) AS outside
+      FROM c GROUP BY line_id, poly_id)
+SELECT line_id, poly_id,
+       contact AS intersects,
+       (interior AND outside) AS crosses,
+       (contact AND NOT interior) AS touches,
+       (interior AND NOT outside) AS within
+FROM g WHERE contact"""
+
+
+@register("line_poly_predicates", _sql_line_poly_predicates())
+def q_line_poly_predicates(spark, sf_dir):
+    """Line/area predicate join over the mosaic: cell-cover candidates +
+    noded-probe kernel vs the segment interval-arithmetic oracle.  The
+    fixture exercises crosses (walks), within (in-cell lines + the
+    east-cell side of every engineered touch point) and touches (exact
+    edge-start lines)."""
+    out = LN.line_poly_relate_join(
+        lines_df(spark), polygons_df(spark), zoom=5
+    )
+    return out.filter(F.col("intersects")).select(
+        F.col("id_a").alias("line_id"), F.col("id_b").alias("poly_id"),
+        "intersects", "crosses", "touches", "within",
+    )

@@ -625,6 +625,87 @@ def de9im_polygons(
 
 
 # ---------------------------------------------------------------------------
+# LineString ↔ Polygon predicates (OGRGeometry::Intersects/Crosses/Touches/
+# Within for line/area pairs, ogr/ogrgeometry.cpp:571+ → GEOS) via the same
+# noded-probe machinery as the DE-9IM kernel.
+# ---------------------------------------------------------------------------
+
+def line_edges(coords: np.ndarray) -> np.ndarray:
+    """Polyline vertices (N, 2) → edge set (N-1, 2, 2), zero-length edges
+    dropped."""
+    a = coords[:-1]
+    b = coords[1:]
+    keep = ~((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]))
+    if not keep.any():
+        return np.zeros((0, 2, 2))
+    return np.stack([a[keep], b[keep]], axis=1)
+
+
+def relate_line_polygon(
+    coords: np.ndarray, rings: list[np.ndarray]
+) -> dict:
+    """Line/area predicate set with OGC dimension semantics: ``crosses`` =
+    the line has positive length in the interior AND in the exterior;
+    ``within`` = positive interior length, none exterior; ``touches`` =
+    boundary-only contact.  Probes are the noded sub-edge midpoints plus
+    vertices, so every sub-segment's side of ∂polygon is sampled exactly
+    once — exact for straight-edge inputs."""
+    le = line_edges(coords)
+    pe = polygon_edges(rings)
+    px, py = _noded_probes(le, pe)
+    strict_in = points_in_polygon(px, py, rings)
+    on_b = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        on_b |= points_on_ring_boundary(px, py, ring)
+    outside = ~(strict_in | on_b)
+    interior_any = bool(strict_in.any())
+    contact = interior_any or bool(on_b.any())
+    return {
+        "intersects": contact,
+        "crosses": interior_any and bool(outside.any()),
+        "within": interior_any and not bool(outside.any()),
+        "touches": contact and not interior_any,
+    }
+
+
+def clip_segment_rect(
+    x1: np.ndarray, y1: np.ndarray, x2: np.ndarray, y2: np.ndarray,
+    xmin: float, ymin: float, xmax: float, ymax: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized Liang–Barsky: per segment the clipped endpoints + a keep
+    mask (closed-rect contact with positive or zero length).  Segments
+    entirely outside get keep=False."""
+    dx = x2 - x1
+    dy = y2 - y1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tx1 = (xmin - x1) / dx
+        tx2 = (xmax - x1) / dx
+        ty1 = (ymin - y1) / dy
+        ty2 = (ymax - y1) / dy
+    in_x = (x1 >= xmin) & (x1 <= xmax)
+    in_y = (y1 >= ymin) & (y1 <= ymax)
+    # degenerate axis: inside → unbounded interval, outside → EMPTY
+    # (lo=+inf > hi=-inf) — never re-order the empty pair
+    lox = np.where(dx != 0.0, np.minimum(tx1, tx2),
+                   np.where(in_x, -np.inf, np.inf))
+    hix = np.where(dx != 0.0, np.maximum(tx1, tx2),
+                   np.where(in_x, np.inf, -np.inf))
+    loy = np.where(dy != 0.0, np.minimum(ty1, ty2),
+                   np.where(in_y, -np.inf, np.inf))
+    hiy = np.where(dy != 0.0, np.maximum(ty1, ty2),
+                   np.where(in_y, np.inf, -np.inf))
+    t_enter = np.maximum.reduce([lox, loy, np.zeros_like(x1)])
+    t_exit = np.minimum.reduce([hix, hiy, np.ones_like(x1)])
+    keep = t_enter <= t_exit
+    with np.errstate(invalid="ignore"):  # dropped rows: inf·0 → nan, masked
+        cx1 = x1 + t_enter * dx
+        cy1 = y1 + t_enter * dy
+        cx2 = x1 + t_exit * dx
+        cy2 = y1 + t_exit * dy
+    return cx1, cy1, cx2, cy2, keep
+
+
+# ---------------------------------------------------------------------------
 # Axis-aligned rectangle clip (Sutherland–Hodgman) — the clip MVP of
 # OGRLayer::Clip (ogr/ogrlayer.cpp:7538) / `gdal vector clip`
 # (apps/gdalalg_vector_clip.cpp) for rectangular clip geometries.

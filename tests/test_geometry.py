@@ -317,3 +317,72 @@ def test_de9im_consistent_with_named_predicates():
         assert rel["touches"] == (
             m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
         )
+
+
+# ---------------------------------------------------------------------------
+# Line ↔ polygon predicates + Liang–Barsky clip
+# ---------------------------------------------------------------------------
+
+def _line(*pts):
+    return np.asarray(pts, dtype=np.float64)
+
+
+def test_relate_line_polygon_cases():
+    sq = _rectangle(0, 0, 10, 10)
+    cases = [
+        ("through", _line((-2, 5), (12, 5)),
+         dict(intersects=True, crosses=True, touches=False, within=False)),
+        ("inside", _line((2, 2), (8, 8)),
+         dict(intersects=True, crosses=False, touches=False, within=True)),
+        ("outside", _line((-5, -5), (-1, -2)),
+         dict(intersects=False, crosses=False, touches=False, within=False)),
+        ("endpoint on edge", _line((10, 5), (15, 7)),
+         dict(intersects=True, crosses=False, touches=True, within=False)),
+        ("along edge", _line((2, 0), (8, 0)),
+         dict(intersects=True, crosses=False, touches=True, within=False)),
+        ("corner graze", _line((-2, 12), (12, -2)),  # passes through (5,5)?
+         dict(intersects=True, crosses=True, touches=False, within=False)),
+        ("in-and-out dip", _line((-2, 5), (5, 5), (5, 12)),
+         dict(intersects=True, crosses=True, touches=False, within=False)),
+        ("boundary then inside", _line((0, 2), (0, 8), (4, 5)),
+         dict(intersects=True, crosses=False, touches=False, within=True)),
+    ]
+    for name, coords, want in cases:
+        got = G.relate_line_polygon(coords, sq)
+        assert got == want, f"{name}: {got} != {want}"
+
+
+def test_relate_line_polygon_hole():
+    outer = _rectangle(0, 0, 10, 10)[0]
+    hole = _rectangle(3, 3, 7, 7)[0][::-1].copy()
+    donut = [outer, hole]
+    # line inside the hole: disjoint from the donut
+    got = G.relate_line_polygon(_line((4, 4), (6, 6)), donut)
+    assert got == dict(
+        intersects=False, crosses=False, touches=False, within=False
+    )
+    # line crossing from the ring interior through the hole: crosses
+    got = G.relate_line_polygon(_line((1, 5), (5, 5)), donut)
+    assert got == dict(
+        intersects=True, crosses=True, touches=False, within=False
+    )
+
+
+def test_clip_segment_rect_degenerate_axes():
+    # horizontal segment BELOW the window: the degenerate-y interval must
+    # stay empty (regression: min/max re-ordering made it unbounded)
+    x1 = np.array([-1.0]); y1 = np.array([40.0])
+    x2 = np.array([5.0]); y2 = np.array([40.0])
+    *_, keep = G.clip_segment_rect(x1, y1, x2, y2, 0.0, 43.0, 10.0, 50.0)
+    assert not keep[0]
+    # same segment level with the window: kept, clipped to [0, 5]
+    cx1, cy1, cx2, cy2, keep = G.clip_segment_rect(
+        x1, np.array([45.0]), x2, np.array([45.0]), 0.0, 43.0, 10.0, 50.0
+    )
+    assert keep[0] and cx1[0] == 0.0 and cx2[0] == 5.0
+    # fully inside: untouched endpoints
+    cx1, cy1, cx2, cy2, keep = G.clip_segment_rect(
+        np.array([1.0]), np.array([44.0]), np.array([2.0]),
+        np.array([45.0]), 0.0, 43.0, 10.0, 50.0
+    )
+    assert keep[0] and cx1[0] == 1.0 and cx2[0] == 2.0 and cy2[0] == 45.0
