@@ -365,3 +365,29 @@ def lines_df(spark: SparkSession) -> DataFrame:
         [(r["line_id"], r["coords"]) for r in line_records()],
         schema=LINE_SCHEMA,
     )
+
+
+def gridline_records() -> list[dict]:
+    """Straight 2-vertex lines (FIXTURES §2f): 6 horizontals + 6 verticals
+    spanning the mosaic, engineered to cross the §2e walks many times —
+    the line↔line intersection fixture."""
+    recs = []
+    lid = 100
+    for k in range(6):
+        y = 42.7 + k * 1.7
+        recs.append({"line_id": lid,
+                     "coords": [[-8.0, y], [12.0, y + 0.13]]})
+        lid += 1
+    for k in range(6):
+        x = -5.3 + k * 2.9
+        recs.append({"line_id": lid,
+                     "coords": [[x, 41.0], [x + 0.11, 55.0]]})
+        lid += 1
+    return recs
+
+
+def gridlines_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(r["line_id"], r["coords"]) for r in gridline_records()],
+        schema=LINE_SCHEMA,
+    )

@@ -134,3 +134,83 @@ def clip_lines_to_rect(
         f"{line_id} long, seg_idx long, cx1 double, cy1 double, "
         "cx2 double, cy2 double, seg_len double",
     )
+
+
+def line_line_intersection_join(
+    a: DataFrame, b: DataFrame, zoom: int = 5,
+    id_a: str = "line_id", id_b: str = "line_id",
+    coords_a: str = "coords", coords_b: str = "coords",
+) -> DataFrame:
+    """All point intersections between two line layers (the road-crossing
+    join; OGRGeometry::Intersection on line/line pairs → GEOS).  Same
+    cell-cover candidate plan as the polygon joins; the exact kernel solves
+    every segment pair of a candidate line pair in one vectorized
+    parameter computation.  Output: one row per crossing segment pair —
+    (id_a, id_b, seg_a, seg_b, ix, iy).  Collinear overlaps are not point
+    events and are skipped."""
+    ca = _with_cover(
+        with_line_envelope(a, coords_a), zoom, id_a, coords_a, "_a"
+    )
+    cb = _with_cover(
+        with_line_envelope(b, coords_b), zoom, id_b, coords_b, "_b"
+    )
+    cand = (
+        ca.join(cb, on=["cell_tx", "cell_ty"], how="inner")
+        .filter(
+            (F.col("cell_tx") == F.greatest("_txmin_a", "_txmin_b"))
+            & (F.col("cell_ty") == F.greatest("_tymin_a", "_tymin_b"))
+        )
+        .select("id_a", "rings_a", "id_b", "rings_b")
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "id_a": [], "id_b": [], "seg_a": [], "seg_b": [],
+                "ix": [], "iy": [],
+            }
+            for ia, cca, ib, ccb in zip(
+                pdf["id_a"], pdf["rings_a"], pdf["id_b"], pdf["rings_b"]
+            ):
+                ea = G.line_edges(
+                    np.asarray([list(p) for p in cca], dtype=np.float64)
+                )
+                eb = G.line_edges(
+                    np.asarray([list(p) for p in ccb], dtype=np.float64)
+                )
+                if ea.shape[0] == 0 or eb.shape[0] == 0:
+                    continue
+                p = ea[:, None, 0, :]
+                d = ea[:, None, 1, :] - p
+                q = eb[None, :, 0, :]
+                e = eb[None, :, 1, :] - q
+                w = q - p
+                denom = d[..., 0] * e[..., 1] - d[..., 1] * e[..., 0]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = (
+                        w[..., 0] * e[..., 1] - w[..., 1] * e[..., 0]
+                    ) / denom
+                    u = (
+                        w[..., 0] * d[..., 1] - w[..., 1] * d[..., 0]
+                    ) / denom
+                hit = (
+                    (denom != 0.0)
+                    & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+                )
+                sa, sb = np.nonzero(hit)
+                if sa.shape[0] == 0:
+                    continue
+                ix = p[sa, 0, 0] + t[sa, sb] * d[sa, 0, 0]
+                iy = p[sa, 0, 1] + t[sa, sb] * d[sa, 0, 1]
+                rows["id_a"].extend([int(ia)] * sa.shape[0])
+                rows["id_b"].extend([int(ib)] * sa.shape[0])
+                rows["seg_a"].extend(sa.tolist())
+                rows["seg_b"].extend(sb.tolist())
+                rows["ix"].extend(ix.tolist())
+                rows["iy"].extend(iy.tolist())
+            yield pd.DataFrame(rows)
+
+    return cand.mapInPandas(
+        refine,
+        "id_a long, id_b long, seg_a long, seg_b long, ix double, iy double",
+    )

@@ -688,3 +688,53 @@ def gopher_quality_columns(
             & (alpha >= 0.8) & (F.col("n_stopwords") >= 2)
         ).alias("keep_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix upsampling (the published LLM data-mixture recipe: per-source
+# epoch weights, e.g. GPT-3 Table 2.2 / Gopher A3.1): a source with weight
+# w is repeated floor(w) times plus one more with probability frac(w),
+# decided DETERMINISTICALLY per document from its id hash — exact, seedless,
+# reproducible resampling.
+#
+# Scale: map-only (hash + map lookup + sequence explode); output size is
+# input × mean weight, no shuffle.
+# ---------------------------------------------------------------------------
+
+def mix_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """One output row per (document, epoch copy): all input columns plus
+    ``copy_idx`` (1-based).  Unknown sources get ``default_weight``.
+    The fractional epoch keeps a document iff u(doc) < frac(w), where
+    u = first-8-hex of md5(id) / 2^32 — uniform, per-doc stable."""
+    pairs = []
+    for k, v in weights.items():
+        pairs.extend([F.lit(k), F.lit(float(v))])
+    wmap = F.create_map(*pairs)
+    w = F.coalesce(
+        F.element_at(wmap, F.col(source_col)), F.lit(float(default_weight))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (
+        F.floor(w).cast("long")
+        + (u < (w - F.floor(w))).cast("long")
+    )
+    return (
+        docs.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("_n_copies"))),
+        )
+        .drop("_n_copies")
+    )

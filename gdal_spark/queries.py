@@ -8611,3 +8611,102 @@ def q_line_poly_predicates(spark, sf_dir):
         F.col("id_a").alias("line_id"), F.col("id_b").alias("poly_id"),
         "intersects", "crosses", "touches", "within",
     )
+
+
+# ---------------------------------------------------------------------------
+# 36. Training-mix upsampling (GPT-3 Table 2.2 / Gopher A3.1 style
+# per-source epoch weights with deterministic fractional epochs).  Weight
+# per source: 0.4 + (ordinal % 5) * 0.7 → {0.4, 1.1, 1.8, 2.5, 3.2} — every
+# regime appears: sub-1 subsampling, >1 with small/large fractional parts.
+# Oracle recomputes floor(w) + [u < frac(w)] from the same md5 hash.
+# ---------------------------------------------------------------------------
+
+def _mix_weights() -> dict[str, float]:
+    return {f"src{i}": 0.4 + (i % 5) * 0.7 for i in range(20)}
+
+
+def _sql_mix_upsample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v!r}::double" for k, v in _mix_weights().items()
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source {cases} ELSE 1.0 END AS wt,
+         ('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint::double
+           / 4294967296.0 AS u
+  FROM documents),
+n AS (SELECT doc_id, source,
+             (floor(wt)::bigint
+              + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END) AS n_copies
+      FROM w)
+SELECT doc_id, source, n_copies FROM n WHERE n_copies > 0"""
+
+
+@register("corpus_mix_upsample", _sql_mix_upsample())
+def q_corpus_mix_upsample(spark, sf_dir):
+    """Mix-upsampling gate: run the exploding operator, then fold the
+    copies back to a per-doc count — proves both the hash-thresholded
+    fractional epoch and the sequence explosion."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    out = T.mix_upsample(docs, _mix_weights())
+    return out.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 37. Line ↔ line intersection join (road-crossing points;
+# OGRGeometry::Intersection on line pairs).  Oracle: every (walk segment ×
+# gridline segment) pair solved in SQL with the same two-cross-product
+# parameter formulas — identical IEEE arithmetic, so 9dp-rounded crossing
+# coordinates match exactly.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.data.pages import gridline_records, gridlines_df  # noqa: E402
+
+
+def _gridline_segment_values() -> str:
+    rows = []
+    for rec in gridline_records():
+        cc = rec["coords"]
+        for j in range(len(cc) - 1):
+            rows.append(
+                f"({rec['line_id']}, {j}, "
+                f"{cc[j][0]!r}::double, {cc[j][1]!r}::double, "
+                f"{cc[j + 1][0]!r}::double, {cc[j + 1][1]!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "line_line_intersections",
+    f"""WITH sa(id_a, seg_a, ax1, ay1, ax2, ay2)
+  AS ({_line_segment_values()}),
+sb(id_b, seg_b, bx1, by1, bx2, by2) AS ({_gridline_segment_values()}),
+j AS (
+  SELECT id_a, seg_a, id_b, seg_b, ax1, ay1,
+         ax2 - ax1 AS dx, ay2 - ay1 AS dy,
+         bx2 - bx1 AS ex, by2 - by1 AS ey,
+         bx1 - ax1 AS wx, by1 - ay1 AS wy
+  FROM sa CROSS JOIN sb),
+t AS (
+  SELECT id_a, id_b, seg_a, seg_b, ax1, ay1, dx, dy,
+         (wx * ey - wy * ex) / (dx * ey - dy * ex) AS t,
+         (wx * dy - wy * dx) / (dx * ey - dy * ex) AS u
+  FROM j WHERE dx * ey - dy * ex <> 0)
+SELECT id_a AS line_a, id_b AS line_b, seg_a, seg_b,
+       {SR('ax1 + t * dx', 9)} AS ix, {SR('ay1 + t * dy', 9)} AS iy
+FROM t WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1""",
+)
+def q_line_line_intersections(spark, sf_dir):
+    """Crossing-point join between the walk layer and the straight
+    gridlines: cell-cover candidates, vectorized segment-pair solve."""
+    out = LN.line_line_intersection_join(
+        lines_df(spark), gridlines_df(spark), zoom=5
+    )
+    return out.select(
+        F.col("id_a").alias("line_a"), F.col("id_b").alias("line_b"),
+        "seg_a", "seg_b",
+        R(F.col("ix"), 9).alias("ix"), R(F.col("iy"), 9).alias("iy"),
+    )
