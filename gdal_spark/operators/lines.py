@@ -294,3 +294,67 @@ def snap_vertices(
         ).alias(coords_col),
         F.sum(F.col("_snapped").cast("long")).alias("n_snapped"),
     )
+
+
+def point_line_distance_join(
+    points: DataFrame,
+    lines: DataFrame,
+    point_id: str = "o_orderkey",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    line_id: str = "line_id",
+    coords_col: str = "coords",
+) -> DataFrame:
+    """Nearest-line enrichment (distance to nearest road): for every point
+    the closest line feature and the planar distance to it (point→segment
+    projection, clamped).  The line layer is collected to a broadcast
+    (dimension-sized network — the knn_exact pattern); the kernel runs one
+    vectorized argmin over all segments per Arrow batch.  For fact-scale
+    line layers use the cell-bucketed kNN machinery instead.
+    Output: (point_id, line_id, seg_idx, dist)."""
+    # deterministic broadcast order (argmin breaks exact-d² ties by array
+    # index, which must mirror the (line_id, seg_idx) oracle tie order)
+    recs = lines.select(line_id, coords_col).orderBy(line_id).collect()
+    segs = []
+    ids = []
+    sidx = []
+    for r in recs:
+        arr = np.asarray([list(p) for p in r[coords_col]], dtype=np.float64)
+        e = G.line_edges(arr)
+        for j in range(e.shape[0]):
+            segs.append(e[j])
+            ids.append(int(r[line_id]))
+            sidx.append(j)
+    seg_arr = np.asarray(segs)          # (S, 2, 2)
+    id_arr = np.asarray(ids, dtype=np.int64)
+    sx_arr = np.asarray(sidx, dtype=np.int64)
+    spark = points.sparkSession
+    b = spark.sparkContext.broadcast((seg_arr, id_arr, sx_arr))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sa, ia, xa = b.value
+        a = sa[:, 0, :]                     # (S, 2)
+        d = sa[:, 1, :] - a
+        dd = (d * d).sum(axis=1)
+        dd = np.where(dd == 0.0, 1.0, dd)
+        for pdf in batches:
+            px = pdf[x_col].to_numpy(dtype=np.float64)[:, None]
+            py = pdf[y_col].to_numpy(dtype=np.float64)[:, None]
+            t = ((px - a[None, :, 0]) * d[None, :, 0]
+                 + (py - a[None, :, 1]) * d[None, :, 1]) / dd[None, :]
+            t = np.minimum(np.maximum(t, 0.0), 1.0)
+            qx = a[None, :, 0] + t * d[None, :, 0]
+            qy = a[None, :, 1] + t * d[None, :, 1]
+            d2 = (px - qx) ** 2 + (py - qy) ** 2
+            k = np.argmin(d2, axis=1)      # first minimum = smallest index
+            rows = np.arange(px.shape[0])
+            yield pd.DataFrame({
+                point_id: pdf[point_id].to_numpy(),
+                line_id: ia[k],
+                "seg_idx": xa[k],
+                "dist": np.sqrt(d2[rows, k]),
+            })
+
+    return points.select(point_id, x_col, y_col).mapInPandas(
+        run, f"{point_id} long, {line_id} long, seg_idx long, dist double"
+    )

@@ -8812,3 +8812,46 @@ def q_geom_snap_vertices(spark, sf_dir):
         R(F.col("_pt")[0], 9).alias("sx"),
         R(F.col("_pt")[1], 9).alias("sy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 39. Point → nearest-line distance join (distance-to-nearest-road
+# enrichment; OGR_G_Distance point/line + the SQLite dialect ST_Distance).
+# Broadcast the 12-segment gridline network, vectorized clamped-projection
+# argmin per point.  Oracle: the same projection algebra per (point,
+# segment) pair with (d², line_id, seg) argmin — identical IEEE ops.
+# ---------------------------------------------------------------------------
+
+@register(
+    "point_line_distance",
+    f"""WITH pts AS ({SQL_POINTS}),
+sb(line_id, seg_idx, x1, y1, x2, y2) AS ({_gridline_segment_values()}),
+pr AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         least(greatest(((lon - x1) * (x2 - x1) + (lat - y1) * (y2 - y1))
+                        / ((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)),
+                        0.0), 1.0) AS t,
+         lon, lat, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+  FROM pts CROSS JOIN sb),
+d AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         (lon - (x1 + t * dx)) * (lon - (x1 + t * dx))
+         + (lat - (y1 + t * dy)) * (lat - (y1 + t * dy)) AS d2
+  FROM pr),
+best AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY d2, line_id, seg_idx) AS rn,
+         d2
+  FROM d)
+SELECT o_orderkey, line_id, seg_idx, {SR('sqrt(d2)', 9)} AS dist
+FROM best WHERE rn = 1""",
+)
+def q_point_line_distance(spark, sf_dir):
+    """Nearest-gridline join over the derived order points."""
+    out = LN.point_line_distance_join(
+        order_points(spark, sf_dir), gridlines_df(spark)
+    )
+    return out.select(
+        "o_orderkey", "line_id", "seg_idx", R(F.col("dist"), 9).alias("dist")
+    )
