@@ -1,0 +1,266 @@
+"""True reprojection warp: geographic (EPSG:4326 pixel grid) source →
+WebMercator (EPSG:3857 / XYZ tile) target.
+
+Reference semantics: gdalwarp's core path (apps/gdalwarp_lib.cpp +
+alg/gdalwarper.cpp): for every DESTINATION pixel center, inverse-transform
+to source coordinates and sample (nearest kernel with the reference's
+``int(x + 1e-10)`` truncation parity, as in the resampling gates).
+
+Spark-first plan (the 100 TB shape):
+
+1. The source raster is a DataFrame of fixed-size blocks keyed (bx, by).
+2. Each target tile derives the geo-block RANGE it needs from its own
+   bounds in closed form (pure JVM column math incl. the Mercator inverse
+   via exp/atan), explodes to (tile, needed-block) pairs, and equi-joins
+   the source on the block key — the warp's only shuffle, and it moves
+   exactly the halo-free working set.
+3. A per-tile ``applyInPandas`` assembles the destination pixels from the
+   joined blocks with one vectorized index computation.
+
+No driver-side gather, no broadcast of the raster, no Python loops over
+pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GEO_RES = 0.25          # degrees per source pixel
+GEO_BLOCK = 180         # source block edge (pixels)
+GEO_W = int(round(360.0 / GEO_RES))   # 1440
+GEO_H = int(round(180.0 / GEO_RES))   # 720
+TILE = 256
+
+
+def geo_pixel_value(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Closed-form world value of geographic pixel (i, j) — shared with the
+    SQL oracle."""
+    return (i * 31 + j * 17 + 7) % 256
+
+
+def synthetic_geo_raster(spark: SparkSession) -> DataFrame:
+    """The world as GEO_BLOCK² blocks of the 0.25° grid: (bx, by, data)."""
+    nbx = GEO_W // GEO_BLOCK
+    nby = GEO_H // GEO_BLOCK
+    base = spark.range(nbx * nby).select(
+        (F.col("id") % nbx).cast("int").alias("bx"),
+        F.floor(F.col("id") / nbx).cast("int").alias("by"),
+    )
+
+    def fill(batches):
+        jj, ii = np.mgrid[0:GEO_BLOCK, 0:GEO_BLOCK]
+        for pdf in batches:
+            out = pdf.copy()
+            out["data"] = [
+                geo_pixel_value(
+                    bx * GEO_BLOCK + ii, by * GEO_BLOCK + jj
+                ).ravel().astype(np.float64)
+                for bx, by in zip(pdf["bx"], pdf["by"])
+            ]
+            yield out[["bx", "by", "data"]]
+
+    return base.mapInPandas(fill, "bx int, by int, data array<double>")
+
+
+def _merc_lat(gy_frac_col):
+    """Latitude (degrees) of a WebMercator y fraction (0..1, 0 = north) —
+    sinh expanded through exp() so the SQL oracle is bit-identical."""
+    t = F.lit(float(np.pi)) * (F.lit(1.0) - F.lit(2.0) * gy_frac_col)
+    return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+
+def warp_reproject_nearest(
+    src_blocks: DataFrame, tiles: DataFrame, zoom: int
+) -> DataFrame:
+    """Warp the geographic block raster onto the given WebMercator tiles
+    (columns tx, ty) at ``zoom``.  Output per tile: (tx, ty, n_px,
+    val_sum, digest) — digest = md5 of the comma-joined integer pixel
+    values in row-major order (the gdal2tiles checksum style)."""
+    n_px = (1 << zoom) * TILE
+
+    # closed-form geo-block range per tile from its edge bounds
+    gx0 = F.col("tx").cast("double") * TILE
+    gx1 = (F.col("tx") + 1).cast("double") * TILE
+    gy0 = F.col("ty").cast("double") * TILE
+    gy1 = (F.col("ty") + 1).cast("double") * TILE
+    i0 = F.floor(gx0 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    i1 = F.floor(gx1 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    j0 = F.floor(
+        (F.lit(90.0) - _merc_lat(gy0 / n_px)) / GEO_RES + 1e-10
+    )
+    j1 = F.floor(
+        (F.lit(90.0) - _merc_lat(gy1 / n_px)) / GEO_RES + 1e-10
+    )
+    need = (
+        tiles.select(
+            "tx", "ty",
+            F.greatest(F.lit(0), (i0 / GEO_BLOCK).cast("long")).alias("_bx0"),
+            F.least(
+                F.lit(GEO_W // GEO_BLOCK - 1), (i1 / GEO_BLOCK).cast("long")
+            ).alias("_bx1"),
+            F.greatest(F.lit(0), (j0 / GEO_BLOCK).cast("long")).alias("_by0"),
+            F.least(
+                F.lit(GEO_H // GEO_BLOCK - 1), (j1 / GEO_BLOCK).cast("long")
+            ).alias("_by1"),
+        )
+        .withColumn("_bx", F.explode(F.sequence("_bx0", "_bx1")))
+        .withColumn("_by", F.explode(F.sequence("_by0", "_by1")))
+        .select(
+            "tx", "ty",
+            F.col("_bx").cast("int").alias("bx"),
+            F.col("_by").cast("int").alias("by"),
+        )
+    )
+    joined = need.join(src_blocks, on=["bx", "by"], how="inner")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        blocks = {
+            (int(r.bx), int(r.by)): np.asarray(r.data, dtype=np.float64)
+            .reshape(GEO_BLOCK, GEO_BLOCK)
+            for r in pdf.itertuples()
+        }
+        py, px = np.mgrid[0:TILE, 0:TILE]
+        gx = tx * TILE + px + 0.5
+        gy = ty * TILE + py + 0.5
+        i = np.floor(gx * (360.0 / n_px / GEO_RES) + 1e-10).astype(np.int64)
+        t = np.pi * (1.0 - 2.0 * gy / n_px)
+        lat = np.degrees(np.arctan((np.exp(t) - np.exp(-t)) / 2.0))
+        j = np.floor((90.0 - lat) / GEO_RES + 1e-10).astype(np.int64)
+        i = np.clip(i, 0, GEO_W - 1)
+        j = np.clip(j, 0, GEO_H - 1)
+        vals = np.empty((TILE, TILE), dtype=np.int64)
+        for (bx, by), arr in blocks.items():
+            m = (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+            vals[m] = arr[j[m] % GEO_BLOCK, i[m] % GEO_BLOCK].astype(
+                np.int64
+            )
+        covered = np.zeros((TILE, TILE), dtype=bool)
+        for (bx, by) in blocks:
+            covered |= (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+        if not covered.all():
+            raise RuntimeError(
+                f"tile ({tx},{ty}): {int((~covered).sum())} px missing "
+                "source blocks"
+            )
+        flat = vals.ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(v)) for v in flat).encode()
+        ).hexdigest()
+        return pd.DataFrame([{
+            "tx": tx, "ty": ty, "n_px": int(flat.shape[0]),
+            "val_sum": int(flat.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("tx", "ty").applyInPandas(
+        assemble, "tx int, ty int, n_px long, val_sum long, digest string"
+    )
+
+
+def warp_reproject_bilinear(
+    src_blocks: DataFrame, tiles: DataFrame, zoom: int
+) -> DataFrame:
+    """Bilinear reprojection warp (gdalwarp -r bilinear parity: taps at
+    floor(src - 0.5) and +1, frac weights — the same convention as the
+    in-grid resampling gates).  The needed-block range extends one block
+    each side so edge taps never miss (the halo ships through the same
+    block-key equi-join).  Output per tile: (tx, ty, n_px, val_micro_sum,
+    digest) with values in integer micro-units."""
+    n_px = (1 << zoom) * TILE
+
+    gx0 = F.col("tx").cast("double") * TILE
+    gx1 = (F.col("tx") + 1).cast("double") * TILE
+    gy0 = F.col("ty").cast("double") * TILE
+    gy1 = (F.col("ty") + 1).cast("double") * TILE
+    i0 = F.floor(gx0 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    i1 = F.floor(gx1 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    j0 = F.floor((F.lit(90.0) - _merc_lat(gy0 / n_px)) / GEO_RES + 1e-10)
+    j1 = F.floor((F.lit(90.0) - _merc_lat(gy1 / n_px)) / GEO_RES + 1e-10)
+    need = (
+        tiles.select(
+            "tx", "ty",
+            F.greatest(
+                F.lit(0), (i0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_bx0"),
+            F.least(
+                F.lit(GEO_W // GEO_BLOCK - 1),
+                (i1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_bx1"),
+            F.greatest(
+                F.lit(0), (j0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_by0"),
+            F.least(
+                F.lit(GEO_H // GEO_BLOCK - 1),
+                (j1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_by1"),
+        )
+        .withColumn("_bx", F.explode(F.sequence("_bx0", "_bx1")))
+        .withColumn("_by", F.explode(F.sequence("_by0", "_by1")))
+        .select(
+            "tx", "ty",
+            F.col("_bx").cast("int").alias("bx"),
+            F.col("_by").cast("int").alias("by"),
+        )
+    )
+    joined = need.join(src_blocks, on=["bx", "by"], how="inner")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        blocks = {
+            (int(r.bx), int(r.by)): np.asarray(r.data, dtype=np.float64)
+            .reshape(GEO_BLOCK, GEO_BLOCK)
+            for r in pdf.itertuples()
+        }
+
+        def fetch(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+            i = np.clip(i, 0, GEO_W - 1)
+            j = np.clip(j, 0, GEO_H - 1)
+            out = np.empty(i.shape, dtype=np.float64)
+            seen = np.zeros(i.shape, dtype=bool)
+            for (bx, by), arr in blocks.items():
+                m = (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+                out[m] = arr[j[m] % GEO_BLOCK, i[m] % GEO_BLOCK]
+                seen |= m
+            if not seen.all():
+                raise RuntimeError(
+                    f"tile ({tx},{ty}): bilinear taps missing blocks"
+                )
+            return out
+
+        py, px = np.mgrid[0:TILE, 0:TILE]
+        gx = tx * TILE + px + 0.5
+        gy = ty * TILE + py + 0.5
+        sx = gx * (360.0 / n_px / GEO_RES)
+        t = np.pi * (1.0 - 2.0 * gy / n_px)
+        lat = np.degrees(np.arctan((np.exp(t) - np.exp(-t)) / 2.0))
+        sy = (90.0 - lat) / GEO_RES
+        x0 = np.floor(sx - 0.5).astype(np.int64)
+        y0 = np.floor(sy - 0.5).astype(np.int64)
+        fx = sx - 0.5 - x0
+        fy = sy - 0.5 - y0
+        v = (
+            fetch(x0, y0) * (1.0 - fx) * (1.0 - fy)
+            + fetch(x0 + 1, y0) * fx * (1.0 - fy)
+            + fetch(x0, y0 + 1) * (1.0 - fx) * fy
+            + fetch(x0 + 1, y0 + 1) * fx * fy
+        )
+        vi = np.floor(v * 1e6 + 0.5).astype(np.int64).ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(x)) for x in vi).encode()
+        ).hexdigest()
+        return pd.DataFrame([{
+            "tx": tx, "ty": ty, "n_px": int(vi.shape[0]),
+            "val_micro_sum": int(vi.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("tx", "ty").applyInPandas(
+        assemble,
+        "tx int, ty int, n_px long, val_micro_sum long, digest string",
+    )

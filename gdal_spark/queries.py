@@ -8855,3 +8855,110 @@ def q_point_line_distance(spark, sf_dir):
     return out.select(
         "o_orderkey", "line_id", "seg_idx", R(F.col("dist"), 9).alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# 40. TRUE reprojection warp (gdalwarp core path, apps/gdalwarp_lib.cpp):
+# 0.25° geographic block raster → WebMercator z2 tiles, nearest kernel with
+# the reference's int(x+1e-10) parity.  Engine: closed-form block-range
+# derivation per tile (JVM Mercator inverse via exp/atan), block-key
+# equi-join, per-tile vectorized assembly.  Oracle: per-pixel inverse
+# transform in SQL — sinh expanded through exp() on BOTH engines so the
+# trig chain is bit-identical; per-tile md5 digest in row-major order
+# (gdal2tiles checksum style).
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import warp as WP  # noqa: E402
+
+_WARP_Z = 2
+_WARP_NPX = (1 << _WARP_Z) * 256
+_WARP_KX = 360.0 / _WARP_NPX / WP.GEO_RES
+
+
+@register(
+    "warp_reproject_nearest",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, 255)) AS v),
+tl AS (SELECT unnest(generate_series(1, 2)) AS v),
+p AS (
+  SELECT ttx.v AS tx, tty.v AS ty, gy.v AS py, gx.v AS px,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v + 0.5) / {_WARP_NPX})
+           AS t
+  FROM tl ttx CROSS JOIN tl tty CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT tx, ty, py, px,
+         floor((tx * 256 + px + 0.5) * {_WARP_KX!r} + 1e-10)::bigint AS i,
+         floor((90.0 - degrees(atan((exp(t) - exp(-t)) / 2.0)))
+               / {WP.GEO_RES!r} + 1e-10)::bigint AS j
+  FROM p),
+v AS (SELECT tx, ty, py, px, (i * 31 + j * 17 + 7) % 256 AS val FROM c)
+SELECT tx, ty, count(*)::bigint AS n_px, sum(val)::bigint AS val_sum,
+       md5(string_agg(val::varchar, ',' ORDER BY py, px)) AS digest
+FROM v GROUP BY tx, ty""",
+)
+def q_warp_reproject_nearest(spark, sf_dir):
+    """Reprojection warp gate over the central 2×2 z2 tile window."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int"
+    )
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_nearest(src, tiles, _WARP_Z)
+
+
+# ---------------------------------------------------------------------------
+# 41. Bilinear reprojection warp (gdalwarp -r bilinear): same inverse
+# transform, 4 clamped taps at floor(src-0.5), frac weights summed in the
+# identical term order; per-tile digest over integer micro-units.
+# ---------------------------------------------------------------------------
+
+_GW, _GH = WP.GEO_W, WP.GEO_H
+
+
+def _geo_val(ix: str, jy: str) -> str:
+    cx = f"least(greatest({ix}, 0), {_GW - 1})"
+    cy = f"least(greatest({jy}, 0), {_GH - 1})"
+    return f"((({cx}) * 31 + ({cy}) * 17 + 7) % 256)"
+
+
+def _sql_warp_bilinear() -> str:
+    v_expr = (
+        f"{_geo_val('x0', 'y0')} * (1.0 - fx) * (1.0 - fy)"
+        f" + {_geo_val('x0 + 1', 'y0')} * fx * (1.0 - fy)"
+        f" + {_geo_val('x0', 'y0 + 1')} * (1.0 - fx) * fy"
+        f" + {_geo_val('x0 + 1', 'y0 + 1')} * fx * fy"
+    )
+    return f"""
+WITH gs AS (SELECT unnest(generate_series(0, 255)) AS v),
+tl AS (SELECT unnest(generate_series(1, 2)) AS v),
+p AS (
+  SELECT ttx.v AS tx, tty.v AS ty, gy.v AS py, gx.v AS px,
+         (ttx.v * 256 + gx.v + 0.5) * {_WARP_KX!r} AS sx,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v + 0.5) / {_WARP_NPX})
+           AS t
+  FROM tl ttx CROSS JOIN tl tty CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT tx, ty, py, px, sx,
+         (90.0 - degrees(atan((exp(t) - exp(-t)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy
+  FROM p),
+f AS (
+  SELECT tx, ty, py, px,
+         floor(sx - 0.5)::bigint AS x0, floor(sy - 0.5)::bigint AS y0,
+         sx - 0.5 - floor(sx - 0.5) AS fx, sy - 0.5 - floor(sy - 0.5) AS fy
+  FROM c),
+vv AS (
+  SELECT tx, ty, py, px,
+         floor(({v_expr}) * 1e6 + 0.5)::bigint AS vi
+  FROM f)
+SELECT tx, ty, count(*)::bigint AS n_px, sum(vi)::bigint AS val_micro_sum,
+       md5(string_agg(vi::varchar, ',' ORDER BY py, px)) AS digest
+FROM vv GROUP BY tx, ty"""
+
+
+@register("warp_reproject_bilinear", _sql_warp_bilinear())
+def q_warp_reproject_bilinear(spark, sf_dir):
+    """Bilinear reprojection warp gate over the same z2 window."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int"
+    )
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_bilinear(src, tiles, _WARP_Z)
