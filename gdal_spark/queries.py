@@ -8962,3 +8962,31 @@ def q_warp_reproject_bilinear(spark, sf_dir):
     )
     src = WP.synthetic_geo_raster(spark)
     return WP.warp_reproject_bilinear(src, tiles, _WARP_Z)
+
+
+# ---------------------------------------------------------------------------
+# 42. Exact percentiles (OGR SQL dialect MEDIAN + SQLite percentile UDFs;
+# gcore approx-stats counterpart is the raster stats gate).  Spark
+# percentile() and DuckDB quantile_cont() share the linear-interpolation
+# definition; 6dp stable rounding on both.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sql_percentiles",
+    f"""SELECT source,
+       {SR('quantile_cont(n_chars, 0.5)', 6)} AS p50,
+       {SR('quantile_cont(n_chars, 0.9)', 6)} AS p90,
+       {SR('quantile_cont(n_chars, 0.99)', 6)} AS p99,
+       count(*)::bigint AS n
+FROM documents GROUP BY source""",
+)
+def q_sql_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per source over the corpus length
+    column — one shuffle with partial collection, JVM-side percentile."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        R(F.percentile(F.col("n_chars"), F.lit(0.5)), 6).alias("p50"),
+        R(F.percentile(F.col("n_chars"), F.lit(0.9)), 6).alias("p90"),
+        R(F.percentile(F.col("n_chars"), F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
