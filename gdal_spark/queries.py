@@ -6558,25 +6558,46 @@ def q_url_normalize(spark, sf_dir):
         F.expr(_sql_url_raw("id").replace("::VARCHAR", "")
                .replace(" AS VARCHAR", " AS STRING")).alias("url")
     )
-    scheme_n = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
-    hostport = F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
-    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    query = F.regexp_extract("url", r"(\?[^#]*)", 1)
-    host_n = F.regexp_replace(
-        F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1)), r"^www\.", ""
+    # Each regexp materializes ONCE per stage — composing them in a single
+    # expression tree made Catalyst inline every sub-regexp repeatedly and
+    # codegen/planning dominated the query (~12 s for 4k rows).  The
+    # localCheckpoint-free fix: staged selects so no stage references a
+    # regexp more than once after collapse.
+    parts = raw.select(
+        "url",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+         .alias("scheme_n"),
+        F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+         .alias("hostport"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+         .alias("path"),
+        F.regexp_extract("url", r"(\?[^#]*)", 1).alias("query"),
     )
-    port_s = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    n1 = parts.select(
+        "url", "scheme_n", "query",
+        F.regexp_replace(
+            F.lower(F.regexp_extract("hostport", r"^([^:]+)", 1)),
+            r"^www\.", "",
+        ).alias("host_n"),
+        F.regexp_extract("hostport", r":([0-9]+)$", 1).alias("port_s"),
+        F.regexp_replace("path", r"/$", "").alias("path_t"),
+    )
     port_n = (
-        F.when(port_s == "", "")
-        .when((scheme_n == "http") & (port_s == "80"), "")
-        .when((scheme_n == "https") & (port_s == "443"), "")
-        .otherwise(F.concat(F.lit(":"), port_s))
+        F.when(F.col("port_s") == "", "")
+        .when((F.col("scheme_n") == "http") & (F.col("port_s") == "80"), "")
+        .when(
+            (F.col("scheme_n") == "https") & (F.col("port_s") == "443"), ""
+        )
+        .otherwise(F.concat(F.lit(":"), F.col("port_s")))
     )
-    path_t = F.regexp_replace(path, r"/$", "")
-    path_n = F.when(path_t == "", "/").otherwise(path_t)
-    url_n = F.concat(scheme_n, F.lit("://"), host_n, port_n, path_n, query)
-    norm = raw.select(
-        host_n.alias("host_n"), F.col("url"), url_n.alias("url_n")
+    path_n = F.when(F.col("path_t") == "", "/").otherwise(F.col("path_t"))
+    norm = n1.select(
+        "host_n",
+        "url",
+        F.concat(
+            F.col("scheme_n"), F.lit("://"), F.col("host_n"), port_n,
+            path_n, F.col("query"),
+        ).alias("url_n"),
     )
     return (
         norm.groupBy("host_n")
