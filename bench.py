@@ -208,8 +208,14 @@ def main():
     _run_query(spark, "sql_count_star")
 
     flagship(spark)  # warm the exact path once
-    fl_t, fl_n = flagship(spark)
+    # median of 3 measured runs — this VM's wall times are ±2x noisy and
+    # the headline docs/sec should not ride a single draw (all runs after
+    # the warmup, so none pays one-time codegen)
+    fl_runs = [flagship(spark) for _ in range(3)]
+    fl_t = sorted(t for t, _ in fl_runs)[1]
+    fl_n = fl_runs[0][1]
     results["flagship_pip_tiles"] = round(fl_t, 3)
+    flagship_runs = [round(t, 3) for t, _ in fl_runs]
     docs_per_sec = fl_n / fl_t if fl_t > 0 else 0.0
 
     for name in BENCH_QUERIES:
@@ -305,6 +311,7 @@ def main():
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "flagship_docs_per_sec": round(docs_per_sec, 1),
+        "flagship_runs_sec": flagship_runs,
         "flagship_rows": fl_n,
         "cpus": CPUS,
         "scaling": scaling,
