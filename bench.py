@@ -102,6 +102,17 @@ BENCH_QUERIES = [
     "text_line_dedup",
     "text_substring_dup",
     "raster_rgb2pct",
+    # round 3 (session 5): DE-9IM relate, C4/Gopher curation, mix
+    # upsampling, GeoParquet pushdown scan, line layer, reprojection warp,
+    # TPC-H Q5
+    "geom_relate_de9im",
+    "text_c4_filters",
+    "text_gopher_rules",
+    "corpus_mix_upsample",
+    "geoparquet_roundtrip",
+    "line_poly_predicates",
+    "warp_reproject_nearest",
+    "tpch_q5",
 ]
 
 

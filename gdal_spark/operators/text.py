@@ -738,3 +738,66 @@ def mix_upsample(
         )
         .drop("_n_copies")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring plumbing (the fasttext/DCLM-style linear
+# quality classifier every published curation pipeline runs): hashed
+# bag-of-words features, a broadcast weight table, sigmoid score, threshold
+# keep.  The weights here are a deterministic synthetic vector (Knuth
+# multiplicative hash of the feature index) — the PLUMBING (hashing, feature
+# join, per-doc reduction) is the real, at-scale part; swap the weight
+# table for trained parameters.
+#
+# Scale: explode(tokens) → broadcast join on the feature id → one groupBy
+# per doc.  Weights are dyadic rationals (k/1024), so the per-doc sum is
+# EXACT in float regardless of reduction order — the score is
+# cross-engine-deterministic.
+# ---------------------------------------------------------------------------
+
+QUALITY_DIM = 1024
+
+
+def quality_weights_df(spark) -> DataFrame:
+    """(feat, w) — w = ((feat * 2654435761) % 1024) / 1024 - 0.5."""
+    return spark.range(QUALITY_DIM).select(
+        F.col("id").alias("feat"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % QUALITY_DIM)
+            .cast("double") / QUALITY_DIM - F.lit(0.5)
+        ).alias("w"),
+    )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document linear quality score: z = Σ w[h(token)] / n_tokens,
+    score = sigmoid(z), keep = z > 0.  h = first-8-hex of md5(token) mod
+    the weight dimension.  Output: (id_col, n_tokens, n_feats, score,
+    keep_doc)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("_tok"),
+    ).select(
+        id_col,
+        (
+            F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+            % QUALITY_DIM
+        ).alias("feat"),
+    )
+    joined = toks.join(F.broadcast(weights), "feat")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("feat").cast("long").alias("n_feats"),
+        F.sum("w").alias("_zsum"),
+    )
+    z = F.col("_zsum") / F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col, "n_tokens", "n_feats",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        (z > 0.0).alias("keep_doc"),
+    )

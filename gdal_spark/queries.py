@@ -9011,3 +9011,47 @@ def q_sql_percentiles(spark, sf_dir):
         R(F.percentile(F.col("n_chars"), F.lit(0.99)), 6).alias("p99"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 43. Model-based quality scoring (fasttext/DCLM-style linear classifier
+# plumbing): hashed features, broadcast weight join, exact dyadic weight
+# sums (k/1024 — order-free in float), sigmoid score.  Oracle: the same
+# hash/weight closed form via unnest + join in SQL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality_model",
+    f"""WITH w AS (
+  SELECT range AS feat,
+         ((range * 2654435761) % {T.QUALITY_DIM})::double
+           / {T.QUALITY_DIM} - 0.5 AS w
+  FROM range({T.QUALITY_DIM})),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::bigint % {T.QUALITY_DIM} AS feat
+  FROM tok),
+agg AS (
+  SELECT f.doc_id,
+         count(*)::bigint AS n_tokens,
+         count(DISTINCT f.feat)::bigint AS n_feats,
+         sum(w.w) AS zsum
+  FROM feat f JOIN w ON w.feat = f.feat
+  GROUP BY f.doc_id)
+SELECT doc_id, n_tokens, n_feats,
+       {SR('1.0 / (1.0 + exp(-(zsum / n_tokens)))', 9)} AS score,
+       (zsum / n_tokens > 0.0) AS keep_doc
+FROM agg""",
+)
+def q_text_quality_model(spark, sf_dir):
+    """Linear quality-classifier gate over the corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    out = T.linear_quality_score(docs, T.quality_weights_df(spark))
+    return out.select(
+        "doc_id", "n_tokens", "n_feats",
+        R(F.col("score"), 9).alias("score"), "keep_doc",
+    )

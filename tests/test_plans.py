@@ -365,3 +365,60 @@ def test_geoparquet_bbox_filters_pushed_to_scan(spark):
         spark, path, envelope=(-1.5, 30.5, 45.0, 47.0)
     )
     assert decoded.count() == 26
+
+
+def test_line_relate_join_no_cartesian(spark):
+    """Line↔polygon relate must candidate-generate via the cell equi-join —
+    never a nested-loop over the layers."""
+    p = _plan(spark, "line_poly_predicates")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_line_line_intersections_equi_join_only(spark):
+    p = _plan(spark, "line_line_intersections")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_warp_reproject_block_equi_join(spark):
+    """The warp's only wide operation is the block-key equi-join (plus the
+    per-tile assembly shuffle) — no nested loop, no driver gather."""
+    p = _plan(spark, "warp_reproject_nearest")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mix_upsample_map_only(spark):
+    """Upsampling is hash + map lookup + sequence explode — zero Exchange
+    before the gate's fold-back aggregation."""
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    from gdal_spark.operators.text import mix_upsample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    up = mix_upsample(docs, {"src0": 1.5})
+    buf = _io.StringIO()
+    with _rs(buf):
+        up.explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_c4_gopher_filters_no_shuffle(spark):
+    from gdal_spark.operators.text import (
+        c4_filter_columns,
+        gopher_quality_columns,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (c4_filter_columns, gopher_quality_columns):
+        import io as _io
+        from contextlib import redirect_stdout as _rs
+
+        buf = _io.StringIO()
+        with _rs(buf):
+            op(docs).explain("formatted")
+        assert "Exchange" not in buf.getvalue(), op.__name__
