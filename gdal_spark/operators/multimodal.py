@@ -182,3 +182,64 @@ def resize_stub(df: DataFrame, out_w: int, out_h: int, media: str = "media",
             )
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio path plumbing: synthesize deterministic PCM (the codec decode step
+# stays a stub — no audio libs in this container), then run the REAL
+# distributed pieces: block decimation (integer-factor resample), per-clip
+# loudness stats.  An Arrow-batched kernel per clip; linear map at corpus
+# scale.
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 16000
+AUDIO_DECIM = 4
+
+
+def synth_pcm(doc_id: int, n: int = 2048) -> np.ndarray:
+    """Deterministic fake 'decoded' PCM for doc_id: a two-tone sine mix
+    with doc-keyed frequencies (closed form, shared with the SQL oracle)."""
+    t = np.arange(n, dtype=np.float64)
+    f1 = 110.0 + (doc_id % 40) * 7.0
+    f2 = 330.0 + (doc_id % 17) * 11.0
+    return (
+        np.sin(2.0 * np.pi * f1 * t / AUDIO_SR)
+        + 0.5 * np.sin(2.0 * np.pi * f2 * t / AUDIO_SR)
+    )
+
+
+def audio_resample_stats(
+    docs: DataFrame, n_samples: int = 2048, decim: int = AUDIO_DECIM,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per clip: decimate by ``decim`` (mean of each block — the polyphase
+    box kernel), emit count, micro-unit energy sum, and an md5 digest of
+    the micro-rounded resampled signal.  The synthesis stands in for the
+    codec; everything after it is the production plumbing."""
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf[id_col]:
+                pcm = synth_pcm(int(did), n_samples)
+                blocks = pcm.reshape(-1, decim)
+                # explicit left-associated sum — bit-parity with the SQL
+                # oracle's a + b + c + d
+                acc = blocks[:, 0]
+                for k in range(1, decim):
+                    acc = acc + blocks[:, k]
+                res = acc / float(decim)
+                vi = np.floor(res * 1e6 + 0.5).astype(np.int64)
+                out.append({
+                    id_col: int(did),
+                    "n_out": int(vi.shape[0]),
+                    "energy_micro": int(np.abs(vi).sum()),
+                    "digest": __import__("hashlib").md5(
+                        ",".join(str(int(v)) for v in vi).encode()
+                    ).hexdigest(),
+                })
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col).mapInPandas(
+        run, f"{id_col} long, n_out long, energy_micro long, digest string"
+    )

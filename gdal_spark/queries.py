@@ -9055,3 +9055,103 @@ def q_text_quality_model(spark, sf_dir):
         "doc_id", "n_tokens", "n_feats",
         R(F.col("score"), 9).alias("score"), "keep_doc",
     )
+
+
+# ---------------------------------------------------------------------------
+# 44. Storage capstone: the north-star pipeline END-TO-END THROUGH STORAGE —
+# PIP join + z12 tile assignment, sink to parquet, re-open with a tile-range
+# filter (pushed to row-group stats), roll up pages per polygon in the
+# window.  The oracle recomputes the same rollup from the crossing-number
+# CTE + closed-form tile math — it never sees the parquet.
+# ---------------------------------------------------------------------------
+
+_CAP_TX = (2000, 2100)
+_CAP_TY = (1350, 1450)
+
+
+@register(
+    "flagship_capstone_storage",
+    sql_pip_cte()
+    + f"""
+, assigned AS (
+  SELECT p.o_orderkey, pip.poly_id,
+         {TM.sql_tile_x('p.lon', Z_ASSIGN)} AS tx,
+         {TM.sql_tile_y_xyz('p.lat', Z_ASSIGN)} AS ty
+  FROM pts p LEFT JOIN pip USING (o_orderkey))
+SELECT coalesce(poly_id, -1) AS poly_id,
+       count(*)::bigint AS n_pages,
+       count(DISTINCT tx * 4096 + ty)::bigint AS n_tiles,
+       min(o_orderkey)::bigint AS first_page
+FROM assigned
+WHERE tx BETWEEN {_CAP_TX[0]} AND {_CAP_TX[1]}
+  AND ty BETWEEN {_CAP_TY[0]} AND {_CAP_TY[1]}
+GROUP BY coalesce(poly_id, -1)""",
+)
+def q_flagship_capstone_storage(spark, sf_dir):
+    """North-star storage capstone: join → tile → parquet sink → pruned
+    scan → rollup; the tile-window predicate must hit the parquet scan of
+    the re-opened table."""
+    import tempfile
+
+    pts = order_points(spark, sf_dir)
+    joined = PIP.pip_join(
+        pts, polygons_df(spark), how="left", first_match=True
+    )
+    assigned = TL.assign_tiles(joined, zoom=Z_ASSIGN).select(
+        "o_orderkey", "poly_id", "tx", "ty"
+    )
+    path = tempfile.mkdtemp(prefix="gdalspark_capstone_") + "/assigned"
+    assigned.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("tx").between(*_CAP_TX) & F.col("ty").between(*_CAP_TY)
+    )
+    return back.groupBy(
+        F.coalesce(F.col("poly_id"), F.lit(-1)).alias("poly_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct(
+            F.col("tx").cast("long") * 4096 + F.col("ty")
+        ).cast("long").alias("n_tiles"),
+        F.min("o_orderkey").cast("long").alias("first_page"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 45. Audio resample plumbing (the multimodal pipeline's PCM path; codec
+# decode stays a stub per container constraints — the synthesized two-tone
+# PCM is the shared closed form).  Box-kernel decimation by 4, per-clip
+# digest over micro-rounded samples; the oracle rebuilds every sample with
+# the same left-associated block sum.
+# ---------------------------------------------------------------------------
+
+_AUD_N = 2048
+
+
+@register(
+    "audio_resample",
+    f"""WITH n AS (SELECT range AS i FROM range({_AUD_N})),
+d AS (SELECT doc_id FROM documents),
+s AS (
+  SELECT doc_id, i // {MM.AUDIO_DECIM} AS blk, i % {MM.AUDIO_DECIM} AS k,
+         sin(2.0 * pi() * (110.0 + (doc_id % 40) * 7.0) * i
+             / {MM.AUDIO_SR}.0)
+         + 0.5 * sin(2.0 * pi() * (330.0 + (doc_id % 17) * 11.0) * i
+                     / {MM.AUDIO_SR}.0) AS v
+  FROM d CROSS JOIN n),
+b AS (
+  SELECT doc_id, blk,
+         floor((max(CASE WHEN k = 0 THEN v END)
+                + max(CASE WHEN k = 1 THEN v END)
+                + max(CASE WHEN k = 2 THEN v END)
+                + max(CASE WHEN k = 3 THEN v END)) / 4.0 * 1e6
+               + 0.5)::bigint AS vi
+  FROM s GROUP BY doc_id, blk)
+SELECT doc_id, count(*)::bigint AS n_out,
+       sum(abs(vi))::bigint AS energy_micro,
+       md5(string_agg(vi::varchar, ',' ORDER BY blk)) AS digest
+FROM b GROUP BY doc_id""",
+)
+def q_audio_resample(spark, sf_dir):
+    """Audio decimation gate over the corpus ids."""
+    docs = _read(spark, sf_dir, "documents")
+    return MM.audio_resample_stats(docs, n_samples=_AUD_N)
