@@ -100,6 +100,29 @@ def write_geoparquet(
     staged = df.select(*passthrough, F.col(rings_col).alias("_rings")) \
         .withColumn("bbox", _bbox_from_rings("_rings"))
 
+    if sort_zoom is not None:
+        # Sort BEFORE the WKB encode: repartitionByRange executes its child
+        # an extra time for range-boundary sampling, so the child must be
+        # the cheap column plan, not the Arrow encode stage.  Projections
+        # are staged because hilbert's tile inputs otherwise inline the
+        # bbox arithmetic repeatedly.
+        cx = (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2.0
+        cy = (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2.0
+        centered = staged.select("*", cx.alias("_cx"), cy.alias("_cy"))
+        tx, ty = TM.lonlat_to_tile(F.col("_cx"), F.col("_cy"), sort_zoom)
+        tiled = centered.select("*", tx.alias("_tx"), ty.alias("_ty"))
+        staged = (
+            tiled.select(
+                "*",
+                TM.hilbert_d(
+                    F.col("_tx"), F.col("_ty"), sort_zoom
+                ).alias("_hkey"),
+            )
+            .repartitionByRange("_hkey")
+            .sortWithinPartitions("_hkey")
+            .drop("_hkey", "_tx", "_ty", "_cx", "_cy")
+        )
+
     out_schema = StructType(
         [staged.schema[c] for c in passthrough]
         + [
@@ -122,14 +145,6 @@ def write_geoparquet(
             yield out[passthrough + ["geometry", "bbox"]]
 
     encoded = staged.mapInPandas(encode, out_schema)
-    if sort_zoom is not None:
-        cx = (F.col("bbox.xmin") + F.col("bbox.xmax")) / 2.0
-        cy = (F.col("bbox.ymin") + F.col("bbox.ymax")) / 2.0
-        tx, ty = TM.lonlat_to_tile(cx, cy, sort_zoom)
-        encoded = encoded.withColumn(
-            "_hkey", TM.hilbert_d(tx, ty, sort_zoom)
-        ).repartitionByRange("_hkey").sortWithinPartitions("_hkey") \
-            .drop("_hkey")
     encoded.write.mode(mode).parquet(path)
 
 
