@@ -801,3 +801,56 @@ def linear_quality_score(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
         (z > 0.0).alias("keep_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist filtering (the UT1/RefinedWeb-style URL curation step):
+# a host matches a blocklist entry if the entry equals the host OR any of
+# its registrable parent domains.  At-scale shape: explode the host's
+# suffix chain (bounded by label count) and equi-join the blocklist —
+# never a LIKE/endswith join (which would be a nested loop).
+# ---------------------------------------------------------------------------
+
+def host_suffix_chain(host: F.Column, max_labels: int = 6) -> F.Column:
+    """['a.b.co', 'b.co', 'co'] — every dot-suffix of the host, bounded."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.least(n - 1, F.lit(max_labels - 1))),
+            lambda i: F.array_join(F.slice(parts, i + 1, max_labels * 4), "."),
+        ),
+        lambda s: s != "",
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    entry_col: str = "domain",
+) -> DataFrame:
+    """Append (blocked boolean, block_match string|null) per document.
+    Suffix-chain explode + broadcast equi-join on the blocklist entry,
+    fold back with a min() so one row per doc survives."""
+    chain = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            host_suffix_chain(F.col(host_col))
+        ).alias("_sfx_pos", "_sfx"),
+    )
+    hits = (
+        chain.join(
+            F.broadcast(
+                blocklist.select(F.col(entry_col).alias("_sfx"))
+            ),
+            "_sfx",
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_sfx_pos", "_sfx")).alias("_hit"))
+        .select(id_col, F.col("_hit._sfx").alias("block_match"))
+    )
+    return docs.join(hits, id_col, "left").withColumn(
+        "blocked", F.col("block_match").isNotNull()
+    )

@@ -9155,3 +9155,65 @@ def q_audio_resample(spark, sf_dir):
     """Audio decimation gate over the corpus ids."""
     docs = _read(spark, sf_dir, "documents")
     return MM.audio_resample_stats(docs, n_samples=_AUD_N)
+
+
+# ---------------------------------------------------------------------------
+# 46. Domain-blocklist filtering (UT1/RefinedWeb-style URL curation): a
+# host is blocked when it or ANY registrable parent appears in the list.
+# Engine: suffix-chain explode + broadcast equi-join (never an endswith
+# nested loop).  Oracle: the 3-label fixture hosts make the chain a CASE
+# ladder over exact IN matches.
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("news2.example.com", "example.org", "news4.example.io")
+
+
+@register(
+    "url_blocklist_filter",
+    f"""WITH raw AS (SELECT range AS url_id, {_sql_url_raw('range')} AS url
+             FROM range({_URL_N})),
+h AS (
+  SELECT url_id,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1),
+             '^([^:]+)', 1)), '^www\\.', '') AS host
+  FROM raw),
+s AS (
+  SELECT url_id, host,
+         regexp_extract(host, '^[^.]+\\.(.*)$', 1) AS s2,
+         regexp_extract(host, '^[^.]+\\.[^.]+\\.(.*)$', 1) AS s1
+  FROM h)
+SELECT url_id, host,
+       (host IN {_BLOCKLIST} OR s2 IN {_BLOCKLIST}
+        OR s1 IN {_BLOCKLIST}) AS blocked,
+       coalesce(CASE WHEN host IN {_BLOCKLIST} THEN host
+                     WHEN s2 IN {_BLOCKLIST} THEN s2
+                     WHEN s1 IN {_BLOCKLIST} THEN s1 END, '') AS block_match
+FROM s""",
+)
+def q_url_blocklist_filter(spark, sf_dir):
+    """Blocklist gate over the synthetic URL corpus hosts."""
+    raw = spark.range(_URL_N).select(
+        F.col("id").alias("url_id"),
+        F.expr(_sql_url_raw("id").replace("::VARCHAR", "")
+               .replace(" AS VARCHAR", " AS STRING")).alias("url"),
+    )
+    hosts = raw.select(
+        "url_id",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(
+                F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1),
+                r"^([^:]+)", 1,
+            )),
+            r"^www\.", "",
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST], "domain string"
+    )
+    out = T.blocklist_filter(hosts, bl, host_col="host", id_col="url_id")
+    return out.select(
+        "url_id", "host", "blocked",
+        F.coalesce("block_match", F.lit("")).alias("block_match"),
+    )
