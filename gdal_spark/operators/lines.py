@@ -358,3 +358,63 @@ def point_line_distance_join(
     return points.select(point_id, x_col, y_col).mapInPandas(
         run, f"{point_id} long, {line_id} long, seg_idx long, dist double"
     )
+
+
+def line_substring(
+    lines: DataFrame,
+    f0: float,
+    f1: float,
+    line_id: str = "line_id",
+    coords_col: str = "coords",
+) -> DataFrame:
+    """ST_LineSubstring (Spatialite/PostGIS Line_Substring; OGR reaches it
+    through the SQLite dialect): the sub-polyline between length fractions
+    f0 < f1.  Lengths are quantized to integer micro-units BEFORE the
+    cumulative sum, so cut positions are integer-exact across engines and
+    only the final endpoint lerp is float (deterministic: same two
+    operands).  Map-only.  Output: (line_id, n_vertices, x0, y0, x1, y1,
+    sub_len_micro)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for lid, cc in zip(pdf[line_id], pdf[coords_col]):
+                arr = np.asarray([list(p) for p in cc], dtype=np.float64)
+                if arr.shape[0] < 2:
+                    continue
+                dx = arr[1:, 0] - arr[:-1, 0]
+                dy = arr[1:, 1] - arr[:-1, 1]
+                sl = np.floor(
+                    np.sqrt(dx * dx + dy * dy) * 1e6 + 0.5
+                ).astype(np.int64)
+                c1 = np.cumsum(sl)
+                c0 = c1 - sl
+                total = int(c1[-1])
+                d0 = int(np.floor(f0 * total))
+                d1 = int(np.floor(f1 * total))
+
+                def cut(d):
+                    k = int(np.searchsorted(c1, d, side="right"))
+                    k = min(k, sl.shape[0] - 1)
+                    t = (d - float(c0[k])) / float(sl[k])
+                    return (
+                        arr[k, 0] + t * dx[k],
+                        arr[k, 1] + t * dy[k],
+                    )
+
+                x0, y0 = cut(d0)
+                x1_, y1_ = cut(d1)
+                inner = int(((c1 > d0) & (c1 < d1)).sum())
+                out.append({
+                    line_id: int(lid),
+                    "n_vertices": inner + 2,
+                    "x0": x0, "y0": y0, "x1": x1_, "y1": y1_,
+                    "sub_len_micro": d1 - d0,
+                })
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(
+        run,
+        f"{line_id} long, n_vertices long, x0 double, y0 double, "
+        "x1 double, y1 double, sub_len_micro long",
+    )

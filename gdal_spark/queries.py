@@ -9217,3 +9217,64 @@ def q_url_blocklist_filter(spark, sf_dir):
         "url_id", "host", "blocked",
         F.coalesce("block_match", F.lit("")).alias("block_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 47. ST_LineSubstring (Spatialite Line_Substring via the OGR SQLite
+# dialect): sub-polyline between length fractions 0.25..0.75.  Segment
+# lengths are micro-unit INTEGERS before the cumulative sum, so the cut
+# segment choice and the inner-vertex count are integer-exact; only the
+# endpoint lerp is float (same operands both engines).
+# ---------------------------------------------------------------------------
+
+_LS_F0, _LS_F1 = 0.25, 0.75
+
+
+@register(
+    "line_substring",
+    f"""WITH seg(line_id, seg_idx, x1, y1, x2, y2)
+  AS ({_line_segment_values()}),
+l AS (SELECT *, floor(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+                      * 1e6 + 0.5)::bigint AS sl FROM seg),
+c AS (SELECT *, sum(sl) OVER (PARTITION BY line_id ORDER BY seg_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1 FROM l),
+t AS (SELECT *, c1 - sl AS c0,
+             max(c1) OVER (PARTITION BY line_id) AS total FROM c),
+d AS (SELECT *, floor({_LS_F0!r} * total)::bigint AS d0,
+             floor({_LS_F1!r} * total)::bigint AS d1 FROM t),
+cut0 AS (
+  SELECT line_id,
+         x1 + ((d0 - c0)::double / sl) * (x2 - x1) AS x0,
+         y1 + ((d0 - c0)::double / sl) * (y2 - y1) AS y0
+  FROM (SELECT *, row_number() OVER (PARTITION BY line_id
+                                     ORDER BY seg_idx) AS rn
+        FROM d WHERE c1 > d0) WHERE rn = 1),
+cut1 AS (
+  SELECT line_id,
+         x1 + ((d1 - c0)::double / sl) * (x2 - x1) AS x1c,
+         y1 + ((d1 - c0)::double / sl) * (y2 - y1) AS y1c
+  FROM (SELECT *, row_number() OVER (PARTITION BY line_id
+                                     ORDER BY seg_idx) AS rn
+        FROM d WHERE c1 > d1) WHERE rn = 1),
+inner_v AS (
+  SELECT line_id,
+         sum(CASE WHEN c1 > d0 AND c1 < d1 THEN 1 ELSE 0 END)::bigint AS nv,
+         min(d1 - d0)::bigint AS sub_len_micro
+  FROM d GROUP BY line_id)
+SELECT i.line_id, (i.nv + 2)::bigint AS n_vertices,
+       {SR('a.x0', 9)} AS x0, {SR('a.y0', 9)} AS y0,
+       {SR('b.x1c', 9)} AS x1, {SR('b.y1c', 9)} AS y1,
+       i.sub_len_micro
+FROM inner_v i
+JOIN cut0 a ON a.line_id = i.line_id
+JOIN cut1 b ON b.line_id = i.line_id""",
+)
+def q_line_substring(spark, sf_dir):
+    """Line-substring gate over the walk/touch/in-cell line layer."""
+    out = LN.line_substring(lines_df(spark), _LS_F0, _LS_F1)
+    return out.select(
+        "line_id", "n_vertices",
+        R(F.col("x0"), 9).alias("x0"), R(F.col("y0"), 9).alias("y0"),
+        R(F.col("x1"), 9).alias("x1"), R(F.col("y1"), 9).alias("y1"),
+        "sub_len_micro",
+    )
