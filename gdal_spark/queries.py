@@ -9278,3 +9278,50 @@ def q_line_substring(spark, sf_dir):
         R(F.col("x1"), 9).alias("x1"), R(F.col("y1"), 9).alias("y1"),
         "sub_len_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# 48. Event-gap analytics (lead/lag dwell + gap detection — the sessionize
+# family's diagnostic view): per user, inter-event gaps via lag over the
+# (ts, event_id) order, max gap, count of gaps over the threshold, mean
+# gap at 6dp.  Ordering ties broken by event_id so the window is total.
+# ---------------------------------------------------------------------------
+
+_GAP_THRESH_S = 3600
+
+
+@register(
+    "events_gap_analytics",
+    f"""WITH g AS (
+  SELECT user_id,
+         floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events)
+SELECT user_id,
+       count(gap_s)::bigint AS n_gaps,
+       max(gap_s)::bigint AS max_gap_s,
+       sum(CASE WHEN gap_s > {_GAP_THRESH_S} THEN 1 ELSE 0 END)::bigint
+         AS n_long_gaps,
+       {SR('sum(gap_s)::double / count(gap_s)', 6)} AS mean_gap_s
+FROM g WHERE gap_s IS NOT NULL GROUP BY user_id""",
+)
+def q_events_gap_analytics(spark, sf_dir):
+    """Per-user inter-event gap stats (one keyed window + one agg)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.unix_timestamp("ts")).cast("long")
+    g = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").cast("long").alias("n_gaps"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+        F.sum(
+            F.when(F.col("gap_s") > _GAP_THRESH_S, 1).otherwise(0)
+        ).cast("long").alias("n_long_gaps"),
+        R(
+            F.sum("gap_s").cast("double") / F.count("gap_s"), 6
+        ).alias("mean_gap_s"),
+    )
