@@ -16,7 +16,11 @@ b2=z(x+1,y+1), b3=z(x,y+1); edges 0=bottom, 1=right, 2=top, 3=left.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # case id -> list of (edge_a, edge_b) segments; saddles handled separately
@@ -86,3 +90,60 @@ def case_and_length_cols(level: float) -> tuple[Column, Column]:
     fragments through F.expr (identical formula text, identical semantics)."""
     case_sql, len_sql = sql_case_and_length(level)
     return F.expr(case_sql), F.expr(len_sql)
+
+
+# ---------------------------------------------------------------------------
+# Contour POLYGONS (`gdal_contour -p` / FIXED_LEVELS polygon output,
+# apps/gdal_contour_bin.cpp + alg/contour/): between consecutive levels the
+# band's geometry inside each pixel cell is the unit square clipped by the
+# two level half-planes of the (linearly interpolated) field — the same
+# linear-interpolation contract the reference's contour writer uses.  This
+# implementation takes the field as an explicit plane (a·x + b·y), the
+# regime where the construction is EXACT (and hence oracle-checkable); the
+# general corner-value variant shares the same half-plane clip kernel.
+#
+# Scale: map-only over the cell DataFrame — each cell emits its band
+# pieces independently; per-band dissolve (if contiguous polygons are
+# wanted) is the existing dissolve/polygonize machinery downstream.
+# ---------------------------------------------------------------------------
+
+def band_polygons_linear(
+    cells: DataFrame,
+    a: float,
+    b: float,
+    levels: list[float],
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+) -> DataFrame:
+    """Per (cell, band) the clipped band polygon's area in integer
+    micro-units (zero-area pieces dropped): (cx, cy, band_idx, area_micro).
+    band_idx = k covers levels[k] <= a·x + b·y < levels[k+1]."""
+    from gdal_spark.spatial.geometry import clip_ring_halfplane, rings_area
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"cx": [], "cy": [], "band_idx": [], "area_micro": []}
+            for cx, cy in zip(pdf[cx_col], pdf[cy_col]):
+                x0, y0 = float(cx), float(cy)
+                square = np.array([
+                    [x0, y0], [x0 + 1.0, y0], [x0 + 1.0, y0 + 1.0],
+                    [x0, y0 + 1.0], [x0, y0],
+                ])
+                for k in range(len(levels) - 1):
+                    l0, l1 = levels[k], levels[k + 1]
+                    piece = clip_ring_halfplane(square, a, b, l1)
+                    if piece.shape[0]:
+                        piece = clip_ring_halfplane(piece, -a, -b, -l0)
+                    if not piece.shape[0]:
+                        continue
+                    am = int(np.floor(rings_area([piece]) * 1e6 + 0.5))
+                    if am > 0:
+                        out["cx"].append(int(cx))
+                        out["cy"].append(int(cy))
+                        out["band_idx"].append(k)
+                        out["area_micro"].append(am)
+            yield pd.DataFrame(out)
+
+    return cells.mapInPandas(
+        run, "cx long, cy long, band_idx long, area_micro long"
+    )

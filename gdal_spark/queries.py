@@ -9325,3 +9325,61 @@ def q_events_gap_analytics(spark, sf_dir):
             F.sum("gap_s").cast("double") / F.count("gap_s"), 6
         ).alias("mean_gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 49. Contour POLYGONS (`gdal_contour -p`, apps/gdal_contour_bin.cpp): band
+# polygons between fixed levels on a plane field a·x + b·y (the regime
+# where linear-interpolation contouring is exact).  Engine: per-cell
+# half-plane clipping + shoelace.  Oracle: the closed-form half-plane ∩
+# unit-square area F(t) (triangle / strip / pentagon-complement pieces),
+# band = F(t1) − F(t0) — never builds a polygon.  Dyadic a, b, levels make
+# the piecewise-regime choice integer-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+_CPB_A, _CPB_B = 0.375, 0.625          # a < b, both dyadic
+_CPB_LEVELS = (8.0, 16.0, 24.0, 32.0)  # 3 bands
+_CPB_N = 64                            # 64×64 unit cells
+
+
+def _sql_band_area(t: str) -> str:
+    """F(t): area of {a·x' + b·y' <= t} in the unit square, a < b."""
+    a, b = _CPB_A, _CPB_B
+    return f"""CASE
+  WHEN ({t}) <= 0.0 THEN 0.0
+  WHEN ({t}) <= {a!r} THEN ({t}) * ({t}) / {2.0 * a * b!r}
+  WHEN ({t}) <= {b!r} THEN (({t}) - {a / 2.0!r}) / {b!r}
+  WHEN ({t}) <= {a + b!r}
+    THEN 1.0 - ({a + b!r} - ({t})) * ({a + b!r} - ({t})) / {2.0 * a * b!r}
+  ELSE 1.0 END"""
+
+
+@register(
+    "contour_polygons",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, {_CPB_N - 1})) AS v),
+cells AS (SELECT gx.v AS cx, gy.v AS cy FROM gs gx CROSS JOIN gs gy),
+bands(band_idx, l0, l1) AS (VALUES
+  {", ".join(f"({k}, {_CPB_LEVELS[k]!r}::double, {_CPB_LEVELS[k + 1]!r}::double)" for k in range(len(_CPB_LEVELS) - 1))}),
+t AS (
+  SELECT cx, cy, band_idx,
+         l0 - ({_CPB_A!r} * cx + {_CPB_B!r} * cy) AS t0,
+         l1 - ({_CPB_A!r} * cx + {_CPB_B!r} * cy) AS t1
+  FROM cells CROSS JOIN bands),
+ar AS (
+  SELECT cx, cy, band_idx,
+         floor((({_sql_band_area('t1')}) - ({_sql_band_area('t0')})) * 1e6
+               + 0.5)::bigint AS area_micro
+  FROM t)
+SELECT cx, cy, band_idx, area_micro FROM ar WHERE area_micro > 0""",
+)
+def q_contour_polygons(spark, sf_dir):
+    """Band-polygon gate on the 64×64 plane field."""
+    from gdal_spark.operators.contour import band_polygons_linear
+
+    cells = spark.range(_CPB_N * _CPB_N).select(
+        (F.col("id") % _CPB_N).alias("cx"),
+        F.floor(F.col("id") / _CPB_N).alias("cy"),
+    )
+    return band_polygons_linear(
+        cells, _CPB_A, _CPB_B, list(_CPB_LEVELS)
+    )

@@ -951,3 +951,29 @@ def make_valid(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
             hole = simple[k] if areas[k] < 0 else simple[k][::-1].copy()
             parts[parent[k]].append(hole)
     return [parts[k] for k in order]
+
+
+def clip_ring_halfplane(
+    ring: np.ndarray, a: float, b: float, c: float
+) -> np.ndarray:
+    """Sutherland–Hodgman step against an arbitrary half-plane
+    a·x + b·y ≤ c.  Input/output closed rings; returns an empty (0, 2)
+    array when nothing survives."""
+    if ring.shape[0] < 4:
+        return np.zeros((0, 2))
+    pts = ring[:-1]
+    f = a * pts[:, 0] + b * pts[:, 1] - c
+    out = []
+    n = pts.shape[0]
+    for i in range(n):
+        p, fp = pts[i], f[i]
+        q, fq = pts[(i + 1) % n], f[(i + 1) % n]
+        if fp <= 0.0:
+            out.append(p)
+        if (fp < 0.0 < fq) or (fq < 0.0 < fp):
+            t = fp / (fp - fq)
+            out.append(p + t * (q - p))
+    if len(out) < 3:
+        return np.zeros((0, 2))
+    arr = np.asarray(out)
+    return np.vstack([arr, arr[:1]])
