@@ -292,3 +292,54 @@ def locationinfo(
     if broadcast_raster:
         r = F.broadcast(r)
     return pts.join(r, ["pixel", "line"], "left")
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization (gdalenhance -equalize, apps/gdalenhance_bin.cpp):
+# v → floor((cdf(v) − cdf_min) / (N − cdf_min) · 255 + 0.5) over the global
+# histogram.
+#
+# Scale shape (the rgb2pct pattern): the histogram is a bounded groupBy
+# (≤256 groups at any data volume) collected to the driver, the remap
+# table broadcasts, and the application is a map-only HOF transform — no
+# per-pixel shuffle anywhere.
+# ---------------------------------------------------------------------------
+
+def equalize_mapping(raster: DataFrame, value_col: str = "data",
+                     levels: int = 256) -> list[int]:
+    """Global equalization lookup table (length ``levels``) from the tile
+    DataFrame's exploded pixel histogram."""
+    import numpy as np
+
+    hist_rows = (
+        raster.select(F.explode(value_col).alias("v"))
+        .groupBy(F.col("v").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = np.zeros(levels, dtype=np.int64)
+    for r in hist_rows:
+        counts[int(r.v)] = int(r.n)
+    cdf = np.cumsum(counts)
+    n_total = int(cdf[-1])
+    cdf_min = int(counts[counts > 0][0]) if (counts > 0).any() else 0
+    denom = max(n_total - cdf_min, 1)
+    lut = np.floor(
+        (cdf - cdf_min).clip(min=0) / denom * (levels - 1) + 0.5
+    ).astype(np.int64)
+    return [int(x) for x in lut]
+
+
+def apply_equalize(raster: DataFrame, lut: list[int],
+                   value_col: str = "data") -> DataFrame:
+    """Map every pixel through the broadcast LUT (JVM element_at — no
+    Python)."""
+    lut_col = F.array(*[F.lit(int(v)) for v in lut])
+    return raster.withColumn(
+        value_col,
+        F.transform(
+            value_col,
+            lambda v: F.element_at(lut_col, v.cast("int") + 1)
+            .cast("double"),
+        ),
+    )

@@ -9383,3 +9383,119 @@ def q_contour_polygons(spark, sf_dir):
     return band_polygons_linear(
         cells, _CPB_A, _CPB_B, list(_CPB_LEVELS)
     )
+
+
+# ---------------------------------------------------------------------------
+# 50. Language-balanced corpus capping (the multilingual-mix step paired
+# with mix upsampling): keep at most CAP docs per language, selected by a
+# deterministic hash priority (seedless, reproducible).  One keyed window.
+# ---------------------------------------------------------------------------
+
+_LANG_CAP = 20
+
+
+@register(
+    "corpus_lang_cap",
+    f"""WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::varchar), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= {_LANG_CAP}""",
+)
+def q_corpus_lang_cap(spark, sf_dir):
+    """Per-language cap with hash priority (window top-k per key)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _LANG_CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 51. Histogram equalization (gdalenhance -equalize): bounded-histogram
+# collect (<=256 groups), broadcast LUT, map-only remap.  Oracle rebuilds
+# the global cdf + LUT in SQL over the closed-form world raster and checks
+# per-tile remapped sums (denominator = N - cdf_min, the standard formula;
+# identical expression order keeps floor() exact cross-engine).
+# ---------------------------------------------------------------------------
+
+_EQ_NPX = 1024  # z2 world grid
+
+
+def _sql_equalize() -> str:
+    return f"""
+WITH gs AS (SELECT unnest(generate_series(0, {_EQ_NPX - 1})) AS v),
+px AS (
+  -- min of two decorrelated uniforms: strongly skewed toward 0, so the
+  -- equalization LUT is far from identity (a no-op impl fails the gate)
+  SELECT gx.v AS gx, gy.v AS gy,
+         least((gx.v * 31 + gy.v * 17 + 7) % 256,
+               (gx.v * 7 + gy.v * 3 + 11) % 256) AS val
+  FROM gs gx CROSS JOIN gs gy),
+h AS (SELECT val, count(*)::bigint AS n FROM px GROUP BY val),
+c AS (SELECT val, n,
+             sum(n) OVER (ORDER BY val
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+      FROM h),
+params AS (
+  SELECT (SELECT n FROM c ORDER BY val LIMIT 1) AS cdf_min,
+         (SELECT sum(n) FROM h) AS n_total),
+lut AS (
+  SELECT c.val,
+         floor(greatest(c.cdf - p.cdf_min, 0)::double
+               / greatest(p.n_total - p.cdf_min, 1) * 255.0
+               + 0.5)::bigint AS new_v
+  FROM c CROSS JOIN params p)
+SELECT (px.gx // 256)::bigint AS tx, (px.gy // 256)::bigint AS ty,
+       count(*)::bigint AS n_px,
+       sum(l.new_v)::bigint AS eq_sum
+FROM px JOIN lut l ON l.val = px.val
+GROUP BY px.gx // 256, px.gy // 256"""
+
+
+@register("raster_equalize", _sql_equalize())
+def q_raster_equalize(spark, sf_dir):
+    """Equalization gate over the z2 world raster (single band)."""
+    from gdal_spark.operators import rastermath as RM
+
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+
+    def skew(batches):
+        import numpy as np
+        import pandas as pd
+
+        yy, xx = np.mgrid[0:256, 0:256]
+        for pdf in batches:
+            out = pdf.copy()
+            vals = []
+            for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                gx = tx * 256 + xx
+                gy = ty * 256 + yy
+                v = np.minimum(
+                    (gx * 31 + gy * 17 + 7) % 256,
+                    (gx * 7 + gy * 3 + 11) % 256,
+                ).astype(np.float64)
+                vals.append(v.ravel())
+            out["data"] = vals
+            yield out
+
+    base = base.mapInPandas(skew, base.schema)
+    lut = RM.equalize_mapping(base)
+    eq = RM.apply_equalize(base, lut)
+    ssum = F.aggregate(
+        "data", F.lit(0.0), lambda a, v: a + v
+    ).cast("long")
+    return eq.select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.size("data").cast("long").alias("n_px"),
+        ssum.alias("eq_sum"),
+    )
