@@ -9499,3 +9499,61 @@ def q_raster_equalize(spark, sf_dir):
         F.size("data").cast("long").alias("n_px"),
         ssum.alias("eq_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 52. DISTINCT ON / top-1-per-group (the OGR SQL dialect's common "first
+# feature per key" idiom): highest-balance customer per nation, ties by
+# key.  One keyed window.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sql_distinct_on",
+    """SELECT c_nationkey, c_custkey, c_acctbal
+FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer)
+WHERE rk = 1""",
+)
+def q_sql_distinct_on(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = _read(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    return (
+        c.select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 53. ST_Extent aggregate (layer/group envelope union — OGRLayer::GetExtent,
+# ogrlayer.cpp:1129, and the SQL dialect's extent aggregate): per dissolve
+# key the min/max of member envelopes.  Partial-aggregable min/max — one
+# shuffle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "geom_extent_agg",
+    f"""WITH a(poly_id, eas_id, prfedea, area, xmin, ymin, xmax, ymax)
+  AS ({_poly_attr_values()})
+SELECT eas_id,
+       min(xmin) AS ext_xmin, min(ymin) AS ext_ymin,
+       max(xmax) AS ext_xmax, max(ymax) AS ext_ymax,
+       count(*)::bigint AS n_features
+FROM a GROUP BY eas_id""",
+)
+def q_geom_extent_agg(spark, sf_dir):
+    p = polygons_df(spark)
+    return p.groupBy("eas_id").agg(
+        F.min("xmin").alias("ext_xmin"), F.min("ymin").alias("ext_ymin"),
+        F.max("xmax").alias("ext_xmax"), F.max("ymax").alias("ext_ymax"),
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+    )
