@@ -9557,3 +9557,41 @@ def q_geom_extent_agg(spark, sf_dir):
         F.max("xmax").alias("ext_xmax"), F.max("ymax").alias("ext_ymax"),
         F.count(F.lit(1)).cast("long").alias("n_features"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 54. Cohort retention (the events-table analytics staple): users grouped
+# by first-seen day, counted per whole-week offset of later activity.
+# Two partial-agg shuffles (per-user min, then cohort×offset distinct).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_retention",
+    """WITH f AS (
+  SELECT user_id,
+         floor(floor(epoch(min(ts))) / 86400)::bigint AS cohort_day
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         ((floor(floor(epoch(e.ts)) / 86400)::bigint - f.cohort_day)
+          // 7)::bigint AS week_offset
+  FROM events e JOIN f ON f.user_id = e.user_id)
+SELECT cohort_day, week_offset, count(*)::bigint AS n_users
+FROM a GROUP BY cohort_day, week_offset""",
+)
+def q_events_retention(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    day = F.floor(F.floor(F.unix_timestamp("ts")) / 86400).cast("long")
+    f = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.floor((day - F.col("cohort_day")) / 7).cast("long")
+             .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_day", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
