@@ -854,3 +854,47 @@ def blocklist_filter(
     return docs.join(hits, id_col, "left").withColumn(
         "blocked", F.col("block_match").isNotNull()
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (the CCNet perplexity-filter idea with the corpus's
+# own unigram model as the LM): score(doc) = mean log p(token), p from the
+# corpus token frequencies.  Per-token log-probs are quantized to micro
+# NATS in the frequency table (one float op per DISTINCT token), so the
+# per-document reduction is integer-exact and order-free.
+#
+# Scale: one shuffle to build the frequency table, one equi-join back
+# (AQE broadcasts it when small), one groupBy(doc).
+# ---------------------------------------------------------------------------
+
+def unigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, n_tokens, sum_logp_micro, avg_logp, ppl) — avg_logp in
+    nats (micro-quantized), ppl = exp(-avg_logp)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok"),
+    )
+    n_total = toks.count()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    freq = freq.select(
+        "tok",
+        F.floor(
+            F.log(F.col("n_tok").cast("double") / float(n_total)) * 1e6
+        ).cast("long").alias("logp_micro"),
+    )
+    agg = (
+        toks.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("logp_micro").cast("long").alias("sum_logp_micro"),
+        )
+    )
+    avg = F.col("sum_logp_micro").cast("double") / 1e6 / F.col("n_tokens")
+    return agg.select(
+        id_col, "n_tokens", "sum_logp_micro",
+        avg.alias("avg_logp"),
+        F.exp(-avg).alias("ppl"),
+    )

@@ -9595,3 +9595,41 @@ def q_events_retention(spark, sf_dir):
     return a.groupBy("cohort_day", "week_offset").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# 55. Unigram LM scoring (CCNet-style perplexity filter with the corpus's
+# own unigram model): per-token log-probs micro-quantized in the frequency
+# table so document sums are integer-exact; avg/ppl at 6dp.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_lm",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+tot AS (SELECT count(*)::double AS n FROM toks),
+freq AS (
+  SELECT tok,
+         floor(ln(count(*)::double / (SELECT n FROM tot)) * 1e6)::bigint
+           AS logp_micro
+  FROM toks GROUP BY tok),
+agg AS (
+  SELECT t.doc_id,
+         count(*)::bigint AS n_tokens,
+         sum(f.logp_micro)::bigint AS sum_logp_micro
+  FROM toks t JOIN freq f ON f.tok = t.tok
+  GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, sum_logp_micro,
+       {SR('sum_logp_micro::double / 1e6 / n_tokens', 6)} AS avg_logp,
+       {SR('exp(-(sum_logp_micro::double / 1e6 / n_tokens))', 6)} AS ppl
+FROM agg""",
+)
+def q_text_unigram_lm(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = T.unigram_lm_scores(docs)
+    return out.select(
+        "doc_id", "n_tokens", "sum_logp_micro",
+        R(F.col("avg_logp"), 6).alias("avg_logp"),
+        R(F.col("ppl"), 6).alias("ppl"),
+    )
