@@ -9633,3 +9633,70 @@ def q_text_unigram_lm(spark, sf_dir):
         R(F.col("avg_logp"), 6).alias("avg_logp"),
         R(F.col("ppl"), 6).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 56. Funnel analysis (view → click → purchase in strict time order): the
+# ordered-sequence analytics staple.  Three conditional-min passes, each a
+# partial-agg shuffle on user_id; stage = how far the user progressed.
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    f"""WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id)
+SELECT s1.user_id,
+       (1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+          + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END))::bigint
+         AS stage
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id""",
+)
+def q_events_funnel(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.filter(F.col("event_type") == _FUNNEL[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2.select("user_id", F.lit(1).alias("_h2")), "user_id",
+                "left")
+        .join(s3.select("user_id", F.lit(1).alias("_h3")), "user_id",
+              "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.coalesce(F.col("_h2"), F.lit(0))
+                + F.coalesce(F.col("_h3"), F.lit(0))
+            ).cast("long").alias("stage"),
+        )
+    )
