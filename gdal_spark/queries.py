@@ -9642,6 +9642,7 @@ def q_text_unigram_lm(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FUNNEL = ("view", "click", "purchase")
+_FUNNEL_MAX_DELAY_S = 86400  # each step within a day of the previous
 
 
 @register(
@@ -9653,11 +9654,13 @@ s2 AS (
   SELECT e.user_id, min(e.ts) AS t2
   FROM events e JOIN s1 ON s1.user_id = e.user_id
   WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t1
+    AND floor(epoch(e.ts)) <= floor(epoch(s1.t1)) + {_FUNNEL_MAX_DELAY_S}
   GROUP BY e.user_id),
 s3 AS (
   SELECT e.user_id, min(e.ts) AS t3
   FROM events e JOIN s2 ON s2.user_id = e.user_id
   WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t2
+    AND floor(epoch(e.ts)) <= floor(epoch(s2.t2)) + {_FUNNEL_MAX_DELAY_S}
   GROUP BY e.user_id)
 SELECT s1.user_id,
        (1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
@@ -9675,14 +9678,22 @@ def q_events_funnel(spark, sf_dir):
     s2 = (
         ev.filter(F.col("event_type") == _FUNNEL[1])
         .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.floor(F.unix_timestamp("ts"))
+               <= F.floor(F.unix_timestamp("t1")) + _FUNNEL_MAX_DELAY_S)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == _FUNNEL[2])
         .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.floor(F.unix_timestamp("ts"))
+               <= F.floor(F.unix_timestamp("t2")) + _FUNNEL_MAX_DELAY_S)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
