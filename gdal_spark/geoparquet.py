@@ -196,3 +196,67 @@ def _rings_type():
     from pyspark.sql.types import ArrayType
 
     return ArrayType(ArrayType(ArrayType(DoubleType())))
+
+
+def write_geoparquet_points(
+    df: DataFrame,
+    path: str,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    sort_zoom: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Point-layer variant: geometry = WKB Point, bbox degenerates to the
+    point itself (still a covering struct, so the same envelope pushdown
+    applies).  The optional Hilbert sort runs BEFORE the encode stage
+    (column math only under the range sampler, as in the polygon path)."""
+    passthrough = [c for c in df.columns if c not in (x_col, y_col)]
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    staged = df.select(
+        *passthrough,
+        x.alias(x_col),
+        y.alias(y_col),
+        F.struct(
+            x.alias("xmin"), y.alias("ymin"),
+            x.alias("xmax"), y.alias("ymax"),
+        ).alias("bbox"),
+    )
+    if sort_zoom is not None:
+        tx, ty = TM.lonlat_to_tile(F.col(x_col), F.col(y_col), sort_zoom)
+        tiled = staged.select("*", tx.alias("_tx"), ty.alias("_ty"))
+        staged = (
+            tiled.select(
+                "*",
+                TM.hilbert_d(
+                    F.col("_tx"), F.col("_ty"), sort_zoom
+                ).alias("_hkey"),
+            )
+            .repartitionByRange("_hkey")
+            .sortWithinPartitions("_hkey")
+            .drop("_hkey", "_tx", "_ty")
+        )
+
+    out_schema = StructType(
+        [staged.schema[c] for c in passthrough + [x_col, y_col]]
+        + [
+            StructField(
+                "geometry",
+                BinaryType(),
+                True,
+                metadata={"geo": json.dumps(GEO_DESCRIPTOR)},
+            ),
+            StructField("bbox", _BBOX_TYPE, False),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[passthrough + [x_col, y_col, "bbox"]].copy()
+            out["geometry"] = [
+                G.wkb_point(float(px), float(py))
+                for px, py in zip(pdf[x_col], pdf[y_col])
+            ]
+            yield out[passthrough + [x_col, y_col, "geometry", "bbox"]]
+
+    staged.mapInPandas(encode, out_schema).write.mode(mode).parquet(path)

@@ -9711,3 +9711,53 @@ def q_events_funnel(spark, sf_dir):
             ).cast("long").alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 57. GeoParquet point-layer roundtrip: write the order points as WKB Point
+# + degenerate bbox covering struct (Hilbert-clustered), re-open with the
+# mosaic-window pushdown filter, emit coordinates DECODED FROM THE WKB
+# BYTES.  Oracle: the derived-point closed form + the same window.
+# ---------------------------------------------------------------------------
+
+_GPP_W = (-6.00007, 42.00007, 10.00007, 54.00007)
+
+
+@register(
+    "geoparquet_points_roundtrip",
+    f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, lon, lat
+FROM pts
+WHERE lon <= {_GPP_W[2]!r} AND lon >= {_GPP_W[0]!r}
+  AND lat <= {_GPP_W[3]!r} AND lat >= {_GPP_W[1]!r}""",
+)
+def q_geoparquet_points_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from gdal_spark import geoparquet as GP
+
+    pts = order_points(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="gdalspark_gpp_gate_") + "/pts"
+    GP.write_geoparquet_points(pts, path, sort_zoom=8)
+    back = spark.read.parquet(path).filter(
+        (F.col("bbox.xmin") <= _GPP_W[2])
+        & (F.col("bbox.xmax") >= _GPP_W[0])
+        & (F.col("bbox.ymin") <= _GPP_W[3])
+        & (F.col("bbox.ymax") >= _GPP_W[1])
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"o_orderkey": [], "lon": [], "lat": []}
+            for k, buf in zip(pdf["o_orderkey"], pdf["geometry"]):
+                kind, (px, py) = G.parse_wkb(bytes(buf))
+                rows["o_orderkey"].append(int(k))
+                rows["lon"].append(px)
+                rows["lat"].append(py)
+            yield pd.DataFrame(rows)
+
+    return back.select("o_orderkey", "geometry").mapInPandas(
+        decode, "o_orderkey long, lon double, lat double"
+    )
