@@ -9761,3 +9761,80 @@ def q_geoparquet_points_roundtrip(spark, sf_dir):
     return back.select("o_orderkey", "geometry").mapInPandas(
         decode, "o_orderkey long, lon double, lat double"
     )
+
+
+# ---------------------------------------------------------------------------
+# 58. Raster min/max locate (gdalinfo -mm + the ComputeRasterMinMax
+# position query): global extrema and the SMALLEST global pixel index
+# attaining each (deterministic tie-break — the closed-form raster repeats
+# every value thousands of times).  Engine: per-tile JVM HOF partial
+# argmin/argmax (no pixel explode), one tiny global combine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "raster_minmax_locate",
+    """WITH gs AS (SELECT unnest(generate_series(0, 1023)) AS v),
+px AS (
+  SELECT (gy.v * 1024 + gx.v)::bigint AS pos,
+         (gx.v * 31 + gy.v * 17 + 7) % 256 AS val
+  FROM gs gx CROSS JOIN gs gy),
+ext AS (SELECT min(val) AS mn, max(val) AS mx FROM px)
+SELECT e.mn::bigint AS min_val,
+       (SELECT min(pos) FROM px WHERE val = e.mn) AS min_pos,
+       e.mx::bigint AS max_val,
+       (SELECT min(pos) FROM px WHERE val = e.mx) AS max_pos
+FROM ext e""",
+)
+def q_raster_minmax_locate(spark, sf_dir):
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+    # global pixel index of local array slot i within tile (tx, ty):
+    # row-major over the 1024-wide world grid
+    idx = F.sequence(F.lit(0), F.size("data") - 1)
+    gpos = F.transform(
+        idx,
+        lambda i: (
+            (F.col("ty").cast("long") * 256 + (i / 256).cast("long")) * 1024
+            + F.col("tx").cast("long") * 256 + i % 256
+        ),
+    )
+    v = F.col("data")
+    per_tile = base.select(
+        F.array_min(v).alias("t_min"),
+        F.array_max(v).alias("t_max"),
+        gpos.alias("_gpos"),
+        v.alias("_v"),
+    ).select(
+        "t_min", "t_max",
+        F.array_min(
+            F.filter(
+                F.zip_with("_gpos", "_v", lambda p, x: F.when(
+                    x == F.col("t_min"), p
+                )),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("t_min_pos"),
+        F.array_min(
+            F.filter(
+                F.zip_with("_gpos", "_v", lambda p, x: F.when(
+                    x == F.col("t_max"), p
+                )),
+                lambda p: p.isNotNull(),
+            )
+        ).alias("t_max_pos"),
+    )
+    g = per_tile.agg(
+        F.min("t_min").alias("mn"), F.max("t_max").alias("mx"),
+    ).collect()[0]
+    mn, mx = float(g.mn), float(g.mx)
+    out = per_tile.agg(
+        F.min(F.when(F.col("t_min") == mn, F.col("t_min_pos")))
+         .alias("min_pos"),
+        F.min(F.when(F.col("t_max") == mx, F.col("t_max_pos")))
+         .alias("max_pos"),
+    )
+    return out.select(
+        F.lit(int(mn)).cast("long").alias("min_val"),
+        F.col("min_pos").cast("long").alias("min_pos"),
+        F.lit(int(mx)).cast("long").alias("max_val"),
+        F.col("max_pos").cast("long").alias("max_pos"),
+    )
