@@ -264,3 +264,95 @@ def warp_reproject_bilinear(
         assemble,
         "tx int, ty int, n_px long, val_micro_sum long, digest string",
     )
+
+
+def _merc_yfrac_col(lat_deg_col):
+    """Forward WebMercator y fraction (0..1, 0 = north) of latitude in
+    degrees — tan/ln written identically in the numpy kernel and the SQL
+    oracle."""
+    t = F.tan(
+        F.lit(float(np.pi) / 4.0)
+        + lat_deg_col * F.lit(float(np.pi) / 360.0)
+    )
+    return (F.lit(1.0) - F.log(t) / F.lit(float(np.pi))) / F.lit(2.0)
+
+
+def warp_reproject_to_geographic(
+    src_tiles: DataFrame, blocks: DataFrame, zoom: int
+) -> DataFrame:
+    """The REVERSE warp: WebMercator tile raster → geographic 0.25° blocks
+    (gdalwarp 3857→4326).  Same plan as the forward direction: each target
+    block derives its mercator tile range in closed form (forward Mercator
+    via tan/ln column math), explodes to (block, tile) pairs, equi-joins
+    the source tiles, assembles per block.  Nearest kernel, int(x+1e-10)
+    parity.  Output per block: (bx, by, n_px, val_sum, digest)."""
+    n_px = (1 << zoom) * TILE
+
+    lon0 = F.col("bx").cast("double") * GEO_BLOCK * GEO_RES - 180.0
+    lon1 = (F.col("bx") + 1).cast("double") * GEO_BLOCK * GEO_RES - 180.0
+    lat_top = 90.0 - F.col("by").cast("double") * GEO_BLOCK * GEO_RES
+    lat_bot = 90.0 - (F.col("by") + 1).cast("double") * GEO_BLOCK * GEO_RES
+    gx0 = F.floor((lon0 + 180.0) / 360.0 * n_px + 1e-10)
+    gx1 = F.floor((lon1 + 180.0) / 360.0 * n_px + 1e-10)
+    gy0 = F.floor(_merc_yfrac_col(lat_top) * n_px + 1e-10)
+    gy1 = F.floor(_merc_yfrac_col(lat_bot) * n_px + 1e-10)
+    nt = 1 << zoom
+    need = (
+        blocks.select(
+            "bx", "by",
+            F.greatest(F.lit(0), (gx0 / TILE).cast("long")).alias("_tx0"),
+            F.least(F.lit(nt - 1), (gx1 / TILE).cast("long")).alias("_tx1"),
+            F.greatest(F.lit(0), (gy0 / TILE).cast("long")).alias("_ty0"),
+            F.least(F.lit(nt - 1), (gy1 / TILE).cast("long")).alias("_ty1"),
+        )
+        .withColumn("_tx", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("_ty", F.explode(F.sequence("_ty0", "_ty1")))
+        .select(
+            "bx", "by",
+            F.col("_tx").cast("int").alias("tx"),
+            F.col("_ty").cast("int").alias("ty"),
+        )
+    )
+    joined = need.join(
+        src_tiles.select("tx", "ty", "data"), on=["tx", "ty"], how="inner"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        bx = int(pdf["bx"].iloc[0])
+        by = int(pdf["by"].iloc[0])
+        tiles = {
+            (int(r.tx), int(r.ty)): np.asarray(r.data, dtype=np.float64)
+            .reshape(TILE, TILE)
+            for r in pdf.itertuples()
+        }
+        jj, ii = np.mgrid[0:GEO_BLOCK, 0:GEO_BLOCK]
+        lon = (bx * GEO_BLOCK + ii + 0.5) * GEO_RES - 180.0
+        lat = 90.0 - (by * GEO_BLOCK + jj + 0.5) * GEO_RES
+        gx = np.floor((lon + 180.0) / 360.0 * n_px + 1e-10).astype(np.int64)
+        t = np.tan(np.pi / 4.0 + lat * (np.pi / 360.0))
+        yf = (1.0 - np.log(t) / np.pi) / 2.0
+        gy = np.floor(yf * n_px + 1e-10).astype(np.int64)
+        gx = np.clip(gx, 0, n_px - 1)
+        gy = np.clip(gy, 0, n_px - 1)
+        vals = np.empty((GEO_BLOCK, GEO_BLOCK), dtype=np.int64)
+        covered = np.zeros((GEO_BLOCK, GEO_BLOCK), dtype=bool)
+        for (tx, ty), arr in tiles.items():
+            m = (gx // TILE == tx) & (gy // TILE == ty)
+            vals[m] = arr[gy[m] % TILE, gx[m] % TILE].astype(np.int64)
+            covered |= m
+        if not covered.all():
+            raise RuntimeError(
+                f"block ({bx},{by}): {int((~covered).sum())} px missing"
+            )
+        flat = vals.ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(v)) for v in flat).encode()
+        ).hexdigest()
+        return pd.DataFrame([{
+            "bx": bx, "by": by, "n_px": int(flat.shape[0]),
+            "val_sum": int(flat.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("bx", "by").applyInPandas(
+        assemble, "bx int, by int, n_px long, val_sum long, digest string"
+    )

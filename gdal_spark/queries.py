@@ -9838,3 +9838,41 @@ def q_raster_minmax_locate(spark, sf_dir):
         F.lit(int(mx)).cast("long").alias("max_val"),
         F.col("max_pos").cast("long").alias("max_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 59. REVERSE reprojection warp (gdalwarp 3857→4326): mercator z2 world
+# raster → four mid-latitude geographic blocks; forward-Mercator tan/ln
+# chain written identically on both engines, per-block digests.
+# ---------------------------------------------------------------------------
+
+@register(
+    "warp_reproject_inverse",
+    f"""WITH gs AS (SELECT unnest(generate_series(0, {WP.GEO_BLOCK - 1})) AS v),
+bl AS (SELECT bx.v AS bx, by_.v AS by_
+       FROM (SELECT unnest([3, 4]) AS v) bx
+       CROSS JOIN (SELECT unnest([1, 2]) AS v) by_),
+p AS (
+  SELECT bx, by_, jj.v AS jj, ii.v AS ii,
+         (bx * {WP.GEO_BLOCK} + ii.v + 0.5) * {WP.GEO_RES!r} - 180.0 AS lon,
+         90.0 - (by_ * {WP.GEO_BLOCK} + jj.v + 0.5) * {WP.GEO_RES!r} AS lat
+  FROM bl CROSS JOIN gs jj CROSS JOIN gs ii),
+c AS (
+  SELECT bx, by_, jj, ii,
+         floor((lon + 180.0) / 360.0 * {_WARP_NPX} + 1e-10)::bigint AS gx,
+         floor((1.0 - ln(tan(pi() / 4.0 + lat * (pi() / 360.0))) / pi())
+               / 2.0 * {_WARP_NPX} + 1e-10)::bigint AS gy
+  FROM p),
+v AS (SELECT bx, by_, jj, ii,
+             (gx * 31 + gy * 17 + 7) % 256 AS val FROM c)
+SELECT bx, by_ AS by, count(*)::bigint AS n_px,
+       sum(val)::bigint AS val_sum,
+       md5(string_agg(val::varchar, ',' ORDER BY jj, ii)) AS digest
+FROM v GROUP BY bx, by_""",
+)
+def q_warp_reproject_inverse(spark, sf_dir):
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in (3, 4) for by in (1, 2)], "bx int, by int"
+    )
+    src = TL.synthetic_raster(spark, zoom=_WARP_Z, bands=1)
+    return WP.warp_reproject_to_geographic(src, blocks, _WARP_Z)
