@@ -9876,3 +9876,37 @@ def q_warp_reproject_inverse(spark, sf_dir):
     )
     src = TL.synthetic_raster(spark, zoom=_WARP_Z, bands=1)
     return WP.warp_reproject_to_geographic(src, blocks, _WARP_Z)
+
+
+# ---------------------------------------------------------------------------
+# 60. CUBE grouping sets (the dialect tail past ROLLUP): doc counts and
+# char sums over all (source, lang) grouping combinations with grouping
+# ids.  Partial-agg expand — one shuffle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sql_cube",
+    """SELECT coalesce(source, '<all>') AS source,
+       coalesce(lang, '<all>') AS lang,
+       grouping(source)::bigint AS g_source,
+       grouping(lang)::bigint AS g_lang,
+       count(*)::bigint AS n_docs,
+       sum(n_chars)::bigint AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)""",
+)
+def q_sql_cube(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping("source").cast("long").alias("g_source"),
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "g_source", "g_lang", "n_docs", "sum_chars",
+        )
+    )
