@@ -9910,3 +9910,77 @@ def q_sql_cube(spark, sf_dir):
             "g_source", "g_lang", "n_docs", "sum_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 61. ST_DWithin join (PostGIS/Spatialite dialect; OGR reaches it through
+# the SQLite dialect): all points within distance d of each mosaic rect.
+# Engine: rect envelopes PADDED by d → cell cover (JVM explode), points
+# keyed by their single cell, equi-join, exact clamp-distance filter in
+# pure column math — no pandas, no nested loop.  Oracle: the same clamp
+# formula over the cross product.
+# ---------------------------------------------------------------------------
+
+_DW_D = 0.5
+_DW_ZOOM = 5
+
+
+@register(
+    "points_dwithin_join",
+    f"""WITH pts AS ({SQL_POINTS}),
+b(poly_id, bxmin, bymin, bxmax, bymax)
+  AS ({_envelope_values(polygon_records()[:64], 'poly_id')}),
+d AS (
+  SELECT b.poly_id, p.o_orderkey,
+         greatest(b.bxmin - p.lon, p.lon - b.bxmax, 0.0) AS dx,
+         greatest(b.bymin - p.lat, p.lat - b.bymax, 0.0) AS dy
+  FROM pts p CROSS JOIN b)
+SELECT poly_id,
+       count(*)::bigint AS n_within,
+       min(o_orderkey)::bigint AS first_pt
+FROM d WHERE dx * dx + dy * dy <= {_DW_D * _DW_D!r}
+GROUP BY poly_id""",
+)
+def q_points_dwithin_join(spark, sf_dir):
+    pts = order_points(spark, sf_dir)
+    rects = polygons_df(spark).filter(F.col("poly_id") < 64).select(
+        "poly_id", "xmin", "ymin", "xmax", "ymax"
+    )
+    txmin, tymin = TM.lonlat_to_tile(
+        F.col("xmin") - _DW_D, F.col("ymax") + _DW_D, _DW_ZOOM
+    )
+    txmax, tymax = TM.lonlat_to_tile(
+        F.col("xmax") + _DW_D, F.col("ymin") - _DW_D, _DW_ZOOM
+    )
+    cover = (
+        rects.select(
+            "poly_id", "xmin", "ymin", "xmax", "ymax",
+            txmin.alias("_tx0"), tymin.alias("_ty0"),
+            txmax.alias("_tx1"), tymax.alias("_ty1"),
+        )
+        .withColumn("cell_tx", F.explode(F.sequence("_tx0", "_tx1")))
+        .withColumn("cell_ty", F.explode(F.sequence("_ty0", "_ty1")))
+        .select("poly_id", "xmin", "ymin", "xmax", "ymax",
+                "cell_tx", "cell_ty")
+    )
+    ptx, pty = TM.lonlat_to_tile(F.col("lon"), F.col("lat"), _DW_ZOOM)
+    keyed = pts.select(
+        "o_orderkey", "lon", "lat",
+        ptx.alias("cell_tx"), pty.alias("cell_ty"),
+    )
+    dx = F.greatest(
+        F.col("xmin") - F.col("lon"), F.col("lon") - F.col("xmax"),
+        F.lit(0.0),
+    )
+    dy = F.greatest(
+        F.col("ymin") - F.col("lat"), F.col("lat") - F.col("ymax"),
+        F.lit(0.0),
+    )
+    hits = (
+        keyed.join(cover, on=["cell_tx", "cell_ty"], how="inner")
+        .filter(dx * dx + dy * dy <= _DW_D * _DW_D)
+    )
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.min("o_orderkey").cast("long").alias("first_pt"),
+    )
