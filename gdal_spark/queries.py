@@ -9984,3 +9984,41 @@ def q_points_dwithin_join(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_within"),
         F.min("o_orderkey").cast("long").alias("first_pt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 62. Character n-gram frequency table (the lang-ID / fingerprint feature
+# extractor exposed as its own query): corpus-wide trigram counts, top 50
+# by (count desc, gram).  Engine: JVM sequence+substring explode — no
+# Python; one partial-agg shuffle + top-k.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_trigram_freq",
+    """WITH g AS (
+  SELECT substr(text, i.i, 3) AS gram
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, length(text) - 1)) AS i) i
+  WHERE length(text) >= 3)
+SELECT gram, count(*)::bigint AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT 50""",
+)
+def q_text_trigram_freq(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.length("text") >= 3
+    )
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 2),
+                lambda i: F.substring(F.col("text"), i, F.lit(3)),
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(50)
+    )
