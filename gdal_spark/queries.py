@@ -10022,3 +10022,66 @@ def q_text_trigram_freq(spark, sf_dir):
         .orderBy(F.desc("n"), "gram")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# 63. Focal mean over the tile grid (3x3 neighborhood smoothing of the z7
+# point-density rollup — the vector-grid heatmap step).  Engine: rollup →
+# 9-offset explode → equi-join on the neighbor key → mean.  One extra
+# shuffle beyond the rollup; neighbor sums are integer-exact, mean at 6dp.
+# ---------------------------------------------------------------------------
+
+_FOCAL_Z = 7
+
+
+@register(
+    "tile_focal_mean",
+    f"""WITH pts AS ({SQL_POINTS}),
+t AS (
+  SELECT {TM.sql_tile_x('lon', _FOCAL_Z)} AS tx,
+         {TM.sql_tile_y_xyz('lat', _FOCAL_Z)} AS ty,
+         count(*)::bigint AS n
+  FROM pts GROUP BY 1, 2),
+nb AS (
+  SELECT a.tx, a.ty,
+         sum(b.n)::bigint AS nb_sum,
+         count(*)::bigint AS nb_cells
+  FROM t a JOIN t b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+  GROUP BY a.tx, a.ty)
+SELECT t.tx, t.ty, t.n, nb.nb_sum, nb.nb_cells,
+       {SR('nb.nb_sum::double / nb.nb_cells', 6)} AS focal_mean
+FROM t JOIN nb ON nb.tx = t.tx AND nb.ty = t.ty""",
+)
+def q_tile_focal_mean(spark, sf_dir):
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), _FOCAL_Z, with_quadkey=False
+    )
+    t = pts.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    exploded = t.select(
+        "tx", "ty", "n",
+        F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offs
+        ])).alias("_o"),
+    ).select(
+        (F.col("tx") + F.col("_o.dx")).alias("ctx"),
+        (F.col("ty") + F.col("_o.dy")).alias("cty"),
+        "n",
+    )
+    nb = exploded.groupBy("ctx", "cty").agg(
+        F.sum("n").cast("long").alias("nb_sum"),
+        F.count(F.lit(1)).cast("long").alias("nb_cells"),
+    )
+    return t.join(
+        nb, (t["tx"] == nb["ctx"]) & (t["ty"] == nb["cty"])
+    ).select(
+        "tx", "ty", "n", "nb_sum", "nb_cells",
+        R(
+            F.col("nb_sum").cast("double") / F.col("nb_cells"), 6
+        ).alias("focal_mean"),
+    )
