@@ -418,3 +418,47 @@ def line_substring(
         f"{line_id} long, n_vertices long, x0 double, y0 double, "
         "x1 double, y1 double, sub_len_micro long",
     )
+
+
+def hausdorff_join(
+    a: DataFrame, b: DataFrame,
+    id_a: str = "line_id", id_b: str = "line_id",
+    coords_a: str = "coords", coords_b: str = "coords",
+) -> DataFrame:
+    """Discrete (vertex-set) Hausdorff distance between every pair of the
+    two line layers — OGR_G_HausdorffDistance via GEOS
+    DiscreteHausdorffDistance semantics on vertices.  The B layer is
+    dimension-sized and broadcasts; per Arrow batch one vectorized
+    (|A|,|B|) distance matrix per pair.  Output: (id_a, id_b, hd)."""
+    recs = b.select(id_b, coords_b).orderBy(id_b).collect()
+    bverts = [
+        (int(r[id_b]),
+         np.asarray([list(p) for p in r[coords_b]], dtype=np.float64))
+        for r in recs
+    ]
+    spark = a.sparkSession
+    bb = spark.sparkContext.broadcast(bverts)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bs = bb.value
+        for pdf in batches:
+            rows = {"id_a": [], "id_b": [], "hd": []}
+            for lid, cc in zip(pdf[id_a], pdf[coords_a]):
+                av = np.asarray([list(p) for p in cc], dtype=np.float64)
+                for bid, bv in bs:
+                    d2 = (
+                        (av[:, None, 0] - bv[None, :, 0]) ** 2
+                        + (av[:, None, 1] - bv[None, :, 1]) ** 2
+                    )
+                    h = max(
+                        float(d2.min(axis=1).max()),
+                        float(d2.min(axis=0).max()),
+                    )
+                    rows["id_a"].append(int(lid))
+                    rows["id_b"].append(int(bid))
+                    rows["hd"].append(float(np.sqrt(h)))
+            yield pd.DataFrame(rows)
+
+    return a.select(
+        F.col(id_a).alias(id_a), F.col(coords_a).alias(coords_a)
+    ).mapInPandas(run, "id_a long, id_b long, hd double")

@@ -10085,3 +10085,59 @@ def q_tile_focal_mean(spark, sf_dir):
             F.col("nb_sum").cast("double") / F.col("nb_cells"), 6
         ).alias("focal_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 64. Discrete Hausdorff distance join (OGR_G_HausdorffDistance → GEOS
+# DiscreteHausdorffDistance on vertex sets): every (walk-layer line,
+# gridline) pair.  The max/min cascade runs in squared distances with one
+# sqrt at the end — the SQL mirror is the identical arithmetic.
+# ---------------------------------------------------------------------------
+
+def _gridline_vertex_values() -> str:
+    rows = []
+    for rec in gridline_records():
+        for j, (px, py) in enumerate(rec["coords"]):
+            rows.append(
+                f"({rec['line_id']}, {j}, {px!r}::double, {py!r}::double)"
+            )
+    return "VALUES " + ", ".join(rows)
+
+
+@register(
+    "line_hausdorff",
+    f"""WITH va(line_a, pa, ax, ay) AS ({_line_vertex_values()}),
+vb(line_b, pb, bx, by_) AS ({_gridline_vertex_values()}),
+d AS (
+  SELECT line_a, pa, line_b, pb,
+         (ax - bx) * (ax - bx) + (ay - by_) * (ay - by_) AS d2
+  FROM va CROSS JOIN vb),
+ha AS (SELECT line_a, line_b, max(mn) AS h
+       FROM (SELECT line_a, pa, line_b, min(d2) AS mn
+             FROM d GROUP BY line_a, pa, line_b)
+       GROUP BY line_a, line_b),
+hb AS (SELECT line_a, line_b, max(mn) AS h
+       FROM (SELECT line_a, line_b, pb, min(d2) AS mn
+             FROM d GROUP BY line_a, line_b, pb)
+       GROUP BY line_a, line_b)
+SELECT ha.line_a, ha.line_b,
+       {SR('sqrt(greatest(ha.h, hb.h))', 9)} AS hd
+FROM ha JOIN hb ON hb.line_a = ha.line_a AND hb.line_b = ha.line_b""",
+)
+def q_line_hausdorff(spark, sf_dir):
+    """Hausdorff join over the 31-walk x 12-gridline pairs.  NOTE: the
+    snap-probe extras (ids 200+) are gate-local to geom_snap_vertices —
+    this gate's engine input is the shared layer plus those probes so the
+    vertex oracle (which includes them) matches."""
+    from gdal_spark.data.pages import LINE_SCHEMA
+
+    extra = spark.createDataFrame(
+        [(r["line_id"], r["coords"]) for r in _snap_extra_records()],
+        schema=LINE_SCHEMA,
+    )
+    return LN.hausdorff_join(
+        lines_df(spark).unionByName(extra), gridlines_df(spark)
+    ).select(
+        F.col("id_a").alias("line_a"), F.col("id_b").alias("line_b"),
+        R(F.col("hd"), 9).alias("hd"),
+    )
