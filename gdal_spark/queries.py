@@ -10141,3 +10141,31 @@ def q_line_hausdorff(spark, sf_dir):
         F.col("id_a").alias("line_a"), F.col("id_b").alias("line_b"),
         R(F.col("hd"), 9).alias("hd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 65. ANSI SQL portability: ONE query text that runs verbatim on Spark SQL
+# (over temp views) AND DuckDB — joins, integer-exact aggregation, a
+# window rank.  The oracle IS the same string; what's compared is two
+# independent engines executing it.
+# ---------------------------------------------------------------------------
+
+_ANSI_SQL = """SELECT c.c_mktsegment AS segment,
+       n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice) AS BIGINT)) AS BIGINT)
+         AS sum_price_floor,
+       RANK() OVER (PARTITION BY c.c_mktsegment
+                    ORDER BY COUNT(*) DESC, n.n_name) AS rk
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY c.c_mktsegment, n.n_name"""
+
+
+@register("sql_ansi_portability", _ANSI_SQL)
+def q_sql_ansi_portability(spark, sf_dir):
+    for t in ("orders", "customer", "nation"):
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ANSI_SQL)
