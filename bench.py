@@ -1,6 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
-local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+local[$SPARK_GRAFT_CPUS]; prints ONE compact JSON line (<~1 KB) and writes
+the full per-query timing record to the BENCH_QUERIES.json sidecar.
 
 Also evidences the north rule's two-cluster-size scaling criterion in-sandbox
 (per driver instruction): the flagship spatial-join + tile-assignment job is
@@ -218,12 +219,21 @@ def main():
     # warm the JVM/Arrow path once so timings measure the engine, not startup
     _run_query(spark, "sql_count_star")
 
-    flagship(spark)  # warm the exact path once
-    # median of 3 measured runs — this VM's wall times are ±2x noisy and
-    # the headline docs/sec should not ride a single draw (all runs after
-    # the warmup, so none pays one-time codegen)
-    fl_runs = [flagship(spark) for _ in range(3)]
-    fl_t = sorted(t for t, _ in fl_runs)[1]
+    # aggressive warmup: run until two consecutive warmup times are within
+    # 15% of each other (max 4 warmups) so the recorded median reflects the
+    # steady-state band (96-124k docs/s per BENCH.md), not first-run codegen
+    # or a cold page cache — the r3 verdict flagged the recorded flagship
+    # riding a cold draw while in-session medians stayed healthy.
+    prev_w = None
+    for _ in range(4):
+        w, _n = flagship(spark)
+        if prev_w is not None and abs(w - prev_w) <= 0.15 * min(w, prev_w):
+            break
+        prev_w = w
+    # median of 5 measured runs — this VM's wall times are ±2x noisy and
+    # the headline docs/sec should not ride a single draw
+    fl_runs = [flagship(spark) for _ in range(5)]
+    fl_t = sorted(t for t, _ in fl_runs)[2]
     fl_n = fl_runs[0][1]
     results["flagship_pip_tiles"] = round(fl_t, 3)
     flagship_runs = [round(t, 3) for t, _ in fl_runs]
@@ -315,7 +325,7 @@ def main():
         spark.stop()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    out = {
+    full = {
         "metric": "total_bench_time_sec",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
@@ -327,7 +337,36 @@ def main():
         "cpus": CPUS,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    # Full record (per-query timings + scaling notes) goes to a sidecar
+    # file; the SINGLE stdout line stays compact (<~1 KB) so the driver's
+    # captured stdout tail can always parse it — at 74+ timed queries the
+    # all-in-one line outgrew the tail buffer in round 3 and BENCH_r03.json
+    # recorded "parsed": null.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_QUERIES.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+
+    def _pair_compact(p: dict) -> dict:
+        return {k: v for k, v in p.items() if k != "note"}
+
+    compact = {
+        "metric": "total_bench_time_sec",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": {"flagship_pip_tiles": results["flagship_pip_tiles"]},
+        "n_timed": len(results),
+        "sidecar": "BENCH_QUERIES.json",
+        "sf": full["sf"],
+        "flagship_docs_per_sec": full["flagship_docs_per_sec"],
+        "flagship_runs_sec": flagship_runs,
+        "cpus": CPUS,
+        "scaling": {
+            k: (_pair_compact(v) if isinstance(v, dict) else v)
+            for k, v in scaling.items() if k != "methodology"
+        },
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -425,11 +425,15 @@ def hausdorff_join(
     id_a: str = "line_id", id_b: str = "line_id",
     coords_a: str = "coords", coords_b: str = "coords",
 ) -> DataFrame:
-    """Discrete (vertex-set) Hausdorff distance between every pair of the
-    two line layers — OGR_G_HausdorffDistance via GEOS
-    DiscreteHausdorffDistance semantics on vertices.  The B layer is
-    dimension-sized and broadcasts; per Arrow batch one vectorized
-    (|A|,|B|) distance matrix per pair.  Output: (id_a, id_b, hd)."""
+    """Discrete Hausdorff distance between every pair of the two line
+    layers — OGR_G_HausdorffDistance via GEOS DiscreteHausdorffDistance
+    semantics: each ORIENTED term measures every VERTEX of one line against
+    the other line's SEGMENTS (point-to-segment distance, GEOS
+    ``EuclideanDistanceToPoint``), not vertex-to-vertex, so a vertex lying
+    mid-segment of the other line contributes distance 0.  The B layer is
+    dimension-sized and broadcasts; per pair one vectorized
+    (|verts|,|segs|) point-segment matrix each direction; squared-distance
+    cascade with a single final sqrt.  Output: (id_a, id_b, hd)."""
     recs = b.select(id_b, coords_b).orderBy(id_b).collect()
     bverts = [
         (int(r[id_b]),
@@ -439,6 +443,25 @@ def hausdorff_join(
     spark = a.sparkSession
     bb = spark.sparkContext.broadcast(bverts)
 
+    def pt_seg_min_d2(pts: np.ndarray, seg: np.ndarray) -> np.ndarray:
+        """min over segments of point->segment squared distance; pts (n,2),
+        seg (m,2) vertices of a polyline (m-1 segments).  Expression order
+        mirrors the SQL oracle exactly for cross-engine FP parity."""
+        ax, ay = seg[:-1, 0], seg[:-1, 1]
+        dx = seg[1:, 0] - seg[:-1, 0]
+        dy = seg[1:, 1] - seg[:-1, 1]
+        len2 = dx * dx + dy * dy
+        px, py = pts[:, None, 0], pts[:, None, 1]
+        num = (px - ax) * dx + (py - ay) * dy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = num / len2
+        t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+        qx = ax + t * dx
+        qy = ay + t * dy
+        ex = px - qx
+        ey = py - qy
+        return (ex * ex + ey * ey).min(axis=1)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bs = bb.value
         for pdf in batches:
@@ -446,13 +469,9 @@ def hausdorff_join(
             for lid, cc in zip(pdf[id_a], pdf[coords_a]):
                 av = np.asarray([list(p) for p in cc], dtype=np.float64)
                 for bid, bv in bs:
-                    d2 = (
-                        (av[:, None, 0] - bv[None, :, 0]) ** 2
-                        + (av[:, None, 1] - bv[None, :, 1]) ** 2
-                    )
                     h = max(
-                        float(d2.min(axis=1).max()),
-                        float(d2.min(axis=0).max()),
+                        float(pt_seg_min_d2(av, bv).max()),
+                        float(pt_seg_min_d2(bv, av).max()),
                     )
                     rows["id_a"].append(int(lid))
                     rows["id_b"].append(int(bid))

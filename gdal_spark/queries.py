@@ -51,6 +51,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                "(register() would silently shadow the earlier gate)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -4053,7 +4058,7 @@ def q_events_sliding_windows(spark, sf_dir):
 
 
 @register(
-    "sql_percentiles",
+    "sql_percentiles_orders",
     f"""SELECT o_orderpriority,
        {SR('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
        {SR('quantile_cont(o_totalprice, 0.5)', 4)} AS p50,
@@ -4061,10 +4066,12 @@ def q_events_sliding_windows(spark, sf_dir):
        {SR('quantile_cont(o_totalprice, 0.9)', 4)} AS p90
 FROM orders GROUP BY o_orderpriority""",
 )
-def q_sql_percentiles(spark, sf_dir):
-    """Exact continuous percentiles (the zonal/summary quantile menu —
-    PERCENTILE_CONT linear interpolation, identical convention in Spark
-    percentile() and DuckDB quantile_cont)."""
+def q_sql_percentiles_orders(spark, sf_dir):
+    """Exact continuous percentiles over orders (the zonal/summary quantile
+    menu — PERCENTILE_CONT linear interpolation, identical convention in
+    Spark percentile() and DuckDB quantile_cont). A second percentile gate
+    (``sql_percentiles``) runs the same menu over documents; register()
+    raises on duplicate names so neither can shadow the other again."""
     o = _read(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         R(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
@@ -10108,17 +10115,51 @@ def _gridline_vertex_values() -> str:
     "line_hausdorff",
     f"""WITH va(line_a, pa, ax, ay) AS ({_line_vertex_values()}),
 vb(line_b, pb, bx, by_) AS ({_gridline_vertex_values()}),
-d AS (
-  SELECT line_a, pa, line_b, pb,
-         (ax - bx) * (ax - bx) + (ay - by_) * (ay - by_) AS d2
-  FROM va CROSS JOIN vb),
+sa AS (SELECT v1.line_a AS line_a, v1.pa AS ps, v1.ax AS sx, v1.ay AS sy,
+              v2.ax - v1.ax AS dx, v2.ay - v1.ay AS dy
+       FROM va v1 JOIN va v2
+         ON v2.line_a = v1.line_a AND v2.pa = v1.pa + 1),
+sb AS (SELECT v1.line_b AS line_b, v1.pb AS ps, v1.bx AS sx, v1.by_ AS sy,
+              v2.bx - v1.bx AS dx, v2.by_ - v1.by_ AS dy
+       FROM vb v1 JOIN vb v2
+         ON v2.line_b = v1.line_b AND v2.pb = v1.pb + 1),
+dab AS (
+  SELECT line_a, pa, line_b,
+         (ax - qx) * (ax - qx) + (ay - qy) * (ay - qy) AS d2
+  FROM (SELECT va.line_a, va.pa, va.ax, va.ay, sb.line_b,
+               sb.sx + (CASE WHEN sb.dx * sb.dx + sb.dy * sb.dy > 0
+                 THEN greatest(least(((va.ax - sb.sx) * sb.dx
+                   + (va.ay - sb.sy) * sb.dy)
+                   / (sb.dx * sb.dx + sb.dy * sb.dy), 1.0), 0.0)
+                 ELSE 0.0 END) * sb.dx AS qx,
+               sb.sy + (CASE WHEN sb.dx * sb.dx + sb.dy * sb.dy > 0
+                 THEN greatest(least(((va.ax - sb.sx) * sb.dx
+                   + (va.ay - sb.sy) * sb.dy)
+                   / (sb.dx * sb.dx + sb.dy * sb.dy), 1.0), 0.0)
+                 ELSE 0.0 END) * sb.dy AS qy
+        FROM va CROSS JOIN sb)),
+dba AS (
+  SELECT line_b, pb, line_a,
+         (bx - qx) * (bx - qx) + (by_ - qy) * (by_ - qy) AS d2
+  FROM (SELECT vb.line_b, vb.pb, vb.bx, vb.by_, sa.line_a,
+               sa.sx + (CASE WHEN sa.dx * sa.dx + sa.dy * sa.dy > 0
+                 THEN greatest(least(((vb.bx - sa.sx) * sa.dx
+                   + (vb.by_ - sa.sy) * sa.dy)
+                   / (sa.dx * sa.dx + sa.dy * sa.dy), 1.0), 0.0)
+                 ELSE 0.0 END) * sa.dx AS qx,
+               sa.sy + (CASE WHEN sa.dx * sa.dx + sa.dy * sa.dy > 0
+                 THEN greatest(least(((vb.bx - sa.sx) * sa.dx
+                   + (vb.by_ - sa.sy) * sa.dy)
+                   / (sa.dx * sa.dx + sa.dy * sa.dy), 1.0), 0.0)
+                 ELSE 0.0 END) * sa.dy AS qy
+        FROM vb CROSS JOIN sa)),
 ha AS (SELECT line_a, line_b, max(mn) AS h
        FROM (SELECT line_a, pa, line_b, min(d2) AS mn
-             FROM d GROUP BY line_a, pa, line_b)
+             FROM dab GROUP BY line_a, pa, line_b)
        GROUP BY line_a, line_b),
 hb AS (SELECT line_a, line_b, max(mn) AS h
        FROM (SELECT line_a, line_b, pb, min(d2) AS mn
-             FROM d GROUP BY line_a, line_b, pb)
+             FROM dba GROUP BY line_a, line_b, pb)
        GROUP BY line_a, line_b)
 SELECT ha.line_a, ha.line_b,
        {SR('sqrt(greatest(ha.h, hb.h))', 9)} AS hd
