@@ -78,8 +78,36 @@ _GATED_ROUNDS = frozenset({
 })
 
 
+# Round-4 stamping priority (the r3 verdict names these operator families
+# as the ones the capped ~50/round gate should verify next); remaining
+# never-gated keys follow in registration order, already-stamped keys last.
+_PRIORITY_R4 = (
+    "warp_reproject_nearest", "warp_reproject_bilinear",
+    "warp_reproject_inverse", "geom_relate_de9im", "line_poly_predicates",
+    "line_clip_rect", "line_line_intersections", "line_substring",
+    "line_hausdorff", "point_line_distance", "geom_snap_vertices",
+    "st_line_merge", "geoparquet_roundtrip", "geoparquet_points_roundtrip",
+    "st_cluster_dbscan", "st_cluster_within", "raster_sieve",
+    "raster_fillnodata", "raster_pansharpen", "rasterize_lines_bresenham",
+    "rasterize_lines_all_touched", "rasterize_lines_z",
+    "rasterize_polygons", "rasterize_polygons_all_touched",
+    "s2_cell_encode", "s2_parent_rollup", "embed_pq_encode", "embed_pq_adc",
+    "text_c4_filters", "text_gopher_rules", "text_line_dedup",
+    "text_substring_dup", "sql_ansi_portability", "contour_polygons",
+    "voronoi_assign", "geom_make_valid", "geom_buffer_concave",
+    "geom_set_precision", "geom_normalize", "raster_rgb2pct",
+    "raster_dither_bayer", "url_normalize", "wrapdateline", "laea_project",
+    "geom_area_geodesic", "st_project", "warp_cutline", "raster_translate",
+    "grid_linear", "tpch_q3", "tpch_q5", "sql_percentiles",
+)
+
+
 def _ungated_first(d: dict) -> dict:
-    out = {k: v for k, v in d.items() if k not in _GATED_ROUNDS}
+    out = {k: d[k] for k in _PRIORITY_R4 if k in d and k not in _GATED_ROUNDS}
+    out.update(
+        (k, v) for k, v in d.items()
+        if k not in _GATED_ROUNDS and k not in out
+    )
     out.update((k, v) for k, v in d.items() if k in _GATED_ROUNDS)
     return out
 

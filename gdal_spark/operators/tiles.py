@@ -343,6 +343,75 @@ def sample_cubic(
     return joined.groupBy(point_id).agg(F.sum(F.col("_w") * val).alias(value_name))
 
 
+def sample_cubicspline(
+    points: DataFrame, raster: DataFrame, zoom: int, band: int = 1,
+    point_id: str = "i", lon: str = "lon", lat: str = "lat",
+    tile_size: int = 256, value_name: str = "cubicspline_val",
+) -> DataFrame:
+    """Warp-cubicspline sampling (cubic B-spline, gdalwarpkernel.cpp
+    GWKBSpline in the apfGWKFilter menu at gdalwarpkernel.cpp:104-126;
+    GWKResample normalizes by accumulated weight): 4×4 taps at offsets
+    -1..2 around floor(src-0.5), separable weights from the even basis
+    B(t) = 4 - 6t² + 3t³ (t<1), (2-t)³ (1≤t<2) — GDAL's positive-part
+    cascade ×6, the constant cancels in the weight normalization.  Same
+    explode→tile-join→weighted-agg plan as cubic/lanczos; value = Σw·p/Σw
+    so edge-clamped duplicate taps renormalize identically cross-engine."""
+    gx, gy = _global_pixel_cols(lon, lat, zoom, tile_size)
+    max_px = (1 << zoom) * tile_size - 1
+    ix0 = F.floor(gx - F.lit(0.5)).cast("long")
+    iy0 = F.floor(gy - F.lit(0.5)).cast("long")
+    fx = gx - F.lit(0.5) - ix0
+    fy = gy - F.lit(0.5) - iy0
+
+    def bw(t, tap):
+        ax = F.abs(t - F.lit(float(tap)))
+        return (
+            F.when(ax < F.lit(1.0),
+                   F.lit(4.0) - F.lit(6.0) * ax * ax
+                   + F.lit(3.0) * ax * ax * ax)
+            .when(ax < F.lit(2.0),
+                  (F.lit(2.0) - ax) * (F.lit(2.0) - ax) * (F.lit(2.0) - ax))
+            .otherwise(F.lit(0.0))
+        )
+
+    base = points.select(
+        F.col(point_id), ix0.alias("_ix0"), iy0.alias("_iy0"),
+        fx.alias("_fx"), fy.alias("_fy"),
+    )
+    taps = []
+    for dy in (-1, 0, 1, 2):
+        for dx in (-1, 0, 1, 2):
+            taps.append(F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                (bw(F.col("_fx"), dx) * bw(F.col("_fy"), dy)).alias("w"),
+            ))
+    req = base.select(
+        F.col(point_id), "_ix0", "_iy0",
+        F.explode(F.array(*taps)).alias("t"),
+    ).select(
+        F.col(point_id),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_ix0") + F.col("t.dx"))).alias("_gx"),
+        F.least(F.lit(max_px), F.greatest(F.lit(0), F.col("_iy0") + F.col("t.dy"))).alias("_gy"),
+        F.col("t.w").alias("_w"),
+    ).select(
+        F.col(point_id), "_w",
+        (F.col("_gx") / tile_size).cast("int").alias("tx"),
+        (F.col("_gy") / tile_size).cast("int").alias("ty"),
+        (F.col("_gx") % tile_size).cast("int").alias("_px"),
+        (F.col("_gy") % tile_size).cast("int").alias("_py"),
+    )
+    r = raster.filter((F.col("zoom") == zoom) & (F.col("band") == band))
+    joined = req.join(r, on=["tx", "ty"], how="left")
+    val = F.element_at(F.col("data"), (F.col("_py") * F.col("width") + F.col("_px") + 1).cast("int"))
+    wv = F.when(val.isNotNull(), F.col("_w")).otherwise(F.lit(0.0))
+    return joined.groupBy(point_id).agg(
+        (
+            F.sum(F.when(val.isNotNull(), F.col("_w") * val).otherwise(F.lit(0.0)))
+            / F.when(F.sum(wv) != 0, F.sum(wv))
+        ).alias(value_name)
+    )
+
+
 def overview_level_nearest(raster: DataFrame, tile_size: int) -> DataFrame:
     """One pyramid step z → z-1 by NEAREST decimation: dst pixel (i, j)
     samples src pixel (2i, 2j) — the top-left convention of the reference's

@@ -10210,3 +10210,252 @@ def q_sql_ansi_portability(spark, sf_dir):
     for t in ("orders", "customer", "nation"):
         _read(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ANSI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 66. GCP polynomial transformer (GDALCreateGCPTransformer,
+# alg/gdal_crs.cpp) — mean-centered polynomial fit from ground control
+# points, applied as map-only Column math.  The order-1 oracle performs the
+# ENTIRE least-squares fit in SQL (normal-equation sums + Cramer's rule,
+# the same closed-form expressions gcp.py evaluates), so the fit itself is
+# cross-engine verified; the dyadic fixture design makes every sum exact in
+# float64 so summation order cannot perturb the coefficients.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial.gcp import (  # noqa: E402
+    fit_gcp_poly, gcp_fixture, gcp_poly_cols,
+)
+
+
+def _gcp_values(order: int) -> str:
+    return "VALUES " + ", ".join(
+        f"({e1!r}::double, {n1!r}::double, {e2!r}::double, {n2!r}::double)"
+        for e1, n1, e2, n2 in gcp_fixture(order)
+    )
+
+
+_GCP1_SQL = f"""WITH g(e1, n1, e2, n2) AS ({_gcp_values(1)}),
+mu AS (SELECT sum(e1) / count(*) AS me, sum(n1) / count(*) AS mn FROM g),
+s AS (SELECT me, mn, count(*)::double AS m11,
+             sum(e1 - me) AS m12, sum(n1 - mn) AS m13,
+             sum((e1 - me) * (e1 - me)) AS m22,
+             sum((e1 - me) * (n1 - mn)) AS m23,
+             sum((n1 - mn) * (n1 - mn)) AS m33,
+             sum(e2) AS ae1, sum(e2 * (e1 - me)) AS ae2,
+             sum(e2 * (n1 - mn)) AS ae3,
+             sum(n2) AS an1, sum(n2 * (e1 - me)) AS an2,
+             sum(n2 * (n1 - mn)) AS an3
+      FROM g CROSS JOIN mu GROUP BY me, mn),
+c AS (SELECT me, mn,
+  (ae1 * (m22 * m33 - m23 * m23) - m12 * (ae2 * m33 - m23 * ae3)
+     + m13 * (ae2 * m23 - m22 * ae3))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce0,
+  (m11 * (ae2 * m33 - ae3 * m23) - ae1 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * ae3 - ae2 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce1,
+  (m11 * (m22 * ae3 - m23 * ae2) - m12 * (m12 * ae3 - ae2 * m13)
+     + ae1 * (m12 * m23 - m22 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce2,
+  (an1 * (m22 * m33 - m23 * m23) - m12 * (an2 * m33 - m23 * an3)
+     + m13 * (an2 * m23 - m22 * an3))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn0,
+  (m11 * (an2 * m33 - an3 * m23) - an1 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * an3 - an2 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn1,
+  (m11 * (m22 * an3 - m23 * an2) - m12 * (m12 * an3 - an2 * m13)
+     + an1 * (m12 * m23 - m22 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn2
+  FROM s)
+SELECT o_orderkey,
+       {SR('ce0 + ce1 * ((o_orderkey % 512)::double - me)'
+           ' + ce2 * (((o_orderkey * 7) % 512)::double - mn)', 9)} AS gx,
+       {SR('cn0 + cn1 * ((o_orderkey % 512)::double - me)'
+           ' + cn2 * (((o_orderkey * 7) % 512)::double - mn)', 9)} AS gy
+FROM orders CROSS JOIN c"""
+
+
+@register("warp_gcp_poly", _GCP1_SQL)
+def q_warp_gcp_poly(spark, sf_dir):
+    """Order-1 GCP polynomial transform of orders-derived pixel coords —
+    GDALGCPTransform forward direction (gdal_crs.cpp:451-460 mean-centered
+    CRS_georef).  The oracle re-runs the full normal-equation fit in SQL."""
+    fit = fit_gcp_poly(gcp_fixture(1), order=1)
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 512).cast("double").alias("e"),
+        ((F.col("o_orderkey") * 7) % 512).cast("double").alias("n"),
+    )
+    gx, gy = gcp_poly_cols(fit, F.col("e"), F.col("n"))
+    return o.select(
+        "o_orderkey", R(gx, 9).alias("gx"), R(gy, 9).alias("gy")
+    )
+
+
+def _gcp2_sql() -> str:
+    fit = fit_gcp_poly(gcp_fixture(2), order=2)
+    e = [f"{c!r}::double" for c in fit.coef_e]
+    n = [f"{c!r}::double" for c in fit.coef_n]
+    me, mn = f"{fit.e_mean!r}::double", f"{fit.n_mean!r}::double"
+    ec = f"((o_orderkey % 512)::double - {me})"
+    nc = f"(((o_orderkey * 7) % 512)::double - {mn})"
+    gx = (f"{e[0]} + {e[1]} * {ec} + {e[2]} * {nc} + {e[3]} * ({ec} * {ec})"
+          f" + {e[4]} * ({ec} * {nc}) + {e[5]} * ({nc} * {nc})")
+    gy = (f"{n[0]} + {n[1]} * {ec} + {n[2]} * {nc} + {n[3]} * ({ec} * {ec})"
+          f" + {n[4]} * ({ec} * {nc}) + {n[5]} * ({nc} * {nc})")
+    return (f"SELECT o_orderkey, {SR(gx, 9)} AS gx, {SR(gy, 9)} AS gy "
+            "FROM orders")
+
+
+@register("warp_gcp_poly2", _gcp2_sql())
+def q_warp_gcp_poly2(spark, sf_dir):
+    """Order-2 GCP polynomial (term ladder [1,e,n,e2,en,n2],
+    gdal_crs.cpp:896-921; least-squares calcls path over 16 GCPs).  The
+    oracle applies coefficients from the import-time run of the SAME
+    deterministic fit, so a solver regression breaks the gate."""
+    fit = fit_gcp_poly(gcp_fixture(2), order=2)
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 512).cast("double").alias("e"),
+        ((F.col("o_orderkey") * 7) % 512).cast("double").alias("n"),
+    )
+    gx, gy = gcp_poly_cols(fit, F.col("e"), F.col("n"))
+    return o.select(
+        "o_orderkey", R(gx, 9).alias("gx"), R(gy, 9).alias("gy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 67. cubicspline sample kernel — the last named resampler in the warp menu
+# (gdalwarper.h:37-67 GRA_CubicSpline; gdalwarpkernel.cpp GWKBSpline).
+# ---------------------------------------------------------------------------
+
+def _sql_cubicspline_val() -> str:
+    gx, gy = _sql_global_px(sql_lon("o_orderkey"), sql_lat("o_orderkey"))
+
+    def bw(t_expr: str, d: str) -> str:
+        ax = f"abs(({t_expr}) - ({d})::double)"
+        return (f"(CASE WHEN {ax} < 1.0 THEN 4.0::double"
+                f" - 6.0::double * {ax} * {ax}"
+                f" + 3.0::double * {ax} * {ax} * {ax}"
+                f" WHEN {ax} < 2.0 THEN (2.0::double - {ax})"
+                f" * (2.0::double - {ax}) * (2.0::double - {ax})"
+                f" ELSE 0.0::double END)")
+
+    cx = f"least({_MAXPX}, greatest(0, ix0 + dx.d))::bigint"
+    cy = f"least({_MAXPX}, greatest(0, iy0 + dy.d))::bigint"
+    return f"""
+WITH p AS (SELECT o_orderkey, ({gx}) AS gxv, ({gy}) AS gyv FROM orders),
+p2 AS (SELECT o_orderkey,
+              floor(gxv - 0.5) AS ix0, floor(gyv - 0.5) AS iy0,
+              gxv - 0.5 - floor(gxv - 0.5) AS fx,
+              gyv - 0.5 - floor(gyv - 0.5) AS fy FROM p),
+tap AS (SELECT unnest(generate_series(-1, 2)) AS d),
+c AS (SELECT o_orderkey,
+             ({bw('fx', 'dx.d')}) * ({bw('fy', 'dy.d')}) AS w,
+             {cx} AS cx, {cy} AS cy
+      FROM p2 CROSS JOIN tap dx CROSS JOIN tap dy)
+SELECT o_orderkey,
+       {SR(f"sum(w * ({TL.sql_pixel_value('cx', 'cy', '1')})) / sum(w)", 6)} AS cubicspline_val
+FROM c GROUP BY o_orderkey"""
+
+
+@register("raster_sample_cubicspline", _sql_cubicspline_val())
+def q_raster_sample_cubicspline(spark, sf_dir):
+    """Warp-cubicspline sampling (cubic B-spline, GWKBSpline in
+    gdalwarpkernel.cpp:104-126's filter menu; weight-normalized like
+    GWKResample): completes the named kernel menu
+    (near/bilinear/cubic/cubicspline/lanczos)."""
+    pts = order_points(spark, sf_dir)
+    raster = TL.synthetic_raster(spark, Z_RASTER, bands=1)
+    out = TL.sample_cubicspline(
+        pts, raster, Z_RASTER, band=1, point_id="o_orderkey"
+    )
+    return out.withColumn("cubicspline_val", R("cubicspline_val", 6))
+
+
+# ---------------------------------------------------------------------------
+# 68. Z/3D WKB + Distance3D (OGR_G_Distance3D, ogrgeometry.cpp:3941:
+# euclidean 3D distance, both geometries must carry Z).  The probe polyline
+# is built as ISO WKB LineString Z bytes and decoded through the codec, so
+# the gate exercises the Z parse path; the per-row distance is unrolled
+# per-segment Column math (map-only, JVM-side).
+# ---------------------------------------------------------------------------
+
+def _line3d_fixture() -> "np.ndarray":
+    pts = []
+    for i in range(8):
+        pts.append((
+            float((i * 5) % 16) / 2.0,
+            float((i * 11 + 3) % 16) / 2.0,
+            float((i * 7) % 8) / 4.0,
+        ))
+    return np.asarray(pts, dtype=np.float64)
+
+
+_P3D_X = "((o_orderkey % 64)::double / 4.0)"
+_P3D_Y = "(((o_orderkey * 7) % 64)::double / 4.0)"
+_P3D_Z = "(((o_orderkey * 13) % 32)::double / 8.0)"
+
+
+def _sql_distance3d() -> str:
+    line = _line3d_fixture()
+    segs = []
+    for i in range(line.shape[0] - 1):
+        ax, ay, az = line[i]
+        dx, dy, dz = line[i + 1] - line[i]
+        len2 = dx * dx + dy * dy + dz * dz
+        segs.append(
+            f"({ax!r}::double, {ay!r}::double, {az!r}::double, "
+            f"{dx!r}::double, {dy!r}::double, {dz!r}::double, "
+            f"{len2!r}::double)"
+        )
+    t = ("(CASE WHEN len2 > 0 THEN greatest(least("
+         f"(({_P3D_X} - sax) * sdx + ({_P3D_Y} - say) * sdy"
+         f" + ({_P3D_Z} - saz) * sdz) / len2, 1.0), 0.0)"
+         " ELSE 0.0 END)")
+    d2 = (f"(({_P3D_X} - (sax + {t} * sdx)) * ({_P3D_X} - (sax + {t} * sdx))"
+          f" + ({_P3D_Y} - (say + {t} * sdy)) * ({_P3D_Y} - (say + {t} * sdy))"
+          f" + ({_P3D_Z} - (saz + {t} * sdz)) * ({_P3D_Z} - (saz + {t} * sdz)))")
+    return f"""WITH s(sax, say, saz, sdx, sdy, sdz, len2) AS
+  (VALUES {', '.join(segs)})
+SELECT o_orderkey, {SR(f'sqrt(min({d2}))', 9)} AS d3
+FROM orders CROSS JOIN s GROUP BY o_orderkey"""
+
+
+@register("geom_distance3d", _sql_distance3d())
+def q_geom_distance3d(spark, sf_dir):
+    """3D distance from orders-derived XYZ points to a WKB-Z polyline
+    (OGR_G_Distance3D semantics; SFCGAL euclidean point→segment in 3D).
+    The polyline round-trips through the ISO LineString Z codec
+    (wkb_linestring_z → parse_wkb) before becoming literal Column math."""
+    wkb = G.wkb_linestring_z(_line3d_fixture())
+    kind, line = G.parse_wkb(wkb)
+    assert kind == "linestring_z"
+    px = (F.col("o_orderkey") % 64).cast("double") / F.lit(4.0)
+    py = ((F.col("o_orderkey") * 7) % 64).cast("double") / F.lit(4.0)
+    pz = ((F.col("o_orderkey") * 13) % 32).cast("double") / F.lit(8.0)
+    d2s = []
+    for i in range(line.shape[0] - 1):
+        ax, ay, az = (float(v) for v in line[i])
+        dx, dy, dz = (float(v) for v in (line[i + 1] - line[i]))
+        len2 = dx * dx + dy * dy + dz * dz
+        if len2 > 0:
+            t_raw = ((px - F.lit(ax)) * F.lit(dx) + (py - F.lit(ay)) * F.lit(dy)
+                     + (pz - F.lit(az)) * F.lit(dz)) / F.lit(len2)
+            t = F.greatest(F.least(t_raw, F.lit(1.0)), F.lit(0.0))
+        else:
+            t = F.lit(0.0)
+        ex = px - (F.lit(ax) + t * F.lit(dx))
+        ey = py - (F.lit(ay) + t * F.lit(dy))
+        ez = pz - (F.lit(az) + t * F.lit(dz))
+        d2s.append(ex * ex + ey * ey + ez * ez)
+    return _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        R(F.sqrt(F.least(*d2s)), 9).alias("d3"),
+    )

@@ -217,11 +217,36 @@ def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
     return b"".join(out)
 
 
+_WKB_LINESTRING = 2
+_WKB25D_BIT = 0x80000000  # legacy 2.5D flag (ogr_core.h wkb25DBit)
+
+
+def wkb_point_z(x: float, y: float, z: float) -> bytes:
+    """ISO WKB Point Z (type 1001, ogr_core.h:426-494 wkbPointZ)."""
+    return struct.pack("<BIddd", 1, 1000 + _WKB_POINT, x, y, z)
+
+
+def wkb_linestring_z(coords: np.ndarray) -> bytes:
+    """ISO WKB LineString Z (type 1002); coords (n, 3)."""
+    return (struct.pack("<BII", 1, 1000 + _WKB_LINESTRING, coords.shape[0])
+            + np.ascontiguousarray(coords, dtype="<f8").tobytes())
+
+
 def parse_wkb(buf: bytes):
-    """Parse Point/Polygon/MultiPolygon WKB → ('point', (x, y)) |
-    ('polygon', [rings]) | ('multipolygon', [[rings], ...])."""
+    """Parse Point/LineString/Polygon/MultiPolygon WKB → ('point', (x, y)) |
+    ('polygon', [rings]) | ('multipolygon', [[rings], ...]); Z geometries
+    (ISO +1000 block or the legacy wkb25DBit flag, ogr_core.h:426-494)
+    return ('point_z', (x, y, z)) / ('linestring_z', (n, 3) array)."""
     kind, rings, offset = _parse_wkb_at(buf, 0)
     return kind, rings
+
+
+def _wkb_has_z(geom_type: int) -> bool:
+    # legacy 2.5D bit OR the ISO Z (1000) / ZM (3000) blocks
+    if geom_type & _WKB25D_BIT:
+        return True
+    block = (geom_type & 0x7FFFFFFF) // 1000
+    return block in (1, 3)
 
 
 def _parse_wkb_at(buf: bytes, off: int):
@@ -229,10 +254,23 @@ def _parse_wkb_at(buf: bytes, off: int):
     endian = "<" if byte_order == 1 else ">"
     (geom_type,) = struct.unpack_from(endian + "I", buf, off + 1)
     off += 5
-    base_type = geom_type % 1000  # strip Z/M/ZM blocks (ogr_core.h:426-494)
+    has_z = _wkb_has_z(geom_type)
+    base_type = (geom_type & 0x7FFFFFFF) % 1000  # strip Z/M/ZM blocks
+    if base_type == _WKB_POINT and has_z:
+        x, y, z = struct.unpack_from(endian + "ddd", buf, off)
+        return "point_z", (x, y, z), off + 24
     if base_type == _WKB_POINT:
         x, y = struct.unpack_from(endian + "dd", buf, off)
         return "point", (x, y), off + 16
+    if base_type == _WKB_LINESTRING:
+        dim = 3 if has_z else 2
+        (n_pts,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        pts = np.frombuffer(
+            buf, dtype=endian + "f8", count=n_pts * dim, offset=off
+        ).reshape(n_pts, dim).copy()
+        off += n_pts * dim * 8
+        return ("linestring_z" if has_z else "linestring"), pts, off
     if base_type == _WKB_POLYGON:
         (n_rings,) = struct.unpack_from(endian + "I", buf, off)
         off += 4
@@ -253,6 +291,37 @@ def _parse_wkb_at(buf: bytes, off: int):
             polys.append(rings)
         return "multipolygon", polys, off
     raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+# ---------------------------------------------------------------------------
+# 3D (2.5D) distance — OGR_G_Distance3D / OGRGeometry::Distance3D semantics
+# (ogrgeometry.cpp:3941: euclidean 3D distance via SFCGAL; both inputs must
+# be 3D or the reference returns -1).  Point↔point and point↔linestring-Z
+# kernels, squared-distance cascade with one final sqrt.
+# ---------------------------------------------------------------------------
+
+def point_line_min_d2_3d(pts: np.ndarray, line: np.ndarray) -> np.ndarray:
+    """min over segments of 3D point→segment squared distance; pts (n,3),
+    line (m,3).  Mirrors the SQL oracle expression order exactly."""
+    ax, ay, az = line[:-1, 0], line[:-1, 1], line[:-1, 2]
+    dx = line[1:, 0] - line[:-1, 0]
+    dy = line[1:, 1] - line[:-1, 1]
+    dz = line[1:, 2] - line[:-1, 2]
+    len2 = dx * dx + dy * dy + dz * dz
+    px, py, pz = pts[:, None, 0], pts[:, None, 1], pts[:, None, 2]
+    num = (px - ax) * dx + (py - ay) * dy + (pz - az) * dz
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = num / len2
+    t = np.where(len2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    ex = px - (ax + t * dx)
+    ey = py - (ay + t * dy)
+    ez = pz - (az + t * dz)
+    return (ex * ex + ey * ey + ez * ez).min(axis=1)
+
+
+def distance3d_point_point(a, b) -> float:
+    dx, dy, dz = a[0] - b[0], a[1] - b[1], a[2] - b[2]
+    return float(np.sqrt(dx * dx + dy * dy + dz * dz))
 
 
 # ---------------------------------------------------------------------------

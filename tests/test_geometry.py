@@ -386,3 +386,48 @@ def test_clip_segment_rect_degenerate_axes():
         np.array([45.0]), 0.0, 43.0, 10.0, 50.0
     )
     assert keep[0] and cx1[0] == 1.0 and cx2[0] == 2.0 and cy2[0] == 45.0
+
+
+# ---------------------------------------------------------------------------
+# Z/3D WKB (ISO +1000 block and legacy wkb25DBit) + Distance3D kernels
+# ---------------------------------------------------------------------------
+
+def test_wkb_point_z_roundtrip():
+    import struct
+
+    from gdal_spark.spatial import geometry as G
+
+    buf = G.wkb_point_z(1.5, -2.25, 7.125)
+    kind, xyz = G.parse_wkb(buf)
+    assert kind == "point_z" and xyz == (1.5, -2.25, 7.125)
+    # legacy 2.5D flag (wkb25DBit | wkbPoint) parses identically
+    legacy = struct.pack("<BIddd", 1, 0x80000001, 1.5, -2.25, 7.125)
+    kind2, xyz2 = G.parse_wkb(legacy)
+    assert kind2 == "point_z" and xyz2 == xyz
+
+
+def test_wkb_linestring_z_roundtrip():
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    coords = np.array([[0.0, 1.0, 2.0], [3.5, -1.25, 0.5], [2.0, 2.0, 2.0]])
+    kind, out = G.parse_wkb(G.wkb_linestring_z(coords))
+    assert kind == "linestring_z"
+    assert (out == coords).all()
+
+
+def test_distance3d_point_segment():
+    import math
+
+    import numpy as np
+
+    from gdal_spark.spatial import geometry as G
+
+    line = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    pts = np.array([[5.0, 3.0, 4.0], [-2.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+    d = np.sqrt(G.point_line_min_d2_3d(pts, line))
+    assert math.isclose(d[0], 5.0, abs_tol=1e-12)   # 3-4-5 off the middle
+    assert math.isclose(d[1], 2.0, abs_tol=1e-12)   # beyond the endpoint
+    assert d[2] == 0.0                               # on the segment
+    assert G.distance3d_point_point((0, 0, 0), (2, 3, 6)) == 7.0
