@@ -36,10 +36,51 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gdal_spark.operators.dedup import connected_components
+
+# Contracted cross-cell graphs up to this many edges are solved by a
+# driver-side union-find (a bounded collect: 5M edges = ~80 MB of longs);
+# larger graphs use the distributed min-label CC.
+_DRIVER_CC_MAX_EDGES = 5_000_000
+
+
+def _cell_local_roots(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over one cell's internal edges (id_a, id_b) → one row per
+    member id with root = MIN id of its cell-local component.  A cell holds
+    at most the points of one eps-grid bucket, so this is a tiny in-memory
+    problem regardless of total data size."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    members: dict[int, list[int]] = {}
+    ids = set(int(v) for v in pdf["id_a"]) | set(int(v) for v in pdf["id_b"])
+    for i in ids:
+        members.setdefault(find(i), []).append(i)
+    rows = {"id": [], "root": []}
+    for root, ms in members.items():
+        lo = min(ms)
+        for i in ms:
+            rows["id"].append(i)
+            rows["root"].append(lo)
+    return pd.DataFrame(rows)
 
 
 def within_eps_pairs(
@@ -117,23 +158,131 @@ def cluster_dbscan(
     deg = pairs.groupBy("u").agg(F.count(F.lit(1)).alias("_n"))
     # core: neighbors-within-eps INCLUDING self >= minpts
     core = deg.filter(F.col("_n") + 1 >= F.lit(minpts)).select("u").persist()
-    core_edges = (
-        pairs.join(core.withColumnRenamed("u", "_ua"), pairs["u"] == F.col("_ua"))
-        .join(core.withColumnRenamed("u", "_ub"), pairs["v"] == F.col("_ub"))
-        .filter(F.col("u") < F.col("v"))  # CC mirrors internally
-        .select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    # Two-level CC: a DBSCAN cluster is locally DENSE, so most core-core
+    # edges live INSIDE one eps-grid cell.  Contract each cell's internal
+    # components first — one Arrow pass over the CORE POINTS (a small
+    # minority of the input) per cell, recomputing the within-cell eps graph
+    # from coordinates with a vectorized chunked distance kernel — then
+    # resolve only the contracted cross-cell graph.  Correctness:
+    # contraction is a standard CC quotient, components of the quotient
+    # graph lift to components of the original.  The contracted graph
+    # (one vertex per cell-local component) is collected and solved with a
+    # driver-side union-find when it is small (bounded collect, same
+    # pattern as the rgb2pct histogram); past the threshold it falls back
+    # to the distributed min-label CC — at 10^12 rows the contracted graph
+    # is ~#occupied-cells-sized, still billions of times smaller than the
+    # edge set.
+    eps2 = eps * eps
+
+    def _cell_components(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["_u"].to_numpy("int64")
+        xs = pdf["_x"].to_numpy("float64")
+        ys = pdf["_y"].to_numpy("float64")
+        n = ids.shape[0]
+        lbl = ids.copy()
+        if n > 1:
+            sentinel = np.int64(2 ** 62)
+            # min-label propagation to fixpoint; the eps-cell graph's hop
+            # diameter is geometrically tiny (any two points in a cell are
+            # within eps*sqrt(2)), so this converges in a few rounds; the
+            # 512-row chunks bound the adjacency slab for hot cells
+            while True:
+                new = lbl.copy()
+                for s in range(0, n, 512):
+                    e = min(n, s + 512)
+                    dx = xs[s:e, None] - xs[None, :]
+                    dy = ys[s:e, None] - ys[None, :]
+                    adj = dx * dx + dy * dy <= eps2
+                    cand = np.where(adj, lbl[None, :], sentinel)
+                    new[s:e] = np.minimum(new[s:e], cand.min(axis=1))
+                if (new == lbl).all():
+                    break
+                lbl = new
+        return pd.DataFrame({"id": ids, "root": lbl})
+
+    cellm = points.select(
+        F.col(id_col).alias("_gid"),
+        F.col(x_col).alias("_gx"),
+        F.col(y_col).alias("_gy"),
+        F.floor(F.col(x_col) / F.lit(eps)).alias("_gcx"),
+        F.floor(F.col(y_col) / F.lit(eps)).alias("_gcy"),
+    )
+    core_pts = core.join(
+        cellm, core["u"] == cellm["_gid"]
+    ).select(
+        F.col("u").alias("_u"), F.col("_gx").alias("_x"),
+        F.col("_gy").alias("_y"), "_gcx", "_gcy",
+    )
+    # every core point appears in exactly one cell → one (id, root) row
+    # each; isolated-in-cell cores (minpts=1 singletons included) root to
+    # themselves
+    m = (
+        core_pts.groupBy("_gcx", "_gcy")
+        .applyInPandas(_cell_components, "id long, root long")
+        .select(F.col("id").alias("u"), F.col("root").alias("_root"))
         .localCheckpoint(eager=True)
     )
-    # isolated core points (minpts=1 edge case: no core-core edge) still
-    # form singleton clusters — union them in as self-labels
-    cc = connected_components(core_edges, max_iter=max_iter).select(
-        F.col("doc_id").alias("_core_id"), F.col("cluster_id").alias("_lbl")
-    )
-    core_lbl = (
-        core.join(cc, core["u"] == cc["_core_id"], "left")
-        .select("u", F.coalesce(F.col("_lbl"), F.col("u")).alias("_lbl"))
+    # cross-cell core-core pairs → contracted edges between local roots
+    cross = (
+        pairs.join(
+            cellm.select(F.col("_gid").alias("u"),
+                         F.col("_gcx").alias("_ax"),
+                         F.col("_gcy").alias("_ay")), "u")
+        .join(cellm.select(F.col("_gid").alias("v"),
+                           F.col("_gcx").alias("_bx"),
+                           F.col("_gcy").alias("_by")), "v")
+        .filter((F.col("u") < F.col("v"))
+                & ((F.col("_ax") != F.col("_bx"))
+                   | (F.col("_ay") != F.col("_by"))))
+        .join(m.select(F.col("u").alias("u"), F.col("_root").alias("_ra")),
+              "u")
+        .join(m.select(F.col("u").alias("v"), F.col("_root").alias("_rb")),
+              "v")
+        .filter(F.col("_ra") != F.col("_rb"))
+        .select(F.least("_ra", "_rb").alias("id_a"),
+                F.greatest("_ra", "_rb").alias("id_b"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
+    n_contracted = cross.count()
+    if n_contracted <= _DRIVER_CC_MAX_EDGES:
+        rows = cross.collect()
+        pdf = pd.DataFrame(
+            {"id_a": [r["id_a"] for r in rows],
+             "id_b": [r["id_b"] for r in rows]}
+        )
+        uf = _cell_local_roots(pdf)
+        spark = points.sparkSession
+        if len(uf):
+            root_lbl = F.broadcast(spark.createDataFrame(
+                uf.rename(columns={"id": "_core_root", "root": "_rlbl"})
+            ))
+            core_lbl = (
+                m.join(root_lbl, m["_root"] == F.col("_core_root"), "left")
+                .select(
+                    "u",
+                    F.coalesce(F.col("_rlbl"), F.col("_root")).alias("_lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            core_lbl = m.select(
+                "u", F.col("_root").alias("_lbl")
+            ).localCheckpoint(eager=True)
+    else:  # contracted graph still huge → distributed min-label CC
+        cc = connected_components(cross, max_iter=max_iter).select(
+            F.col("doc_id").alias("_core_root"),
+            F.col("cluster_id").alias("_rlbl"),
+        )
+        core_lbl = (
+            m.join(cc, m["_root"] == cc["_core_root"], "left")
+            .select(
+                "u", F.coalesce(F.col("_rlbl"), F.col("_root")).alias("_lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
     # border: non-core with >=1 core neighbor → min core-cluster label
     border_lbl = (
         pairs.join(core_lbl.withColumnRenamed("u", "_cu"), pairs["v"] == F.col("_cu"))
