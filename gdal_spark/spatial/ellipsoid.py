@@ -1,0 +1,110 @@
+"""Ellipsoidal (WGS84) geodesic measures — closed-form, cross-engine exact.
+
+The reference computes geodesic length/area on the ellipsoid via
+GeographicLib (Karney 2013) — an iterative series solution
+(``ogr/ogrgeometry.cpp`` OGR_G_GeodesicArea / GeodesicLength →
+geod_geodesic).  Here we use CLOSED-FORM ellipsoidal approximations with
+published, documented error bounds so the identical arithmetic expression
+runs on both engines (Spark/numpy and the DuckDB oracle) bit-for-bit:
+
+* **Area** — map geodetic latitude to AUTHALIC latitude (Snyder, "Map
+  Projections — A Working Manual", USGS PP 1395, eq. 3-18 series) and
+  apply the spherical Chamberlain–Duquette sum on the authalic sphere
+  (radius ``AUTHALIC_RADIUS``, Snyder eq. 3-13).  The mapping is
+  exactly area-preserving for bands; the residual vs Karney's exact S12
+  comes only from geodesic-vs-great-circle edge shape: relative error
+  O(f²) ≈ 1e-5 for edges up to a few degrees (see SURVEY.md §8).
+* **Length** — Andoyer–Lambert second-order formula on reduced latitudes
+  (Andoyer 1932; Lambert's d = a(σ − f/4·(P+Q)) with P,Q the doubled
+  half-angle terms 2X, 2Y via sinβ1±sinβ2 product identities): absolute error
+  O(f²·a) ≈ 10–20 m on antipodal-scale lines, millimetres at < 100 km —
+  vs Vincenty/Karney.
+
+Everything here is plain column/numpy arithmetic — no iteration, no
+Python in the per-row path when used via the SQL mirrors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_E2 = WGS84_F * (2.0 - WGS84_F)
+_E = math.sqrt(WGS84_E2)
+
+# Authalic latitude series xi = phi + C2 sin 2phi + C4 sin 4phi + C6 sin 6phi
+# (Snyder eq. 3-18, coefficients in e^2)
+AUTH_C2 = -(WGS84_E2 / 3.0 + 31.0 * WGS84_E2 ** 2 / 180.0
+            + 59.0 * WGS84_E2 ** 3 / 560.0)
+AUTH_C4 = 17.0 * WGS84_E2 ** 2 / 360.0 + 61.0 * WGS84_E2 ** 3 / 1260.0
+AUTH_C6 = -383.0 * WGS84_E2 ** 3 / 45360.0
+
+# q_p = q(pi/2) (Snyder eq. 3-12); authalic radius R_a = a sqrt(q_p / 2)
+_QP = 1.0 + ((1.0 - WGS84_E2) / (2.0 * _E)) * math.log(
+    (1.0 + _E) / (1.0 - _E)
+)
+AUTHALIC_RADIUS = WGS84_A * math.sqrt(_QP / 2.0)  # ≈ 6371007.181 m
+
+D2R = math.pi / 180.0
+
+
+def authalic_lat_np(phi_rad: np.ndarray) -> np.ndarray:
+    """Geodetic → authalic latitude (radians); mirrors sql_authalic_lat."""
+    return (phi_rad + AUTH_C2 * np.sin(2.0 * phi_rad)
+            + AUTH_C4 * np.sin(4.0 * phi_rad)
+            + AUTH_C6 * np.sin(6.0 * phi_rad))
+
+
+def sql_authalic_lat(phi_rad: str) -> str:
+    return (f"(({phi_rad}) + {AUTH_C2!r} * sin(2.0 * ({phi_rad}))"
+            f" + {AUTH_C4!r} * sin(4.0 * ({phi_rad}))"
+            f" + {AUTH_C6!r} * sin(6.0 * ({phi_rad})))")
+
+
+def andoyer_distance_np(
+    lat1: np.ndarray, lon1: np.ndarray, lat2: np.ndarray, lon2: np.ndarray
+) -> np.ndarray:
+    """Andoyer–Lambert ellipsoidal distance (metres), inputs in degrees.
+
+    Reduced latitudes β = atan((1−f)·tanφ); σ from the spherical law of
+    cosines (clamped acos — fixture edges are ≫ the acos noise floor and
+    the SQL oracle evaluates the IDENTICAL expression); first-order
+    flattening correction d = a·(σ − f/4·(P+Q)) with the doubled
+    P = 2X, Q = 2Y terms (sinβ1±sinβ2 = 2·sin/cos-half-angle products).
+    """
+    omf = 1.0 - WGS84_F
+    b1 = np.arctan(omf * np.tan(lat1 * D2R))
+    b2 = np.arctan(omf * np.tan(lat2 * D2R))
+    dl = (lon2 - lon1) * D2R
+    cs = np.sin(b1) * np.sin(b2) + np.cos(b1) * np.cos(b2) * np.cos(dl)
+    sigma = np.arccos(np.minimum(1.0, np.maximum(-1.0, cs)))
+    ss = np.sin(sigma)
+    sp = np.sin(b1) + np.sin(b2)
+    sm = np.sin(b1) - np.sin(b2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_term = (sigma - ss) * sp * sp / (1.0 + cs)
+        q_term = (sigma + ss) * sm * sm / (1.0 - cs)
+    d = WGS84_A * (sigma - (WGS84_F / 4.0) * (p_term + q_term))
+    return np.where(sigma == 0.0, 0.0, d)
+
+
+def sql_andoyer_m(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB mirror of andoyer_distance_np — same expression order."""
+    omf = 1.0 - WGS84_F
+    b1 = f"atan({omf!r} * tan(({lat1}) * {D2R!r}))"
+    b2 = f"atan({omf!r} * tan(({lat2}) * {D2R!r}))"
+    dl = f"((({lon2}) - ({lon1})) * {D2R!r})"
+    cs = (f"(sin({b1}) * sin({b2})"
+          f" + cos({b1}) * cos({b2}) * cos({dl}))")
+    sigma = f"acos(least(1.0, greatest(-1.0, {cs})))"
+    ss = f"sin({sigma})"
+    sp = f"(sin({b1}) + sin({b2}))"
+    sm = f"(sin({b1}) - sin({b2}))"
+    p_term = f"(({sigma} - {ss}) * {sp} * {sp} / (1.0 + {cs}))"
+    q_term = f"(({sigma} + {ss}) * {sm} * {sm} / (1.0 - {cs}))"
+    return (f"(CASE WHEN {sigma} = 0.0 THEN 0.0 ELSE "
+            f"{WGS84_A!r} * ({sigma} - ({WGS84_F / 4.0!r})"
+            f" * ({p_term} + {q_term})) END)")
