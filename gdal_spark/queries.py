@@ -10557,3 +10557,81 @@ def q_geom_length_ellipsoidal(spark, sf_dir):
 
     out = p.mapInPandas(run, "poly_id long, ellipsoidal_m double")
     return out.select("poly_id", R("ellipsoidal_m", 3).alias("ellipsoidal_m"))
+
+
+# ---------------------------------------------------------------------------
+# 70. RPC transformer (alg/gdal_rpc.cpp RPCTransformPoint): rational cubic
+# (lon, lat, height) → (pixel, line) — pure map-only column math; the
+# 20-term ladder and OFF/SCALE normalization follow the reference exactly.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial.rpc import (  # noqa: E402
+    rpc_fixture, rpc_pixel_line_cols, sql_rpc_pixel_line,
+)
+
+_RPC_LON = "(10.0 + (o_orderkey % 256)::double / 64.0 - 2.0)"
+_RPC_LAT = "(45.0 + ((o_orderkey * 7) % 256)::double / 64.0 - 2.0)"
+_RPC_H = "(((o_orderkey % 1024)::double - 512.0))"
+
+
+def _sql_rpc() -> str:
+    px, ln = sql_rpc_pixel_line(rpc_fixture(), _RPC_LON, _RPC_LAT, _RPC_H)
+    return (f"SELECT o_orderkey, {SR(px, 9)} AS px, {SR(ln, 9)} AS line "
+            "FROM orders")
+
+
+@register("warp_rpc_transform", _sql_rpc())
+def q_warp_rpc_transform(spark, sf_dir):
+    """Forward RPC transform of orders-derived (lon, lat, height) triples
+    (RPC00B-style model, alg/gdal_rpc.cpp RPCComputeTerms + RPCEvaluate
+    ratio of cubics; inverse iteration out of scope).  Normalized inputs
+    stay in [-1, 1] like real vendor models; all coefficients dyadic."""
+    model = rpc_fixture()
+    lon = F.lit(10.0) + (F.col("o_orderkey") % 256).cast("double") / F.lit(64.0) - F.lit(2.0)
+    lat = F.lit(45.0) + ((F.col("o_orderkey") * 7) % 256).cast("double") / F.lit(64.0) - F.lit(2.0)
+    h = (F.col("o_orderkey") % 1024).cast("double") - F.lit(512.0)
+    px, ln = rpc_pixel_line_cols(model, lon, lat, h)
+    return _read(spark, sf_dir, "orders").select(
+        "o_orderkey", R(px, 9).alias("px"), R(ln, 9).alias("line")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 71. Thin-plate-spline transformer (GDALCreateTPSTransformer,
+# alg/gdal_tps.cpp → thinplatespline.cpp VizGeorefSpline2D: U = d²·log d²
+# radial basis + affine part, exact interpolation through the control
+# points).  Driver-side bounded solve, unrolled map-only apply.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial.tps import (  # noqa: E402
+    fit_tps, sql_tps_apply, tps_apply_cols, tps_fixture,
+)
+
+_TPS_X = "((o_orderkey % 48)::double + (o_orderkey % 7)::double / 8.0)"
+_TPS_Y = "(((o_orderkey * 11) % 32)::double + (o_orderkey % 5)::double / 8.0)"
+
+
+def _sql_tps() -> str:
+    pts, tgt = tps_fixture()
+    gx, gy = sql_tps_apply(fit_tps(pts, tgt), _TPS_X, _TPS_Y)
+    return (f"SELECT o_orderkey, {SR(gx, 9)} AS gx, {SR(gy, 9)} AS gy "
+            "FROM orders")
+
+
+@register("warp_tps_transform", _sql_tps())
+def q_warp_tps_transform(spark, sf_dir):
+    """TPS warp of orders-derived points through the 12-control-point
+    fixture.  The Spark side re-runs the (n+3) interpolation solve at
+    query time, the oracle applies the import-time solution of the SAME
+    deterministic solver — a solver regression breaks the gate; the
+    apply expressions are mirrored term-for-term."""
+    pts, tgt = tps_fixture()
+    fit = fit_tps(pts, tgt)
+    x = (F.col("o_orderkey") % 48).cast("double") \
+        + (F.col("o_orderkey") % 7).cast("double") / F.lit(8.0)
+    y = ((F.col("o_orderkey") * 11) % 32).cast("double") \
+        + (F.col("o_orderkey") % 5).cast("double") / F.lit(8.0)
+    gx, gy = tps_apply_cols(fit, x, y)
+    return _read(spark, sf_dir, "orders").select(
+        "o_orderkey", R(gx, 9).alias("gx"), R(gy, 9).alias("gy")
+    )

@@ -1,0 +1,138 @@
+"""RPC (Rational Polynomial Coefficient) transformer — forward direction.
+
+Reference semantics: ``alg/gdal_rpc.cpp`` ``RPCTransformPoint``:
+
+- normalize (long, lat, height) by the model's OFF/SCALE pairs
+  (gdal_rpc.cpp dfNormalizedLong/Lat/Height);
+- evaluate the 20-term cubic ladder ``RPCComputeTerms`` (exact term order:
+  1, P, L, H, PL, PH, LH, P², L², H², PLH, P³, PL², PH², P²L, L³, LH²,
+  P²H, L²H, H³ — with GDAL's (long, lat) = (P, L) naming);
+- pixel = SAMP_NUM/SAMP_DEN · SAMP_SCALE + SAMP_OFF,
+  line = LINE_NUM/LINE_DEN · LINE_SCALE + LINE_OFF (``RPCEvaluate``
+  ratio of cubics).
+
+The inverse (pixel/line → long/lat) is an iterative refinement in the
+reference (gdal_rpc.cpp:1142+ RPCInverseTransformPoint) and is out of the
+closed-form column-math scope here; the forward model is what image
+vendors ship (RPC00B / IKONOS metadata) and is pure map-only arithmetic
+at any scale.  Coefficient sums run in plain i=0..19 order on BOTH
+engines (the reference's two-accumulator SSE ordering is an internal
+optimization, not part of the model).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RPCModel:
+    long_off: float
+    long_scale: float
+    lat_off: float
+    lat_scale: float
+    height_off: float
+    height_scale: float
+    samp_off: float
+    samp_scale: float
+    line_off: float
+    line_scale: float
+    samp_num: tuple[float, ...]  # 20 coefficients each
+    samp_den: tuple[float, ...]
+    line_num: tuple[float, ...]
+    line_den: tuple[float, ...]
+
+
+def _terms(p, l, h, one):
+    """RPCComputeTerms ladder; works for Columns and floats alike."""
+    return [
+        one, p, l, h, p * l, p * h, l * h, p * p, l * l, h * h,
+        p * l * h, p * p * p, p * l * l, p * h * h, p * p * l,
+        l * l * l, l * h * h, p * p * h, l * l * h, h * h * h,
+    ]
+
+
+def rpc_pixel_line_cols(
+    model: RPCModel, lon: Column, lat: Column, height: Column
+) -> tuple[Column, Column]:
+    """Forward RPC as Spark Column math (whole-stage codegen, map-only)."""
+    p = (lon - F.lit(model.long_off)) / F.lit(model.long_scale)
+    l = (lat - F.lit(model.lat_off)) / F.lit(model.lat_scale)
+    h = (height - F.lit(model.height_off)) / F.lit(model.height_scale)
+    terms = _terms(p, l, h, F.lit(1.0))
+
+    def poly(coefs):
+        acc = F.lit(coefs[0]) * terms[0]
+        for c, t in zip(coefs[1:], terms[1:]):
+            acc = acc + F.lit(c) * t
+        return acc
+
+    px = (poly(model.samp_num) / poly(model.samp_den)) \
+        * F.lit(model.samp_scale) + F.lit(model.samp_off)
+    ln = (poly(model.line_num) / poly(model.line_den)) \
+        * F.lit(model.line_scale) + F.lit(model.line_off)
+    return px, ln
+
+
+def sql_rpc_pixel_line(
+    model: RPCModel, lon: str, lat: str, height: str
+) -> tuple[str, str]:
+    """DuckDB mirror — identical normalization, term ladder, and
+    left-associated coefficient sums."""
+    p = f"((({lon}) - {model.long_off!r}) / {model.long_scale!r})"
+    l = f"((({lat}) - {model.lat_off!r}) / {model.lat_scale!r})"
+    h = f"((({height}) - {model.height_off!r}) / {model.height_scale!r})"
+    terms = [
+        "1.0", p, l, h,
+        f"({p} * {l})", f"({p} * {h})", f"({l} * {h})",
+        f"({p} * {p})", f"({l} * {l})", f"({h} * {h})",
+        f"({p} * {l} * {h})", f"({p} * {p} * {p})",
+        f"({p} * {l} * {l})", f"({p} * {h} * {h})",
+        f"({p} * {p} * {l})", f"({l} * {l} * {l})",
+        f"({l} * {h} * {h})", f"({p} * {p} * {h})",
+        f"({l} * {l} * {h})", f"({h} * {h} * {h})",
+    ]
+
+    def poly(coefs):
+        return "(" + " + ".join(
+            f"{c!r} * {t}" for c, t in zip(coefs, terms)
+        ) + ")"
+
+    px = (f"({poly(model.samp_num)} / {poly(model.samp_den)}"
+          f" * {model.samp_scale!r} + {model.samp_off!r})")
+    ln = (f"({poly(model.line_num)} / {poly(model.line_den)}"
+          f" * {model.line_scale!r} + {model.line_off!r})")
+    return px, ln
+
+
+def rpc_fixture() -> RPCModel:
+    """Synthetic-but-realistic model: near-affine mapping with mild
+    rational cubic distortion; every coefficient dyadic so cross-engine
+    arithmetic has no representation noise."""
+    z = [0.0] * 20
+
+    def coefs(**kv):
+        out = list(z)
+        for idx, v in kv.items():
+            out[int(idx[1:])] = v
+        return tuple(out)
+
+    return RPCModel(
+        long_off=10.0, long_scale=2.0,
+        lat_off=45.0, lat_scale=2.0,
+        height_off=500.0, height_scale=500.0,
+        samp_off=4096.0, samp_scale=4096.0,
+        line_off=4096.0, line_scale=4096.0,
+        # samp ~ P with small L, PL, P^2, H coupling
+        samp_num=coefs(t0=0.0078125, t1=1.0, t2=0.03125, t3=-0.015625,
+                       t4=0.0078125, t7=0.00390625, t11=0.001953125),
+        samp_den=coefs(t0=1.0, t1=0.0078125, t2=-0.00390625,
+                       t9=0.001953125),
+        # line ~ -L with small P, LH, L^3 coupling
+        line_num=coefs(t0=-0.015625, t1=0.015625, t2=-1.0, t6=0.0078125,
+                       t15=-0.001953125),
+        line_den=coefs(t0=1.0, t2=0.0078125, t8=0.00390625),
+    )
