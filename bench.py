@@ -114,6 +114,15 @@ BENCH_QUERIES = [
     "line_poly_predicates",
     "warp_reproject_nearest",
     "tpch_q5",
+    # round 4: transformer family (map-only column math), cubicspline
+    # kernel, 3D distance, GEOS Hausdorff, ellipsoidal area
+    "warp_gcp_poly",
+    "warp_rpc_transform",
+    "warp_tps_transform",
+    "raster_sample_cubicspline",
+    "geom_distance3d",
+    "line_hausdorff",
+    "geom_area_ellipsoidal",
 ]
 
 

@@ -10635,3 +10635,66 @@ def q_warp_tps_transform(spark, sf_dir):
     return _read(spark, sf_dir, "orders").select(
         "o_orderkey", R(gx, 9).alias("gx"), R(gy, 9).alias("gy")
     )
+
+
+# ---------------------------------------------------------------------------
+# 72. Geolocation-array transformer (alg/gdalgeoloc.cpp GDALGeoLocTransform
+# forward path): swath-style subsampled LON/LAT arrays, bilinear
+# interpolation with edge retreat and beyond-border linear extension.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.operators import geoloc as GL  # noqa: E402
+
+_GLP_X = "((o_orderkey % 136)::double - 4.0)"
+_GLP_Y = "(((o_orderkey * 7) % 104)::double - 4.0)"
+
+
+def _sql_geoloc() -> str:
+    xs, ys = GL.GL_XSIZE, GL.GL_YSIZE
+    x00, y00 = GL.sql_geoloc_grid_value("ix", "iy")
+    x10, y10 = GL.sql_geoloc_grid_value("ix + 1", "iy")
+    x01, y01 = GL.sql_geoloc_grid_value("ix", "iy + 1")
+    x11, y11 = GL.sql_geoloc_grid_value("ix + 1", "iy + 1")
+    gx = (f"((1.0 - fl) * ({x00} + fp * ({x10} - {x00}))"
+          f" + fl * ({x01} + fp * ({x11} - {x01})))")
+    gy = (f"((1.0 - fl) * ({y00} + fp * ({y10} - {y00}))"
+          f" + fl * ({y01} + fp * ({y11} - {y01})))")
+    return f"""WITH n AS (
+  SELECT o_orderkey,
+         (({_GLP_X}) - 0.0) / 8.0 AS gp,
+         (({_GLP_Y}) - 0.0) / 8.0 AS gl
+  FROM orders),
+i AS (
+  SELECT o_orderkey, gp, gl,
+         (CASE WHEN ix0 = {xs - 1} THEN ix0 - 1 ELSE ix0 END) AS ix,
+         (CASE WHEN iy0 = {ys - 1} THEN iy0 - 1 ELSE iy0 END) AS iy
+  FROM (SELECT o_orderkey, gp, gl,
+               floor(least(greatest(gp, 0.0), {float(xs - 1)!r}))::int AS ix0,
+               floor(least(greatest(gl, 0.0), {float(ys - 1)!r}))::int AS iy0
+        FROM n)),
+f AS (SELECT o_orderkey, gp - ix::double AS fp, gl - iy::double AS fl,
+             ix, iy FROM i)
+SELECT o_orderkey, {SR(gx, 9)} AS geo_x, {SR(gy, 9)} AS geo_y FROM f"""
+
+
+@register("warp_geoloc_transform", _sql_geoloc())
+def q_warp_geoloc_transform(spark, sf_dir):
+    """Forward geoloc transform of orders-derived pixel/line coords over
+    the synthetic 16×12 swath grid (PIXEL/LINE_STEP=8).  Points
+    deliberately run past every border so the clamp + edge-retreat +
+    linear-extension paths (gdalgeoloc.cpp:443-500) are all exercised.
+    The engine joins the materialized array (4 broadcast taps); the
+    oracle evaluates the closed-form grid — independent paths."""
+    pts = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        ((F.col("o_orderkey") % 136).cast("double") - F.lit(4.0)).alias("px"),
+        (((F.col("o_orderkey") * 7) % 104).cast("double") - F.lit(4.0)).alias("py"),
+    )
+    out = GL.geoloc_transform(
+        pts, GL.geoloc_grid(spark), point_id="o_orderkey"
+    )
+    return out.select(
+        "o_orderkey",
+        R(F.col("geo_x"), 9).alias("geo_x"),
+        R(F.col("geo_y"), 9).alias("geo_y"),
+    )
