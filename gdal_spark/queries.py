@@ -10698,3 +10698,95 @@ def q_warp_geoloc_transform(spark, sf_dir):
         R(F.col("geo_x"), 9).alias("geo_x"),
         R(F.col("geo_y"), 9).alias("geo_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 73. Approximating transformer (GDALApproxTransform,
+# alg/gdaltransformer.cpp: evaluate the exact transform at the span's
+# endpoints + midpoint; if the midpoint's deviation from the linear
+# interpolation is within dfMaxError, lerp the whole span, else subdivide
+# each half recursively).  The recursion is re-expressed per-row as a
+# deterministic level cascade (16 → 8 → 4 → exact), which is the same
+# decision tree the recursive form takes on a regular pixel grid; 1-D
+# output span (the reference checks both output dims).
+# ---------------------------------------------------------------------------
+
+_APPROX_EPS = 2000.0  # metres of Mercator-y error allowed (mixed outcomes
+                      # at every level on the fixture span — see BENCH.md)
+
+
+def q__approx_exact_col(v):
+    """Exact 'expensive' transform: true Mercator northing of
+    lat = v*0.5 - 30 — the nonlinear leg of the engine's tile math."""
+    import math as _m
+    R = 6378137.0
+    return F.lit(R) * F.log(F.tan(
+        F.lit(_m.pi / 4.0) + (v * F.lit(0.5) - F.lit(30.0))
+        * F.lit(_m.pi / 180.0) / F.lit(2.0)
+    ))
+
+
+def _approx_exact_sql(v: str) -> str:
+    return (f"(6378137.0 * ln(tan(pi() / 4.0 + (({v}) * 0.5 - 30.0)"
+            f" * (pi() / 180.0) / 2.0)))")
+
+
+@register(
+    "warp_approx_transform",
+    f"""WITH p AS (SELECT o_orderkey,
+  ((o_orderkey % 136)::double - 4.0) AS px FROM orders),
+b AS (SELECT o_orderkey, px,
+  floor(px / 16.0) * 16.0 AS b16,
+  floor(px / 8.0) * 8.0 AS b8,
+  floor(px / 4.0) * 4.0 AS b4 FROM p)
+SELECT o_orderkey, {SR(f'''CASE
+ WHEN abs({_approx_exact_sql('b16 + 8.0')}
+      - ({_approx_exact_sql('b16')} + {_approx_exact_sql('b16 + 16.0')}) / 2.0)
+      <= {_APPROX_EPS!r}
+ THEN {_approx_exact_sql('b16')} + (px - b16) / 16.0
+      * ({_approx_exact_sql('b16 + 16.0')} - {_approx_exact_sql('b16')})
+ WHEN abs({_approx_exact_sql('b8 + 4.0')}
+      - ({_approx_exact_sql('b8')} + {_approx_exact_sql('b8 + 8.0')}) / 2.0)
+      <= {_APPROX_EPS!r}
+ THEN {_approx_exact_sql('b8')} + (px - b8) / 8.0
+      * ({_approx_exact_sql('b8 + 8.0')} - {_approx_exact_sql('b8')})
+ WHEN abs({_approx_exact_sql('b4 + 2.0')}
+      - ({_approx_exact_sql('b4')} + {_approx_exact_sql('b4 + 4.0')}) / 2.0)
+      <= {_APPROX_EPS!r}
+ THEN {_approx_exact_sql('b4')} + (px - b4) / 4.0
+      * ({_approx_exact_sql('b4 + 4.0')} - {_approx_exact_sql('b4')})
+ ELSE {_approx_exact_sql('px')} END''', 6)} AS merc_y
+FROM b""",
+)
+def q_warp_approx_transform(spark, sf_dir):
+    """GDALApproxTransform semantics over the Mercator-northing leg:
+    per-span midpoint-error check with recursive halving, collapsed to a
+    per-row CASE cascade — whole-stage-codegen column math, zero Python.
+    At 100 TB this is the pattern that makes expensive transforms cheap:
+    the lerp branch replaces transcendentals with one multiply for every
+    span the error budget admits."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 136).cast("double") - F.lit(4.0)).alias("px"),
+    )
+    px = F.col("px")
+    b16 = F.floor(px / F.lit(16.0)) * F.lit(16.0)
+    b8 = F.floor(px / F.lit(8.0)) * F.lit(8.0)
+    b4 = F.floor(px / F.lit(4.0)) * F.lit(4.0)
+    T = q__approx_exact_col
+
+    def lerp(b, w):
+        return T(b) + (px - b) / F.lit(w) * (T(b + F.lit(w)) - T(b))
+
+    def ok(b, w):
+        return F.abs(
+            T(b + F.lit(w / 2.0)) - (T(b) + T(b + F.lit(w))) / F.lit(2.0)
+        ) <= F.lit(_APPROX_EPS)
+
+    merc_y = (
+        F.when(ok(b16, 16.0), lerp(b16, 16.0))
+        .when(ok(b8, 8.0), lerp(b8, 8.0))
+        .when(ok(b4, 4.0), lerp(b4, 4.0))
+        .otherwise(T(px))
+    )
+    return o.select("o_orderkey", R(merc_y, 6).alias("merc_y"))
