@@ -10790,3 +10790,96 @@ def q_warp_approx_transform(spark, sf_dir):
         .otherwise(T(px))
     )
     return o.select("o_orderkey", R(merc_y, 6).alias("merc_y"))
+
+
+# ---------------------------------------------------------------------------
+# 74. DSIR-style importance resampling (Xie et al., "Data Selection for
+# Language Models via Importance Resampling", NeurIPS 2023): hashed
+# word-bigram features, Laplace-smoothed bucket language models for the
+# TARGET (en) vs RAW corpus, per-doc importance = Σ n_b·(ln p_b − ln q_b),
+# deterministic hash-jitter resampling of the top-k.  The per-bucket
+# log-ratio is micro-quantized to integer units so the per-doc sum is
+# order-free (the engine's established exactness pattern for float sums).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64          # hashed feature buckets
+_DSIR_K = 100         # selected documents
+_DSIR_MICRO = 1048576.0
+
+
+def _sql_dsir() -> str:
+    return f"""WITH sh AS (
+  SELECT doc_id, lang, unnest({D.sql_shingle_hashes('text', 2)}) AS h
+  FROM documents),
+f AS (SELECT doc_id, lang, h % {_DSIR_B} AS b FROM sh),
+tb AS (SELECT b, count(*) AS tn FROM f WHERE lang = 'en' GROUP BY b),
+qb AS (SELECT b, count(*) AS qn FROM f GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM f WHERE lang = 'en') AS tt,
+               (SELECT count(*) FROM f) AS qt),
+delta AS (
+  SELECT qb.b,
+         floor((ln((coalesce(tn, 0) + 1)::double / (tt + {_DSIR_B})::double)
+              - ln((qn + 1)::double / (qt + {_DSIR_B})::double))
+               * {_DSIR_MICRO!r} + 0.5)::bigint AS di
+  FROM qb LEFT JOIN tb ON tb.b = qb.b CROSS JOIN tot),
+w AS (SELECT f.doc_id, sum(di) AS w_micro
+      FROM f JOIN delta ON delta.b = f.b GROUP BY f.doc_id),
+j AS (SELECT doc_id, w_micro,
+             w_micro + (('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint
+                        % 65536) AS score
+      FROM w)
+SELECT doc_id, w_micro FROM j ORDER BY score DESC, doc_id LIMIT {_DSIR_K}"""
+
+
+@register("corpus_dsir_select", _sql_dsir())
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR selection of the 100 docs whose hashed-bigram distribution is most
+    target-like (target = the en slice).  Scale shape: one explode + two
+    bounded 64-row bucket aggregates (broadcast), one map-side join, one
+    per-doc integer sum, one top-k — no all-pairs anything; the bucket LMs
+    are O(B) state exactly like the paper's hashed n-gram models."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), " +").alias("_toks")
+    )
+    sh = base.select(
+        "doc_id", "lang",
+        F.explode(
+            F.transform(D.shingles_from_tokens("_toks", 2), D.md5_h32)
+        ).alias("h"),
+    )
+    f = sh.select(
+        "doc_id", "lang", (F.col("h") % _DSIR_B).alias("b")
+    ).localCheckpoint(eager=True)
+    tb = f.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tn"))
+    qb = f.groupBy("b").agg(F.count(F.lit(1)).alias("qn"))
+    tot = f.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("qt"),
+    )
+    delta = (
+        qb.join(tb, "b", "left").crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (F.log((F.coalesce(F.col("tn"), F.lit(0)) + 1).cast("double")
+                       / (F.col("tt") + _DSIR_B).cast("double"))
+                 - F.log((F.col("qn") + 1).cast("double")
+                         / (F.col("qt") + _DSIR_B).cast("double")))
+                * F.lit(_DSIR_MICRO) + F.lit(0.5)
+            ).cast("bigint").alias("di"),
+        )
+    )
+    w = f.join(F.broadcast(delta), "b").groupBy("doc_id").agg(
+        F.sum("di").alias("w_micro"))
+    score = F.col("w_micro") + (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long") % 65536
+    )
+    return (
+        w.select("doc_id", "w_micro", score.alias("_score"))
+        .orderBy(F.col("_score").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "w_micro")
+    )
