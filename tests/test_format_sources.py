@@ -1,0 +1,177 @@
+"""Format-driver codec tests: ESRI Shapefile (.shp/.shx/.dbf), GeoPackage
+blobs, GeoJSON(Seq) — spec-level byte checks plus Spark roundtrips.
+
+Reference semantics: ogr/ogrsf_frmts/shape/ (shpopen.c, dbfopen.c),
+ogr/ogrsf_frmts/gpkg/ (ogrgeopackageutility.cpp), ogr/ogrsf_frmts/geojson/.
+"""
+
+import struct
+import tempfile
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gdal_spark.sources import geojson as GJ
+from gdal_spark.sources import gpkg as GPKG
+from gdal_spark.sources import shapefile as SHP
+from gdal_spark.spatial import geometry as G
+
+
+# ---------------------------------------------------------------------------
+# Shapefile codec
+# ---------------------------------------------------------------------------
+
+def test_shp_header_spec_bytes():
+    shp, shx = SHP.encode_points_shp(
+        np.array([1.0, 2.0]), np.array([3.0, 4.0]))
+    assert struct.unpack(">i", shp[:4])[0] == 9994      # file code, BE
+    assert struct.unpack(">i", shp[24:28])[0] * 2 == len(shp)  # words
+    assert struct.unpack("<i", shp[28:32])[0] == 1000   # version, LE
+    assert struct.unpack("<i", shp[32:36])[0] == SHP.SHAPE_POINT
+    xmin, ymin, xmax, ymax = struct.unpack("<4d", shp[36:68])
+    assert (xmin, ymin, xmax, ymax) == (1.0, 3.0, 2.0, 4.0)
+    # shx: one 8-byte entry per record after the 100-byte header
+    assert len(shx) == 100 + 8 * 2
+    off_words, len_words = struct.unpack(">ii", shx[100:108])
+    assert off_words == 50 and len_words == 10  # record 0 at byte 100
+
+
+def test_shp_points_bit_exact_roundtrip():
+    rng = np.random.RandomState(7)
+    x, y = rng.randn(1000) * 180, rng.randn(1000) * 80
+    shp, _ = SHP.encode_points_shp(x, y)
+    x2, y2 = SHP.decode_points_shp(shp)
+    assert np.array_equal(x, x2) and np.array_equal(y, y2)
+
+
+def test_shp_polygon_orientation_enforced():
+    ccw = np.array([[0., 0.], [4., 0.], [4., 3.], [0., 3.], [0., 0.]])
+    hole_cw = ccw[::-1].copy() * 0.25 + 1.0
+    shp, _ = SHP.encode_polygons_shp([[ccw, hole_cw]])
+    polys = SHP.decode_polygons_shp(shp)
+    assert len(polys) == 1 and len(polys[0]) == 2
+    # spec: outer CW, holes CCW (shpopen.c SHPRewindObject)
+    assert SHP._ring_is_cw(polys[0][0])
+    assert not SHP._ring_is_cw(polys[0][1])
+    # orientation-independent measures survive
+    assert abs(G.rings_area(polys[0]) - (12.0 - 0.75)) < 1e-12
+
+
+def test_dbf_roundtrip_int_and_char():
+    pdf = pd.DataFrame({
+        "k": [1, -22, 333333333], "name": ["ab", "cdef", ""],
+    })
+    buf = SHP.encode_dbf(pdf, [("k", "N", 12), ("name", "C", 8)])
+    assert buf[0] == 0x03 and buf[-1] == 0x1A
+    nrec, hdr, rec = struct.unpack_from("<IHH", buf, 4)
+    assert nrec == 3 and hdr == 32 + 64 + 1 and rec == 1 + 12 + 8
+    back = SHP.decode_dbf(buf)
+    assert back["k"].tolist() == [1, -22, 333333333]
+    assert back["name"].tolist() == ["ab", "cdef", ""]
+
+
+def test_shapefile_spark_distributed_roundtrip(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 100).alias("v"),
+        (F.col("id") * 0.5 - 100.0).alias("x"),
+        (F.col("id") * 0.25 - 60.0).alias("y"),
+    )
+    d = tempfile.mkdtemp(prefix="gdal_spark_shp_t_")
+    n_files = SHP.write_point_shapefiles(
+        df, d, "x", "y", [("k", 12), ("v", 12)], num_files=4)
+    assert n_files == 4
+    back = SHP.read_point_shapefiles(spark, d, ["k", "v"])
+    assert back.count() == 500
+    joined = back.join(df.select("k", F.col("x").alias("x0")), "k")
+    assert joined.filter(F.col("x") != F.col("x0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage codec
+# ---------------------------------------------------------------------------
+
+def test_gpkg_blob_header_spec():
+    blob = GPKG.gpkg_geom_blob(
+        G.wkb_point(1.0, 2.0), srs_id=4326, envelope=(0., 0., 4., 3.))
+    assert blob[:2] == b"GP" and blob[2] == 0
+    flags = blob[3]
+    assert flags & 0x01  # little-endian header
+    assert (flags >> 1) & 0x07 == 1  # xy envelope
+    assert struct.unpack_from("<i", blob, 4)[0] == 4326
+    # envelope stored [minx, maxx, miny, maxy] per spec
+    assert struct.unpack_from("<4d", blob, 8) == (0., 4., 0., 3.)
+    srs, env, wkb = GPKG.parse_gpkg_blob(blob)
+    assert env == (0., 0., 4., 3.)
+    assert G.parse_wkb(wkb) == ("point", (1.0, 2.0))
+
+
+def test_gpkg_metadata_tables(spark):
+    import sqlite3
+
+    d = tempfile.mkdtemp(prefix="gdal_spark_gpkg_t_")
+    path = d + "/t.gpkg"
+    from gdal_spark.data.pages import polygons_df
+    GPKG.write_polygon_gpkg(
+        polygons_df(spark).limit(3), path, int_fields=["poly_id"])
+    conn = sqlite3.connect(path)
+    (app_id,) = conn.execute("PRAGMA application_id").fetchone()
+    assert app_id == 0x47504B47  # 'GPKG'
+    rows = conn.execute(
+        "SELECT table_name, data_type FROM gpkg_contents").fetchall()
+    assert rows == [("layer", "features")]
+    gc = conn.execute(
+        "SELECT column_name, geometry_type_name, srs_id "
+        "FROM gpkg_geometry_columns").fetchone()
+    assert gc == ("geom", "POLYGON", 4326)
+    conn.close()
+
+
+def test_gpkg_spark_distributed_roundtrip(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.1).alias("x"),
+        (F.col("id") * 0.2 - 30.0).alias("y"),
+    )
+    d = tempfile.mkdtemp(prefix="gdal_spark_gpkg_d_")
+    n = GPKG.write_point_gpkgs(df, d, "x", "y", ["k"], num_files=3)
+    assert n == 3
+    back = GPKG.read_point_gpkgs(spark, d, ["k"])
+    assert back.count() == 300
+    joined = back.join(df.select("k", F.col("y").alias("y0")), "k")
+    assert joined.filter(F.col("y") != F.col("y0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON
+# ---------------------------------------------------------------------------
+
+def test_geojsonseq_double_roundtrip_bit_exact(spark):
+    vals = [0.1, -179.999999, 1e-17, 12345.678901234567]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, lon double"
+    ).withColumn("lat", F.col("lon") / 3.0)
+    d = tempfile.mkdtemp(prefix="gdal_spark_gj_t_") + "/pts"
+    GJ.write_geojsonseq(
+        df, d, GJ.point_geometry(F.col("lon"), F.col("lat")), ["k"])
+    back = GJ.read_geojsonseq(spark, d, "Point", "k long")
+    rows = {
+        r["k"]: r["geometry"]["coordinates"] for r in back.collect()
+    }
+    orig = {r["k"]: (r["lon"], r["lat"]) for r in df.collect()}
+    for k, (lon, lat) in orig.items():
+        assert rows[k][0] == lon and rows[k][1] == lat  # bit-exact
+
+
+def test_geojson_feature_shape(spark):
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "k long, x double, y double")
+    j = df.select(GJ.feature_json(
+        GJ.point_geometry(F.col("x"), F.col("y")),
+        F.struct(F.col("k")),
+    ).alias("j")).first()["j"]
+    import json
+    f = json.loads(j)
+    assert f["type"] == "Feature"
+    assert f["geometry"] == {"type": "Point", "coordinates": [2.0, 3.0]}
+    assert f["properties"] == {"k": 1}
