@@ -11129,3 +11129,67 @@ def q_gpkg_roundtrip(spark, sf_dir):
         "poly_id", "n_rings", "xmin", "ymin", "xmax", "ymax",
         R(F.col("area"), 6).alias("area"),
     )
+
+
+@register("flatgeobuf_roundtrip", _FMT_POINTS_ORACLE)
+def q_flatgeobuf_roundtrip(spark, sf_dir):
+    """FlatGeobuf driver gate (public spec; ogr/ogrsf_frmts/flatgeobuf/):
+    one Hilbert-sorted, packed-R-tree-indexed .fgb per partition (hand-
+    rolled minimal flatbuffers codec — magic/header/feature records per
+    header.fbs/feature.fbs), distributed read back over binaryFile."""
+    import tempfile
+
+    from gdal_spark.sources import flatgeobuf as FGB
+
+    d = tempfile.mkdtemp(prefix="gdalspark_fgb_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    FGB.write_point_fgbs(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = FGB.read_point_fgbs(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+@register(
+    "flatgeobuf_bbox_scan",
+    f"""WITH p(poly_id, n_rings, xmin, ymin, xmax, ymax, area)
+  AS ({_gp_meta_values()})
+SELECT poly_id, n_rings, {SR('area', 6)} AS area
+FROM p
+WHERE xmin <= {CLIP_W[2]!r} AND xmax >= {CLIP_W[0]!r}
+  AND ymin <= {CLIP_W[3]!r} AND ymax >= {CLIP_W[1]!r}""",
+)
+def q_flatgeobuf_bbox_scan(spark, sf_dir):
+    """FlatGeobuf SPATIAL-INDEX gate: polygon layer written with the packed
+    Hilbert R-tree (packedrtree.cpp generateNodes/search semantics), then
+    an envelope read that traverses the tree and decodes ONLY intersecting
+    features — the format's reason to exist (range-request reads at
+    scale).  Survivor geometry re-measured from decoded rings; the oracle
+    applies the same closed-interval envelope test to fixture metadata."""
+    import tempfile
+
+    from gdal_spark.sources import flatgeobuf as FGB
+
+    path = tempfile.mkdtemp(prefix="gdalspark_fgbp_gate_") + "/layer.fgb"
+    FGB.write_polygon_fgb(polygons_df(spark), path, "rings", ["poly_id"])
+    back = FGB.read_polygon_fgb(spark, path, ["poly_id"], envelope=CLIP_W)
+
+    def meas(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                rs = G.rings_to_numpy(rings)
+                out.append({
+                    "poly_id": int(pid), "n_rings": len(rs),
+                    "area": G.rings_area(rs),
+                })
+            yield pd.DataFrame(out)
+
+    measured = back.mapInPandas(
+        meas, "poly_id long, n_rings long, area double")
+    return measured.select(
+        "poly_id", "n_rings", R(F.col("area"), 6).alias("area"))

@@ -175,3 +175,83 @@ def test_geojson_feature_shape(spark):
     assert f["type"] == "Feature"
     assert f["geometry"] == {"type": "Point", "coordinates": [2.0, 3.0]}
     assert f["properties"] == {"k": 1}
+
+
+# ---------------------------------------------------------------------------
+# FlatGeobuf codec (spec: flatgeobuf.org; ogr/ogrsf_frmts/flatgeobuf/)
+# ---------------------------------------------------------------------------
+
+from gdal_spark.sources import flatgeobuf as FGB
+
+
+def test_fgb_magic_and_header():
+    hdr = FGB.encode_header(
+        "layer", FGB.GEOM_POLYGON, (-1., -2., 3., 4.), 7,
+        [("k", FGB.COL_LONG)], 16)
+    buf = FGB.MAGIC + struct.pack("<I", len(hdr)) + hdr
+    assert buf[:8] == bytes([0x66, 0x67, 0x62, 0x03, 0x66, 0x67, 0x62, 0x01])
+    d = FGB.decode_header(buf, 12)
+    assert d["name"] == "layer" and d["geometry_type"] == 3
+    assert d["envelope"] == (-1., -2., 3., 4.)
+    assert d["features_count"] == 7 and d["index_node_size"] == 16
+    assert d["columns"] == [("k", FGB.COL_LONG)]
+
+
+def test_fgb_hilbert_matches_reference_form():
+    # the public-domain curve's fixed points: origin maps to 0; the curve
+    # is a bijection on the 16-bit grid (sampled)
+    assert int(FGB.hilbert_u32(np.array([0]), np.array([0]))[0]) == 0
+    rng = np.random.RandomState(3)
+    xs = rng.randint(0, 65536, 4096).astype(np.uint32)
+    ys = rng.randint(0, 65536, 4096).astype(np.uint32)
+    h = FGB.hilbert_u32(xs, ys)
+    assert len(set(h.tolist())) == len(set(zip(xs.tolist(), ys.tolist())))
+    # locality: neighbors on the grid are usually close on the curve
+    h2 = FGB.hilbert_u32(xs + 1, ys)
+    assert np.median(np.abs(h2.astype(np.int64) - h.astype(np.int64))) < 1e6
+
+
+def test_fgb_rtree_search_equals_brute_force():
+    rng = np.random.RandomState(4)
+    n = 777  # not a multiple of node size → ragged levels
+    cx, cy = rng.rand(n) * 50, rng.rand(n) * 50
+    bb = np.stack([cx, cy, cx + rng.rand(n), cy + rng.rand(n)], axis=1)
+    offs = np.arange(n, dtype=np.uint64) * 13
+    tree = FGB.build_rtree(bb, offs)
+    assert len(tree) == FGB.rtree_size(n)
+    for env in [(10., 10., 12., 12.), (0., 0., 50., 50.), (60., 60., 70., 70.)]:
+        got = set(FGB.search_rtree(tree, n, env))
+        want = {
+            int(offs[i]) for i in range(n)
+            if not (bb[i, 2] < env[0] or bb[i, 3] < env[1]
+                    or bb[i, 0] > env[2] or bb[i, 1] > env[3])
+        }
+        assert got == want
+
+
+def test_fgb_polygon_feature_ends():
+    outer = np.array([[0., 0.], [4., 0.], [4., 3.], [0., 3.], [0., 0.]])
+    hole = np.array([[1., 1.], [2., 1.], [2., 2.], [1., 2.], [1., 1.]])
+    feat = FGB.encode_feature(
+        FGB.GEOM_POLYGON, np.concatenate([outer, hole]).ravel(),
+        np.array([5, 10], np.uint32),
+        FGB._encode_properties([(0, FGB.COL_LONG, 5)]))
+    props, xy, ends, _ = FGB.decode_feature(feat, 0, [("k", FGB.COL_LONG)])
+    assert props == {"k": 5} and ends.tolist() == [5, 10]
+    assert np.array_equal(xy[:5], outer) and np.array_equal(xy[5:], hole)
+
+
+def test_fgb_spark_roundtrip_with_envelope(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).cast("double").alias("x"),
+        (F.col("id") / 20).cast("double").alias("y"),
+    )
+    d = tempfile.mkdtemp(prefix="gdal_spark_fgb_t_")
+    n = FGB.write_point_fgbs(df, d, "x", "y", ["k"], num_files=4)
+    assert n == 4
+    back = FGB.read_point_fgbs(spark, d, ["k"])
+    assert back.count() == 400
+    # envelope-pruned distributed read
+    sub = FGB.read_point_fgbs(spark, d, ["k"], envelope=(0., 0., 5., 100.))
+    assert sub.count() == df.filter(F.col("x") <= 5.0).count()
