@@ -457,3 +457,83 @@ def sql_pq_encode(
         "floor((" + " + ".join(err_terms) + ") * 1e6 + 0.5)::bigint"
     )
     return code, err_micro
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over embeddings (Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication", public).  Cluster with the deterministic IVF coarse
+# quantizer, then inside each cluster drop any member whose cosine to a
+# BETTER-RANKED member exceeds tau; rank keeps LOW-centroid-similarity
+# examples first (the paper's keep-hard-examples choice).  The pairwise
+# stage is a cluster-key equi-join (never all-pairs across clusters) and
+# the dominance rule is a deterministic anti-join — the paper's
+# keep-one-per-duplicate-group intent in order-free, SQL-expressible form.
+# ---------------------------------------------------------------------------
+
+def semdedup_keep(
+    vectors: DataFrame, dim: int, n_clusters: int = 8, tau: float = 0.35,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """Survivors of semantic dedup: (vec_id, cl, csim) for every vector
+    NOT dominated by a better-ranked near-duplicate in its cluster.
+
+    Scale shape: centroid assignment is map-only JVM column math; the
+    self-join keys on (cluster id), so candidate pairs are per-cluster;
+    rank is one window per cluster; the final step is a left-anti join.
+    At 100 TB cluster count grows with the corpus (IVF lists stay
+    bounded), keeping per-cluster pair counts controlled — the same
+    inverted-list contract as ivf_topk."""
+    sims = _ivf_sims(vec, n_clusters, dim)
+    a = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec).alias("_v"),
+        ivf_assign_col(vec, n_clusters, dim).alias("cl"),
+        F.array_max(sims).alias("csim"),
+    )
+    w = Window.partitionBy("cl").orderBy(
+        F.col("csim").asc(), F.col("vec_id").asc())
+    ranked = a.withColumn("rk", F.row_number().over(w))
+    lhs = ranked.select(
+        "cl", F.col("vec_id").alias("a_id"), F.col("_v").alias("_va"),
+        F.col("rk").alias("a_rk"),
+    )
+    rhs = ranked.select(
+        "cl", F.col("vec_id").alias("b_id"), F.col("_v").alias("_vb"),
+        F.col("rk").alias("b_rk"),
+    )
+    dominated = (
+        lhs.join(rhs, on="cl")
+        .filter(F.col("b_rk") < F.col("a_rk"))
+        .withColumn("sim", cosine_col("_va", "_vb"))
+        .filter(F.col("sim") >= F.lit(tau))
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return ranked.join(dominated, on="vec_id", how="left_anti").select(
+        "vec_id", "cl", "csim")
+
+
+def sql_semdedup_keep(
+    table: str, dim: int, n_clusters: int = 8, tau: float = 0.35,
+) -> str:
+    """DuckDB twin of semdedup_keep (same centroids, same rounded cosines,
+    same rank tie-breaks)."""
+    sims = sql_ivf_sims("embedding", n_clusters, dim)
+    cl = sql_ivf_assign("embedding", n_clusters, dim)
+    cos = sql_cosine("x.embedding", "y.embedding")
+    return f"""WITH a AS (
+  SELECT vec_id, embedding, {cl} AS cl, list_max({sims}) AS csim
+  FROM {table}
+), r AS (
+  SELECT vec_id, embedding, cl, csim,
+         row_number() OVER (PARTITION BY cl ORDER BY csim ASC, vec_id ASC)
+           AS rk
+  FROM a
+)
+SELECT x.vec_id, x.cl, x.csim
+FROM r x
+WHERE NOT EXISTS (
+  SELECT 1 FROM r y
+  WHERE y.cl = x.cl AND y.rk < x.rk AND {cos} >= {tau!r}
+)"""

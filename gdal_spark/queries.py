@@ -10584,8 +10584,9 @@ def _sql_rpc() -> str:
 def q_warp_rpc_transform(spark, sf_dir):
     """Forward RPC transform of orders-derived (lon, lat, height) triples
     (RPC00B-style model, alg/gdal_rpc.cpp RPCComputeTerms + RPCEvaluate
-    ratio of cubics; inverse iteration out of scope).  Normalized inputs
-    stay in [-1, 1] like real vendor models; all coefficients dyadic."""
+    ratio of cubics; the ITERATIVE inverse is gated separately as
+    warp_rpc_inverse).  Normalized inputs stay in [-1, 1] like real
+    vendor models; all coefficients dyadic."""
     model = rpc_fixture()
     lon = F.lit(10.0) + (F.col("o_orderkey") % 256).cast("double") / F.lit(64.0) - F.lit(2.0)
     lat = F.lit(45.0) + ((F.col("o_orderkey") * 7) % 256).cast("double") / F.lit(64.0) - F.lit(2.0)
@@ -11193,3 +11194,63 @@ def q_flatgeobuf_bbox_scan(spark, sf_dir):
         meas, "poly_id long, n_rings long, area double")
     return measured.select(
         "poly_id", "n_rings", R(F.col("area"), 6).alias("area"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, public): semantic dedup over the embeddings
+# table — IVF-cluster, then drop members dominated by a better-ranked
+# near-duplicate (cos ≥ τ) in the same cluster; rank keeps hard examples
+# (LOW centroid similarity) first, per the paper.
+# ---------------------------------------------------------------------------
+
+@register(
+    "embed_semdedup",
+    SIM.sql_semdedup_keep("embeddings", dim=64, n_clusters=8, tau=0.35),
+)
+def q_embed_semdedup(spark, sf_dir):
+    """SemDeDup survivors.  Cluster assign is map-only column math; the
+    candidate stage joins on the cluster id (per-list pairs only, the
+    IVF inverted-list contract); dedup is a deterministic anti-join."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.semdedup_keep(emb, dim=64, n_clusters=8, tau=0.35)
+
+
+# ---------------------------------------------------------------------------
+# RPC INVERSE transformer (gdal_rpc.cpp RPCInverseTransformPoint, no-DEM
+# path): inverted finite-difference affine seed + fixed linear refinement.
+# Engine = 4 staged refinement projections (Column math end to end);
+# oracle = the same 4 iterations as a CTE chain — bit-identical
+# arithmetic, so the 9-dp rounding is pure hygiene.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial.rpc import (  # noqa: E402
+    rpc_inverse_df, sql_rpc_inverse_ctes,
+)
+
+
+def _sql_rpc_inverse() -> str:
+    base = ("SELECT o_orderkey, (o_orderkey % 8192)::double AS pixel, "
+            "((o_orderkey * 13) % 8192)::double AS line FROM orders")
+    inner = sql_rpc_inverse_ctes(rpc_fixture(), base, "o_orderkey", n_iter=4)
+    return (f"SELECT o_orderkey, pixel, line, {SR('lon', 9)} AS lon, "
+            f"{SR('lat', 9)} AS lat FROM ({inner})")
+
+
+@register("warp_rpc_inverse", _sql_rpc_inverse())
+def q_warp_rpc_inverse(spark, sf_dir):
+    """Iterative RPC inverse over orders-derived pixel/line targets.
+    Residual after the fixed 4 refinements is < 3e-5 px scene-wide
+    (vs the reference's 0.1 px default threshold); each refinement is a
+    separate projection so the multiply-referenced running estimate
+    never inlines into an exponential expression tree."""
+    model = rpc_fixture()
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8192).cast("double").alias("pixel"),
+        ((F.col("o_orderkey") * 13) % 8192).cast("double").alias("line"),
+    )
+    out = rpc_inverse_df(base, model, "pixel", "line", n_iter=4)
+    return out.select(
+        "o_orderkey", "pixel", "line",
+        R(F.col("lon"), 9).alias("lon"), R(F.col("lat"), 9).alias("lat"),
+    )

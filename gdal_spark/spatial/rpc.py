@@ -136,3 +136,127 @@ def rpc_fixture() -> RPCModel:
                        t15=-0.001953125),
         line_den=coefs(t0=1.0, t2=0.0078125, t8=0.00390625),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverse (pixel/line → long/lat) — gdal_rpc.cpp RPCInverseTransformPoint,
+# no-DEM path: initial guess from the inverted finite-difference affine
+# (GDALCreateRPCTransformerV2: dfLLDelta = 1e-4 around the reference point,
+# GDALInvGeoTransform), then the fixed linear refinement
+#   result -= (Δpixel · inv[1] + Δline · inv[2]),  (Δpixel · inv[4] + Δline
+#   · inv[5])
+# The reference iterates to a pixel-error threshold (default 0.1 px,
+# ≤10 iterations); the engine/oracle pair runs a FIXED 4 iterations with
+# bit-identical arithmetic on both sides — on the smooth fixture the
+# residual after 4 iterations is < 3e-5 px everywhere in the scene
+# (< 3e-12 at center), well inside the reference's 0.1 px default, and
+# fixing the count makes the gate deterministic.
+# ---------------------------------------------------------------------------
+
+
+def rpc_pixel_line_py(model: RPCModel, lon: float, lat: float,
+                      h: float) -> tuple[float, float]:
+    """Forward RPC in plain Python floats — same term order and
+    left-associated sums as the Column/SQL mirrors."""
+    p = (lon - model.long_off) / model.long_scale
+    l = (lat - model.lat_off) / model.lat_scale
+    hh = (h - model.height_off) / model.height_scale
+    terms = _terms(p, l, hh, 1.0)
+
+    def poly(coefs):
+        acc = coefs[0] * terms[0]
+        for c, t in zip(coefs[1:], terms[1:]):
+            acc = acc + c * t
+        return acc
+
+    px = (poly(model.samp_num) / poly(model.samp_den)) \
+        * model.samp_scale + model.samp_off
+    ln = (poly(model.line_num) / poly(model.line_den)) \
+        * model.line_scale + model.line_off
+    return px, ln
+
+
+def rpc_inverse_geotransform(model: RPCModel) -> tuple[float, ...]:
+    """The 6 inverse-affine coefficients the reference seeds iteration
+    with (gdal_rpc.cpp:1058-1085): finite differences at the reference
+    point (long_off, lat_off, z=0) with dfLLDelta = 1e-4, then the
+    standard 2×2 affine inversion (GDALInvGeoTransform)."""
+    ref_long, ref_lat = model.long_off, model.lat_off
+    ref_px, ref_ln = rpc_pixel_line_py(model, ref_long, ref_lat, 0.0)
+    d = 0.0001
+    px1, ln1 = rpc_pixel_line_py(model, ref_long + d, ref_lat, 0.0)
+    g1 = (px1 - ref_px) / d
+    g4 = (ln1 - ref_ln) / d
+    px2, ln2 = rpc_pixel_line_py(model, ref_long, ref_lat + d, 0.0)
+    g2 = (px2 - ref_px) / d
+    g5 = (ln2 - ref_ln) / d
+    g0 = ref_px - g1 * ref_long - g2 * ref_lat
+    g3 = ref_ln - g4 * ref_long - g5 * ref_lat
+    det = g1 * g5 - g2 * g4
+    inv1, inv2 = g5 / det, -g2 / det
+    inv4, inv5 = -g4 / det, g1 / det
+    inv0 = -(g0 * inv1 + g3 * inv2)
+    inv3 = -(g0 * inv4 + g3 * inv5)
+    return (inv0, inv1, inv2, inv3, inv4, inv5)
+
+
+def rpc_inverse_df(df, model: RPCModel, px: str, ln: str,
+                   n_iter: int = 4):
+    """Append ``lon``/``lat`` inverse-transform columns to ``df`` via
+    ``n_iter`` staged refinement projections (each iteration is its own
+    SELECT, so the multiply-referenced running estimate is never inlined
+    into an exponential expression tree — Catalyst keeps non-cheap
+    multi-use aliases as projection boundaries)."""
+    inv = rpc_inverse_geotransform(model)
+    out = df.withColumn(
+        "_ix",
+        F.lit(inv[0]) + F.lit(inv[1]) * F.col(px)
+        + F.lit(inv[2]) * F.col(ln),
+    ).withColumn(
+        "_iy",
+        F.lit(inv[3]) + F.lit(inv[4]) * F.col(px)
+        + F.lit(inv[5]) * F.col(ln),
+    )
+    for _ in range(n_iter):
+        bx, by = rpc_pixel_line_cols(
+            model, F.col("_ix"), F.col("_iy"), F.lit(0.0))
+        out = out.select(
+            "*", (bx - F.col(px)).alias("_dx"), (by - F.col(ln)).alias("_dy")
+        ).select(
+            *[c for c in out.columns if c not in ("_ix", "_iy")],
+            (F.col("_ix") - F.col("_dx") * F.lit(inv[1])
+             - F.col("_dy") * F.lit(inv[2])).alias("_ix"),
+            (F.col("_iy") - F.col("_dx") * F.lit(inv[4])
+             - F.col("_dy") * F.lit(inv[5])).alias("_iy"),
+        )
+    return out.withColumnRenamed("_ix", "lon").withColumnRenamed("_iy", "lat")
+
+
+def sql_rpc_inverse_ctes(model: RPCModel, base: str, id_col: str,
+                         n_iter: int = 4) -> str:
+    """CTE chain mirroring rpc_inverse_df: ``base`` must provide
+    (id_col, pixel, line); returns SQL selecting (id_col, pixel, line,
+    lon, lat) after ``n_iter`` refinements."""
+    inv = rpc_inverse_geotransform(model)
+    ctes = [
+        f"i0 AS (SELECT {id_col}, pixel, line, "
+        f"{inv[0]!r} + {inv[1]!r} * pixel + {inv[2]!r} * line AS x, "
+        f"{inv[3]!r} + {inv[4]!r} * pixel + {inv[5]!r} * line AS y "
+        f"FROM ({base}))"
+    ]
+    for k in range(1, n_iter + 1):
+        fpx, fln = sql_rpc_pixel_line(model, "x", "y", "0.0")
+        ctes.append(
+            f"d{k} AS (SELECT {id_col}, pixel, line, x, y, "
+            f"({fpx}) - pixel AS dx, ({fln}) - line AS dy FROM i{k - 1})"
+        )
+        ctes.append(
+            f"i{k} AS (SELECT {id_col}, pixel, line, "
+            f"x - dx * {inv[1]!r} - dy * {inv[2]!r} AS x, "
+            f"y - dx * {inv[4]!r} - dy * {inv[5]!r} AS y FROM d{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, pixel, line, x AS lon, y AS lat "
+        + f"FROM i{n_iter}"
+    )

@@ -167,3 +167,21 @@ def test_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_semdedup_drops_dominated_near_duplicates(spark):
+    """A planted near-duplicate pair in the same cluster loses its
+    better-ranked twin; orthogonal vectors all survive."""
+    import numpy as np
+    from gdal_spark.operators import similarity as SIM
+
+    dim = 64
+    base = np.zeros(dim); base[0] = 1.0
+    near = np.zeros(dim); near[0] = 1.0; near[1] = 0.05   # cos ≈ 0.999
+    far = np.zeros(dim); far[3] = 1.0                      # cos 0 to both
+    rows = [(0, base.tolist()), (1, near.tolist()), (2, far.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = SIM.semdedup_keep(df, dim=dim, n_clusters=4, tau=0.9)
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert len(ids) == 2 and 2 in ids
+    assert (0 in ids) != (1 in ids)  # exactly one of the twins survives

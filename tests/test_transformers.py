@@ -77,3 +77,53 @@ def test_rpc_monotone_along_axes(spark):
     _, ln = rpc_pixel_line_cols(m, F.col("lon"), F.col("lat"), F.col("h"))
     vals = [r["ln"] for r in df.select(ln.alias("ln"), "lat").orderBy("lat").collect()]
     assert vals[0] > vals[1] > vals[2]
+
+
+# ---------------------------------------------------------------------------
+# RPC inverse (gdal_rpc.cpp RPCInverseTransformPoint, no-DEM path)
+# ---------------------------------------------------------------------------
+
+def test_rpc_inverse_recovers_forward_inputs():
+    """inverse(forward(lon, lat, h=0)) ≈ (lon, lat) well inside the
+    reference's 0.1 px convergence contract."""
+    from gdal_spark.spatial import rpc as RPC
+
+    m = RPC.rpc_fixture()
+    inv = RPC.rpc_inverse_geotransform(m)
+    for lon, lat in [(10.0, 45.0), (8.5, 43.7), (11.9, 46.4)]:
+        px, ln = RPC.rpc_pixel_line_py(m, lon, lat, 0.0)
+        x = inv[0] + inv[1] * px + inv[2] * ln
+        y = inv[3] + inv[4] * px + inv[5] * ln
+        for _ in range(4):
+            bx, by = RPC.rpc_pixel_line_py(m, x, y, 0.0)
+            x -= (bx - px) * inv[1] + (by - ln) * inv[2]
+            y -= (bx - px) * inv[4] + (by - ln) * inv[5]
+        assert abs(x - lon) < 1e-7 and abs(y - lat) < 1e-7
+        bx, by = RPC.rpc_pixel_line_py(m, x, y, 0.0)
+        assert max(abs(bx - px), abs(by - ln)) < 1e-4
+
+
+def test_rpc_inverse_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark.spatial import rpc as RPC
+
+    m = RPC.rpc_fixture()
+    df = spark.createDataFrame(
+        [(1, 100.0, 200.0), (2, 4096.0, 4096.0), (3, 8000.0, 300.0)],
+        "k long, pixel double, line double",
+    )
+    out = {r["k"]: (r["lon"], r["lat"])
+           for r in RPC.rpc_inverse_df(df, m, "pixel", "line").collect()}
+    inv = RPC.rpc_inverse_geotransform(m)
+    for k, px, ln in [(1, 100.0, 200.0), (2, 4096.0, 4096.0),
+                      (3, 8000.0, 300.0)]:
+        x = inv[0] + inv[1] * px + inv[2] * ln
+        y = inv[3] + inv[4] * px + inv[5] * ln
+        for _ in range(4):
+            bx, by = RPC.rpc_pixel_line_py(m, x, y, 0.0)
+            dx, dy = bx - px, by - ln
+            # same association as the Column/SQL mirrors: x - a - b
+            x, y = x - dx * inv[1] - dy * inv[2], \
+                y - dx * inv[4] - dy * inv[5]
+        assert out[k] == (x, y)  # bit-identical: same fixed arithmetic
