@@ -11254,3 +11254,98 @@ def q_warp_rpc_inverse(spark, sf_dir):
         "o_orderkey", "pixel", "line",
         R(F.col("lon"), 9).alias("lon"), R(F.col("lat"), 9).alias("lat"),
     )
+
+
+# ===========================================================================
+# GeoTIFF raster driver (frmts/gtiff/; public TIFF 6.0 + OGC GeoTIFF 1.1
+# specs): distributed sink (one .tif per row-block) + distributed scan,
+# and the COG window-pruned tiled read.  Oracles never see the files —
+# they recompute the digests from the closed-form DEM.
+# ===========================================================================
+
+from gdal_spark.sources import geotiff as GT  # noqa: E402
+
+_GT_W = 128  # raster width/height for the GeoTIFF gates
+
+
+def _sql_geotiff_bands() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} AS val FROM px)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 7 + y * 11) % 13))::bigint AS digest,
+       count(*)::bigint AS n, min(val)::bigint AS vmin,
+       max(val)::bigint AS vmax, 4326::bigint AS epsg
+FROM v GROUP BY band"""
+
+
+@register("geotiff_roundtrip", _sql_geotiff_bands())
+def q_geotiff_roundtrip(spark, sf_dir):
+    """GeoTIFF driver gate: the 128x128 closed-form DEM written as 8
+    standalone Int32 striped GeoTIFFs (one per 16-row block, distributed
+    applyInPandas sink), read back one-task-per-file via binaryFile +
+    numpy IFD/strip decode, GLOBAL pixel coordinates recovered from each
+    file's ModelTiepoint/PixelScale geotransform, GeographicTypeGeoKey
+    surfaced.  Digest is a position-weighted integer sum per 32-row band
+    (exact in both engines); the oracle recomputes it from the formula
+    and never sees a file."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gtiff_gate_")
+    cells = _dem_cells(spark, _GT_W)
+    GT.write_cell_geotiffs(cells, d, width=_GT_W, height=_GT_W,
+                           block_rows=16, dtype="int32")
+    back = GT.read_geotiffs(spark, d)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 7 + F.col("gy") * 11) % 13))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("val").cast("long")).alias("vmin"),
+        F.max(F.col("val").cast("long")).alias("vmax"),
+        F.max("epsg").alias("epsg"),
+    )
+
+
+def _sql_geotiff_window() -> str:
+    # window [20,100) x [36,92); tile grid 32 -> i 0..3, j 1..2 decoded
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy
+       WHERE gx.i >= 20 AND gx.i < 100 AND gy.i >= 36 AND gy.i < 92),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} * 0.5 + 0.25 AS val FROM px)
+SELECT count(*)::bigint AS n,
+       {SR('sum(val * ((x * 5 + y * 3) % 17))', 6)} AS digest,
+       {SR('min(val)', 6)} AS vmin, {SR('max(val)', 6)} AS vmax,
+       ((100 - 1) // 32 - 20 // 32 + 1)::bigint
+         * ((92 - 1) // 32 - 36 // 32 + 1)::bigint AS n_tiles_decoded,
+       16::bigint AS n_tiles_total
+FROM v"""
+
+
+@register("geotiff_tiled_window", _sql_geotiff_window())
+def q_geotiff_tiled_window(spark, sf_dir):
+    """COG-style window-pruned read: one 128x128 Float64 TILED (32x32)
+    DEFLATE GeoTIFF, pixel window [20,100)x[36,92) decoded by seeking
+    TileOffsets for ONLY the 8 intersecting tiles (of 16) — the decoded-
+    tile count is surfaced as a column so the gate FAILS if the reader
+    ever inflates the whole file.  Values ride the float64 path (dyadic
+    *0.5+0.25 — bit-exact through the codec)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gtiff_win_")
+    cells = _dem_cells(spark, _GT_W).withColumn(
+        "val", F.col("val") * 0.5 + 0.25)
+    GT.write_cell_geotiffs(cells, d, width=_GT_W, height=_GT_W,
+                           block_rows=_GT_W, dtype="float64",
+                           tiled=True, tile_size=32, deflate=True)
+    back = GT.read_geotiff_window(
+        spark, f"{d}/block-00000.tif", 20, 36, 100, 92)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum(F.col("val") * ((F.col("gx") * 5 + F.col("gy") * 3) % 17)),
+          6).alias("digest"),
+        R(F.min("val"), 6).alias("vmin"),
+        R(F.max("val"), 6).alias("vmax"),
+        F.max("n_tiles_decoded").alias("n_tiles_decoded"),
+        F.max("n_tiles_total").alias("n_tiles_total"),
+    )

@@ -10,6 +10,7 @@ import tempfile
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from gdal_spark.sources import geojson as GJ
@@ -255,3 +256,79 @@ def test_fgb_spark_roundtrip_with_envelope(spark):
     # envelope-pruned distributed read
     sub = FGB.read_point_fgbs(spark, d, ["k"], envelope=(0., 0., 5., 100.))
     assert sub.count() == df.filter(F.col("x") <= 5.0).count()
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF codec (public TIFF 6.0 + OGC GeoTIFF 1.1 specs)
+# ---------------------------------------------------------------------------
+
+
+class TestGeoTIFFCodec:
+    def _roundtrip(self, arr, **kw):
+        from gdal_spark.sources.geotiff import GeoTIFF, write_geotiff_bytes
+
+        buf = write_geotiff_bytes(arr, (10.0, 50.0), (1 / 1024, 1 / 1024),
+                                  **kw)
+        return buf, GeoTIFF(buf)
+
+    def test_header_bytes(self):
+        import struct
+
+        a = np.zeros((16, 16), dtype=np.int32)
+        buf, _ = self._roundtrip(a)
+        assert buf[:4] == b"II\x2a\x00"  # little-endian classic TIFF
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (n_tags,) = struct.unpack_from("<H", buf, ifd_off)
+        tags = [struct.unpack_from("<H", buf, ifd_off + 2 + 12 * k)[0]
+                for k in range(n_tags)]
+        assert tags == sorted(tags)  # spec: ascending tag order
+        assert {256, 257, 258, 259, 262, 273, 279, 339,
+                33550, 33922, 34735} <= set(tags)
+
+    def test_int32_striped_bitexact(self):
+        a = ((np.arange(40 * 56).reshape(40, 56) * 7919) % 100003
+             - 50000).astype(np.int32)
+        _, t = self._roundtrip(a)
+        assert t.epsg == 4326 and not t.tiled
+        assert np.array_equal(t.read_array(), a)
+
+    def test_float64_tiled_deflate_bitexact(self):
+        rng = np.arange(100 * 72, dtype=np.float64)
+        a = (rng * 0.125 - 17.625).reshape(100, 72)  # dyadic values
+        _, t = self._roundtrip(a, tiled=True, tile_size=32, deflate=True)
+        assert t.tiled and t.compression == 8
+        assert np.array_equal(t.read_array(), a)
+
+    def test_geotransform_and_geokeys(self):
+        a = np.zeros((16, 16), dtype=np.int32)
+        _, t = self._roundtrip(a)
+        assert t.geotransform == (
+            10.0, 1 / 1024, 0.0, 50.0, 0.0, -1 / 1024)
+        assert t.epsg == 4326
+
+    def test_window_prunes_tiles(self):
+        a = np.arange(128 * 128, dtype=np.float64).reshape(128, 128)
+        _, t = self._roundtrip(a, tiled=True, tile_size=32, deflate=True)
+        win, n = t.read_window(20, 36, 100, 92)
+        assert np.array_equal(win, a[36:92, 20:100])
+        assert n == 8  # i 0..3 x j 1..2, never all 16
+
+    def test_edge_tiles_padded_not_leaked(self):
+        a = np.full((48, 40), 7.0)  # 32-grid -> 2x2 tiles, ragged edges
+        _, t = self._roundtrip(a, tiled=True, tile_size=32)
+        assert np.array_equal(t.read_array(), a)
+
+    def test_tile_size_multiple_of_16_enforced(self):
+        from gdal_spark.sources.geotiff import write_geotiff_bytes
+
+        with pytest.raises(ValueError):
+            write_geotiff_bytes(
+                np.zeros((8, 8), dtype=np.int32), (0, 0), (1, 1),
+                tiled=True, tile_size=24)
+
+    def test_unsupported_dtype_raises(self):
+        from gdal_spark.sources.geotiff import write_geotiff_bytes
+
+        with pytest.raises(ValueError):
+            write_geotiff_bytes(
+                np.zeros((8, 8), dtype=np.int16), (0, 0), (1, 1))
