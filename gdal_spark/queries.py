@@ -10823,7 +10823,7 @@ delta AS (
               - ln((qn + 1)::double / (qt + {_DSIR_B})::double))
                * {_DSIR_MICRO!r} + 0.5)::bigint AS di
   FROM qb LEFT JOIN tb ON tb.b = qb.b CROSS JOIN tot),
-w AS (SELECT f.doc_id, sum(di) AS w_micro
+w AS (SELECT f.doc_id, sum(di)::bigint AS w_micro
       FROM f JOIN delta ON delta.b = f.b GROUP BY f.doc_id),
 j AS (SELECT doc_id, w_micro,
              w_micro + (('0x' || substring(md5(doc_id::varchar), 1, 8))::bigint
