@@ -537,3 +537,107 @@ WHERE NOT EXISTS (
   SELECT 1 FROM r y
   WHERE y.cl = x.cl AND y.rk < x.rk AND {cos} >= {tau!r}
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's algorithm) — the TRAINER behind the IVF
+# coarse quantizer (Faiss/IVF training per the public Johnson et al. 2017
+# billion-scale similarity-search paper; the inference side is ivf_topk).
+# One Lloyd iteration from the deterministic seed centroids:
+#   assign → integer component sums per (cluster, dim) → re-assign.
+# Exactness contract: embedding components are micro-quantized to 2^20
+# integer units (sums order-free), updated centroids are exact-rational
+# si/(n·2^20) evaluated with ONE double division, and squared-distance
+# TERMS are quantized to 2^30 units before the per-(vector, centroid) sum
+# — every float op is a single correctly-rounded IEEE op in the same
+# order on both engines, so Spark and DuckDB agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_KM_MICRO = 1 << 20        # component quantization (exact dyadic)
+_KM_TERM = float(1 << 30)  # squared-distance term quantization
+
+
+def kmeans_lloyd_summary(
+    vectors: DataFrame, dim: int, k: int = 8,
+    id_col: str = "vec_id", vec: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd iteration; per-cluster summary
+    (cl, n, member_digest, sse_q).
+
+    Scale shape: seed assignment is map-only column math; the centroid
+    update is ONE partial-aggregated shuffle on (cluster, dim) keys
+    (k·dim groups — bounded state like the paper's coarse quantizer);
+    the re-assignment joins the long-form vectors against the BROADCAST
+    k·dim centroid table; the argmin is an order-free integer min. No
+    all-pairs stage anywhere, no driver-side vector math."""
+    K = k
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec),
+            lambda x: F.floor(x.cast("double") * _KM_MICRO + 0.5)
+            .cast("long"),
+        ).alias("xi"),
+        ivf_assign_col(vec, K, dim).alias("cl0"),
+    )
+    lf = base.select(
+        "vec_id", "cl0", F.posexplode("xi").alias("d", "xi"))
+    cent = lf.groupBy(F.col("cl0").alias("ck"), "d").agg(
+        F.sum("xi").alias("sn"), F.count(F.lit(1)).alias("n"))
+    xd = F.col("xi").cast("double") / F.lit(float(_KM_MICRO))
+    cd = F.col("sn").cast("double") / (F.col("n") * _KM_MICRO).cast("double")
+    diff = xd - cd
+    term = F.floor(diff * diff * F.lit(_KM_TERM) + 0.5).cast("long")
+    dist = (
+        lf.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "ck")
+        .agg(F.sum(term).alias("dq"))
+    )
+    enc = dist.groupBy("vec_id").agg(
+        F.min(F.col("dq") * K + (F.col("ck") - 1)).alias("enc"))
+    digest = lf.groupBy("vec_id").agg(F.sum("xi").alias("doc_digest"))
+    return (
+        enc.join(digest, "vec_id")
+        .groupBy((F.col("enc") % K + 1).alias("cl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_digest").alias("member_digest"),
+            F.sum(F.expr(f"enc div {K}")).alias("sse_q"),
+        )
+    )
+
+
+def sql_kmeans_lloyd_summary(table: str, dim: int, k: int = 8) -> str:
+    """DuckDB twin: same seed assign, same integer quantization, same
+    single-rounded float ops in the same order."""
+    cl0 = sql_ivf_assign("embedding", k, dim)
+    m = _KM_MICRO
+    return f"""WITH x AS (
+  SELECT vec_id, embedding, {cl0} AS cl0 FROM {table}
+), dims AS (SELECT unnest(generate_series(0, {dim - 1})) AS d),
+lf AS (
+  SELECT vec_id, cl0, d,
+         floor(embedding[d + 1]::double * {m} + 0.5)::bigint AS xi
+  FROM x CROSS JOIN dims
+), cent AS (
+  SELECT cl0 AS ck, d, sum(xi)::bigint AS sn, count(*)::bigint AS n
+  FROM lf GROUP BY cl0, d
+), dist AS (
+  SELECT lf.vec_id, cent.ck,
+         sum(floor(((xi::double / {float(m)!r})
+                    - (sn::double / (n * {m})::double))
+                   * ((xi::double / {float(m)!r})
+                      - (sn::double / (n * {m})::double))
+                   * {_KM_TERM!r} + 0.5)::bigint)::bigint AS dq
+  FROM lf JOIN cent ON cent.d = lf.d
+  GROUP BY lf.vec_id, cent.ck
+), enc AS (
+  SELECT vec_id, min(dq * {k} + (ck - 1)) AS enc FROM dist GROUP BY vec_id
+), dg AS (
+  SELECT vec_id, sum(xi)::bigint AS doc_digest FROM lf GROUP BY vec_id
+)
+SELECT (enc % {k} + 1)::int AS cl, count(*)::bigint AS n,
+       sum(doc_digest)::bigint AS member_digest,
+       sum(enc // {k})::bigint AS sse_q
+FROM enc JOIN dg USING (vec_id)
+GROUP BY cl"""

@@ -898,3 +898,112 @@ def unigram_lm_scores(
         avg.alias("avg_logp"),
         F.exp(-avg).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson–Spärck Jones probabilistic relevance;
+# the Okapi BM25 formula as published in Robertson & Zaragoza 2009, "The
+# Probabilistic Relevance Framework: BM25 and Beyond").  The corpus-scale
+# search primitive a training-data pipeline uses for targeted slicing
+# (benchmark-adjacent retrieval, topic mining).
+#
+# score(D, Q) = Σ_t IDF(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+# with the standard "plus-one" IDF = ln(1 + (N − df + 0.5)/(df + 0.5)).
+#
+# Exactness contract: k1 = 1.25 and b = 0.75 are dyadic, every float op is
+# a single correctly-rounded IEEE op in the same order on both engines,
+# and the per-term score is micro-quantized to 2^20 integer units BEFORE
+# the per-doc sum (order-free) — the engine's established pattern for
+# cross-engine-exact float aggregation (unigram LM, DSIR).
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.25
+BM25_B = 0.75
+_BM25_MICRO = float(1 << 20)
+
+
+def bm25_topk(
+    docs: DataFrame, terms: list[str], top_k: int,
+    id_col: str = "doc_id", text: str = "text",
+) -> DataFrame:
+    """Top-k docs by BM25 → (doc_id, score_micro).
+
+    Scale shape: tokenize + per-term tf are map-only JVM HOFs over a
+    BROADCAST 1-row-per-term explode (|Q| rows); df/N/avgdl are three
+    bounded partial aggregates broadcast back; the doc score is ONE
+    integer groupBy; the top-k is TakeOrdered.  No shuffle carries more
+    than |docs|·|Q| skinny rows."""
+    spark = docs.sparkSession
+    toks = F.split(F.trim(F.col(text)), " +")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"),
+        F.size(toks).alias("dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum"))
+    term_rows = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"))
+    tf_long = base.crossJoin(F.broadcast(term_rows)).select(
+        "doc_id", "dl", "term",
+        F.size(F.filter(F.col("_toks"), lambda x: x == F.col("term")))
+        .alias("tf"),
+    )
+    dfreq = tf_long.filter(F.col("tf") > 0).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("dl_sum").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    score_t = idf * (tfd * F.lit(BM25_K1 + 1.0)) / denom
+    sq = F.floor(score_t * F.lit(_BM25_MICRO) + 0.5).cast("long")
+    scored = (
+        tf_long.filter(F.col("tf") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(sq).alias("score_micro"))
+    )
+    return (
+        scored.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+
+
+def sql_bm25_topk(table: str, terms: list[str], top_k: int) -> str:
+    """DuckDB twin of bm25_topk — same tokenization, same single-rounded
+    float ops in the same order, same 2^20 per-term quantization."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks,
+         len(string_split_regex(trim(text), ' +')) AS dl
+  FROM {table}
+), stats AS (
+  SELECT count(*)::bigint AS n_docs, sum(dl)::bigint AS dl_sum FROM base
+), q(term) AS (SELECT unnest([{tlist}])),
+tf AS (
+  SELECT doc_id, dl, term,
+         len(list_filter(toks, x -> x = term))::bigint AS tf
+  FROM base CROSS JOIN q
+), dfreq AS (
+  SELECT term, count(*)::bigint AS df FROM tf WHERE tf > 0 GROUP BY term
+), sc AS (
+  SELECT doc_id,
+         floor(
+           ln(1.0 + (n_docs::double - df::double + 0.5) / (df::double + 0.5))
+           * (tf::double * {BM25_K1 + 1.0!r})
+           / (tf::double + {BM25_K1!r} * ({1.0 - BM25_B!r}
+              + {BM25_B!r} * (dl::double
+                              / (dl_sum::double / n_docs::double))))
+           * {_BM25_MICRO!r} + 0.5)::bigint AS sq
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE tf > 0
+)
+SELECT doc_id, sum(sq)::bigint AS score_micro
+FROM sc GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {top_k}"""

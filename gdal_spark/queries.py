@@ -11349,3 +11349,40 @@ def q_geotiff_tiled_window(spark, sf_dir):
         F.max("n_tiles_decoded").alias("n_tiles_decoded"),
         F.max("n_tiles_total").alias("n_tiles_total"),
     )
+
+
+# ===========================================================================
+# k-means Lloyd training (the trainer behind the IVF coarse quantizer —
+# Johnson et al. 2017 billion-scale ANN) + BM25 ranked retrieval
+# (Robertson & Zaragoza 2009) — corpus search / clustering primitives.
+# ===========================================================================
+
+
+@register(
+    "embed_kmeans_lloyd",
+    SIM.sql_kmeans_lloyd_summary("embeddings", dim=64, k=8),
+)
+def q_embed_kmeans_lloyd(spark, sf_dir):
+    """One distributed Lloyd iteration over the embeddings table from the
+    deterministic IVF seeds: per-cluster member count, integer member
+    digest, and quantized SSE.  Centroid update = one bounded (k x dim)
+    partial-agg shuffle; re-assignment = broadcast join + order-free
+    integer argmin — no all-pairs, no driver vector math."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.kmeans_lloyd_summary(emb, dim=64, k=8)
+
+
+_BM25_TERMS = ["hash", "join", "vector", "stream", "filter"]
+
+
+@register(
+    "text_bm25_topk",
+    T.sql_bm25_topk("documents", _BM25_TERMS, top_k=50),
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-50 over the documents corpus for a 5-term query.  tf is a
+    map-only JVM HOF per broadcast term; df/N/avgdl are bounded broadcast
+    aggregates; per-term scores are 2^20-quantized before the order-free
+    per-doc integer sum; top-k is TakeOrdered."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, _BM25_TERMS, top_k=50)

@@ -185,3 +185,60 @@ def test_semdedup_drops_dominated_near_duplicates(spark):
     ids = sorted(r["vec_id"] for r in kept.collect())
     assert len(ids) == 2 and 2 in ids
     assert (0 in ids) != (1 in ids)  # exactly one of the twins survives
+
+
+class TestKMeansLloyd:
+    def _vectors(self, spark, n=64, dim=8):
+        import numpy as np
+
+        rows = []
+        for i in range(n):
+            v = [((i * 37 + d * 11) % 29) / 29.0 - 0.5 for d in range(dim)]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_partition_of_corpus(self, spark):
+        from gdal_spark.operators.similarity import kmeans_lloyd_summary
+
+        out = kmeans_lloyd_summary(
+            self._vectors(spark), dim=8, k=4).toPandas()
+        assert out["n"].sum() == 64            # every vector exactly once
+        assert set(out["cl"]) <= {1, 2, 3, 4}
+        assert (out["sse_q"] >= 0).all()
+
+    def test_one_iteration_never_increases_sse(self, spark):
+        """Lloyd invariant: re-assigning to UPDATED centroids cannot give a
+        larger SSE than the updated centroids score on the seed
+        assignment (each vector moves only if strictly closer)."""
+        import numpy as np
+
+        from gdal_spark.operators.similarity import (
+            ivf_assign_col, ivf_centroid, kmeans_lloyd_summary)
+
+        df = self._vectors(spark)
+        out = kmeans_lloyd_summary(df, dim=8, k=4).toPandas()
+        pdf = df.withColumn(
+            "cl0", ivf_assign_col("embedding", 4, 8)).toPandas()
+        mat = np.array(list(pdf["embedding"]))
+        xi = np.floor(mat * (1 << 20) + 0.5)
+        sse_seed = 0.0
+        cents = {}
+        for c in sorted(pdf["cl0"].unique()):
+            members = xi[pdf["cl0"] == c]
+            cents[c] = members.sum(axis=0) / (len(members) * (1 << 20))
+        for c, cent in cents.items():
+            members = xi[pdf["cl0"] == c] / (1 << 20)
+            d = members - cent
+            sse_seed += np.floor(d * d * (1 << 30) + 0.5).sum()
+        assert out["sse_q"].sum() <= sse_seed + 1e-6
+
+    def test_member_digest_is_exact_int_sum(self, spark):
+        import numpy as np
+
+        from gdal_spark.operators.similarity import kmeans_lloyd_summary
+
+        df = self._vectors(spark)
+        out = kmeans_lloyd_summary(df, dim=8, k=4).toPandas()
+        mat = np.array([r for r in df.toPandas()["embedding"]])
+        total = int(np.floor(mat * (1 << 20) + 0.5).sum())
+        assert int(out["member_digest"].sum()) == total

@@ -327,3 +327,35 @@ def test_gopher_quality_columns_hand_case(spark):
     r3 = T.gopher_quality_columns(symbols, text_col="body").collect()[0]
     assert r3.n_words == 60 and r3.symbol_ratio == 0.5
     assert r3.keep_doc is False  # symbol-to-word ratio
+
+
+class TestBM25:
+    def _docs(self, spark):
+        rows = [
+            (1, "hash join hash join hash", "en"),
+            (2, "hash " + "filler " * 60, "en"),
+            (3, "vector stream filter", "en"),
+            (4, "the quick brown fox", "en"),
+            (5, "join", "en"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+
+    def test_ranking_prefers_tf_and_short_docs(self, spark):
+        from gdal_spark.operators.text import bm25_topk
+
+        out = bm25_topk(
+            self._docs(spark), ["hash", "join"], top_k=5).toPandas()
+        scores = dict(zip(out["doc_id"], out["score_micro"]))
+        assert scores[1] > scores[5] > scores.get(2, 0)  # tf + dl norm
+        assert 4 not in scores or scores[4] == 0          # no query term
+
+    def test_topk_limit_and_order(self, spark):
+        from gdal_spark.operators.text import bm25_topk
+
+        out = bm25_topk(
+            self._docs(spark), ["hash", "join", "vector"], top_k=2
+        ).toPandas()
+        assert len(out) == 2
+        assert list(out["score_micro"]) == sorted(
+            out["score_micro"], reverse=True)
