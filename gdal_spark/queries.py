@@ -11386,3 +11386,66 @@ def q_text_bm25_topk(spark, sf_dir):
     per-doc integer sum; top-k is TakeOrdered."""
     docs = _read(spark, sf_dir, "documents")
     return T.bm25_topk(docs, _BM25_TERMS, top_k=50)
+
+
+# ===========================================================================
+# Snapshot table: time travel + stats-pruned copy-on-write delete (the
+# north rule's Iceberg-metadata storage contract; plans/snapshots.py).
+# ===========================================================================
+
+from gdal_spark.plans.snapshots import SnapshotTable  # noqa: E402
+
+
+def _sql_time_travel() -> str:
+    return """WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+a AS (SELECT o_orderkey AS k FROM orders, m WHERE o_orderkey < mid),
+b AS (SELECT o_orderkey AS k FROM orders, m WHERE o_orderkey >= mid),
+s3a AS (SELECT k FROM a, m WHERE NOT (k >= mid // 2 AND k < mid))
+SELECT 1 AS snapshot, count(*)::bigint AS n_rows, sum(k)::bigint AS key_sum,
+       0::bigint AS seg_rewritten, 0::bigint AS seg_carried FROM a
+UNION ALL
+SELECT 2, count(*)::bigint, sum(k)::bigint, 0, 0
+FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+UNION ALL
+SELECT 3, count(*)::bigint, sum(k)::bigint, 1, 1
+FROM (SELECT k FROM s3a UNION ALL SELECT k FROM b)"""
+
+
+@register("table_time_travel", _sql_time_travel())
+def q_table_time_travel(spark, sf_dir):
+    """Snapshot-table gate: append two key-range segments (snapshots 1-2),
+    copy-on-write delete a range inside the FIRST segment (snapshot 3 —
+    manifest stats must prune the second segment: the gate pins
+    seg_rewritten=1 / seg_carried=1 as MEASURED engine counts against
+    oracle literals), then read all three snapshots back by time travel.
+    The oracle recomputes each snapshot's state from the orders table and
+    never sees the files."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gdalspark_snap_gate_")
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    mid = orders.agg(
+        F.expr("max(k) div 2").alias("m")).collect()[0]["m"]
+    tbl = SnapshotTable(root, key_col="k")
+    tbl.append(orders.filter(F.col("k") < mid))
+    tbl.append(orders.filter(F.col("k") >= mid))
+    _, rewritten, carried = tbl.delete_range(spark, mid // 2, mid)
+
+    outs = []
+    for snap in (1, 2, 3):
+        rw = rewritten if snap == 3 else 0
+        ca = carried if snap == 3 else 0
+        outs.append(
+            tbl.read(spark, as_of=snap).agg(
+                F.lit(snap).cast("int").alias("snapshot"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("k").alias("key_sum"),
+                F.lit(rw).cast("long").alias("seg_rewritten"),
+                F.lit(ca).cast("long").alias("seg_carried"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -50,3 +50,47 @@ def test_metrics_table(spark):
     assert sum(r["rows"] for r in rows) == 100
     assert all(r["bytes_est"] > 0 for r in rows)
     assert all(r["stage"] == "ident" for r in rows)
+
+
+class TestSnapshotTable:
+    def test_time_travel_and_cow_delete(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t"), key_col="k")
+        s1 = t.append(spark.range(0, 50).selectExpr("id as k"))
+        s2 = t.append(spark.range(50, 100).selectExpr("id as k"))
+        assert (s1, s2) == (1, 2)
+        s3, rewritten, carried = t.delete_range(spark, 10, 20)
+        assert s3 == 3
+        # stats pruning: only the first segment intersects [10, 20)
+        assert rewritten == 1 and carried == 1
+        assert t.read(spark, as_of=1).count() == 50
+        assert t.read(spark, as_of=2).count() == 100
+        live = t.read(spark, as_of=3)
+        assert live.count() == 90
+        assert live.filter("k >= 10 and k < 20").count() == 0
+        # latest = snapshot 3
+        assert t.read(spark).count() == 90
+
+    def test_delete_missing_everything_carries_all(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t2"), key_col="k")
+        t.append(spark.range(0, 10).selectExpr("id as k"))
+        t.append(spark.range(10, 20).selectExpr("id as k"))
+        _, rewritten, carried = t.delete_range(spark, 1000, 2000)
+        assert rewritten == 0 and carried == 2
+        assert t.read(spark).count() == 20
+
+    def test_segment_emptied_by_delete_is_dropped(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "t3"), key_col="k")
+        t.append(spark.range(0, 10).selectExpr("id as k"))
+        t.append(spark.range(10, 20).selectExpr("id as k"))
+        _, rewritten, _ = t.delete_range(spark, 0, 10)
+        assert rewritten == 1
+        assert t.read(spark).count() == 10
+        from gdal_spark.plans.snapshots import SnapshotTable as _S
+        segs = t._load(t.current_id())
+        assert len(segs) == 1  # the emptied segment left the manifest
