@@ -123,6 +123,18 @@ BENCH_QUERIES = [
     "geom_distance3d",
     "line_hausdorff",
     "geom_area_ellipsoidal",
+    # round 4 (session 2-3): format drivers, semantic dedup, RPC inverse,
+    # kmeans trainer, BM25 retrieval, snapshot time travel
+    "shapefile_roundtrip",
+    "flatgeobuf_bbox_scan",
+    "geotiff_roundtrip",
+    "geotiff_tiled_window",
+    "embed_semdedup",
+    "warp_rpc_inverse",
+    "embed_kmeans_lloyd",
+    "text_bm25_topk",
+    "table_time_travel",
+    "corpus_dsir_select",
 ]
 
 

@@ -11449,3 +11449,75 @@ def q_table_time_travel(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ===========================================================================
+# Arrow IPC (Feather V2) driver gate (ogr/ogrsf_frmts/arrow/) and WARC
+# (ISO 28500, the Common-Crawl container) ingest gate — the web-archive
+# path the north star's corpus arrives in.
+# ===========================================================================
+
+
+@register("arrow_ipc_roundtrip", _FMT_POINTS_ORACLE)
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """Arrow IPC file driver gate: orders point layer → 8 .arrow shards
+    (columnar record batches, one file per partition) → binaryFile +
+    pyarrow BufferReader scan.  int64/float64 ride the IPC body as raw
+    little-endian buffers — bit-exact roundtrip."""
+    import tempfile
+
+    from gdal_spark.sources import arrow_ipc as AIPC
+
+    d = tempfile.mkdtemp(prefix="gdalspark_arrow_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    AIPC.write_arrow_files(pts, d, num_files=8, partition_key="o_orderkey")
+    back = AIPC.read_arrow_files(
+        spark, d, "o_orderkey long, cents long, lon double, lat double")
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("lon"), 6).alias("lon"), R(F.col("lat"), 6).alias("lat"),
+    )
+
+
+@register(
+    "warc_extract_roundtrip",
+    """SELECT doc_id,
+       length('doc ' || doc_id || chr(10) || coalesce(text, '')) AS n_chars2,
+       substring(md5('doc ' || doc_id || chr(10) || coalesce(text, '')),
+                 1, 16) AS digest
+FROM documents""",
+)
+def q_warc_extract_roundtrip(spark, sf_dir):
+    """WARC ingest gate (ISO 28500 / Common-Crawl layout): wrap every
+    document in deterministic html, write 8 .warc.gz shards (one gzip
+    MEMBER per record — the CC resynchronization framing), read them back
+    one-task-per-shard, and run THE reference text extractor on the
+    recovered payload bytes.  The oracle computes the expected extracted
+    text straight from the documents table — so the gate fails unless the
+    container + HTTP framing + extractor are byte-identical end to end."""
+    import tempfile
+
+    from gdal_spark.sources import warc as WARC
+
+    d = tempfile.mkdtemp(prefix="gdalspark_warc_gate_")
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><p>"),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    WARC.write_warc_shards(docs, d, num_files=8)
+    back = WARC.read_warc_shards(spark, d)
+    text2 = T.extract_text(F.col("html"))
+    return back.select(
+        "doc_id",
+        F.length(text2).alias("n_chars2"),
+        F.substring(F.md5(F.encode(text2, "utf-8")), 1, 16).alias("digest"),
+    )

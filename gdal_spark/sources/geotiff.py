@@ -328,7 +328,7 @@ def write_cell_geotiffs(
     keyed = cells.withColumn(
         "_blk", (F.col("gy") / F.lit(block_rows)).cast("long"))
 
-    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         blk = int(key[0])
         y0 = blk * block_rows
         h = min(block_rows, height - y0)

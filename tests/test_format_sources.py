@@ -332,3 +332,49 @@ class TestGeoTIFFCodec:
         with pytest.raises(ValueError):
             write_geotiff_bytes(
                 np.zeros((8, 8), dtype=np.int16), (0, 0), (1, 1))
+
+
+# ---------------------------------------------------------------------------
+# WARC codec (ISO 28500 / Common-Crawl per-member gzip layout)
+# ---------------------------------------------------------------------------
+
+
+class TestWARCCodec:
+    def test_record_framing(self):
+        from gdal_spark.sources.warc import (
+            http_body, parse_record, warc_record)
+
+        rec = warc_record("https://example.com/doc/7", b"<html>x</html>",
+                          rec_id="00000000-0000-0000-0000-000000000007")
+        assert rec.startswith(b"WARC/1.1\r\n")
+        assert rec.endswith(b"\r\n\r\n")
+        headers, payload = parse_record(rec)
+        assert headers["WARC-Type"] == "response"
+        assert headers["WARC-Target-URI"] == "https://example.com/doc/7"
+        assert int(headers["Content-Length"]) == len(payload)
+        assert payload.startswith(b"HTTP/1.1 200 OK\r\n")
+        assert http_body(payload) == b"<html>x</html>"
+
+    def test_gzip_member_stream_resync(self):
+        from gdal_spark.sources.warc import (
+            gzip_member, split_members, warc_record)
+
+        recs = [
+            warc_record(f"https://example.com/doc/{i}",
+                        b"<p>" + bytes([65 + i]) * i + b"</p>",
+                        rec_id=f"00000000-0000-0000-0000-{i:012d}")
+            for i in range(5)
+        ]
+        stream = b"".join(gzip_member(r) for r in recs)
+        assert list(split_members(stream)) == recs
+
+    def test_binary_payload_survives(self):
+        from gdal_spark.sources.warc import (
+            gzip_member, http_body, parse_record, split_members, warc_record)
+
+        body = bytes(range(256)) * 3  # every byte value
+        rec = warc_record("https://example.com/doc/1", body,
+                          rec_id="00000000-0000-0000-0000-000000000001")
+        got = list(split_members(gzip_member(rec)))[0]
+        _, payload = parse_record(got)
+        assert http_body(payload) == body
