@@ -343,3 +343,57 @@ def apply_equalize(raster: DataFrame, lut: list[int],
             .cast("double"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# nearblack (apps/nearblack_lib.cpp): mask the near-black collar that scan
+# digitization / reprojection leaves around imagery.  The reference scans
+# every row from BOTH ends, masking the contiguous run of pixels within
+# near_dist of black until the first bright pixel, then repeats vertically.
+# Distributed form: per-row [lo, hi] bright extents (one bounded aggregate
+# on the row key), per-column likewise, broadcast back — a pixel is collar
+# iff it lies outside its row extent OR its column extent.  Interior dark
+# pixels (not edge-connected) are untouched, exactly like the reference.
+# ---------------------------------------------------------------------------
+
+
+def nearblack_mask(
+    cells: DataFrame, near_dist: float,
+    x: str = "gx", y: str = "gy", val: str = "val",
+) -> DataFrame:
+    """→ cells + boolean ``collar``.  Two bounded aggregates (one row per
+    raster row / column — metadata-scale relative to pixels) broadcast
+    back onto the pixel table; everything else is map-only."""
+    bright = cells.filter(F.col(val) > near_dist)
+    rows = bright.groupBy(y).agg(
+        F.min(x).alias("_rlo"), F.max(x).alias("_rhi"))
+    cols = bright.groupBy(x).agg(
+        F.min(y).alias("_clo"), F.max(y).alias("_chi"))
+    out = (
+        cells.join(F.broadcast(rows), y, "left")
+        .join(F.broadcast(cols), x, "left")
+    )
+    collar = (
+        F.col("_rlo").isNull()
+        | (F.col(x) < F.col("_rlo")) | (F.col(x) > F.col("_rhi"))
+        | F.col("_clo").isNull()
+        | (F.col(y) < F.col("_clo")) | (F.col(y) > F.col("_chi"))
+    )
+    return out.withColumn("collar", collar).drop(
+        "_rlo", "_rhi", "_clo", "_chi")
+
+
+def sql_nearblack_collar(near_dist: float,
+                         x: str = "x", y: str = "y", val: str = "val") -> str:
+    """DuckDB window-function twin of the collar predicate (over a CTE
+    named ``v`` with columns x, y, val)."""
+    b = f"CASE WHEN val > {near_dist!r} THEN {x} END"
+    by = f"CASE WHEN val > {near_dist!r} THEN {y} END"
+    return (
+        f"(min({b}) OVER (PARTITION BY {y}) IS NULL"
+        f" OR {x} < min({b}) OVER (PARTITION BY {y})"
+        f" OR {x} > max({b}) OVER (PARTITION BY {y})"
+        f" OR min({by}) OVER (PARTITION BY {x}) IS NULL"
+        f" OR {y} < min({by}) OVER (PARTITION BY {x})"
+        f" OR {y} > max({by}) OVER (PARTITION BY {x}))"
+    )

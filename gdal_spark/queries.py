@@ -11521,3 +11521,168 @@ def q_warc_extract_roundtrip(spark, sf_dir):
         F.length(text2).alias("n_chars2"),
         F.substring(F.md5(F.encode(text2, "utf-8")), 1, 16).alias("digest"),
     )
+
+
+def _sql_cog_levels() -> str:
+    # direct block-mean oracle per level (dyadic invariant: iterated 2x2
+    # averaging == the direct 2^L-block mean, float-exact)
+    parts = []
+    for lvl in (0, 1, 2):
+        r = 1 << lvl
+        wl = _GT_W // r
+        parts.append(f"""
+SELECT {lvl} AS level, count(*)::bigint AS n,
+       {SR(f'''sum(bv * ((x * 3 + y * 7) % 11))''', 6)} AS digest,
+       {SR('min(bv)', 6)} AS vmin, {SR('max(bv)', 6)} AS vmax
+FROM (
+  SELECT (gx.i // {r}) AS x, (gy.i // {r}) AS y,
+         avg({_dem_pix('gx.i', 'gy.i')}) AS bv
+  FROM (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i) gx
+  CROSS JOIN (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i) gy
+  GROUP BY x, y
+)""")
+    return " UNION ALL ".join(parts)
+
+
+@register("geotiff_cog_overviews", _sql_cog_levels())
+def q_geotiff_cog_overviews(spark, sf_dir):
+    """Cloud-optimized GeoTIFF gate: the 128x128 DEM written as ONE tiled
+    DEFLATE COG with 2 internal overview levels (NewSubfileType=1 IFDs
+    chained off IFD0, 2x2 'average' decimation), read back by walking the
+    IFD chain; per-level position-weighted digests.  The oracle computes
+    each level as the DIRECT 2^L-block mean — equal to the chained
+    average because every value is a dyadic rational (float-exact)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gdalspark_cog_gate_")
+    cells = _dem_cells(spark, _GT_W)
+    GT.write_cell_cog(cells, d, width=_GT_W, height=_GT_W,
+                      block_rows=_GT_W, levels=2)
+    back = GT.read_cog_levels(spark, f"{d}/block-00000.tif")
+    return back.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum(F.col("val") * ((F.col("gx") * 3 + F.col("gy") * 7) % 11)),
+          6).alias("digest"),
+        R(F.min("val"), 6).alias("vmin"),
+        R(F.max("val"), 6).alias("vmax"),
+    )
+
+
+# ===========================================================================
+# nearblack (apps/nearblack_lib.cpp): edge-collar masking
+# ===========================================================================
+
+
+def _nb_pix(gx: str, gy: str) -> str:
+    # DEM field with a deterministic dark collar of varying thickness;
+    # interior zeros occur naturally (dem % 97 == 0) and must NOT be masked
+    return (f"CASE WHEN ({gx}) < ({gy}) * 7 % 13 "
+            f"OR ({gx}) >= {_DEM_W} - (({gy}) * 3 % 11) "
+            f"OR ({gy}) < ({gx}) * 5 % 7 "
+            f"OR (({gx}) BETWEEN 30 AND 32 AND ({gy}) BETWEEN 30 AND 32) "
+            f"THEN 0.0 ELSE {_dem_pix(gx, gy)} END")
+
+
+def _sql_nearblack() -> str:
+    collar = RM.sql_nearblack_collar(2.0)
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_DEM_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y, {_nb_pix('gx.i', 'gy.i')} AS val
+      FROM g gx CROSS JOIN g gy),
+m AS (SELECT x, y, val, {collar} AS collar FROM v)
+SELECT count(*) FILTER (WHERE collar)::bigint AS n_masked,
+       count(*) FILTER (WHERE NOT collar)::bigint AS n_kept,
+       sum(CASE WHEN NOT collar THEN val * ((x * 3 + y) % 7) END)::bigint
+         AS kept_digest,
+       sum(CASE WHEN NOT collar AND val <= 2.0 THEN 1 ELSE 0 END)::bigint
+         AS interior_dark_kept
+FROM m"""
+
+
+@register("raster_nearblack", _sql_nearblack())
+def q_raster_nearblack(spark, sf_dir):
+    """nearblack gate: DEM with a varying-thickness dark collar; per-row +
+    per-column bright extents (bounded broadcast aggregates) define the
+    collar; interior dark pixels survive — a 3x3 dark blob is
+    carved mid-raster and interior_dark_kept pins that all 9 cells stay."""
+    w = _DEM_W
+    cells = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+    )
+    dem = (
+        (F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+    ).cast("double")
+    dark = (
+        (F.col("gx") < (F.col("gy") * 7) % 13)
+        | (F.col("gx") >= w - (F.col("gy") * 3) % 11)
+        | (F.col("gy") < (F.col("gx") * 5) % 7)
+        | (F.col("gx").between(30, 32) & F.col("gy").between(30, 32))
+    )
+    cells = cells.withColumn(
+        "val", F.when(dark, F.lit(0.0)).otherwise(dem))
+    m = RM.nearblack_mask(cells, near_dist=2.0)
+    kept = ~F.col("collar")
+    return m.agg(
+        F.sum(F.when(F.col("collar"), 1).otherwise(0)).alias("n_masked"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("val") * ((F.col("gx") * 3 + F.col("gy")) % 7)))
+        .cast("long").alias("kept_digest"),
+        F.sum(F.when(kept & (F.col("val") <= 2.0), 1).otherwise(0))
+        .alias("interior_dark_kept"),
+    )
+
+
+# ===========================================================================
+# Multidimensional arrays (gcore/gdalmultidim.cpp GDALMDArray;
+# apps/gdalmdimtranslate_lib.cpp): slice / transpose / axis-reduce views
+# over a (t, y, x) cube in long form.
+# ===========================================================================
+
+from gdal_spark.operators import mdim as MD  # noqa: E402
+
+_MD_T, _MD_N = 4, 32
+
+
+def _md_pix(t: str, y: str, x: str) -> str:
+    return (f"cast(({t}) * 17 + ({x}) * ({x}) % 31 + ({y}) * 5 % 23 "
+            f"AS double)")
+
+
+def _sql_mdim() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_MD_N - 1})) AS i),
+t AS (SELECT unnest(generate_series(0, {_MD_T - 1})) AS v),
+cube AS (SELECT t.v AS t, gy.i AS y, gx.i AS x,
+                {_md_pix('t.v', 'gy.i', 'gx.i')} AS val
+         FROM t CROSS JOIN g gy CROSS JOIN g gx),
+sl AS (SELECT y, x, val FROM cube WHERE t = 2),
+tm AS (SELECT y, x, avg(val) AS mval FROM cube GROUP BY y, x)
+SELECT sl.x AS d0, sl.y AS d1, sl.val AS v_slice,
+       {SR('tm.mval', 6)} AS v_tmean
+FROM sl JOIN tm ON tm.y = sl.y AND tm.x = sl.x"""
+
+
+@register("mdim_translate", _sql_mdim())
+def q_mdim_translate(spark, sf_dir):
+    """gdalmdimtranslate view gate over a (t=4, y=32, x=32) cube: slice
+    t=2 (dimension dropped), transpose (y,x)→(x,y) (pure projection), and
+    a mean reduction over t — joined on the surviving dims.  Slice and
+    transpose are zero-shuffle; the reduce is one partial aggregate."""
+    cube = spark.range(_MD_T * _MD_N * _MD_N).select(
+        (F.col("id") / (_MD_N * _MD_N)).cast("long").alias("t"),
+        ((F.col("id") / _MD_N) % _MD_N).cast("long").alias("y"),
+        (F.col("id") % _MD_N).alias("x"),
+    ).withColumn(
+        "val",
+        (F.col("t") * 17 + (F.col("x") * F.col("x")) % 31
+         + (F.col("y") * 5) % 23).cast("double"),
+    )
+    sl = MD.md_transpose(MD.md_slice(cube, {"t": 2}), ["x", "y"])
+    tm = MD.md_reduce(cube, over=["t"], how="mean")
+    return (
+        sl.withColumnRenamed("val", "v_slice")
+        .join(tm.withColumnRenamed("val", "mval"), ["x", "y"])
+        .select(
+            F.col("x").alias("d0"), F.col("y").alias("d1"),
+            "v_slice", R(F.col("mval"), 6).alias("v_tmean"),
+        )
+    )

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # TIFF tag ids (TIFF 6.0 §8; GeoTIFF 1.1 §7.1)
+_T_SUBFILE = 254  # NewSubfileType: 1 = reduced-resolution (overview) page
 _T_WIDTH, _T_LENGTH, _T_BPS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
 _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PLANAR = 284
@@ -83,15 +84,15 @@ def write_geotiff_bytes(
     GeoTIFF.  ``origin`` = model (X, Y) of the raster's top-left CORNER
     (PixelIsArea); ``res`` = (xres, yres) with yres positive (north-up,
     Y decreases down rows) — the ModelTiepoint/PixelScale contract."""
-    if arr.dtype == np.int32:
-        bps, sfmt = 32, 2
-    elif arr.dtype == np.float64:
-        bps, sfmt = 64, 3
-    else:
-        raise ValueError(f"unsupported dtype {arr.dtype}")
-    h, w = arr.shape
-    comp = 8 if deflate else 1
+    return write_geotiff_pages([dict(
+        arr=arr, origin=origin, res=res, epsg=epsg, tiled=tiled,
+        tile_size=tile_size, deflate=deflate, rows_per_strip=rows_per_strip,
+    )])
 
+
+def _page_blocks(arr: np.ndarray, tiled: bool, tile_size: int,
+                 deflate: bool, rows_per_strip: int) -> list[bytes]:
+    h, w = arr.shape
     blocks: list[bytes] = []
     if tiled:
         if tile_size % 16:
@@ -111,52 +112,68 @@ def write_geotiff_bytes(
             raw = (arr[y0:y0 + rows_per_strip]
                    .astype(arr.dtype.newbyteorder("<")).tobytes())
             blocks.append(zlib.compress(raw, 6) if deflate else raw)
+    return blocks
 
-    data_start = 8
-    offsets, counts, pos = [], [], data_start
-    for b in blocks:
-        offsets.append(pos)
-        counts.append(len(b))
-        pos += len(b)
-    ifd_offset = pos
 
-    # tag table (ascending ids, TIFF 6.0 §2): value packed inline when it
-    # fits in 4 bytes, else an offset into the out-of-line area
-    geokeys = _geokey_directory(epsg)
-    scale = np.asarray([res[0], res[1], 0.0], dtype="<f8")
-    tiepoint = np.asarray(
-        [0.0, 0.0, 0.0, origin[0], origin[1], 0.0], dtype="<f8")
-
+def _page_entries(page: dict, offsets: list[int], counts: list[int],
+                  overview: bool) -> list[tuple[int, int, int, object]]:
+    """IFD tag table for one page (ascending ids, TIFF 6.0 §2).  Overview
+    pages carry NewSubfileType=1 (reduced-resolution, per the COG layout)
+    and no geo tags — georeference lives on IFD0 only, as GDAL writes."""
+    arr = page["arr"]
+    if arr.dtype == np.int32:
+        bps, sfmt = 32, 2
+    elif arr.dtype == np.float64:
+        bps, sfmt = 64, 3
+    else:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    h, w = arr.shape
     entries: list[tuple[int, int, int, object]] = [
         (_T_WIDTH, _TY_LONG, 1, w),
         (_T_LENGTH, _TY_LONG, 1, h),
         (_T_BPS, _TY_SHORT, 1, bps),
-        (_T_COMP, _TY_SHORT, 1, comp),
+        (_T_COMP, _TY_SHORT, 1, 8 if page["deflate"] else 1),
         (_T_PHOTO, _TY_SHORT, 1, 1),
         (_T_SPP, _TY_SHORT, 1, 1),
         (_T_PLANAR, _TY_SHORT, 1, 1),
         (_T_SAMPLE_FMT, _TY_SHORT, 1, sfmt),
-        (_T_PIXEL_SCALE, _TY_DOUBLE, 3, scale.tobytes()),
-        (_T_TIEPOINT, _TY_DOUBLE, 6, tiepoint.tobytes()),
-        (_T_GEOKEYS, _TY_SHORT, geokeys.size, geokeys.tobytes()),
     ]
+    if overview:
+        entries.append((_T_SUBFILE, _TY_LONG, 1, 1))
+    else:
+        geokeys = _geokey_directory(page["epsg"])
+        res = page["res"]
+        origin = page["origin"]
+        scale = np.asarray([res[0], res[1], 0.0], dtype="<f8")
+        tiepoint = np.asarray(
+            [0.0, 0.0, 0.0, origin[0], origin[1], 0.0], dtype="<f8")
+        entries += [
+            (_T_PIXEL_SCALE, _TY_DOUBLE, 3, scale.tobytes()),
+            (_T_TIEPOINT, _TY_DOUBLE, 6, tiepoint.tobytes()),
+            (_T_GEOKEYS, _TY_SHORT, geokeys.size, geokeys.tobytes()),
+        ]
     off_arr = np.asarray(offsets, dtype="<u4")
     cnt_arr = np.asarray(counts, dtype="<u4")
-    if tiled:
+    if page["tiled"]:
         entries += [
-            (_T_TILE_W, _TY_LONG, 1, tile_size),
-            (_T_TILE_L, _TY_LONG, 1, tile_size),
-            (_T_TILE_OFF, _TY_LONG, len(blocks), off_arr.tobytes()),
-            (_T_TILE_CNT, _TY_LONG, len(blocks), cnt_arr.tobytes()),
+            (_T_TILE_W, _TY_LONG, 1, page["tile_size"]),
+            (_T_TILE_L, _TY_LONG, 1, page["tile_size"]),
+            (_T_TILE_OFF, _TY_LONG, len(offsets), off_arr.tobytes()),
+            (_T_TILE_CNT, _TY_LONG, len(offsets), cnt_arr.tobytes()),
         ]
     else:
         entries += [
-            (_T_STRIP_OFF, _TY_LONG, len(blocks), off_arr.tobytes()),
-            (_T_RPS, _TY_LONG, 1, rows_per_strip),
-            (_T_STRIP_CNT, _TY_LONG, len(blocks), cnt_arr.tobytes()),
+            (_T_STRIP_OFF, _TY_LONG, len(offsets), off_arr.tobytes()),
+            (_T_RPS, _TY_LONG, 1, page["rows_per_strip"]),
+            (_T_STRIP_CNT, _TY_LONG, len(offsets), cnt_arr.tobytes()),
         ]
     entries.sort(key=lambda e: e[0])
+    return entries
 
+
+def _encode_ifd(entries: list, ifd_offset: int, next_ifd: int) -> bytes:
+    """One IFD + its out-of-line values; values >4 bytes go right after
+    the IFD (offsets absolute)."""
     n_tags = len(entries)
     overflow_base = ifd_offset + 2 + 12 * n_tags + 4
     ifd = struct.pack("<H", n_tags)
@@ -173,16 +190,71 @@ def write_geotiff_bytes(
             ifd += struct.pack("<HHIHH", tag, ty, count, int(val), 0)
         else:
             ifd += struct.pack("<HHII", tag, ty, count, int(val))
-    ifd += struct.pack("<I", 0)  # next-IFD pointer: none
+    ifd += struct.pack("<I", next_ifd)
+    return ifd + overflow
 
-    return struct.pack("<2sHI", b"II", 42, ifd_offset) \
-        + b"".join(blocks) + ifd + overflow
+
+def write_geotiff_pages(pages: list[dict]) -> bytes:
+    """Multi-IFD writer: page 0 = full resolution (georeferenced), pages
+    1..n = reduced-resolution overviews (NewSubfileType=1) chained via the
+    next-IFD pointer — the COG internal-overview layout."""
+    for p in pages:
+        p.setdefault("tiled", False)
+        p.setdefault("tile_size", 32)
+        p.setdefault("deflate", False)
+        p.setdefault("rows_per_strip", 16)
+        p.setdefault("epsg", 4326)
+    all_blocks: list[list[bytes]] = [
+        _page_blocks(p["arr"], p["tiled"], p["tile_size"], p["deflate"],
+                     p["rows_per_strip"])
+        for p in pages
+    ]
+    pos = 8
+    page_offsets: list[tuple[list[int], list[int]]] = []
+    for blocks in all_blocks:
+        offs, cnts = [], []
+        for b in blocks:
+            offs.append(pos)
+            cnts.append(len(b))
+            pos += len(b)
+        page_offsets.append((offs, cnts))
+
+    # lay out the IFD chain after the data; sizes are deterministic so the
+    # next-IFD pointers can be computed up front
+    entry_sets = [
+        _page_entries(p, offs, cnts, overview=(k > 0))
+        for k, (p, (offs, cnts)) in enumerate(zip(pages, page_offsets))
+    ]
+
+    def _ifd_size(entries: list) -> int:
+        body = 2 + 12 * len(entries) + 4
+        extra = sum(
+            len(v) for _, _, _, v in entries
+            if isinstance(v, bytes) and len(v) > 4)
+        return body + extra
+
+    ifd_offsets = []
+    cur = pos
+    for es in entry_sets:
+        ifd_offsets.append(cur)
+        cur += _ifd_size(es)
+    ifds = b"".join(
+        _encode_ifd(
+            es, ifd_offsets[k],
+            ifd_offsets[k + 1] if k + 1 < len(entry_sets) else 0)
+        for k, es in enumerate(entry_sets)
+    )
+    data = b"".join(b for blocks in all_blocks for b in blocks)
+    return struct.pack("<2sHI", b"II", 42, ifd_offsets[0]) + data + ifds
 
 
 class GeoTIFF:
-    """Parsed single-band GeoTIFF: tag dict + lazy block decode."""
+    """Parsed single-band GeoTIFF page: tag dict + lazy block decode.
+    ``page`` selects an IFD from the chain (0 = full resolution,
+    1.. = internal overviews in the COG layout); ``n_pages`` reports the
+    chain length."""
 
-    def __init__(self, buf: bytes):
+    def __init__(self, buf: bytes, page: int = 0):
         self.buf = buf
         order, magic = struct.unpack_from("<2sH", buf, 0)
         if order not in (b"II", b"MM") or (
@@ -190,6 +262,14 @@ class GeoTIFF:
             raise ValueError("not a classic TIFF")
         self.end = "<" if order == b"II" else ">"
         (ifd_off,) = struct.unpack_from(self.end + "I", buf, 4)
+        chain = []
+        while ifd_off:
+            chain.append(ifd_off)
+            (n,) = struct.unpack_from(self.end + "H", buf, ifd_off)
+            (ifd_off,) = struct.unpack_from(
+                self.end + "I", buf, ifd_off + 2 + 12 * n)
+        self.n_pages = len(chain)
+        ifd_off = chain[page]
         (n_tags,) = struct.unpack_from(self.end + "H", buf, ifd_off)
         self.tags: dict[int, np.ndarray] = {}
         ty_dtype = {3: "u2", 4: "u4", 12: "f8", 2: "u1", 1: "u1"}
@@ -212,14 +292,18 @@ class GeoTIFF:
         sfmt = int(self.tags.get(_T_SAMPLE_FMT, [1])[0])
         self.dtype = _DTYPES[(bps, sfmt)]
         self.tiled = _T_TILE_OFF in self.tags
-        scale = self.tags[_T_PIXEL_SCALE]
-        tie = self.tags[_T_TIEPOINT]
+        self.is_overview = int(self.tags.get(_T_SUBFILE, [0])[0]) == 1
         # geotransform (GDALGetGeoTransform layout): north-up from
-        # tiepoint(0,0)->model + pixel scale
-        self.geotransform = (
-            float(tie[3]), float(scale[0]), 0.0,
-            float(tie[4]), 0.0, -float(scale[1]),
-        )
+        # tiepoint(0,0)->model + pixel scale; overview pages carry none
+        if _T_PIXEL_SCALE in self.tags:
+            scale = self.tags[_T_PIXEL_SCALE]
+            tie = self.tags[_T_TIEPOINT]
+            self.geotransform = (
+                float(tie[3]), float(scale[0]), 0.0,
+                float(tie[4]), 0.0, -float(scale[1]),
+            )
+        else:
+            self.geotransform = None
         self.epsg = None
         gk = self.tags.get(_T_GEOKEYS)
         if gk is not None:
@@ -415,3 +499,115 @@ def read_geotiff_window(
         parse,
         "gx long, gy long, val double, "
         "n_tiles_decoded long, n_tiles_total long")
+
+
+# ---------------------------------------------------------------------------
+# COG internal overviews
+# ---------------------------------------------------------------------------
+
+
+def build_overviews(arr: np.ndarray, levels: int) -> list[np.ndarray]:
+    """2×2 'average' decimation chain (even dims; float64).  Integer base
+    values make every level a dyadic rational, so iterated averaging is
+    float-EXACT and equals the direct 2^L-block mean — the same invariant
+    the overview-pyramid gate relies on."""
+    out = []
+    cur = arr.astype(np.float64)
+    for _ in range(levels):
+        cur = (
+            (cur[0::2, 0::2] + cur[0::2, 1::2])
+            + cur[1::2, 0::2] + cur[1::2, 1::2]
+        ) / 4.0
+        out.append(cur)
+    return out
+
+
+def write_cog_bytes(
+    arr: np.ndarray,
+    origin: tuple[float, float],
+    res: tuple[float, float],
+    levels: int = 2,
+    tile_size: int = 32,
+    deflate: bool = True,
+) -> bytes:
+    """Cloud-optimized layout: tiled full-resolution IFD0 + chained tiled
+    reduced-resolution overview IFDs (NewSubfileType=1)."""
+    pages = [dict(arr=arr, origin=origin, res=res, tiled=True,
+                  tile_size=tile_size, deflate=deflate)]
+    for ov in build_overviews(arr, levels):
+        pages.append(dict(arr=ov, origin=origin, res=res, tiled=True,
+                          tile_size=tile_size, deflate=deflate))
+    return write_geotiff_pages(pages)
+
+
+def read_cog_levels(spark: SparkSession, path: str) -> DataFrame:
+    """Scan EVERY page of a COG (full res + internal overviews) →
+    (level, gx, gy, val) pixels; one task per file, pages walked via the
+    next-IFD chain.  An overview consumer at scale reads ONLY the level it
+    needs — this gate-facing reader surfaces all of them so correctness
+    can pin the whole pyramid."""
+    files = spark.read.format("binaryFile").load(path) \
+        .select(F.col("content").alias("buf"))
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for buf in pdf["buf"]:
+                b = bytes(buf)
+                n_pages = GeoTIFF(b).n_pages
+                for lvl in range(n_pages):
+                    t = GeoTIFF(b, page=lvl)
+                    arr = t.read_array()
+                    yy, xx = np.mgrid[0:arr.shape[0], 0:arr.shape[1]]
+                    yield pd.DataFrame({
+                        "level": np.full(arr.size, lvl, dtype=np.int64),
+                        "gx": xx.ravel().astype(np.int64),
+                        "gy": yy.ravel().astype(np.int64),
+                        "val": arr.ravel().astype(np.float64),
+                    })
+
+    return files.mapInPandas(
+        parse, "level long, gx long, gy long, val double")
+
+
+def write_cell_cog(
+    cells: DataFrame,
+    directory: str,
+    width: int,
+    height: int,
+    block_rows: int,
+    levels: int = 2,
+    origin: tuple[float, float] = (10.0, 50.0),
+    res: float = 1.0 / 1024.0,
+    tile_size: int = 32,
+) -> int:
+    """Distributed COG sink: one cloud-optimized .tif per row-block, each
+    carrying its own internal overview chain (exactly how COG generation
+    distributes at scale — overviews are block-local, no cross-file
+    dependency).  ``block_rows`` must be divisible by 2^levels."""
+    import os
+
+    if block_rows % (1 << levels):
+        raise ValueError("block_rows must be divisible by 2^levels")
+    os.makedirs(directory, exist_ok=True)
+    keyed = cells.withColumn(
+        "_blk", (F.col("gy") / F.lit(block_rows)).cast("long"))
+
+    def build(key, pdf):
+        blk = int(key[0])
+        y0 = blk * block_rows
+        h = min(block_rows, height - y0)
+        arr = np.zeros((h, width), dtype=np.int32)
+        gx = pdf["gx"].to_numpy(np.int64)
+        gy = pdf["gy"].to_numpy(np.int64) - y0
+        arr[gy, gx] = pdf["val"].to_numpy().astype(np.int32)
+        buf = write_cog_bytes(
+            arr, (origin[0], origin[1] - y0 * res), (res, res),
+            levels=levels, tile_size=tile_size)
+        final = f"{directory}/block-{blk:05d}.tif"
+        with open(final, "wb") as fh:
+            fh.write(buf)
+        return pd.DataFrame({"path": [final], "n_pixels": [len(pdf)]})
+
+    manifest = keyed.groupBy("_blk").applyInPandas(
+        build, "path string, n_pixels long")
+    return manifest.count()

@@ -378,3 +378,33 @@ class TestWARCCodec:
         got = list(split_members(gzip_member(rec)))[0]
         _, payload = parse_record(got)
         assert http_body(payload) == body
+
+
+class TestCOG:
+    def test_pages_chain_and_exact_overviews(self):
+        from gdal_spark.sources.geotiff import (
+            GeoTIFF, build_overviews, write_cog_bytes)
+
+        a = ((np.arange(64 * 64).reshape(64, 64) * 31) % 256).astype(
+            np.int32)
+        buf = write_cog_bytes(a, (10.0, 50.0), (1 / 1024, 1 / 1024),
+                              levels=2)
+        t0 = GeoTIFF(buf)
+        assert t0.n_pages == 3 and not t0.is_overview
+        assert np.array_equal(t0.read_array(), a)
+        ov1, ov2 = build_overviews(a, 2)
+        t1, t2 = GeoTIFF(buf, page=1), GeoTIFF(buf, page=2)
+        assert t1.is_overview and t1.geotransform is None
+        assert np.array_equal(t1.read_array(), ov1)
+        assert np.array_equal(t2.read_array(), ov2)
+        # dyadic invariant: chained 2x2 average == direct 4x4 block mean
+        assert np.array_equal(ov2, a.reshape(16, 4, 16, 4).mean(axis=(1, 3)))
+
+    def test_overview_window_prune_still_works(self):
+        from gdal_spark.sources.geotiff import GeoTIFF, write_cog_bytes
+
+        a = np.arange(64 * 64, dtype=np.int32).reshape(64, 64)
+        buf = write_cog_bytes(a, (0.0, 0.0), (1.0, 1.0), levels=1)
+        t1 = GeoTIFF(buf, page=1)  # 32x32 single tile
+        win, n = t1.read_window(0, 0, 16, 16)
+        assert n == 1 and win.shape == (16, 16)
