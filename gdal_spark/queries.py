@@ -11686,3 +11686,78 @@ def q_mdim_translate(spark, sf_dir):
             "v_slice", R(F.col("mval"), 6).alias("v_tmean"),
         )
     )
+
+
+# ===========================================================================
+# KML driver (OGC KML 2.2; ogr/ogrsf_frmts/kml/) + ST_Azimuth (PostGIS
+# dialect reach + the geodesy forward azimuth)
+# ===========================================================================
+
+
+@register("kml_roundtrip", _FMT_POINTS_ORACLE)
+def q_kml_roundtrip(spark, sf_dir):
+    """KML driver gate: orders point layer → per-partition KML documents
+    (Placemark + ExtendedData, shortest-roundtrip decimal coordinates) →
+    namespace-aware ElementTree scan, one task per document.  Doubles
+    survive the text container bit-exactly."""
+    import tempfile
+
+    from gdal_spark.sources import kml as KML
+
+    d = tempfile.mkdtemp(prefix="gdalspark_kml_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    KML.write_point_kmls(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = KML.read_point_kmls(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+_TWO_PI = repr(2.0 * 3.141592653589793)
+
+
+def _sql_azimuth() -> str:
+    lon1, lat1 = sql_lon("o_orderkey"), sql_lat("o_orderkey")
+    lon2, lat2 = sql_lon("o_orderkey + 1"), sql_lat("o_orderkey + 1")
+    planar = f"atan2(({lon2}) - ({lon1}), ({lat2}) - ({lat1}))"
+    sph = (
+        f"atan2(sin(radians(({lon2}) - ({lon1}))) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) "
+        f"* cos(radians(({lon2}) - ({lon1}))))"
+    )
+    norm_p = f"CASE WHEN ({planar}) < 0 THEN ({planar}) + {_TWO_PI} ELSE ({planar}) END"
+    norm_s = f"CASE WHEN ({sph}) < 0 THEN ({sph}) + {_TWO_PI} ELSE ({sph}) END"
+    return f"""SELECT o_orderkey, {SR(norm_p, 9)} AS az_planar,
+       {SR(norm_s, 9)} AS az_sphere
+FROM orders WHERE o_orderkey % 5 = 0"""
+
+
+@register("geom_azimuth", _sql_azimuth())
+def q_geom_azimuth(spark, sf_dir):
+    """ST_Azimuth both ways: PLANAR (PostGIS atan2(dx, dy), clockwise from
+    north, normalized [0, 2pi)) and SPHERICAL forward azimuth (the geodesy
+    formula OGR exposes through geod_inverse) between each point and its
+    key-successor.  Pure column math, map-only."""
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    lon1, lat1 = derived_lon(F.col("o_orderkey")), derived_lat(F.col("o_orderkey"))
+    lon2 = derived_lon(F.col("o_orderkey") + 1)
+    lat2 = derived_lat(F.col("o_orderkey") + 1)
+    two_pi = F.lit(2.0 * 3.141592653589793)
+    planar = F.atan2(lon2 - lon1, lat2 - lat1)
+    sph = F.atan2(
+        F.sin(F.radians(lon2 - lon1)) * F.cos(F.radians(lat2)),
+        F.cos(F.radians(lat1)) * F.sin(F.radians(lat2))
+        - F.sin(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.cos(F.radians(lon2 - lon1)),
+    )
+    return o.select(
+        "o_orderkey",
+        R(F.when(planar < 0, planar + two_pi).otherwise(planar), 9)
+        .alias("az_planar"),
+        R(F.when(sph < 0, sph + two_pi).otherwise(sph), 9)
+        .alias("az_sphere"),
+    )

@@ -408,3 +408,27 @@ class TestCOG:
         t1 = GeoTIFF(buf, page=1)  # 32x32 single tile
         win, n = t1.read_window(0, 0, 16, 16)
         assert n == 1 and win.shape == (16, 16)
+
+
+class TestKMLCodec:
+    def test_document_roundtrip_bit_exact(self):
+        from gdal_spark.sources.kml import kml_document, parse_kml
+
+        rows = [
+            {"x": 2.350000000000001, "y": 48.85, "o_orderkey": 7,
+             "cents": 1234},
+            {"x": -0.1257, "y": 51.5085, "o_orderkey": 9, "cents": -5},
+        ]
+        doc = kml_document(rows, "x", "y", ["o_orderkey", "cents"])
+        assert b'xmlns="http://www.opengis.net/kml/2.2"' in doc
+        back = parse_kml(doc, ["o_orderkey", "cents"])
+        assert back == [
+            {"o_orderkey": 7, "cents": 1234, "x": 2.350000000000001,
+             "y": 48.85},
+            {"o_orderkey": 9, "cents": -5, "x": -0.1257, "y": 51.5085},
+        ]
+
+    def test_empty_document(self):
+        from gdal_spark.sources.kml import kml_document, parse_kml
+
+        assert parse_kml(kml_document([], "x", "y", ["k"]), ["k"]) == []

@@ -422,3 +422,52 @@ def test_c4_gopher_filters_no_shuffle(spark):
         with _rs(buf):
             op(docs).explain("formatted")
         assert "Exchange" not in buf.getvalue(), op.__name__
+
+
+def test_kmeans_reassign_broadcasts_centroids(spark):
+    """The Lloyd re-assignment must join the long-form vectors against a
+    BROADCAST centroid table (k x dim rows) — a shuffled join here would
+    move the whole corpus per iteration."""
+    p = _plan(spark, "embed_kmeans_lloyd")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bm25_no_cartesian_and_broadcast_stats(spark):
+    """tf expansion is a broadcast nested loop over the |Q|-row term list;
+    df/N/avgdl come back as broadcasts — never a shuffled cartesian."""
+    p = _plan(spark, "text_bm25_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_nearblack_extent_joins_broadcast(spark):
+    """Row/column bright extents are metadata-scale aggregates; both
+    joins back onto the pixel table must broadcast."""
+    p = _plan(spark, "raster_nearblack")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_mdim_slice_is_pushed_filter_no_shuffle_before_reduce(spark):
+    """Long-form slice = filter (no shuffle); only the axis reduce and
+    the rejoin shuffle."""
+    from gdal_spark.operators.mdim import md_slice, md_transpose
+
+    cube = spark.range(64).selectExpr(
+        "id % 4 as t", "id div 4 as y", "id % 2 as x",
+        "cast(id as double) as val")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        md_transpose(md_slice(cube, {"t": 2}), ["x", "y"]).explain(
+            "formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_semdedup_pairs_join_on_cluster_key(spark):
+    """SemDeDup candidate pairs must key on the cluster id — an all-pairs
+    cartesian across clusters is the scale-killer the operator exists to
+    avoid."""
+    p = _plan(spark, "embed_semdedup")
+    assert "CartesianProduct" not in p
