@@ -11761,3 +11761,149 @@ def q_geom_azimuth(spark, sf_dir):
         R(F.when(sph < 0, sph + two_pi).otherwise(sph), 9)
         .alias("az_sphere"),
     )
+
+
+# ===========================================================================
+# Arc/Info ASCII Grid driver (frmts/aaigrid/aaigriddataset.cpp)
+# ===========================================================================
+
+
+def _sql_aaigrid() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy
+       WHERE (gx.i * 7 + gy.i * 11) % 13 <> 0),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} AS val FROM px)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("aaigrid_roundtrip", _sql_aaigrid())
+def q_aaigrid_roundtrip(spark, sf_dir):
+    """AAIGrid driver gate: the DEM with punched NODATA holes written as 8
+    per-block .asc grids (lower-left-corner georeferencing), read back
+    one-task-per-file; NODATA cells must vanish on read (the count pins
+    it).  Integer values survive the text container exactly."""
+    import tempfile
+
+    from gdal_spark.sources import aaigrid as AAG
+
+    d = tempfile.mkdtemp(prefix="gdalspark_aai_gate_")
+    cells = _dem_cells(spark, _GT_W).filter(
+        (F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    AAG.write_cell_aaigrids(cells, d, width=_GT_W, height=_GT_W,
+                            block_rows=16)
+    back = AAG.read_aaigrids(spark, d)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
+# MBTiles driver (frmts/mbtiles/; public mbtiles-spec 1.3): the SQLite
+# tile-pyramid container, TMS row flip pinned byte-for-byte.
+# ===========================================================================
+
+
+def _mbtiles_golden_rows() -> list[tuple]:
+    """Local numpy mirror of the z0+z1 pyramid PNGs (autotest inline-
+    checksum style, same machinery as _png_golden_rows)."""
+    import hashlib
+
+    from gdal_spark.functions import png as PNGF
+
+    ts = _RB_TS
+    rows = []
+    for zdst in (0, 1):
+        r = 1 << (_RB_ZSRC - zdst)
+        w = ts * r
+        for ty in range(1 << zdst):
+            for tx in range(1 << zdst):
+                yy, xx = np.mgrid[0:w, 0:w]
+                src = TL.pixel_value(tx * w + xx, ty * w + yy, 1)
+                img = PNGF.quantize_u8(
+                    src.reshape(ts, r, ts, r).mean(axis=(1, 3)))
+                png = PNGF.encode_png_gray8(img)
+                rows.append(
+                    (zdst, tx, ty, hashlib.md5(png).hexdigest(), len(png)))
+    return rows
+
+
+def _sql_mbtiles() -> str:
+    vals = ", ".join(
+        f"({z}, {tx}, {ty}, '{md5}', {ln}, 'png')"
+        for z, tx, ty, md5, ln in _mbtiles_golden_rows()
+    )
+    return (
+        "SELECT zoom, tx, ty, png_md5, png_len, fmt FROM (VALUES "
+        + vals + ") AS t(zoom, tx, ty, png_md5, png_len, fmt)"
+    )
+
+
+@register("mbtiles_pyramid", _sql_mbtiles())
+def q_mbtiles_pyramid(spark, sf_dir):
+    """MBTiles gate: render the z0+z1 pyramid from the z3 synthetic base
+    (distributed render + PNG encode), write one .mbtiles (bounded
+    driver insert — a pyramid's TILE LIST is metadata-scale; pixel work
+    stayed distributed), read it back via executor-side sqlite
+    deserialize.  tile_row is stored TMS-flipped per the spec and
+    unflipped on read — a flip bug mismatches every y>0 tile's md5."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from gdal_spark.functions import png as PNGF
+    from gdal_spark.sources import mbtiles as MBT
+
+    rendered = []
+    for zdst in (0, 1):
+        base = TL.synthetic_raster(
+            spark, zoom=_RB_ZSRC, bands=1, tile_size=_RB_TS,
+            tx_range=(0, 7), ty_range=(0, 7),
+        )
+        out = TL.render_base_tiles(base, _RB_ZSRC, zdst, "average", _RB_TS)
+
+        def enc(batches, _z=zdst):
+            for pdf in batches:
+                recs = []
+                for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                    img = PNGF.quantize_u8(
+                        np.asarray(data, dtype=np.float64)
+                        .reshape(_RB_TS, _RB_TS))
+                    recs.append({
+                        "zoom": _z, "tx": int(tx), "ty": int(ty),
+                        "png": PNGF.encode_png_gray8(img),
+                    })
+                yield pd.DataFrame(
+                    recs, columns=["zoom", "tx", "ty", "png"])
+
+        rendered.append(out.mapInPandas(
+            enc, "zoom long, tx long, ty long, png binary"))
+    tiles_df = rendered[0].unionAll(rendered[1])
+    tiles = [
+        (int(r["zoom"]), int(r["tx"]), int(r["ty"]), bytes(r["png"]))
+        for r in tiles_df.collect()
+    ]
+    path = tempfile.mkdtemp(prefix="gdalspark_mbt_gate_") + "/pyr.mbtiles"
+    MBT.write_mbtiles(tiles, path)
+    back = MBT.read_mbtiles(spark, path)
+
+    def dig(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "zoom": pdf["zoom"], "tx": pdf["tx"], "ty": pdf["ty"],
+                "png_md5": [hashlib.md5(bytes(b)).hexdigest()
+                            for b in pdf["tile_data"]],
+                "png_len": [len(bytes(b)) for b in pdf["tile_data"]],
+                "fmt": pdf["fmt"],
+            })
+
+    return back.mapInPandas(
+        dig,
+        "zoom long, tx long, ty long, png_md5 string, png_len long, "
+        "fmt string")

@@ -432,3 +432,23 @@ class TestKMLCodec:
         from gdal_spark.sources.kml import kml_document, parse_kml
 
         assert parse_kml(kml_document([], "x", "y", ["k"]), ["k"]) == []
+
+
+class TestAAIGridCodec:
+    def test_header_and_roundtrip(self):
+        from gdal_spark.sources.aaigrid import aaigrid_bytes, parse_aaigrid
+
+        a = (np.arange(12).reshape(3, 4) * 7 - 9).astype(np.int64)
+        buf = aaigrid_bytes(a, 10.0, 49.5, 1 / 1024)
+        text = buf.decode()
+        assert text.startswith("ncols 4\nnrows 3\nxllcorner 10.0\n")
+        hdr, back = parse_aaigrid(buf)
+        assert hdr["cellsize"] == 1 / 1024 and hdr["yllcorner"] == 49.5
+        assert np.array_equal(back, a)
+
+    def test_float_values_shortest_roundtrip(self):
+        from gdal_spark.sources.aaigrid import aaigrid_bytes, parse_aaigrid
+
+        a = np.array([[0.1, 2.350000000000001], [-7.25, 1e-12]])
+        _, back = parse_aaigrid(aaigrid_bytes(a, 0.0, 0.0, 1.0))
+        assert np.array_equal(back, a)
