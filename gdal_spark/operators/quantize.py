@@ -244,3 +244,18 @@ def dither_fs(
 
     schema = f"{image_col} long, {x_col} long, {y_col} long, pct_idx long"
     return pixels.groupBy(image_col).applyInPandas(_one, schema=schema)
+
+
+def pct2rgb(indexed: DataFrame, palette: np.ndarray,
+            idx_col: str = "pct_idx") -> DataFrame:
+    """Palette expansion (``swig/python/gdal-utils/.../pct2rgb.py``
+    semantics: paletted band + color table -> 3 RGB bands).  The color
+    table is <= 256 entries by format contract, so each channel is a
+    map-only ``element_at`` over an array LITERAL — whole-stage codegen,
+    zero shuffle, the exact inverse of ``assign_palette_index``."""
+    pal = np.asarray(palette, dtype=np.int64)
+    chans = {}
+    for ci, name in enumerate(("r", "g", "b")):
+        arr = F.array(*[F.lit(int(v)) for v in pal[:, ci]])
+        chans[name] = F.element_at(arr, F.col(idx_col).cast("int") + 1)
+    return indexed.withColumns({k: v.alias(k) for k, v in chans.items()})

@@ -11907,3 +11907,124 @@ def q_mbtiles_pyramid(spark, sf_dir):
         dig,
         "zoom long, tx long, ty long, png_md5 string, png_len long, "
         "fmt string")
+
+
+# ===========================================================================
+# GPX driver (ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp)
+# ===========================================================================
+
+
+@register("gpx_roundtrip", _FMT_POINTS_ORACLE)
+def q_gpx_roundtrip(spark, sf_dir):
+    """GPX driver gate: orders point layer → per-partition GPX 1.1
+    waypoint documents (lat/lon attributes, integer payload in
+    <extensions> — ogrgpxlayer.cpp WriteFeatureAttributes mapping) →
+    namespace-aware ElementTree scan, one task per document.  Doubles
+    survive the text container bit-exactly via shortest-roundtrip repr."""
+    import tempfile
+
+    from gdal_spark.sources import gpx as GPX
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gpx_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    GPX.write_point_gpx(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = GPX.read_point_gpx(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+# ===========================================================================
+# pct2rgb — palette expansion (swig/python/gdal-utils pct2rgb.py; the
+# inverse of rgb2pct's color table)
+# ===========================================================================
+
+_PCT_N = 16  # palette entries for the pct2rgb gate
+
+
+def _pct_palette() -> "np.ndarray":
+    idx = np.arange(_PCT_N, dtype=np.int64)
+    return np.stack([(idx * 37 + 11) % 256, (idx * 59 + 5) % 256,
+                     (idx * 83 + 2) % 256], axis=1)
+
+
+def _sql_pct2rgb() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, 63)) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y, (gx.i * 7 + gy.i * 11) % {_PCT_N} AS idx
+       FROM g gx CROSS JOIN g gy)
+SELECT (y // 16)::bigint AS band,
+       sum(((idx * 37 + 11) % 256) * (1 + (x + y) % 9))::bigint AS dig_r,
+       sum(((idx * 59 + 5) % 256) * (1 + (x + y) % 9))::bigint AS dig_g,
+       sum(((idx * 83 + 2) % 256) * (1 + (x + y) % 9))::bigint AS dig_b,
+       count(*)::bigint AS n
+FROM px GROUP BY band"""
+
+
+@register("raster_pct2rgb", _sql_pct2rgb())
+def q_raster_pct2rgb(spark, sf_dir):
+    """pct2rgb gate: 64x64 paletted raster expanded to RGB through a
+    16-entry color table via element_at over array LITERALS — map-only,
+    whole-stage codegen, zero shuffle before the digest agg (the exact
+    inverse of raster_rgb2pct's assignment step).  The oracle recomputes
+    the expansion from the palette's closed form and never sees the
+    table."""
+    from gdal_spark.operators import quantize as QZ
+
+    px = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    ).withColumn("pct_idx", (F.col("x") * 7 + F.col("y") * 11) % _PCT_N)
+    rgb = QZ.pct2rgb(px, _pct_palette())
+    wgt = 1 + (F.col("x") + F.col("y")) % 9
+    return rgb.groupBy((F.col("y") / 16).cast("long").alias("band")).agg(
+        F.sum(F.col("r") * wgt).alias("dig_r"),
+        F.sum(F.col("g") * wgt).alias("dig_g"),
+        F.sum(F.col("b") * wgt).alias("dig_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
+# PNG raster driver (frmts/png/pngdataset.cpp): full filter set, world-file
+# georeferencing, distributed sink/scan
+# ===========================================================================
+
+
+def _sql_png_raster() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} AS val FROM px)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 3 + y * 5) % 11))::bigint AS digest,
+       count(*)::bigint AS n, min(val)::bigint AS vmin,
+       max(val)::bigint AS vmax
+FROM v GROUP BY band"""
+
+
+@register("png_raster_roundtrip", _sql_png_raster())
+def q_png_raster_roundtrip(spark, sf_dir):
+    """PNG raster driver gate: the 128x128 closed-form DEM (values < 256 —
+    the Byte band type) written as 8 grayscale PNGs of 16 rows each with
+    a pinned row%5 filter schedule (every PNG 1.2 filter type on the
+    wire) + .wld world-file sidecars, read back one task per file with
+    full unfiltering and GLOBAL pixel coords recovered from each world
+    file.  Digest is a position-weighted integer sum per 32-row band;
+    the oracle recomputes it from the DEM formula and never sees a
+    file."""
+    import tempfile
+
+    from gdal_spark.sources import png_raster as PR
+
+    d = tempfile.mkdtemp(prefix="gdalspark_png_gate_")
+    cells = _dem_cells(spark, _GT_W)
+    PR.write_cell_pngs(cells, d, width=_GT_W, height=_GT_W, block_rows=16)
+    back = PR.read_pngs(spark, d)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") * 3 + F.col("gy") * 5) % 11))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )

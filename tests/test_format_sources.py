@@ -452,3 +452,70 @@ class TestAAIGridCodec:
         a = np.array([[0.1, 2.350000000000001], [-7.25, 1e-12]])
         _, back = parse_aaigrid(aaigrid_bytes(a, 0.0, 0.0, 1.0))
         assert np.array_equal(back, a)
+
+
+class TestGPXCodec:
+    def test_document_roundtrip_bit_exact(self):
+        from gdal_spark.sources.gpx import gpx_document, parse_gpx
+
+        rows = [
+            {"x": -122.4194155, "y": 37.7749295, "k": 7, "cents": 123456},
+            {"x": 0.1 + 0.2, "y": -89.999999999, "k": 8, "cents": -5},
+        ]
+        doc = gpx_document(rows, "x", "y", ["k", "cents"])
+        assert doc.startswith(b"<?xml")
+        assert b"http://www.topografix.com/GPX/1/1" in doc
+        back = parse_gpx(doc, ["k", "cents"])
+        assert len(back) == 2
+        for orig, rec in zip(rows, back):
+            assert rec["x"] == orig["x"] and rec["y"] == orig["y"]
+            assert rec["k"] == orig["k"] and rec["cents"] == orig["cents"]
+
+
+class TestPNGRasterCodec:
+    def test_every_filter_type_roundtrips(self):
+        import numpy as np
+        from gdal_spark.sources.png_raster import (
+            _filter_row, _unfilter_row)
+
+        rng = np.random.default_rng(42)
+        prev = rng.integers(0, 256, 64, dtype=np.uint8)
+        raw = rng.integers(0, 256, 64, dtype=np.uint8)
+        for bpp in (1, 2):
+            for ftype in range(5):
+                filt = _filter_row(raw, prev, ftype, bpp)
+                rec = _unfilter_row(filt, prev, ftype, bpp)
+                assert (rec == raw).all(), (ftype, bpp)
+
+    def test_8bit_roundtrip_with_filter_schedule(self):
+        import numpy as np
+        from gdal_spark.sources.png_raster import (
+            decode_png_gray, encode_png_gray)
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (13, 31), dtype=np.uint8)
+        data = encode_png_gray(img, depth=8)
+        back = decode_png_gray(data)
+        assert back.dtype == np.uint8 and (back == img).all()
+
+    def test_16bit_big_endian_roundtrip(self):
+        import numpy as np
+        from gdal_spark.sources.png_raster import (
+            decode_png_gray, encode_png_gray)
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 65536, (9, 17), dtype=np.uint16)
+        data = encode_png_gray(img, depth=16)
+        # IHDR bit depth byte is 16
+        assert data[8 + 8 + 8] == 16
+        back = decode_png_gray(data)
+        assert back.dtype == np.uint16 and (back == img).all()
+
+    def test_world_file_half_pixel_shift(self):
+        from gdal_spark.sources.png_raster import (
+            parse_world_file, world_file_text)
+
+        txt = world_file_text(1.0 / 1024.0, 1.0 / 1024.0, 0.25, -0.125)
+        xres, yres, ulx, uly = parse_world_file(txt)
+        assert (xres, yres) == (1.0 / 1024.0, 1.0 / 1024.0)
+        assert ulx == 0.25 and uly == -0.125
