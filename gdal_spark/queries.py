@@ -12028,3 +12028,63 @@ def q_png_raster_roundtrip(spark, sf_dir):
         F.min("val").alias("vmin"),
         F.max("val").alias("vmax"),
     )
+
+
+# ===========================================================================
+# VRT virtual mosaic (frmts/vrt/vrtdataset.cpp; gdalbuildvrt output)
+# ===========================================================================
+
+
+def _sql_vrt() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+px AS (SELECT gx.i AS x, gy.i AS y FROM g gx CROSS JOIN g gy
+       WHERE gx.i >= 2 AND gx.i < 126
+         AND gy.i % 16 >= 1 AND gy.i % 16 < 15),
+v AS (SELECT x, y, {_dem_pix('x', 'y')} AS raw FROM px WHERE {_dem_pix('x', 'y')} <> 7)
+SELECT count(*)::bigint AS n,
+       {SR('sum((raw * 0.5 + 0.25) * (1 + (x * 3 + y * 7) % 13))', 6)} AS digest,
+       {SR('min(raw * 0.5 + 0.25)', 6)} AS vmin,
+       {SR('max(raw * 0.5 + 0.25)', 6)} AS vmax
+FROM v"""
+
+
+@register("vrt_mosaic", _sql_vrt())
+def q_vrt_mosaic(spark, sf_dir):
+    """VRT driver gate: the 128x128 DEM written as 8 strip GeoTIFFs, then
+    mosaicked back through a gdalbuildvrt-style VRTDataset of EIGHT
+    ComplexSources — each with a SrcRect CROP (2-px left margin, 1-px
+    top/bottom margins), a DstRect translation, dyadic ScaleRatio 0.5 /
+    ScaleOffset 0.25, and NODATA=7 punched on the RAW value (masked
+    pixels vanish from the long-form table, vrtsources.cpp semantics).
+    Evaluation is one task per source; the XML never leaves the driver
+    and no pixel passes through it.  The oracle replays crop + punch +
+    rescale from the closed form and never sees a file."""
+    import tempfile
+
+    from gdal_spark.sources import vrt as VRT
+
+    d = tempfile.mkdtemp(prefix="gdalspark_vrt_gate_")
+    cells = _dem_cells(spark, _GT_W)
+    GT.write_cell_geotiffs(cells, d, width=_GT_W, height=_GT_W,
+                           block_rows=16, dtype="int32")
+    sources = [
+        {"filename": f"block-{blk:05d}.tif",
+         "src_rect": (2, 1, 124, 14),
+         "dst_rect": (2, blk * 16 + 1, 124, 14),
+         "scale_ratio": 0.5, "scale_offset": 0.25, "nodata": 7.0}
+        for blk in range(8)
+    ]
+    xml = VRT.build_vrt(_GT_W, _GT_W,
+                        (10.0, 1.0 / 1024, 0.0, 50.0, 0.0, -1.0 / 1024),
+                        sources)
+    with open(f"{d}/mosaic.vrt", "wb") as fh:
+        fh.write(xml)
+    back = VRT.read_vrt(spark, f"{d}/mosaic.vrt")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum(F.col("val")
+                * (1 + (F.col("gx") * 3 + F.col("gy") * 7) % 13)), 6)
+        .alias("digest"),
+        R(F.min("val"), 6).alias("vmin"),
+        R(F.max("val"), 6).alias("vmax"),
+    )

@@ -519,3 +519,55 @@ class TestPNGRasterCodec:
         xres, yres, ulx, uly = parse_world_file(txt)
         assert (xres, yres) == (1.0 / 1024.0, 1.0 / 1024.0)
         assert ulx == 0.25 and uly == -0.125
+
+
+class TestVRT:
+    def test_xml_roundtrip(self):
+        from gdal_spark.sources.vrt import build_vrt, parse_vrt
+
+        srcs = [
+            {"filename": "a.tif", "src_rect": (0, 0, 8, 8),
+             "dst_rect": (4, 4, 8, 8), "scale_ratio": 0.5,
+             "scale_offset": 0.25, "nodata": 7.0},
+            {"filename": "b.tif", "src_rect": (1, 2, 3, 4),
+             "dst_rect": (0, 0, 6, 8)},
+        ]
+        gt = (10.0, 1.0 / 1024, 0.0, 50.0, 0.0, -1.0 / 1024)
+        meta = parse_vrt(build_vrt(16, 16, gt, srcs))
+        assert meta["width"] == 16 and meta["height"] == 16
+        assert meta["geotransform"] == gt
+        assert meta["sources"][0] == srcs[0]
+        assert meta["sources"][1] == srcs[1]
+
+    def test_integer_upscale_nearest(self, tmp_path):
+        import numpy as np
+        from gdal_spark.sources.geotiff import write_geotiff_bytes
+        from gdal_spark.sources.vrt import eval_source
+
+        arr = np.arange(16, dtype=np.int32).reshape(4, 4)
+        p = tmp_path / "src.tif"
+        p.write_bytes(write_geotiff_bytes(
+            arr, (10.0, 50.0), (1.0 / 1024, 1.0 / 1024)))
+        out = eval_source(str(tmp_path), {
+            "filename": "src.tif", "src_rect": (0, 0, 4, 4),
+            "dst_rect": (0, 0, 8, 8),
+        })
+        # nearest 2x: dst (x, y) -> src (x//2, y//2)
+        assert len(out) == 64
+        for _, r in out.iterrows():
+            assert r["val"] == arr[int(r["gy"]) // 2, int(r["gx"]) // 2]
+
+    def test_non_integer_ratio_raises(self, tmp_path):
+        import numpy as np
+        import pytest as _pt
+        from gdal_spark.sources.geotiff import write_geotiff_bytes
+        from gdal_spark.sources.vrt import eval_source
+
+        arr = np.zeros((4, 4), dtype=np.int32)
+        (tmp_path / "s.tif").write_bytes(write_geotiff_bytes(
+            arr, (10.0, 50.0), (1.0 / 1024, 1.0 / 1024)))
+        with _pt.raises(NotImplementedError):
+            eval_source(str(tmp_path), {
+                "filename": "s.tif", "src_rect": (0, 0, 4, 4),
+                "dst_rect": (0, 0, 6, 6),
+            })
