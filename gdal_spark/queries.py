@@ -12088,3 +12088,154 @@ def q_vrt_mosaic(spark, sf_dir):
         R(F.min("val"), 6).alias("vmin"),
         R(F.max("val"), 6).alias("vmax"),
     )
+
+
+# ===========================================================================
+# Geometry transforms: swapXY / flattenTo2D / forceToMulti
+# (ogrpoint.cpp swapXY, OGR_G_FlattenTo2D, ogrgeometryfactory.cpp
+# forceToMultiPoint)
+# ===========================================================================
+
+
+def _sql_geom_transforms() -> str:
+    return f"""SELECT o_orderkey,
+       1001::bigint AS t_swap, 1::bigint AS t_flat, 4::bigint AS t_multi,
+       {SR(sql_lat('o_orderkey'), 6)} AS x_out,
+       {SR(sql_lon('o_orderkey'), 6)} AS y_out,
+       (o_orderkey % 100)::bigint AS z_in
+FROM orders WHERE o_orderkey % 3 = 0"""
+
+
+@register("geom_transforms", _sql_geom_transforms())
+def q_geom_transforms(spark, sf_dir):
+    """Geometry-transform chain at the WKB level: each order geotag as a
+    POINT Z (ISO 1001) → swapXY (Z rides along; type stays 1001) →
+    flattenTo2D (type 1, Z dropped) → forceToMultiPoint (type 4).  The
+    gate surfaces each stage's raw WKB type word plus the final
+    coordinates, proving the transforms compose through the codec; the
+    oracle pins the ISO type codes and recomputes the swapped coordinates
+    from the geotag closed form."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    pts = order_points(spark, sf_dir).filter(
+        F.col("o_orderkey") % 3 == 0).select("o_orderkey", "lon", "lat")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"o_orderkey": [], "t_swap": [], "t_flat": [],
+                    "t_multi": [], "x_out": [], "y_out": [], "z_in": []}
+            for k, lon, lat in zip(pdf["o_orderkey"], pdf["lon"],
+                                   pdf["lat"]):
+                z = float(int(k) % 100)
+                swapped = G.wkb_swap_xy(G.wkb_point_z(lon, lat, z))
+                flat = G.wkb_flatten_2d(swapped)
+                multi = G.wkb_force_multi(flat)
+                x, y = G.parse_wkb(flat)[1]
+                rows["o_orderkey"].append(int(k))
+                rows["t_swap"].append(G.wkb_geom_type(swapped))
+                rows["t_flat"].append(G.wkb_geom_type(flat))
+                rows["t_multi"].append(G.wkb_geom_type(multi))
+                rows["x_out"].append(x)
+                rows["y_out"].append(y)
+                rows["z_in"].append(int(G.parse_wkb(swapped)[1][2]))
+            yield pd.DataFrame(rows)
+
+    out = pts.mapInPandas(
+        run,
+        "o_orderkey long, t_swap long, t_flat long, t_multi long, "
+        "x_out double, y_out double, z_in long")
+    return out.select(
+        "o_orderkey", "t_swap", "t_flat", "t_multi",
+        R("x_out", 6).alias("x_out"), R("y_out", 6).alias("y_out"), "z_in")
+
+
+# ===========================================================================
+# ST_Subdivide (PostGIS dialect reach; lwgeom_subdivide semantics)
+# ===========================================================================
+
+_SUB_N = 24   # star vertices (25 with closure) per input polygon
+_SUB_POLYS = 30
+
+
+def _sql_subdivide() -> str:
+    # Closed-form star polygons: vertex i of star s at angle i*pi/12,
+    # radius 0.5*(1 + ((s*7 + i) % 5)/10).  Shoelace area in SQL must
+    # equal the engine's post-subdivision part-area sum.
+    def _vx(k: str) -> str:
+        return (f"( (s * 37) % 160 - 80 + 0.5 * (1 + ((s * 7 + {k}) % 5)"
+                f" / 10.0) * cos({k} * (pi() / 12.0)) )")
+
+    def _vy(k: str) -> str:
+        return (f"( (s * 23) % 100 - 50 + 0.5 * (1 + ((s * 7 + {k}) % 5)"
+                f" / 10.0) * sin({k} * (pi() / 12.0)) )")
+
+    vx, vy, vx2, vy2 = _vx("i"), _vy("i"), _vx("j"), _vy("j")
+    return f"""WITH ss AS (SELECT unnest(generate_series(0, {_SUB_POLYS - 1})) AS s),
+ii AS (SELECT unnest(generate_series(0, {_SUB_N - 1})) AS i),
+e AS (SELECT s, i, (i + 1) % {_SUB_N} AS j FROM ss CROSS JOIN ii),
+t AS (SELECT s, {vx} * {vy2} - {vx2} * {vy} AS cr FROM e)
+SELECT s::bigint AS poly_id,
+       {SR('abs(sum(cr)) * 0.5', 6)} AS area_total,
+       TRUE AS within_limit
+FROM t GROUP BY s"""
+
+
+@register("st_subdivide", _sql_subdivide())
+def q_st_subdivide(spark, sf_dir):
+    """ST_Subdivide gate: 30 concave 24-vertex star polygons recursively
+    bbox-halved until every part has <= 8 vertices (driver-paced rounds,
+    O(log n) depth, one mapInPandas pass per round).  The gate checks the
+    conservation invariant — the PART-AREA SUM equals the original
+    shoelace area, which the oracle recomputes from the star's closed
+    form — plus an engine-measured within-limit flag the oracle pins
+    TRUE."""
+    import math
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gdal_spark.operators.subdivide import subdivide
+
+    base = spark.range(_SUB_POLYS).select(F.col("id").alias("s"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rings = [], []
+            for s in pdf["s"]:
+                s = int(s)
+                cx, cy = (s * 37) % 160 - 80, (s * 23) % 100 - 50
+                i = np.arange(_SUB_N, dtype=np.float64)
+                r = 0.5 * (1 + ((s * 7 + np.arange(_SUB_N)) % 5) / 10.0)
+                ang = i * (math.pi / 12.0)
+                xs = cx + r * np.cos(ang)
+                ys = cy + r * np.sin(ang)
+                ring = np.stack([xs, ys], axis=1)
+                ring = np.vstack([ring, ring[:1]])
+                ids.append(s)
+                rings.append([[list(p) for p in ring]])
+            yield pd.DataFrame({
+                "poly_id": pd.Series(ids, dtype="int64"),
+                "rings": pd.Series(rings, dtype="object"),
+            })
+
+    polys = base.mapInPandas(
+        build, "poly_id long, rings array<array<array<double>>>")
+    parts = subdivide(polys, max_vertices=8)
+
+    def area_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "poly_id": pdf["id"].astype("int64"),
+                "part_area": [
+                    G.rings_area(G.rings_to_numpy(r)) for r in pdf["rings"]],
+                "ok": [int(v) <= 8 for v in pdf["n_verts"]],
+            })
+
+    out = parts.mapInPandas(
+        area_of, "poly_id long, part_area double, ok boolean")
+    return out.groupBy("poly_id").agg(
+        R(F.sum("part_area"), 6).alias("area_total"),
+        F.min("ok").alias("within_limit"),
+    )

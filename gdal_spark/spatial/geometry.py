@@ -1046,3 +1046,89 @@ def clip_ring_halfplane(
         return np.zeros((0, 2))
     arr = np.asarray(out)
     return np.vstack([arr, arr[:1]])
+
+
+# ---------------------------------------------------------------------------
+# Geometry transforms — OGRGeometry::swapXY (ogrpoint.cpp / ogrcurve.cpp
+# swapXY), OGR_G_FlattenTo2D (flattenTo2D: drop Z, clear the 3D flag) and
+# ogrgeometryfactory.cpp forceToMultiPoint / forceToMultiLineString /
+# forceToMultiPolygon (wrap a single geometry in its multi container;
+# already-multi input is returned unchanged).  All operate WKB→WKB so they
+# compose with every codec path.
+# ---------------------------------------------------------------------------
+
+_WKB_MULTIPOINT = 4
+_WKB_MULTILINESTRING = 5
+
+
+def _encode_wkb(kind: str, data) -> bytes:
+    if kind == "point":
+        return wkb_point(*data)
+    if kind == "point_z":
+        return wkb_point_z(*data)
+    if kind == "linestring":
+        pts = np.asarray(data, dtype="<f8")
+        return (struct.pack("<BII", 1, _WKB_LINESTRING, pts.shape[0])
+                + np.ascontiguousarray(pts).tobytes())
+    if kind == "linestring_z":
+        return wkb_linestring_z(np.asarray(data))
+    if kind == "polygon":
+        return wkb_polygon(data)
+    if kind == "multipolygon":
+        return wkb_multipolygon(data)
+    if kind == "multipoint":
+        pts = np.asarray(data, dtype=np.float64)
+        return (struct.pack("<BII", 1, _WKB_MULTIPOINT, pts.shape[0])
+                + b"".join(wkb_point(x, y) for x, y in pts))
+    if kind == "multilinestring":
+        return (struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(data))
+                + b"".join(_encode_wkb("linestring", ls) for ls in data))
+    raise ValueError(f"cannot encode {kind}")
+
+
+def wkb_swap_xy(buf: bytes) -> bytes:
+    """OGRGeometry::swapXY at the WKB level (Z rides along unchanged)."""
+    kind, data = parse_wkb(buf)
+    if kind == "point":
+        return _encode_wkb(kind, (data[1], data[0]))
+    if kind == "point_z":
+        return _encode_wkb(kind, (data[1], data[0], data[2]))
+    if kind in ("linestring", "linestring_z"):
+        pts = np.asarray(data).copy()
+        pts[:, [0, 1]] = pts[:, [1, 0]]
+        return _encode_wkb(kind, pts)
+    if kind == "polygon":
+        return _encode_wkb(kind, [r[:, [1, 0]] for r in data])
+    if kind == "multipolygon":
+        return _encode_wkb(
+            kind, [[r[:, [1, 0]] for r in rings] for rings in data])
+    raise ValueError(f"swapXY unsupported for {kind}")
+
+
+def wkb_flatten_2d(buf: bytes) -> bytes:
+    """OGR_G_FlattenTo2D: drop Z ordinates and the 3D type flag."""
+    kind, data = parse_wkb(buf)
+    if kind == "point_z":
+        return wkb_point(data[0], data[1])
+    if kind == "linestring_z":
+        return _encode_wkb("linestring", np.asarray(data)[:, :2])
+    return buf
+
+
+def wkb_force_multi(buf: bytes) -> bytes:
+    """forceToMulti*: wrap a single geometry in its multi container
+    (2D path; ogrgeometryfactory.cpp).  Multi input passes through."""
+    kind, data = parse_wkb(buf)
+    if kind == "point":
+        return _encode_wkb("multipoint", [data])
+    if kind == "linestring":
+        return _encode_wkb("multilinestring", [np.asarray(data)])
+    if kind == "polygon":
+        return wkb_multipolygon([data])
+    return buf
+
+
+def wkb_geom_type(buf: bytes) -> int:
+    """The raw WKB geometry-type word (OGR_G_GetGeometryType)."""
+    endian = "<" if buf[0] == 1 else ">"
+    return struct.unpack_from(endian + "I", buf, 1)[0]

@@ -211,3 +211,34 @@ def test_layer_overlay_rect_classes(spark):
     assert {r["cls"] for r in upd} == {"a_only", "b_update"}
     with pytest.raises(ValueError):
         PJ.layer_overlay_rect(a, b, "bogus")
+
+
+class TestSubdivide:
+    def test_area_conserved_and_limit(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+        from gdal_spark.operators.subdivide import subdivide
+        from gdal_spark.spatial import geometry as G
+
+        # one concave 25-vertex star
+        ang = np.arange(24) * (np.pi / 12.0)
+        r = 0.5 * (1 + (np.arange(24) % 5) / 10.0)
+        ring = np.stack([r * np.cos(ang), r * np.sin(ang)], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        orig_area = G.rings_area([ring])
+        df = spark.createDataFrame(
+            [(0, [[[float(p[0]), float(p[1])] for p in ring]])],
+            "poly_id long, rings array<array<array<double>>>")
+        parts = subdivide(df, max_vertices=8).toPandas()
+        assert (parts["n_verts"] <= 8).all()
+        assert len(parts) > 1
+        total = sum(G.rings_area(G.rings_to_numpy(r))
+                    for r in parts["rings"])
+        assert abs(total - orig_area) < 1e-9
+
+    def test_min_vertices_floor(self, spark):
+        import pytest as _pt
+        from gdal_spark.operators.subdivide import subdivide
+
+        with _pt.raises(ValueError):
+            subdivide(None, max_vertices=4)
