@@ -1007,3 +1007,38 @@ tf AS (
 SELECT doc_id, sum(sq)::bigint AS score_micro
 FROM sc GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT {top_k}"""
+
+
+def bigram_kn_counts(docs: DataFrame, text_col: str = "text",
+                     top_k: int = 25) -> DataFrame:
+    """Bigram language-model counting with Kneser-Ney CONTINUATION counts
+    (Kneser & Ney 1995; Chen & Goodman 1998 §2.7) — the distributed
+    counting pass under any KN-smoothed n-gram LM build:
+
+    * bigram counts c(w1 w2): one explode (map-only transform over the
+      token array, JVM HOFs) + one partial-agg shuffle on the pair,
+    * continuation count N1+(• w2) = |{w1 : c(w1 w2) > 0}|: a second
+      bounded (vocabulary-sized) aggregate OVER THE DISTINCT-PAIR table,
+      never the raw stream,
+    * P_cont(w2) = N1+(• w2) / |distinct bigrams|, quantized to integer
+      micro-units with integer division so both engines agree exactly.
+
+    Returns the top ``top_k`` bigrams by (count desc, bigram asc) —
+    TakeOrdered, no global sort."""
+    d = docs.select(
+        F.split(F.trim(F.col(text_col)), " +").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pairs = d.select(F.explode(F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w1, "
+        "element_at(toks, i + 1) AS w2))")).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("cont_w2"))
+    tot = bg.agg(F.count(F.lit(1)).alias("n_distinct"))
+    out = bg.join(cont, "w2").crossJoin(F.broadcast(tot)).select(
+        F.concat_ws(" ", "w1", "w2").alias("bg"),
+        "cnt", "cont_w2",
+        F.expr("(cont_w2 * 1000000L) div n_distinct").alias("pcont_micro"),
+    )
+    return out.orderBy(F.desc("cnt"), F.asc("bg")).limit(top_k)

@@ -12239,3 +12239,89 @@ def q_st_subdivide(spark, sf_dir):
         R(F.sum("part_area"), 6).alias("area_total"),
         F.min("ok").alias("within_limit"),
     )
+
+
+# ===========================================================================
+# ogr2ogr conversion facade (apps/ogr2ogr_lib.cpp): read one format,
+# -where filter, -t_srs reproject, write another format, re-read
+# ===========================================================================
+
+
+def _sql_ogr2ogr() -> str:
+    lon, lat = sql_lon("o_orderkey"), sql_lat("o_orderkey")
+    mx = f"({lon}) * (20037508.342789244 / 180.0)"
+    my = (f"ln(tan((90.0 + ({lat})) * (pi() / 360.0))) / (pi() / 180.0)"
+          f" * (20037508.342789244 / 180.0)")
+    return f"""SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       {SR(mx, 3)} AS mx, {SR(my, 3)} AS my
+FROM orders
+WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 2 = 0"""
+
+
+@register("ogr2ogr_convert", _sql_ogr2ogr())
+def q_ogr2ogr_convert(spark, sf_dir):
+    """ogr2ogr facade gate — the reference's single most common workflow
+    (apps/ogr2ogr_lib.cpp): Shapefile source → ``-where`` attribute
+    filter (even cents) → ``-t_srs EPSG:3857`` point reprojection
+    (gdal2tiles LatLonToMeters, exact forward Mercator) → GeoPackage sink
+    → re-read.  Every stage is the DISTRIBUTED driver path (one task per
+    file both directions); coordinates ride .shp binary doubles then GPKG
+    WKB blobs bit-exactly, so only the final display rounding appears."""
+    import tempfile
+
+    from gdal_spark.sources import gpkg as GPKG
+    from gdal_spark.sources import shapefile as SHP
+
+    d_src = tempfile.mkdtemp(prefix="gdalspark_o2o_src_")
+    d_dst = tempfile.mkdtemp(prefix="gdalspark_o2o_dst_")
+    pts = _fmt_points(spark, sf_dir)
+    SHP.write_point_shapefiles(
+        pts, d_src, "lon", "lat",
+        [("o_orderkey", 12), ("cents", 12)], num_files=8)
+
+    src = SHP.read_point_shapefiles(spark, d_src, ["o_orderkey", "cents"])
+    filtered = src.filter(F.col("cents") % 2 == 0)
+    mx, my = TM.lonlat_to_meters(F.col("x"), F.col("y"))
+    reproj = filtered.select(
+        "o_orderkey", "cents", mx.alias("mx"), my.alias("my"))
+
+    GPKG.write_point_gpkgs(
+        reproj, d_dst, "mx", "my", ["o_orderkey", "cents"], num_files=8)
+    back = GPKG.read_point_gpkgs(spark, d_dst, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 3).alias("mx"), R(F.col("y"), 3).alias("my"))
+
+
+# ===========================================================================
+# Bigram LM counts with Kneser-Ney continuation counts (Kneser & Ney 1995)
+# ===========================================================================
+
+
+def _sql_bigram_kn() -> str:
+    return """WITH t AS (
+  SELECT string_split_regex(trim(text), ' +') AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+  FROM t WHERE len(toks) >= 2),
+bg AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*)::bigint AS cnt
+       FROM pairs GROUP BY 1, 2),
+cont AS (SELECT w2, count(*)::bigint AS cont_w2 FROM bg GROUP BY w2),
+tot AS (SELECT count(*)::bigint AS n_distinct FROM bg)
+SELECT bg.w1 || ' ' || bg.w2 AS bg, bg.cnt, cont.cont_w2,
+       ((cont.cont_w2 * 1000000) // (SELECT n_distinct FROM tot))::bigint
+         AS pcont_micro
+FROM bg JOIN cont USING (w2)
+ORDER BY bg.cnt DESC, bg.w1 || ' ' || bg.w2 ASC LIMIT 25"""
+
+
+@register("text_bigram_kn", _sql_bigram_kn())
+def q_text_bigram_kn(spark, sf_dir):
+    """Distributed bigram counting + Kneser-Ney continuation counts over
+    the documents corpus: JVM HOF bigram explode (map-only), ONE
+    partial-agg shuffle on the pair, vocabulary-bounded continuation
+    aggregate over the distinct-pair table, broadcast scalar total,
+    integer-exact micro-quantized P_cont, TakeOrdered top-25."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.bigram_kn_counts(docs, top_k=25)
