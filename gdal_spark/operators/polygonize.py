@@ -31,9 +31,15 @@ from gdal_spark.operators.dissolve import _ring_signed_area, union_coverage_ring
 def label_regions(
     cells: DataFrame, x: str = "gx", y: str = "gy", value: str = "val",
     width: int | None = None, cc_max_iter: int | None = None,
+    connectedness: int = 4,
 ) -> DataFrame:
-    """Connected-component region labeling of a cell table (4-adjacency,
-    same value) — the shared first stage of polygonize and the sieve filter.
+    """Connected-component region labeling of a cell table (4- or
+    8-adjacency, same value) — the shared first stage of polygonize and the
+    sieve filter.  ``connectedness`` mirrors the reference's option
+    (``GDALPolygonize``/``GDALSieveFilter`` ``nConnectedness``, the
+    ``gdal_polygonize -8`` flag; alg/polygonize.cpp:40): 8 adds the two
+    diagonal neighbor joins (down-right, down-left) to the edge set —
+    still plain shifted-key equi-joins, no scan kernel.
     Output: (cid, _x, _y, _v, region_id) with region_id = min cid of the
     component. ``width`` is the grid width used to derive the scalar cell
     id (y*width + x); defaults to max(x)+1 computed from the data (one tiny
@@ -43,6 +49,8 @@ def label_regions(
     safe default is width×height. Convergence exits early, so the budget
     only costs rounds when a region actually needs them — pass a smaller
     ``cc_max_iter`` to fail fast instead."""
+    if connectedness not in (4, 8):
+        raise ValueError(f"connectedness must be 4 or 8, got {connectedness}")
     if width is None or cc_max_iter is None:
         ext = cells.agg(F.max(x).alias("mx"), F.max(y).alias("my")).first()
         if width is None:
@@ -70,6 +78,20 @@ def label_regions(
         & (F.col("_vb") == F.col("_v")),
     ).select(F.col("cid").alias("id_a"), F.col("cid_b").alias("id_b"))
     edges = e_right.unionAll(e_down)
+    if connectedness == 8:
+        e_dr = c.join(
+            right,
+            (F.col("_xb") == F.col("_x") + 1)
+            & (F.col("_yb") == F.col("_y") + 1)
+            & (F.col("_vb") == F.col("_v")),
+        ).select(F.col("cid").alias("id_a"), F.col("cid_b").alias("id_b"))
+        e_dl = c.join(
+            right,
+            (F.col("_xb") == F.col("_x") - 1)
+            & (F.col("_yb") == F.col("_y") + 1)
+            & (F.col("_vb") == F.col("_v")),
+        ).select(F.col("cid").alias("id_a"), F.col("cid_b").alias("id_b"))
+        edges = edges.unionAll(e_dr).unionAll(e_dl)
 
     comp = connected_components(edges, max_iter=cc_max_iter).select(
         F.col("doc_id").alias("cid"), F.col("cluster_id").alias("region_id")

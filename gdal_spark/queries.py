@@ -12325,3 +12325,68 @@ def q_text_bigram_kn(spark, sf_dir):
     integer-exact micro-quantized P_cont, TakeOrdered top-25."""
     docs = _read(spark, sf_dir, "documents")
     return T.bigram_kn_counts(docs, top_k=25)
+
+
+# ===========================================================================
+# 8-connectedness region labeling (gdal_polygonize -8 / GDALSieveFilter
+# connectedness=8; alg/polygonize.cpp:40 nConnectedness)
+# ===========================================================================
+
+_C8_W = 24
+
+
+def _sql_polygonize_8() -> str:
+    return f"""WITH RECURSIVE g AS (
+  SELECT unnest(generate_series(0, {_C8_W - 1})) AS i),
+cells AS (
+  SELECT gx.i AS x, gy.i AS y,
+         (((gx.i * gx.i + 3 * gy.i + (gx.i * gy.i) // 5) % 7) // 3) AS val
+  FROM g gx CROSS JOIN g gy),
+c2 AS (SELECT y * {_C8_W} + x AS id, x, y, val FROM cells),
+e AS (
+  SELECT a.id AS src, b.id AS dst FROM c2 a JOIN c2 b
+  ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+     AND (a.x <> b.x OR a.y <> b.y) AND a.val = b.val),
+r AS (
+  SELECT id, id AS lbl FROM c2
+  UNION
+  SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id),
+lab AS (SELECT id, min(lbl) AS region_id FROM r GROUP BY id)
+SELECT region_id, min(val)::bigint AS val, count(*)::bigint AS n_cells,
+       min(x)::bigint AS min_x, max(x)::bigint AS max_x,
+       min(y)::bigint AS min_y, max(y)::bigint AS max_y
+FROM lab JOIN c2 USING (id) GROUP BY region_id"""
+
+
+@register("polygonize_8connected", _sql_polygonize_8())
+def q_polygonize_8connected(spark, sf_dir):
+    """8-CONNECTED region labeling — the ``gdal_polygonize -8`` /
+    ``GDALSieveFilter(connectedness=8)`` option (alg/polygonize.cpp:40):
+    diagonal same-value neighbors merge.  The fixture raster yields 52
+    regions under 8-adjacency vs 223 under 4-adjacency, so a connectivity
+    bug flips the whole result.  Engine: four shifted-key equi-joins
+    (right/down/down-right/down-left) + pointer-jumping connected
+    components; oracle: recursive-CTE transitive closure over the same
+    8-neighbor edge set.  Output: per-region min-cell-id label, value,
+    cell count, bbox."""
+    from gdal_spark.operators.polygonize import label_regions
+
+    g = spark.range(_C8_W * _C8_W).select(
+        (F.col("id") % _C8_W).alias("gx"),
+        (F.col("id") / _C8_W).cast("long").alias("gy"),
+    )
+    cells = g.withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx") + 3 * F.col("gy")
+          + (F.col("gx") * F.col("gy") / 5).cast("long")) % 7 / 3)
+        .cast("long"),
+    )
+    labeled = label_regions(cells, width=_C8_W, connectedness=8)
+    return labeled.groupBy("region_id").agg(
+        F.min("_v").cast("long").alias("val"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("_x").cast("long").alias("min_x"),
+        F.max("_x").cast("long").alias("max_x"),
+        F.min("_y").cast("long").alias("min_y"),
+        F.max("_y").cast("long").alias("max_y"),
+    )
