@@ -266,6 +266,130 @@ def warp_reproject_bilinear(
     )
 
 
+def warp_reproject_average(
+    src_blocks: DataFrame, tiles: DataFrame, zoom: int
+) -> DataFrame:
+    """Area-weighted AVERAGE reprojection warp (``gdalwarp -r average``,
+    alg/gdalwarpkernel.cpp GWKAverageOrModeThread — the GDAL >= 3.1
+    weighted form): each destination pixel's source-space FOOTPRINT
+    rectangle comes from transforming its edges (x linear in longitude,
+    y through the exact Mercator inverse), and every overlapped source
+    pixel contributes with weight = overlap fraction
+    ``max(0, min(x1, i+1) - max(x0, i))`` per axis, normalized by the
+    total footprint area.  At z2 the footprint spans <= 1.41 source
+    pixels per axis, so a fixed 3x3 tap stencil covers every case; the
+    weighted sum runs in the SAME term order as the SQL oracle so the
+    float chain is bit-identical.  Output per tile: (tx, ty, n_px,
+    val_micro_sum, digest) in integer micro-units."""
+    n_px = (1 << zoom) * TILE
+
+    gx0 = F.col("tx").cast("double") * TILE
+    gx1 = (F.col("tx") + 1).cast("double") * TILE
+    gy0 = F.col("ty").cast("double") * TILE
+    gy1 = (F.col("ty") + 1).cast("double") * TILE
+    i0 = F.floor(gx0 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    i1 = F.floor(gx1 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    j0 = F.floor((F.lit(90.0) - _merc_lat(gy0 / n_px)) / GEO_RES + 1e-10)
+    j1 = F.floor((F.lit(90.0) - _merc_lat(gy1 / n_px)) / GEO_RES + 1e-10)
+    need = (
+        tiles.select(
+            "tx", "ty",
+            F.greatest(
+                F.lit(0), (i0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_bx0"),
+            F.least(
+                F.lit(GEO_W // GEO_BLOCK - 1),
+                (i1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_bx1"),
+            F.greatest(
+                F.lit(0), (j0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_by0"),
+            F.least(
+                F.lit(GEO_H // GEO_BLOCK - 1),
+                (j1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_by1"),
+        )
+        .withColumn("_bx", F.explode(F.sequence("_bx0", "_bx1")))
+        .withColumn("_by", F.explode(F.sequence("_by0", "_by1")))
+        .select(
+            "tx", "ty",
+            F.col("_bx").cast("int").alias("bx"),
+            F.col("_by").cast("int").alias("by"),
+        )
+    )
+    joined = need.join(src_blocks, on=["bx", "by"], how="inner")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        blocks = {
+            (int(r.bx), int(r.by)): np.asarray(r.data, dtype=np.float64)
+            .reshape(GEO_BLOCK, GEO_BLOCK)
+            for r in pdf.itertuples()
+        }
+
+        def fetch(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+            i = np.clip(i, 0, GEO_W - 1)
+            j = np.clip(j, 0, GEO_H - 1)
+            out = np.empty(i.shape, dtype=np.float64)
+            seen = np.zeros(i.shape, dtype=bool)
+            for (bx, by), arr in blocks.items():
+                m = (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+                out[m] = arr[j[m] % GEO_BLOCK, i[m] % GEO_BLOCK]
+                seen |= m
+            if not seen.all():
+                raise RuntimeError(
+                    f"tile ({tx},{ty}): average taps missing blocks"
+                )
+            return out
+
+        py, px = np.mgrid[0:TILE, 0:TILE]
+        kx = 360.0 / n_px / GEO_RES
+        sx0 = (tx * TILE + px).astype(np.float64) * kx
+        sx1 = (tx * TILE + px + 1).astype(np.float64) * kx
+
+        def jspace(gy):
+            t = np.pi * (1.0 - 2.0 * gy / n_px)
+            lat = np.degrees(np.arctan((np.exp(t) - np.exp(-t)) / 2.0))
+            return (90.0 - lat) / GEO_RES
+
+        sy0 = jspace((ty * TILE + py).astype(np.float64))
+        sy1 = jspace((ty * TILE + py + 1).astype(np.float64))
+        xb = np.floor(sx0 + 1e-10).astype(np.int64)
+        yb = np.floor(sy0 + 1e-10).astype(np.int64)
+        wx = [
+            np.maximum(
+                0.0, np.minimum(sx1, xb + k + 1) - np.maximum(sx0, xb + k)
+            )
+            for k in range(3)
+        ]
+        wy = [
+            np.maximum(
+                0.0, np.minimum(sy1, yb + li + 1) - np.maximum(sy0, yb + li)
+            )
+            for li in range(3)
+        ]
+        num = np.zeros((TILE, TILE), dtype=np.float64)
+        for li in range(3):
+            for k in range(3):
+                num = num + wx[k] * wy[li] * fetch(xb + k, yb + li)
+        den = (wx[0] + wx[1] + wx[2]) * (wy[0] + wy[1] + wy[2])
+        v = num / den
+        vi = np.floor(v * 1e6 + 0.5).astype(np.int64).ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(x)) for x in vi).encode()
+        ).hexdigest()
+        return pd.DataFrame([{
+            "tx": tx, "ty": ty, "n_px": int(vi.shape[0]),
+            "val_micro_sum": int(vi.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("tx", "ty").applyInPandas(
+        assemble,
+        "tx int, ty int, n_px long, val_micro_sum long, digest string",
+    )
+
+
 def _merc_yfrac_col(lat_deg_col):
     """Forward WebMercator y fraction (0..1, 0 = north) of latitude in
     degrees — tan/ln written identically in the numpy kernel and the SQL

@@ -12390,3 +12390,76 @@ def q_polygonize_8connected(spark, sf_dir):
         F.min("_y").cast("long").alias("min_y"),
         F.max("_y").cast("long").alias("max_y"),
     )
+
+
+# ===========================================================================
+# Area-weighted AVERAGE reprojection warp (gdalwarp -r average,
+# alg/gdalwarpkernel.cpp GWKAverageOrModeThread, GDAL >= 3.1 weighted form)
+# ===========================================================================
+
+
+def _sql_warp_average() -> str:
+    wx = [
+        f"greatest(0.0, least(sx1, xb + {k + 1}) - greatest(sx0, xb + {k}))"
+        for k in range(3)
+    ]
+    wy = [
+        f"greatest(0.0, least(sy1, yb + {li + 1}) - greatest(sy0, yb + {li}))"
+        for li in range(3)
+    ]
+    terms = []
+    for li in range(3):
+        for k in range(3):
+            terms.append(
+                f"wx{k} * wy{li} * {_geo_val(f'xb + {k}', f'yb + {li}')}"
+            )
+    num = " + ".join(terms)
+    return f"""
+WITH gs AS (SELECT unnest(generate_series(0, 255)) AS v),
+tl AS (SELECT unnest(generate_series(1, 2)) AS v),
+p AS (
+  SELECT ttx.v AS tx, tty.v AS ty, gy.v AS py, gx.v AS px,
+         (ttx.v * 256 + gx.v) * {_WARP_KX!r} AS sx0,
+         (ttx.v * 256 + gx.v + 1) * {_WARP_KX!r} AS sx1,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v) / {_WARP_NPX}) AS t0,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v + 1) / {_WARP_NPX}) AS t1
+  FROM tl ttx CROSS JOIN tl tty CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT tx, ty, py, px, sx0, sx1,
+         (90.0 - degrees(atan((exp(t0) - exp(-t0)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy0,
+         (90.0 - degrees(atan((exp(t1) - exp(-t1)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy1
+  FROM p),
+f AS (
+  SELECT tx, ty, py, px, sx0, sx1, sy0, sy1,
+         floor(sx0 + 1e-10)::bigint AS xb,
+         floor(sy0 + 1e-10)::bigint AS yb
+  FROM c),
+w AS (
+  SELECT tx, ty, py, px, xb, yb,
+         {wx[0]} AS wx0, {wx[1]} AS wx1, {wx[2]} AS wx2,
+         {wy[0]} AS wy0, {wy[1]} AS wy1, {wy[2]} AS wy2
+  FROM f),
+vv AS (
+  SELECT tx, ty, py, px,
+         floor(({num})
+               / ((wx0 + wx1 + wx2) * (wy0 + wy1 + wy2))
+               * 1e6 + 0.5)::bigint AS vi
+  FROM w)
+SELECT tx, ty, count(*)::bigint AS n_px, sum(vi)::bigint AS val_micro_sum,
+       md5(string_agg(vi::varchar, ',' ORDER BY py, px)) AS digest
+FROM vv GROUP BY tx, ty"""
+
+
+@register("warp_reproject_average", _sql_warp_average())
+def q_warp_reproject_average(spark, sf_dir):
+    """gdalwarp -r average gate over the z2 window: destination-pixel
+    footprint rectangles from edge transforms, 3x3 overlap-fraction tap
+    stencil, term-order-identical weighted sum on both engines, per-tile
+    micro-unit digest."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int"
+    )
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_average(src, tiles, _WARP_Z)
