@@ -12463,3 +12463,31 @@ def q_warp_reproject_average(spark, sf_dir):
     )
     src = WP.synthetic_geo_raster(spark)
     return WP.warp_reproject_average(src, tiles, _WARP_Z)
+
+
+# ===========================================================================
+# GML 3.2 driver gate (ogr/ogrsf_frmts/gml/; urn axis-order handling)
+# ===========================================================================
+
+
+@register("gml_roundtrip", _FMT_POINTS_ORACLE)
+def q_gml_roundtrip(spark, sf_dir):
+    """GML driver gate: orders point layer → per-partition GML 3.2
+    FeatureCollections (urn:ogc:def:crs:EPSG::4326 srsName, so <gml:pos>
+    is written LATITUDE-FIRST and the reader must swap back — the GML3
+    axis-order rule; a missing swap flips every pair and fails the hash)
+    → namespace-aware ElementTree scan, one task per document.  Doubles
+    survive the text container bit-exactly."""
+    import tempfile
+
+    from gdal_spark.sources import gml as GML
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gml_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    GML.write_point_gmls(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = GML.read_point_gmls(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )

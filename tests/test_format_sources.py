@@ -571,3 +571,29 @@ class TestVRT:
                 "filename": "s.tif", "src_rect": (0, 0, 4, 4),
                 "dst_rect": (0, 0, 6, 6),
             })
+
+
+class TestGMLCodec:
+    def test_document_roundtrip_bit_exact_with_axis_swap(self):
+        from gdal_spark.sources.gml import gml_document, parse_gml
+
+        rows = [
+            {"x": 2.350000000000001, "y": 48.85, "o_orderkey": 7,
+             "cents": 1234},
+            {"x": -0.1257, "y": 51.5085, "o_orderkey": 9, "cents": -5},
+        ]
+        doc = gml_document(rows, "x", "y", ["o_orderkey", "cents"])
+        # urn srsName => pos is LAT-FIRST in the document text
+        assert b"urn:ogc:def:crs:EPSG::4326" in doc
+        assert b"<gml:pos>48.85 2.350000000000001</gml:pos>" in doc
+        back = parse_gml(doc, ["o_orderkey", "cents"])
+        assert back == [
+            {"o_orderkey": 7, "cents": 1234, "x": 2.350000000000001,
+             "y": 48.85},
+            {"o_orderkey": 9, "cents": -5, "x": -0.1257, "y": 51.5085},
+        ]
+
+    def test_empty_document(self):
+        from gdal_spark.sources.gml import gml_document, parse_gml
+
+        assert parse_gml(gml_document([], "x", "y", ["k"]), ["k"]) == []
