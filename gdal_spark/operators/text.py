@@ -1042,3 +1042,81 @@ def bigram_kn_counts(docs: DataFrame, text_col: str = "text",
         F.expr("(cont_w2 * 1000000L) div n_distinct").alias("pcont_micro"),
     )
     return out.orderBy(F.desc("cnt"), F.asc("bg")).limit(top_k)
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              merges: int = 5, top_k: int = 20) -> DataFrame:
+    """Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. 2016, the
+    standard subword-vocab build every LLM pipeline runs over its corpus):
+
+    * ONE corpus-scale pass builds the word-count table (lowercase a-z
+      words; the only unbounded shuffle — output is vocabulary-bounded),
+    * each merge round is pair-count (JVM HOF explode over the bounded
+      word table) → argmax (single driver row, tie-break lexicographic)
+      → greedy rewrite, i.e. K driver-paced rounds like the engine's
+      other iterative operators,
+    * symbol sequences ride as ``(a)(b)(c)(_)`` strings so the rewrite is
+      a plain non-overlapping left-to-right ``replace('(a)(b)','(ab)')``
+      — IDENTICAL greedy semantics in Spark SQL and the DuckDB oracle
+      (overlap case ``(a)(a)(a)`` merges to ``(aa)(a)``, the BPE rule).
+
+    Returns the ordered merge table (kind='merge', step=1..K, token=
+    'a+b', cnt=pair count) plus the final top-k token frequencies
+    (kind='token', step=0)."""
+    spark = docs.sparkSession
+    w = (
+        docs.select(F.explode(F.split(
+            F.lower(F.trim(F.col(text_col))), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit("("), F.array_join(F.split("w", ""), ")("),
+                F.lit(")(_)"),
+            ).alias("repr"),
+            "cnt",
+        )
+        .persist()
+    )
+    merge_rows = []
+    for step in range(1, merges + 1):
+        syms = F.split(F.expr("trim(BOTH '()' FROM repr)"), "\\)\\(")
+        pairs = (
+            w.withColumn("_s", syms)
+            .filter(F.size("_s") >= 2)
+            .select("cnt", F.explode(F.expr(
+                "transform(sequence(1, size(_s) - 1), "
+                "i -> struct(element_at(_s, i) AS a, "
+                "element_at(_s, i + 1) AS b))")).alias("p"))
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pcnt"))
+            .orderBy(F.desc("pcnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, pcnt = best["a"], best["b"], int(best["pcnt"])
+        merge_rows.append(("merge", step, f"{a}+{b}", pcnt))
+        w = w.select(
+            F.replace(
+                F.col("repr"),
+                F.lit(f"({a})({b})"), F.lit(f"({a}{b})"),
+            ).alias("repr"),
+            "cnt",
+        )
+    toks = (
+        w.select(
+            F.explode(F.split(
+                F.expr("trim(BOTH '()' FROM repr)"), "\\)\\(")
+            ).alias("token"),
+            "cnt",
+        )
+        .groupBy("token").agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
+        .select(F.lit("token").alias("kind"),
+                F.lit(0).cast("long").alias("step"), "token", "cnt")
+    )
+    mdf = spark.createDataFrame(
+        merge_rows, "kind string, step long, token string, cnt long")
+    return mdf.unionAll(toks)

@@ -12491,3 +12491,66 @@ def q_gml_roundtrip(spark, sf_dir):
         "o_orderkey", "cents",
         R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
     )
+
+
+# ===========================================================================
+# BPE tokenizer training (Sennrich et al. 2016) — distributed word-count
+# pass + K driver-paced merge rounds over the vocabulary-bounded table
+# ===========================================================================
+
+_BPE_MERGES = 5
+_BPE_TOPK = 20
+
+
+def _sql_bpe_train() -> str:
+    blocks = ["""w0 AS (
+  SELECT '(' || array_to_string(string_split(w, ''), ')(') || ')(_)'
+           AS repr,
+         count(*)::bigint AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '[^a-z]+'))
+          AS w
+        FROM documents)
+  WHERE w <> '' GROUP BY 1)"""]
+    for r in range(1, _BPE_MERGES + 1):
+        prev = f"w{r - 1}"
+        blocks.append(f"""s{r} AS (
+  SELECT repr, cnt, string_split(trim(repr, '()'), ')(') AS syms
+  FROM {prev}),
+p{r} AS (
+  SELECT pr[1] AS a, pr[2] AS b, sum(cnt)::bigint AS pcnt
+  FROM (SELECT cnt,
+               unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+                 AS pr
+        FROM s{r} WHERE len(syms) >= 2)
+  GROUP BY 1, 2),
+m{r} AS (
+  SELECT a, b, pcnt FROM p{r} ORDER BY pcnt DESC, a ASC, b ASC LIMIT 1),
+w{r} AS (
+  SELECT replace(repr, '(' || m{r}.a || ')(' || m{r}.b || ')',
+                 '(' || m{r}.a || m{r}.b || ')') AS repr, cnt
+  FROM {prev} CROSS JOIN m{r})""")
+    merges = " UNION ALL ".join(
+        f"SELECT 'merge' AS kind, {r}::bigint AS step, "
+        f"a || '+' || b AS token, pcnt AS cnt FROM m{r}"
+        for r in range(1, _BPE_MERGES + 1))
+    return f"""WITH {', '.join(blocks)},
+toks AS (
+  SELECT unnest(string_split(trim(repr, '()'), ')(')) AS token, cnt
+  FROM w{_BPE_MERGES}),
+topt AS (
+  SELECT 'token' AS kind, 0::bigint AS step, token,
+         sum(cnt)::bigint AS cnt
+  FROM toks GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {_BPE_TOPK})
+SELECT * FROM ({merges} UNION ALL SELECT * FROM topt)"""
+
+
+@register("text_bpe_train", _sql_bpe_train())
+def q_text_bpe_train(spark, sf_dir):
+    """BPE tokenizer training over the documents corpus: one corpus-scale
+    word-count shuffle, then 5 merge rounds over the vocabulary-bounded
+    word table (pair-count explode → lexicographic-tie argmax → greedy
+    '(a)(b)'→'(ab)' rewrite, identical non-overlapping replace semantics
+    on both engines).  Output: the ordered merge table + final top-20
+    token frequencies."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.bpe_train(docs, merges=_BPE_MERGES, top_k=_BPE_TOPK)
