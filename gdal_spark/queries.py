@@ -12554,3 +12554,46 @@ def q_text_bpe_train(spark, sf_dir):
     token frequencies."""
     docs = _read(spark, sf_dir, "documents")
     return T.bpe_train(docs, merges=_BPE_MERGES, top_k=_BPE_TOPK)
+
+
+# ===========================================================================
+# gdal_retile: re-block the geographic raster onto a new tile grid
+# ===========================================================================
+
+_RT_DST = 128  # dst tile edge; 1440x720 world => 12x6 grid, partial edges
+
+
+def _sql_retile() -> str:
+    return f"""WITH txs AS (
+  SELECT unnest(generate_series(0, {WP.GEO_W // _RT_DST})) AS tx),
+tys AS (SELECT unnest(generate_series(0, {WP.GEO_H // _RT_DST})) AS ty),
+t AS (
+  SELECT tx, ty,
+         least({_RT_DST}, {WP.GEO_W} - tx * {_RT_DST}) AS tw,
+         least({_RT_DST}, {WP.GEO_H} - ty * {_RT_DST}) AS th
+  FROM txs CROSS JOIN tys
+  WHERE tx * {_RT_DST} < {WP.GEO_W} AND ty * {_RT_DST} < {WP.GEO_H}),
+p AS (SELECT tx, ty, tw, unnest(generate_series(0, th - 1)) AS py FROM t),
+q AS (SELECT tx, ty, py, unnest(generate_series(0, tw - 1)) AS px FROM p),
+v AS (
+  SELECT tx, ty, py, px,
+         ((tx * {_RT_DST} + px) * 31 + (ty * {_RT_DST} + py) * 17 + 7)
+           % 256 AS val
+  FROM q)
+SELECT tx, ty, count(*)::bigint AS n_px, sum(val)::bigint AS val_sum,
+       md5(string_agg(val::varchar, ',' ORDER BY py, px)) AS digest
+FROM v GROUP BY tx, ty"""
+
+
+@register("raster_retile", _sql_retile())
+def q_raster_retile(spark, sf_dir):
+    """gdal_retile gate: the 180-px-block geographic raster re-chunked
+    onto a 128-px tile grid (12x6, partial edge tiles).  Map-only piece
+    slicing + ONE shuffle on the destination key (pieces, not pixels) +
+    vectorized stitch; the oracle enumerates destination pixels in closed
+    form and never sees the engine's piece mechanics."""
+    from gdal_spark.operators.retile import retile_blocks
+
+    src = WP.synthetic_geo_raster(spark)
+    return retile_blocks(
+        src, WP.GEO_BLOCK, WP.GEO_W, WP.GEO_H, _RT_DST)
