@@ -12597,3 +12597,57 @@ def q_raster_retile(spark, sf_dir):
     src = WP.synthetic_geo_raster(spark)
     return retile_blocks(
         src, WP.GEO_BLOCK, WP.GEO_W, WP.GEO_H, _RT_DST)
+
+
+# ===========================================================================
+# Training-sequence PACKING (GPT-style concat-and-chunk: concatenate docs
+# in deterministic order, split every L tokens; Brown et al. 2020 App. B)
+# ===========================================================================
+
+_PACK_L = 256
+
+
+def _sql_pack() -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), ' +'))::bigint AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, source, tok,
+         sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, source, tok,
+       ((cum - tok) // {_PACK_L})::bigint AS seq_first,
+       ((cum - 1) // {_PACK_L})::bigint AS seq_last,
+       ((cum - 1) // {_PACK_L} - (cum - tok) // {_PACK_L} + 1)::bigint
+         AS n_seqs
+FROM c"""
+
+
+@register("corpus_pack_sequences", _sql_pack())
+def q_corpus_pack_sequences(spark, sf_dir):
+    """Sequence PACKING for training (the GPT concat-and-chunk scheme:
+    documents concatenated in deterministic (source, doc_id) order, split
+    every L=256 tokens; docs spanning a boundary split across sequences).
+    Per-SOURCE partitioned running sums keep the scan parallel — no
+    global single-partition window; each doc reports the sequence span
+    it lands in."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select("doc_id", "source", tok.alias("tok")).withColumn(
+        "cum", F.sum("tok").over(w)
+    )
+    sf_ = F.floor((F.col("cum") - F.col("tok")) / _PACK_L)
+    sl_ = F.floor((F.col("cum") - 1) / _PACK_L)
+    return c.select(
+        "doc_id", "source", "tok",
+        sf_.alias("seq_first"), sl_.alias("seq_last"),
+        (sl_ - sf_ + 1).alias("n_seqs"),
+    )
