@@ -135,6 +135,15 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "table_time_travel",
     "corpus_dsir_select",
+    # round 4 session-6 additions
+    "ogr2ogr_convert",
+    "text_bigram_kn",
+    "polygonize_8connected",
+    "warp_reproject_average",
+    "gml_roundtrip",
+    "text_bpe_train",
+    "raster_retile",
+    "corpus_pack_sequences",
 ]
 
 

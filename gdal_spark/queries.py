@@ -12651,3 +12651,125 @@ def q_corpus_pack_sequences(spark, sf_dir):
         sf_.alias("seq_first"), sl_.alias("seq_last"),
         (sl_ - sf_ + 1).alias("n_seqs"),
     )
+
+
+# ===========================================================================
+# CSV driver with a WKT geometry column (ogr/ogrsf_frmts/csv/ — the
+# GEOM_POSSIBLE_NAMES / "WKT" column convention) — Spark-NATIVE csv
+# source/sink both directions
+# ===========================================================================
+
+
+@register("csv_wkt_roundtrip", _FMT_POINTS_ORACLE)
+def q_csv_wkt_roundtrip(spark, sf_dir):
+    """OGR CSV driver gate (ogr/ogrsf_frmts/csv/ogrcsvlayer.cpp WKT-column
+    handling): the point layer serialized as CSV with a ``WKT`` geometry
+    column (``POINT (lon lat)``) through Spark's NATIVE distributed csv
+    sink (splittable shards, header per shard), re-read with the native
+    csv source, geometry recovered by a JVM regexp parse of the WKT —
+    doubles ride Java shortest-roundtrip text bit-exactly, zero Python in
+    the path."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gdalspark_csvwkt_")
+    pts = _fmt_points(spark, sf_dir)
+    out = pts.select(
+        "o_orderkey", "cents",
+        F.concat(
+            F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+            F.col("lat").cast("string"), F.lit(")"),
+        ).alias("WKT"),
+    )
+    out.repartition(8).write.mode("overwrite").option("header", True).csv(d)
+    back = (
+        spark.read.option("header", True)
+        .schema("o_orderkey long, cents long, WKT string")
+        .csv(d)
+    )
+    lon = F.regexp_extract("WKT", r"POINT \(([-0-9.eE]+) ", 1).cast("double")
+    lat = F.regexp_extract("WKT", r" ([-0-9.eE]+)\)", 1).cast("double")
+    return back.select(
+        "o_orderkey", "cents",
+        R(lon, 6).alias("lon"), R(lat, 6).alias("lat"),
+    )
+
+
+# ===========================================================================
+# BPE ENCODE: apply a fixed merge table to the corpus (the inference half
+# of the tokenizer; map-only chained replaces)
+# ===========================================================================
+
+_BPE_APPLY = [("e", "r"), ("e", "_"), ("t", "h"), ("th", "e_"), ("o", "n")]
+
+
+def _sql_bpe_encode() -> str:
+    repl = ("'(' || array_to_string(string_split(w, ''), ')(') || ')(_)'")
+    for a, b in _BPE_APPLY:
+        repl = f"replace({repl}, '({a})({b})', '({a}{b})')"
+    return f"""WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '[^a-z]+')) AS w
+  FROM documents),
+enc AS (
+  SELECT {repl} AS repr FROM words WHERE w <> ''),
+toks AS (
+  SELECT unnest(string_split(trim(repr, '()'), ')(')) AS token FROM enc)
+SELECT token, count(*)::bigint AS cnt
+FROM toks GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 30"""
+
+
+@register("text_bpe_encode", _sql_bpe_encode())
+def q_text_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with a fixed merge table (the inference half of the
+    tokenizer — the trained merges applied in rank order, Sennrich et al.
+    2016 §3): a map-only chain of non-overlapping greedy replaces over the
+    '(a)(b)' symbol representation, whole-stage codegen end to end; then
+    token frequencies (one partial-agg shuffle) top-30."""
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(
+        F.lower(F.trim(F.col("text"))), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    repr_c = F.concat(
+        F.lit("("), F.array_join(F.split("w", ""), ")("), F.lit(")(_)"))
+    for a, b in _BPE_APPLY:
+        repr_c = F.replace(repr_c, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    toks = words.select(repr_c.alias("repr")).select(
+        F.explode(F.split(
+            F.expr("trim(BOTH '()' FROM repr)"), "\\)\\(")).alias("token"))
+    return (
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(30)
+    )
+
+
+# ===========================================================================
+# ST_GeoHash (PostGIS dialect tail; Niemeyer base-32 cell index)
+# ===========================================================================
+
+
+def _sql_geohash() -> str:
+    from gdal_spark.spatial.geohash import sql_geohash_parts
+
+    li, la, v, gh = sql_geohash_parts(
+        sql_lon("o_orderkey"), sql_lat("o_orderkey"), precision=8)
+    return f"""WITH src AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0),
+q AS (SELECT o_orderkey, {li} AS li, {la} AS la FROM src),
+b AS (SELECT o_orderkey, {v} AS v FROM q)
+SELECT o_orderkey, {gh} AS geohash FROM b"""
+
+
+@register("st_geohash", _sql_geohash())
+def q_st_geohash(spark, sf_dir):
+    """ST_GeoHash at precision 8 (the PostGIS dialect surface; Niemeyer
+    spec): lon/lat fractions quantized to 20-bit integers, interleaved
+    lon-first into a 40-bit cell id by a generated sum of bit terms,
+    base-32 characters by fixed substring lookups — one whole-stage-
+    codegen projection, no UDF, no shuffle."""
+    from gdal_spark.spatial.geohash import geohash_encode
+
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    lon = derived_lon(F.col("o_orderkey"))
+    lat = derived_lat(F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey", geohash_encode(lon, lat, 8).alias("geohash"))

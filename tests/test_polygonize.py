@@ -45,22 +45,47 @@ def test_polygonize_diagonal_cells_are_separate(spark):
     assert len(out) == 2
 
 
-def test_polygonize_default_budget_scales_with_cell_count(spark, monkeypatch):
-    """The default CC round budget must scale with the CELL COUNT, not the
-    grid width: min-label propagation is 1 hop/round and a serpentine
-    region's diameter is O(width*height) — a tall raster under the old
-    8*width default raised on valid input."""
+def test_label_regions_two_level_contract(spark, monkeypatch):
+    """Two-level CC contract: block-local union-find + bounded DRIVER
+    union-find of the contracted boundary graph — the distributed CC
+    fallback must NOT run for small contracted graphs, and a region
+    spanning many blocks must still get one label (= min cid)."""
     import gdal_spark.operators.polygonize as PZ
 
-    seen = {}
-    real = PZ.connected_components
+    called = {"cc": False}
 
     def spy(edges, **kw):
-        seen.update(kw)
-        return real(edges, **kw)
+        called["cc"] = True
+        return PZ.connected_components(edges, **kw)
 
     monkeypatch.setattr(PZ, "connected_components", spy)
-    # sparse singletons on a 2-wide × 100-tall grid (fast CC convergence)
-    rows = [(0, y, 1) for y in range(0, 100, 3)] + [(1, 0, 1)]
-    PZ.polygonize(_cells(spark, rows)).collect()
-    assert seen["max_iter"] == 200  # width(2) × height(100)
+    # serpentine of value 1 snaking across a 12-wide grid, block=4 →
+    # the region crosses block boundaries repeatedly
+    rows = [(x, 0, 1) for x in range(12)] + [(11, 1, 1)] + \
+        [(x, 2, 1) for x in range(12)] + [(5, 4, 9)]
+    lab = PZ.label_regions(
+        _cells(spark, rows), width=12, block=4).collect()
+    regions = {}
+    for r in lab:
+        regions.setdefault(r["region_id"], []).append(r["cid"])
+    assert not called["cc"]  # driver union-find path taken
+    assert len(regions) == 2
+    assert sorted(regions)[0] == 0          # serpentine labeled min cid
+    assert len(regions[0]) == 25
+    assert regions[4 * 12 + 5] == [4 * 12 + 5]  # singleton self-labeled
+
+
+def test_label_regions_8conn_across_block_corner(spark):
+    """8-connectivity across a block CORNER (down-right and down-left
+    diagonal crossings must reach the contracted graph)."""
+    import gdal_spark.operators.polygonize as PZ
+
+    # blocks of 4: (3,3) and (4,4) touch only diagonally across the
+    # corner; (4,3) and (3,4) differ in value
+    rows = [(3, 3, 7), (4, 4, 7), (4, 3, 1), (3, 4, 2)]
+    lab = PZ.label_regions(
+        _cells(spark, rows), width=8, block=4, connectedness=8).collect()
+    by_cid = {r["cid"]: r["region_id"] for r in lab}
+    assert by_cid[3 * 8 + 3] == by_cid[4 * 8 + 4]  # merged across corner
+    assert by_cid[3 * 8 + 4] != by_cid[3 * 8 + 3]
+    assert by_cid[4 * 8 + 3] != by_cid[3 * 8 + 3]
