@@ -503,3 +503,78 @@ def knn_cell_join_adaptive(
     pts.unpersist()
     todo.unpersist()
     return out
+
+
+def _hex_axial_cells(lon_col, lat_col, size: float):
+    """Axial hex-cell (q, r) columns of a pointy-top hexagonal grid with
+    circumradius ``size`` (degrees, planar): fractional axial coords +
+    the standard cube-rounding CASE chain (Patel's hex-grid reference,
+    public) — pure JVM column math.  The hex binning is ENGINE-INTERNAL
+    (candidate generation only); correctness comes from the exact refine,
+    so no cross-engine rounding parity is required."""
+    s3 = float(np.sqrt(3.0))
+    qf = (lon_col * F.lit(s3 / 3.0) - lat_col / F.lit(3.0)) / F.lit(size)
+    rf = (lat_col * F.lit(2.0 / 3.0)) / F.lit(size)
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = F.round(xf, 0), F.round(yf, 0), F.round(zf, 0)
+    dx, dy, dz = F.abs(rx - xf), F.abs(ry - yf), F.abs(rz - zf)
+    # exactly one coordinate is corrected to restore x+y+z=0: the one
+    # with the largest rounding error (x -> q, z -> r; y is implicit)
+    cq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    cr = F.when((dx > dy) & (dx > dz), rz).when(dy > dz, rz).otherwise(
+        -rx - ry)
+    return cq.cast("long"), cr.cast("long")
+
+
+def knn_hex_kring_join(
+    points: DataFrame, queries: DataFrame, k: int, ring: int,
+    size: float, point_id: str = "o_orderkey",
+) -> DataFrame:
+    """kNN by HEX k-ring expansion + exact great-circle refine (the
+    north-star H3-style shape on a flat axial hex grid): base points
+    bucket to hex cells once; each query explodes its radius-``ring``
+    hex k-ring (the axial-coordinate disk |dq|<=k, max(-k,-dq-k)<=dr<=
+    min(k,-dq+k) — (3k^2+3k+1) cells, closed form), candidates come from
+    ONE equi-join on the (q, r) cell key, and the exact spherical
+    law-of-cosines distance (ogr/ogr_geo_utils.cpp:25-46 parity) refines
+    to the top-k with deterministic (dist, neighbor_id) tie-break.
+    With ``ring`` covering the populated grid the result is exact (the
+    demo gate's contract, like the zoom-2 quadkey variant); production
+    sizes trade ring radius for recall."""
+    from pyspark.sql import Window
+
+    pq, pr = _hex_axial_cells(F.col("lon"), F.col("lat"), size)
+    base = points.select(
+        F.col(point_id).alias("neighbor_id"),
+        F.col("lon").alias("_plon"), F.col("lat").alias("_plat"),
+        pq.alias("_cq"), pr.alias("_cr"),
+    )
+    qq, qr = _hex_axial_cells(F.col("lon"), F.col("lat"), size)
+    qc = queries.select(
+        "query_id",
+        F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"),
+        qq.alias("_q0"), qr.alias("_r0"),
+    )
+    probe = (
+        qc.withColumn("_dq", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+        .withColumn("_dr", F.explode(F.sequence(
+            F.greatest(F.lit(-ring), -F.col("_dq") - ring),
+            F.least(F.lit(ring), -F.col("_dq") + ring))))
+        .select(
+            "query_id", "_qlon", "_qlat",
+            (F.col("_q0") + F.col("_dq")).alias("_cq"),
+            (F.col("_r0") + F.col("_dr")).alias("_cr"),
+        )
+    )
+    cand = probe.join(base, on=["_cq", "_cr"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_m"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("dist_m", _gc_dist_col())
+        .withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist_m")
+    )

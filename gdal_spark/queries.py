@@ -12773,3 +12773,25 @@ def q_st_geohash(spark, sf_dir):
     lat = derived_lat(F.col("o_orderkey"))
     return o.select(
         "o_orderkey", geohash_encode(lon, lat, 8).alias("geohash"))
+
+
+# ===========================================================================
+# kNN via HEX k-ring expansion (the north-star H3-style shape on a flat
+# axial hex grid) — exact oracle shared with the other kNN gates
+# ===========================================================================
+
+
+@register("knn_hex_kring", _knn_oracle())
+def q_knn_hex_kring(spark, sf_dir):
+    """Hex-grid k-ring kNN: base points bucket to 30-degree axial hex
+    cells, each query explodes its radius-14 k-ring disk (covers the
+    whole populated grid at this size, so the result is exact — the same
+    demo contract as the zoom-2 quadkey variant), ONE cell equi-join,
+    exact great-circle refine with (dist, neighbor_id) tie-break."""
+    pts = order_points(spark, sf_dir)
+    queries = pts.filter(F.expr(KNN_PRED)).select(
+        F.col("o_orderkey").alias("query_id"), "lon", "lat"
+    )
+    out = KNN.knn_hex_kring_join(
+        pts, queries, k=KNN_K, ring=14, size=30.0, point_id="o_orderkey")
+    return out.withColumn("dist_m", R("dist_m", 3))
