@@ -1120,3 +1120,57 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
     mdf = spark.createDataFrame(
         merge_rows, "kind string, step long, token string, cnt long")
     return mdf.unionAll(toks)
+
+
+WINNOW_K = 8          # k-gram length (chars)
+WINNOW_W = 6          # winnowing window (hashes)
+WINNOW_M = 2147483647  # Mersenne modulus keeps the fold in integer range
+
+
+def winnowing_fingerprints(docs: DataFrame,
+                           text_col: str = "text") -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS selection rule): polynomial rolling hashes of the
+    character k-grams, then from every window of W consecutive hashes
+    keep the MINIMUM — the guarantee is that any shared substring of
+    length >= k + w - 1 produces at least one shared fingerprint.
+
+    Everything is JVM higher-order-function column math (transform /
+    aggregate / slice / array_min / array_distinct): no UDF, no shuffle —
+    one map-only projection; the fold arithmetic ((acc*31 + c) mod M,
+    (a + b) mod M) is integer-exact and order-free on both engines.
+    Output per doc: fingerprint count + modular fingerprint sum."""
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    t = F.split(F.trim(F.col(text_col)), "")
+    kgram_hash = (
+        f"transform(sequence(1, size(_t) - {k} + 1), i -> "
+        f"aggregate(transform(sequence(0, {k - 1}), "
+        f"j -> cast(ascii(element_at(_t, cast(i + j AS int))) AS bigint)), "
+        f"cast(0 AS bigint), (acc, c) -> (acc * 31 + c) % {m}))"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(_hs) - {w} + 1), "
+        f"j -> array_min(slice(_hs, cast(j AS int), {w}))))"
+    )
+    fold_sum = (
+        f"aggregate(_fps, cast(0 AS bigint), (a, b) -> (a + b) % {m})"
+    )
+    return (
+        docs.select("doc_id", t.alias("_t"))
+        .withColumn(
+            "_hs",
+            F.when(F.size("_t") >= k, F.expr(kgram_hash))
+            .otherwise(F.expr("cast(array() AS array<bigint>)")),
+        )
+        .withColumn(
+            "_fps",
+            F.when(F.size("_hs") >= w, F.expr(sel))
+            .otherwise(F.expr("cast(array() AS array<bigint>)")),
+        )
+        .select(
+            "doc_id",
+            F.size("_fps").cast("long").alias("n_fp"),
+            F.coalesce(F.expr(fold_sum), F.lit(0)).cast("long")
+            .alias("fp_sum"),
+        )
+    )

@@ -12795,3 +12795,39 @@ def q_knn_hex_kring(spark, sf_dir):
     out = KNN.knn_hex_kring_join(
         pts, queries, k=KNN_K, ring=14, size=30.0, point_id="o_orderkey")
     return out.withColumn("dist_m", R("dist_m", 3))
+
+
+# ===========================================================================
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS selection rule)
+# ===========================================================================
+
+
+def _sql_winnowing() -> str:
+    k, w, m = T.WINNOW_K, T.WINNOW_W, T.WINNOW_M
+    return f"""WITH h AS (
+  SELECT doc_id,
+         [list_reduce(list_prepend(0::bigint,
+            [ord(t[i + j])::bigint FOR j IN range(0, {k})]),
+            (acc, c) -> (acc * 31 + c) % {m})
+          FOR i IN range(1, greatest(len(t) - {k} + 2, 1))] AS hs
+  FROM (SELECT doc_id, string_split(trim(text), '') AS t FROM documents)),
+sel AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[j:j+{w - 1}])
+                        FOR j IN range(1, greatest(len(hs) - {w} + 2, 1))])
+           AS fps
+  FROM h)
+SELECT doc_id, len(fps)::bigint AS n_fp,
+       COALESCE(list_reduce(list_prepend(0::bigint, fps),
+                            (a, b) -> (a + b) % {m}), 0)::bigint AS fp_sum
+FROM sel"""
+
+
+@register("text_winnowing", _sql_winnowing())
+def q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprint gate: character-8-gram rolling hashes,
+    window-6 minimum selection, distinct fingerprints per doc — count +
+    order-free modular sum; shared substrings of length >= k+w-1
+    guarantee shared fingerprints (the near-dup detection contract)."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(docs)
