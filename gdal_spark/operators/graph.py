@@ -1,0 +1,68 @@
+"""Web-graph operators (graft axis webtext): integer-quantized PageRank.
+
+PageRank (Brin & Page 1998) with the damping update
+``r' = (1-d) + d * sum_in(r / outdeg)`` — re-expressed in INTEGER
+micro-units so the per-node sum is order-free and the DuckDB oracle can
+chain the same K iterations as CTEs bit-exactly:
+
+* ranks live as bigint micro-units (1.0 = 1,000,000),
+* each edge contributes ``rank_micro // outdeg`` (integer division),
+* the damped update is ``150000 + (85 * contrib_sum) // 100``.
+
+Distributed shape: the edge table pre-joins its source's outdeg once;
+each iteration is ONE shuffle (groupBy dst of integer contribs) plus a
+broadcast-size left join back to the node table — K driver-paced rounds
+with lineage truncation, the engine's standard iterative contract.
+Nodes without in-links settle at the (1-d) floor, exactly like the
+reference formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ONE = 1_000_000  # 1.0 in micro-units
+PR_DAMP_NUM = 85    # d = 0.85 as a ratio of integers
+PR_DAMP_DEN = 100
+PR_FLOOR = PR_ONE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # (1-d)*1e6
+
+
+def pagerank_micro(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+                   id_col: str = "id") -> DataFrame:
+    """Integer PageRank over (nodes[id], edges[src, dst]).  Returns
+    (id, rank_micro) after ``iters`` damped iterations from a uniform
+    micro-unit start."""
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=True)
+    r = nodes.select(
+        F.col(id_col).alias("id"),
+        F.lit(PR_ONE).cast("long").alias("rank_micro"),
+    )
+    for i in range(iters):
+        contrib = (
+            ed.join(r, ed["src"] == r["id"])
+            .select(
+                "dst",
+                F.floor(F.col("rank_micro") / F.col("outdeg"))
+                .cast("long").alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_cs"))
+        )
+        r = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(contrib, F.col("id") == contrib["dst"], "left")
+            .select(
+                "id",
+                (F.lit(PR_FLOOR)
+                 + F.floor(
+                     F.lit(PR_DAMP_NUM) * F.coalesce(F.col("_cs"), F.lit(0))
+                     / F.lit(PR_DAMP_DEN)
+                 ).cast("long")).alias("rank_micro"),
+            )
+        )
+        if (i + 1) % 2 == 0 and i + 1 < iters:
+            r = r.localCheckpoint(eager=True)
+    return r

@@ -12831,3 +12831,62 @@ def q_text_winnowing(spark, sf_dir):
     guarantee shared fingerprints (the near-dup detection contract)."""
     docs = _read(spark, sf_dir, "documents")
     return T.winnowing_fingerprints(docs)
+
+
+# ===========================================================================
+# PageRank over a deterministic document link graph (Brin & Page 1998;
+# integer micro-units make the iteration order-free on both engines)
+# ===========================================================================
+
+_PR_ITERS = 5
+
+
+def _sql_pagerank() -> str:
+    from gdal_spark.operators.graph import (
+        PR_DAMP_DEN, PR_DAMP_NUM, PR_FLOOR, PR_ONE)
+
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % cnt AS dst "
+        "FROM n CROSS JOIN c"
+        for a, b in ((31, 7), (17, 3), (13, 11)))
+    blocks = [f"""n AS (SELECT doc_id FROM documents),
+c AS (SELECT count(*)::bigint AS cnt FROM n),
+e AS (SELECT DISTINCT src, dst FROM ({edges}) WHERE src <> dst),
+d AS (SELECT src, count(*)::bigint AS outdeg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN d USING (src)),
+r0 AS (SELECT doc_id AS id, {PR_ONE}::bigint AS r FROM n)"""]
+    for i in range(1, _PR_ITERS + 1):
+        blocks.append(f"""s{i} AS (
+  SELECT ed.dst, sum(r{i - 1}.r // ed.outdeg)::bigint AS cs
+  FROM ed JOIN r{i - 1} ON r{i - 1}.id = ed.src GROUP BY ed.dst),
+r{i} AS (
+  SELECT n.doc_id AS id,
+         ({PR_FLOOR} + ({PR_DAMP_NUM} * COALESCE(s{i}.cs, 0))
+            // {PR_DAMP_DEN})::bigint AS r
+  FROM n LEFT JOIN s{i} ON s{i}.dst = n.doc_id)""")
+    return (f"WITH {', '.join(blocks)}\n"
+            f"SELECT id AS doc_id, r AS rank_micro FROM r{_PR_ITERS}")
+
+
+@register("web_pagerank", _sql_pagerank())
+def q_web_pagerank(spark, sf_dir):
+    """PageRank (5 damped iterations, d=0.85) over the deterministic
+    3-out-link document graph: per-iteration ONE integer-contribution
+    shuffle + left join back to the node table; micro-unit integer
+    arithmetic keeps both engines bit-identical regardless of sum
+    order."""
+    from gdal_spark.operators.graph import pagerank_micro
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    nodes = docs
+    edges = None
+    for a, b in ((31, 7), (17, 3), (13, 11)):
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionAll(part)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    out = pagerank_micro(nodes, edges, iters=_PR_ITERS, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "rank_micro")
