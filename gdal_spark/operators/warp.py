@@ -267,20 +267,32 @@ def warp_reproject_bilinear(
 
 
 def warp_reproject_average(
-    src_blocks: DataFrame, tiles: DataFrame, zoom: int
+    src_blocks: DataFrame, tiles: DataFrame, zoom: int,
+    kernel: str = "average",
 ) -> DataFrame:
-    """Area-weighted AVERAGE reprojection warp (``gdalwarp -r average``,
-    alg/gdalwarpkernel.cpp GWKAverageOrModeThread — the GDAL >= 3.1
-    weighted form): each destination pixel's source-space FOOTPRINT
-    rectangle comes from transforming its edges (x linear in longitude,
-    y through the exact Mercator inverse), and every overlapped source
-    pixel contributes with weight = overlap fraction
-    ``max(0, min(x1, i+1) - max(x0, i))`` per axis, normalized by the
-    total footprint area.  At z2 the footprint spans <= 1.41 source
-    pixels per axis, so a fixed 3x3 tap stencil covers every case; the
-    weighted sum runs in the SAME term order as the SQL oracle so the
-    float chain is bit-identical.  Output per tile: (tx, ty, n_px,
-    val_micro_sum, digest) in integer micro-units."""
+    """Footprint-weighted reprojection warp kernels (``gdalwarp -r
+    average/sum/rms/mode``, alg/gdalwarpkernel.cpp GWKAverageOrModeThread
+    — the GDAL >= 3.1 weighted forms): each destination pixel's
+    source-space FOOTPRINT rectangle comes from transforming its edges
+    (x linear in longitude, y through the exact Mercator inverse), and
+    every overlapped source pixel contributes with weight = overlap
+    fraction ``max(0, min(x1, i+1) - max(x0, i))`` per axis.
+
+    * ``average`` — weighted mean (normalized by footprint area),
+    * ``sum``     — plain weighted sum (GDAL 3.1 ``sum``: total flux,
+      no normalization),
+    * ``rms``     — sqrt of the weighted mean of squares,
+    * ``mode``    — the value with the largest total weight among the
+      taps; ties break to the SMALLEST value (the reference's
+      first-found scan order over an ascending histogram).
+
+    At z2 the footprint spans <= 1.41 source pixels per axis, so a fixed
+    3x3 tap stencil covers every case; all accumulations run in the SAME
+    term order as the SQL oracle so the float chain is bit-identical.
+    Output per tile: (tx, ty, n_px, val_micro_sum, digest) in integer
+    micro-units."""
+    if kernel not in ("average", "sum", "rms", "mode"):
+        raise ValueError(f"unknown footprint kernel: {kernel}")
     n_px = (1 << zoom) * TILE
 
     gx0 = F.col("tx").cast("double") * TILE
@@ -369,12 +381,42 @@ def warp_reproject_average(
             )
             for li in range(3)
         ]
-        num = np.zeros((TILE, TILE), dtype=np.float64)
-        for li in range(3):
-            for k in range(3):
-                num = num + wx[k] * wy[li] * fetch(xb + k, yb + li)
-        den = (wx[0] + wx[1] + wx[2]) * (wy[0] + wy[1] + wy[2])
-        v = num / den
+        if kernel == "mode":
+            vals, ws = [], []
+            for li in range(3):
+                for k in range(3):
+                    vals.append(fetch(xb + k, yb + li))
+                    ws.append(wx[k] * wy[li])
+            # total weight per tap value (ties: smallest value wins)
+            best_v = None
+            best_w = None
+            for i in range(9):
+                wsum = np.zeros((TILE, TILE), dtype=np.float64)
+                for j in range(9):
+                    wsum = wsum + np.where(vals[j] == vals[i], ws[j], 0.0)
+                if best_v is None:
+                    best_v, best_w = vals[i].copy(), wsum
+                else:
+                    take = (wsum > best_w) | (
+                        (wsum == best_w) & (vals[i] < best_v))
+                    best_v = np.where(take, vals[i], best_v)
+                    best_w = np.where(take, wsum, best_w)
+            v = best_v
+        else:
+            num = np.zeros((TILE, TILE), dtype=np.float64)
+            for li in range(3):
+                for k in range(3):
+                    tap = fetch(xb + k, yb + li)
+                    if kernel == "rms":
+                        tap = tap * tap
+                    num = num + wx[k] * wy[li] * tap
+            if kernel == "sum":
+                v = num
+            else:
+                den = (wx[0] + wx[1] + wx[2]) * (wy[0] + wy[1] + wy[2])
+                v = num / den
+                if kernel == "rms":
+                    v = np.sqrt(v)
         vi = np.floor(v * 1e6 + 0.5).astype(np.int64).ravel()
         digest = hashlib.md5(
             ",".join(str(int(x)) for x in vi).encode()

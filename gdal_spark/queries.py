@@ -12890,3 +12890,130 @@ def q_web_pagerank(spark, sf_dir):
     edges = edges.filter(F.col("src") != F.col("dst"))
     out = pagerank_micro(nodes, edges, iters=_PR_ITERS, id_col="doc_id")
     return out.select(F.col("id").alias("doc_id"), "rank_micro")
+
+
+# ===========================================================================
+# Footprint warp kernel menu completion: -r sum / rms / mode
+# ===========================================================================
+
+
+def _sql_warp_footprint(kernel: str) -> str:
+    wx = [
+        f"greatest(0.0, least(sx1, xb + {k + 1}) - greatest(sx0, xb + {k}))"
+        for k in range(3)
+    ]
+    wy = [
+        f"greatest(0.0, least(sy1, yb + {li + 1}) - greatest(sy0, yb + {li}))"
+        for li in range(3)
+    ]
+    head = f"""
+WITH gs AS (SELECT unnest(generate_series(0, 255)) AS v),
+tl AS (SELECT unnest(generate_series(1, 2)) AS v),
+p AS (
+  SELECT ttx.v AS tx, tty.v AS ty, gy.v AS py, gx.v AS px,
+         (ttx.v * 256 + gx.v) * {_WARP_KX!r} AS sx0,
+         (ttx.v * 256 + gx.v + 1) * {_WARP_KX!r} AS sx1,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v) / {_WARP_NPX}) AS t0,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v + 1) / {_WARP_NPX}) AS t1
+  FROM tl ttx CROSS JOIN tl tty CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT tx, ty, py, px, sx0, sx1,
+         (90.0 - degrees(atan((exp(t0) - exp(-t0)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy0,
+         (90.0 - degrees(atan((exp(t1) - exp(-t1)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy1
+  FROM p),
+f AS (
+  SELECT tx, ty, py, px, sx0, sx1, sy0, sy1,
+         floor(sx0 + 1e-10)::bigint AS xb,
+         floor(sy0 + 1e-10)::bigint AS yb
+  FROM c),
+w AS (
+  SELECT tx, ty, py, px, xb, yb,
+         {wx[0]} AS wx0, {wx[1]} AS wx1, {wx[2]} AS wx2,
+         {wy[0]} AS wy0, {wy[1]} AS wy1, {wy[2]} AS wy2
+  FROM f)"""
+    tail = """
+SELECT tx, ty, count(*)::bigint AS n_px, sum(vi)::bigint AS val_micro_sum,
+       md5(string_agg(vi::varchar, ',' ORDER BY py, px)) AS digest
+FROM vv GROUP BY tx, ty"""
+    if kernel in ("sum", "rms"):
+        terms = []
+        for li in range(3):
+            for k in range(3):
+                gv = _geo_val(f"xb + {k}", f"yb + {li}")
+                tap = f"(({gv}) * ({gv}))" if kernel == "rms" else f"({gv})"
+                terms.append(f"wx{k} * wy{li} * {tap}")
+        num = " + ".join(terms)
+        if kernel == "sum":
+            vexpr = f"({num})"
+        else:
+            vexpr = (f"sqrt(({num}) / "
+                     f"((wx0 + wx1 + wx2) * (wy0 + wy1 + wy2)))")
+        return head + f""",
+vv AS (
+  SELECT tx, ty, py, px, floor({vexpr} * 1e6 + 0.5)::bigint AS vi
+  FROM w)""" + tail
+    # mode: per-tap total-weight argmax with smallest-value tie-break,
+    # folded in the SAME sequential order as the numpy kernel
+    vcols = []
+    i = 0
+    for li in range(3):
+        for k in range(3):
+            vcols.append(
+                f"{_geo_val(f'xb + {k}', f'yb + {li}')} AS v{i}, "
+                f"wx{k} * wy{li} AS w{i}")
+            i += 1
+    ws = []
+    for i in range(9):
+        ws.append(" + ".join(
+            f"(CASE WHEN v{j} = v{i} THEN w{j} ELSE 0.0 END)"
+            for j in range(9)) + f" AS ws{i}")
+    fold = ["v0 AS b0v, ws0 AS b0w"]
+    for i in range(1, 9):
+        fold.append(
+            f"CASE WHEN ws{i} > b{i - 1}w OR (ws{i} = b{i - 1}w "
+            f"AND v{i} < b{i - 1}v) THEN v{i} ELSE b{i - 1}v END AS b{i}v, "
+            f"CASE WHEN ws{i} > b{i - 1}w OR (ws{i} = b{i - 1}w "
+            f"AND v{i} < b{i - 1}v) THEN ws{i} ELSE b{i - 1}w END AS b{i}w")
+    chain = ", ".join(
+        f"m{i} AS (SELECT *, {fold[i]} FROM m{i - 1})" if i else
+        f"m0 AS (SELECT *, {fold[0]} FROM taps)"
+        for i in range(9))
+    return head + f""",
+taps AS (SELECT tx, ty, py, px, {', '.join(vcols)},
+         {', '.join(ws)} FROM w),
+{chain},
+vv AS (SELECT tx, ty, py, px, floor(b8v * 1e6 + 0.5)::bigint AS vi
+       FROM m8)""" + tail
+
+
+@register("warp_reproject_sum", _sql_warp_footprint("sum"))
+def q_warp_reproject_sum(spark, sf_dir):
+    """gdalwarp -r sum (GDAL 3.1 flux-preserving kernel): plain weighted
+    footprint sum, no normalization."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int")
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_average(src, tiles, _WARP_Z, kernel="sum")
+
+
+@register("warp_reproject_rms", _sql_warp_footprint("rms"))
+def q_warp_reproject_rms(spark, sf_dir):
+    """gdalwarp -r rms: sqrt of the footprint-weighted mean of squares."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int")
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_average(src, tiles, _WARP_Z, kernel="rms")
+
+
+@register("warp_reproject_mode", _sql_warp_footprint("mode"))
+def q_warp_reproject_mode(spark, sf_dir):
+    """gdalwarp -r mode: the tap value with the largest total footprint
+    weight, ties to the smallest value (the reference's ascending-
+    histogram scan); the argmax fold runs in the identical sequential
+    order on both engines."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int")
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_average(src, tiles, _WARP_Z, kernel="mode")
