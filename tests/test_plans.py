@@ -471,3 +471,45 @@ def test_semdedup_pairs_join_on_cluster_key(spark):
     avoid."""
     p = _plan(spark, "embed_semdedup")
     assert "CartesianProduct" not in p
+
+
+def test_warp_footprint_kernels_block_equi_join(spark):
+    """The footprint kernels (-r average/sum/rms/mode) share the nearest
+    warp's physical shape: block-key equi-join + per-tile assembly — no
+    nested loop, no cartesian, no driver gather."""
+    for name in ("warp_reproject_average", "warp_reproject_mode"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_retile_single_destination_shuffle(spark):
+    """gdal_retile ships pieces (not pixels) through exactly one
+    hash exchange on the destination key before the stitch."""
+    p = _plan(spark, "raster_retile")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_hex_kring_knn_equi_join_only(spark):
+    """Hex k-ring kNN candidates come from a cell-key equi-join — never a
+    query-by-base cartesian."""
+    p = _plan(spark, "knn_hex_kring")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_geohash_and_winnowing_map_only(spark):
+    """ST_GeoHash and the winnowing fingerprint projection are shuffle-free
+    map-only plans (one whole-stage-codegen projection over the scan)."""
+    for name in ("st_geohash", "text_winnowing"):
+        p = _plan(spark, name)
+        assert "Exchange" not in p, name
+
+
+def test_pagerank_contribution_joins_no_cartesian(spark):
+    """Every PageRank round is an edge->rank equi-join + integer partial
+    aggregate; the plan must stay cartesian-free."""
+    p = _plan(spark, "web_pagerank")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
