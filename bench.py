@@ -144,6 +144,13 @@ BENCH_QUERIES = [
     "text_bpe_train",
     "raster_retile",
     "corpus_pack_sequences",
+    "csv_wkt_roundtrip",
+    "text_bpe_encode",
+    "st_geohash",
+    "knn_hex_kring",
+    "text_winnowing",
+    "web_pagerank",
+    "warp_reproject_mode",
 ]
 
 
