@@ -66,3 +66,36 @@ def pagerank_micro(nodes: DataFrame, edges: DataFrame, iters: int = 5,
         if (i + 1) % 2 == 0 and i + 1 < iters:
             r = r.localCheckpoint(eager=True)
     return r
+
+
+def hits_micro(nodes: DataFrame, edges: DataFrame, iters: int = 3,
+               id_col: str = "id") -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in integer micro-units,
+    UNNORMALIZED for a fixed small iteration count (values stay far
+    inside int64 for bounded degree × iters; the gate pins 3 rounds):
+    a' = sum of h over in-edges, h' = sum of a' over out-edges — each
+    round is two integer-sum shuffles, order-free on both engines.
+    Returns (id, hub_micro, auth_micro)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    ids = nodes.select(F.col(id_col).alias("id"))
+    h = ids.withColumn("h", F.lit(PR_ONE).cast("long"))
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h, e["src"] == h["id"])
+            .groupBy("dst").agg(F.sum("h").alias("_a"))
+        )
+        a = ids.join(a, ids["id"] == a["dst"], "left").select(
+            "id", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("a"))
+        h = (
+            e.join(a, e["dst"] == a["id"])
+            .groupBy("src").agg(F.sum("a").alias("_h"))
+        )
+        h = ids.join(h, ids["id"] == h["src"], "left").select(
+            "id", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("h"))
+    return (
+        h.join(a.withColumnRenamed("id", "_aid"),
+               h["id"] == F.col("_aid"))
+        .select("id", F.col("h").alias("hub_micro"),
+                F.col("a").alias("auth_micro"))
+    )

@@ -13017,3 +13017,99 @@ def q_warp_reproject_mode(spark, sf_dir):
         [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int")
     src = WP.synthetic_geo_raster(spark)
     return WP.warp_reproject_average(src, tiles, _WARP_Z, kernel="mode")
+
+
+# ===========================================================================
+# HITS hubs & authorities over the same deterministic link graph
+# ===========================================================================
+
+_HITS_ITERS = 3
+
+
+def _sql_hits() -> str:
+    from gdal_spark.operators.graph import PR_ONE
+
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % cnt AS dst "
+        "FROM n CROSS JOIN c"
+        for a, b in ((31, 7), (17, 3), (13, 11)))
+    blocks = [f"""n AS (SELECT doc_id FROM documents),
+c AS (SELECT count(*)::bigint AS cnt FROM n),
+e AS (SELECT DISTINCT src, dst FROM ({edges}) WHERE src <> dst),
+h0 AS (SELECT doc_id AS id, {PR_ONE}::bigint AS h FROM n)"""]
+    for i in range(1, _HITS_ITERS + 1):
+        blocks.append(f"""a{i} AS (
+  SELECT n.doc_id AS id, COALESCE(s.a, 0)::bigint AS a
+  FROM n LEFT JOIN (
+    SELECT e.dst, sum(h{i - 1}.h)::bigint AS a
+    FROM e JOIN h{i - 1} ON h{i - 1}.id = e.src GROUP BY e.dst) s
+  ON s.dst = n.doc_id),
+h{i} AS (
+  SELECT n.doc_id AS id, COALESCE(s.h, 0)::bigint AS h
+  FROM n LEFT JOIN (
+    SELECT e.src, sum(a{i}.a)::bigint AS h
+    FROM e JOIN a{i} ON a{i}.id = e.dst GROUP BY e.src) s
+  ON s.src = n.doc_id)""")
+    return (f"WITH {', '.join(blocks)}\n"
+            f"SELECT h{_HITS_ITERS}.id AS doc_id, "
+            f"h{_HITS_ITERS}.h AS hub_micro, a{_HITS_ITERS}.a AS auth_micro "
+            f"FROM h{_HITS_ITERS} JOIN a{_HITS_ITERS} USING (id)")
+
+
+@register("web_hits", _sql_hits())
+def q_web_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 rounds, integer micro-units, unnormalized
+    for the fixed round count) over the PageRank gate's deterministic
+    3-out-link graph; two integer-sum shuffles per round."""
+    from gdal_spark.operators.graph import hits_micro
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for a, b in ((31, 7), (17, 3), (13, 11)):
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionAll(part)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    out = hits_micro(docs, edges, iters=_HITS_ITERS, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"),
+                      "hub_micro", "auth_micro")
+
+
+# ===========================================================================
+# RANGE window frames (RANGE BETWEEN n PRECEDING AND n FOLLOWING — the
+# value-based frame, distinct from the ROWS frames the other window gates
+# exercise)
+# ===========================================================================
+
+
+@register(
+    "sql_range_frame",
+    """SELECT doc_id, source,
+       sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+         ::bigint AS chars_pm5,
+       count(*) OVER (PARTITION BY source ORDER BY doc_id
+                      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+         ::bigint AS docs_pm5
+FROM documents""",
+)
+def q_sql_range_frame(spark, sf_dir):
+    """Value-based RANGE window frame: per source, the character mass and
+    doc count within doc_id ± 5 — the frame boundary is a VALUE offset,
+    not a row offset (sparse ids make the two differ), partitioned so the
+    window scan stays parallel."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rangeBetween(-5, 5)
+    )
+    return docs.select(
+        "doc_id", "source",
+        F.sum("n_chars").over(w).cast("long").alias("chars_pm5"),
+        F.count(F.lit(1)).over(w).cast("long").alias("docs_pm5"),
+    )
