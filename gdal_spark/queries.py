@@ -13113,3 +13113,31 @@ def q_sql_range_frame(spark, sf_dir):
         F.sum("n_chars").over(w).cast("long").alias("chars_pm5"),
         F.count(F.lit(1)).over(w).cast("long").alias("docs_pm5"),
     )
+
+
+# ===========================================================================
+# LATERAL correlated subquery in FROM (SQL:1999 surface; Spark >= 3.2 and
+# DuckDB execute the SAME text verbatim)
+# ===========================================================================
+
+_SQL_LATERAL = """SELECT o.o_orderkey, t.max_price, t.n_items
+FROM orders o, LATERAL (
+  SELECT max(l.l_extendedprice) AS max_price, count(*) AS n_items
+  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t
+WHERE o.o_orderkey % 50 = 0"""
+
+
+@register("sql_lateral_join", _SQL_LATERAL)
+def q_sql_lateral_join(spark, sf_dir):
+    """LATERAL correlated subquery (the ANSI-portability family): ONE SQL
+    text executed verbatim by Spark SQL and DuckDB — per-order lineitem
+    aggregate through a lateral derived table; Catalyst decorrelates it
+    into an aggregate + equi-join (no per-row re-execution)."""
+    for t in ("orders", "lineitem"):
+        _read(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = spark.sql(_SQL_LATERAL)
+    # max of the SAME parquet doubles is bit-identical on both engines —
+    # no rounding, the hash compares raw values
+    return out.select(
+        "o_orderkey", "max_price",
+        F.col("n_items").cast("long").alias("n_items"))
