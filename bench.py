@@ -151,6 +151,9 @@ BENCH_QUERIES = [
     "text_winnowing",
     "web_pagerank",
     "warp_reproject_mode",
+    "web_hits",
+    "sql_range_frame",
+    "sql_lateral_join",
 ]
 
 
