@@ -251,9 +251,25 @@ def flagship(spark) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def _cpu_calib() -> float:
+    """Single-thread pure-numpy calibration pass (one 50M-element int map +
+    sum): this VM's hypervisor phase swings single-thread throughput ~7x
+    within minutes (measured 2026-08-18: 0.95 -> 4.2 -> 6.7 s for this very
+    loop), so every bench record carries its own machine-speed stamp — a
+    slow calib means the wall-clock numbers ride a degraded phase, not an
+    engine regression."""
+    import numpy as np
+
+    x = np.arange(50_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    (x * 31 + 7).sum()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main():
     skip_scaling = "--skip-scaling" in sys.argv
     results: dict[str, float] = {}
+    calib_start = _cpu_calib()
 
     spark = _session(f"local[{CPUS}]", max(CPUS, 8))
     # warm the JVM/Arrow path once so timings measure the engine, not startup
@@ -375,6 +391,9 @@ def main():
         "flagship_runs_sec": flagship_runs,
         "flagship_rows": fl_n,
         "cpus": CPUS,
+        "cpu_calib_sec": [calib_start, _cpu_calib()],
+        "flagship_best_docs_per_sec":
+            round(fl_n / min(t for t, _ in fl_runs), 1),
         "scaling": scaling,
     }
     # Full record (per-query timings + scaling notes) goes to a sidecar
@@ -400,6 +419,8 @@ def main():
         "sf": full["sf"],
         "flagship_docs_per_sec": full["flagship_docs_per_sec"],
         "flagship_runs_sec": flagship_runs,
+        "flagship_best_docs_per_sec": full["flagship_best_docs_per_sec"],
+        "cpu_calib_sec": full["cpu_calib_sec"],
         "cpus": CPUS,
         "scaling": {
             k: (_pair_compact(v) if isinstance(v, dict) else v)
