@@ -13141,3 +13141,207 @@ def q_sql_lateral_join(spark, sf_dir):
     return out.select(
         "o_orderkey", "max_price",
         F.col("n_items").cast("long").alias("n_items"))
+
+
+# ===========================================================================
+# Round-4 session-7: ANSI window-function menu, GROUPING SETS, PIVOT,
+# edit-distance near-dup refine, Morton Z-order sort, ST_Affine
+# ===========================================================================
+
+_SQL_WINDOW_MENU = """SELECT doc_id,
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+         AS quartile,
+       percent_rank() OVER (PARTITION BY lang ORDER BY doc_id) AS pct_rank,
+       cume_dist() OVER (PARTITION BY lang ORDER BY doc_id) AS cume,
+       lag(n_chars, 1, CAST(0 AS BIGINT))
+         OVER (PARTITION BY lang ORDER BY doc_id) AS prev_chars,
+       lead(n_chars, 1, CAST(0 AS BIGINT))
+         OVER (PARTITION BY lang ORDER BY doc_id) AS next_chars
+FROM documents"""
+
+
+@register("sql_window_rank_menu", _SQL_WINDOW_MENU)
+def q_sql_window_rank_menu(spark, sf_dir):
+    """Ranking-window menu (ANSI-portability family — ONE SQL text verbatim
+    on Spark SQL and DuckDB): ntile / percent_rank / cume_dist / lag / lead
+    per language partition.  percent_rank and cume_dist are integer ratios
+    of identical counts, so the doubles hash bit-identically; the window
+    scan stays parallel because every function shares the lang partition
+    (reference: OGR SQLite-dialect window reach, ogrsqliteexecutesql.cpp)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_WINDOW_MENU)
+
+
+_SQL_GROUPING_SETS = """SELECT lang, source,
+       CAST(grouping(lang) AS BIGINT) AS g_lang,
+       CAST(grouping(source) AS BIGINT) AS g_source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())"""
+
+
+@register("sql_grouping_sets", _SQL_GROUPING_SETS)
+def q_sql_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (the third grouping form next to the existing
+    ROLLUP / CUBE gates; ogr_swq.cpp grouping reach) — ONE text verbatim on
+    both engines, grouping() markers disambiguate real NULLs from subtotal
+    rows; Catalyst expands to a single Expand + partial-agg plan (one
+    shuffle)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_GROUPING_SETS)
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@register(
+    "sql_pivot",
+    "SELECT source, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (WHERE lang = '{lang}') AS BIGINT) AS {lang}"
+        for lang in _PIVOT_LANGS
+    )
+    + " FROM documents GROUP BY source",
+)
+def q_sql_pivot(spark, sf_dir):
+    """PIVOT (long→wide doc counts per source × language): Spark's
+    relational pivot operator with an explicit value list (one shuffle,
+    no per-value scans); the oracle is the equivalent ANSI FILTER
+    aggregate.  Missing cells are 0, not NULL (count semantics)."""
+    docs = _read(spark, sf_dir, "documents")
+    p = docs.groupBy("source").pivot("lang", _PIVOT_LANGS).count()
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("long").alias(lang)
+            for lang in _PIVOT_LANGS
+        ],
+    )
+
+
+@register(
+    "text_levenshtein",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))
+            AS BIGINT) AS lev32,
+       CASE WHEN levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))
+                 <= 12 THEN 1 ELSE 0 END AS is_near
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+)
+def q_text_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup refine (the verify step that follows LSH /
+    SimHash candidate generation): Levenshtein over 32-char prefixes on a
+    deterministic candidate pairing (consecutive doc ids — an equi-join,
+    standing in for the banded-bucket join of the dedup path).  JVM
+    levenshtein on both sides of a projected join; at 100 TB the pairing
+    comes from LSH buckets and the refine stays this same map-only shape."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 32).alias("t_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 32).alias("t_b"),
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + F.lit(1))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("t_a", "t_b").cast("long").alias("lev32"),
+    )
+    return out.withColumn(
+        "is_near", F.when(F.col("lev32") <= 12, 1).otherwise(0).cast("long")
+    )
+
+
+Z_MORTON = 8
+
+
+def _morton_terms(xe: str, ye: str, order: int) -> str:
+    """Bit-interleave (x even bits, y odd) as one integer sum — the SAME
+    expression text runs on both engines (>>, & and integer * are shared
+    grammar; the sum is order-free integer math)."""
+    terms = []
+    for b in range(order):
+        terms.append(f"((({xe}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({ye}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _sql_morton_oracle() -> str:
+    from gdal_spark.data.geotag import sql_lat as _slat, sql_lon as _slon
+
+    tx = TM.sql_tile_x(_slon("o_orderkey"), Z_MORTON)
+    ty = TM.sql_tile_y_xyz(_slat("o_orderkey"), Z_MORTON)
+    return f"""WITH keyed AS (
+  SELECT o_orderkey, ({tx})::bigint AS tx, ({ty})::bigint AS ty FROM orders),
+m AS (
+  SELECT o_orderkey, tx, ty,
+         ({_morton_terms('tx', 'ty', Z_MORTON)})::bigint AS morton
+  FROM keyed)
+SELECT o_orderkey, tx, ty, morton,
+       row_number() OVER (ORDER BY morton, o_orderkey) AS pos
+FROM m ORDER BY morton, o_orderkey LIMIT 200"""
+
+
+@register("sort_morton", _sql_morton_oracle())
+def q_sort_morton(spark, sf_dir):
+    """Morton / Z-order spatial sort key (the third curve next to the
+    quadkey and Hilbert sort gates; GeoParquet/Iceberg Z-ORDER clustering
+    semantics): interleave z8 tile bits as pure integer column math, rank
+    via the distributed range-partition rank — no single-partition
+    window, same shape as hilbert_sort."""
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_MORTON, with_quadkey=False
+    )
+    x = F.col("tx").cast("long")
+    y = F.col("ty").cast("long")
+    morton = F.lit(0).cast("long")
+    for bit in range(Z_MORTON):
+        morton = morton + (
+            F.shiftright(x, bit).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * bit))
+        )
+        morton = morton + (
+            F.shiftright(y, bit).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * bit + 1))
+        )
+    coded = pts.withColumn("morton", morton.cast("long"))
+    ranked = curve_rank(
+        coded.select("o_orderkey", "tx", "ty", "morton"),
+        "morton", "o_orderkey",
+    )
+    return ranked.orderBy("morton", "o_orderkey").limit(200)
+
+
+def _sql_affine_oracle() -> str:
+    from gdal_spark.data.geotag import sql_lat as _slat, sql_lon as _slon
+
+    lon, lat = _slon("o_orderkey"), _slat("o_orderkey")
+    return f"""SELECT o_orderkey,
+       0.5 * ({lon}) + 0.25 * ({lat}) + 100.0 AS ax,
+       (-0.25) * ({lon}) + 2.0 * ({lat}) + (-50.0) AS ay
+FROM orders WHERE o_orderkey % 10 = 0"""
+
+
+@register("geom_affine", _sql_affine_oracle())
+def q_geom_affine(spark, sf_dir):
+    """ST_Affine / ST_TransScale (PostGIS dialect tail; OGR geometry
+    transform semantics, ogrgeometry.cpp transform entry points): 2×2
+    linear map + translation over point coordinates as one codegen
+    projection.  Dyadic coefficients (0.5, 0.25, −0.25, 2.0) scale
+    mantissas exactly and the fold order matches the oracle term-for-term,
+    so the doubles hash bit-identically — no rounding."""
+    pts = order_points(spark, sf_dir).filter(F.col("o_orderkey") % 10 == 0)
+    ax = (
+        F.lit(0.5) * F.col("lon") + F.lit(0.25) * F.col("lat")
+    ) + F.lit(100.0)
+    ay = (
+        F.lit(-0.25) * F.col("lon") + F.lit(2.0) * F.col("lat")
+    ) + F.lit(-50.0)
+    return pts.select(
+        "o_orderkey", ax.alias("ax"), ay.alias("ay")
+    )
