@@ -304,6 +304,7 @@ def point_line_distance_join(
     y_col: str = "lat",
     line_id: str = "line_id",
     coords_col: str = "coords",
+    return_point: bool = False,
 ) -> DataFrame:
     """Nearest-line enrichment (distance to nearest road): for every point
     the closest line feature and the planar distance to it (point→segment
@@ -311,7 +312,9 @@ def point_line_distance_join(
     (dimension-sized network — the knn_exact pattern); the kernel runs one
     vectorized argmin over all segments per Arrow batch.  For fact-scale
     line layers use the cell-bucketed kNN machinery instead.
-    Output: (point_id, line_id, seg_idx, dist)."""
+    Output: (point_id, line_id, seg_idx, dist) plus the projected
+    closest-point coordinates (cx, cy) when ``return_point`` is set
+    (ST_ClosestPoint / OGRGeometry nearest-point semantics)."""
     # deterministic broadcast order (argmin breaks exact-d² ties by array
     # index, which must mirror the (line_id, seg_idx) oracle tie order)
     recs = lines.select(line_id, coords_col).orderBy(line_id).collect()
@@ -348,16 +351,21 @@ def point_line_distance_join(
             d2 = (px - qx) ** 2 + (py - qy) ** 2
             k = np.argmin(d2, axis=1)      # first minimum = smallest index
             rows = np.arange(px.shape[0])
-            yield pd.DataFrame({
+            out = {
                 point_id: pdf[point_id].to_numpy(),
                 line_id: ia[k],
                 "seg_idx": xa[k],
                 "dist": np.sqrt(d2[rows, k]),
-            })
+            }
+            if return_point:
+                out["cx"] = qx[rows, k]
+                out["cy"] = qy[rows, k]
+            yield pd.DataFrame(out)
 
-    return points.select(point_id, x_col, y_col).mapInPandas(
-        run, f"{point_id} long, {line_id} long, seg_idx long, dist double"
-    )
+    schema = f"{point_id} long, {line_id} long, seg_idx long, dist double"
+    if return_point:
+        schema += ", cx double, cy double"
+    return points.select(point_id, x_col, y_col).mapInPandas(run, schema)
 
 
 def line_substring(

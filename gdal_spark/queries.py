@@ -13345,3 +13345,103 @@ def q_geom_affine(spark, sf_dir):
     return pts.select(
         "o_orderkey", ax.alias("ax"), ay.alias("ay")
     )
+
+
+# ===========================================================================
+# Round-4 session-8: bag set-ops, ordered string aggregation, ST_ClosestPoint
+# ===========================================================================
+
+_SQL_BAG_SET_OPS = """SELECT 'inter' AS op, lang FROM (
+  SELECT lang FROM documents WHERE source = 'src0'
+  INTERSECT ALL
+  SELECT lang FROM documents WHERE source = 'src1') a
+UNION ALL
+SELECT 'except' AS op, lang FROM (
+  SELECT lang FROM documents WHERE source = 'src0'
+  EXCEPT ALL
+  SELECT lang FROM documents WHERE source = 'src1') b"""
+
+
+@register("sql_bag_set_ops", _SQL_BAG_SET_OPS)
+def q_sql_bag_set_ops(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — BAG semantics (multiplicities kept:
+    min(m, n) and greatest(m - n, 0) per value), distinct from the existing
+    DISTINCT-flavored set-op gate (ogr_swq.cpp set-op reach; SQL:1999
+    7.12).  ONE SQL text verbatim on Spark SQL and DuckDB; Catalyst plans
+    both branches as a single hash aggregate counting per-value
+    multiplicities on each side + a generate — one shuffle per branch, no
+    row-by-row bag bookkeeping."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_BAG_SET_OPS)
+
+
+@register(
+    "sql_listagg",
+    """SELECT lang, source,
+       string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS ids,
+       count(*) AS n
+FROM documents WHERE doc_id % 5 = 0
+GROUP BY lang, source""",
+)
+def q_sql_listagg(spark, sf_dir):
+    """Ordered string aggregation — LISTAGG ... WITHIN GROUP (SQL:2016
+    T625; the ogr_swq aggregate tail next to the existing percentile
+    gates).  Spark 4's native `listagg` with a WITHIN GROUP order against
+    DuckDB's ordered `string_agg`: both fold the group in doc_id order so
+    the strings match byte-for-byte.  Per-(lang, source) groups keep every
+    aggregation bounded and parallel; at fact scale the group-cardinality
+    cap is the caller's contract (same as any collect_list-shaped op)."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """SELECT lang, source,
+       listagg(CAST(doc_id AS STRING), ',')
+         WITHIN GROUP (ORDER BY doc_id) AS ids,
+       count(*) AS n
+FROM documents WHERE doc_id % 5 = 0
+GROUP BY lang, source"""
+    )
+
+
+@register(
+    "st_closest_point",
+    f"""WITH pts AS ({SQL_POINTS}),
+sb(line_id, seg_idx, x1, y1, x2, y2) AS ({_gridline_segment_values()}),
+pr AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         least(greatest(((lon - x1) * (x2 - x1) + (lat - y1) * (y2 - y1))
+                        / ((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)),
+                        0.0), 1.0) AS t,
+         lon, lat, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+  FROM pts CROSS JOIN sb),
+d AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         x1 + t * dx AS qx, y1 + t * dy AS qy,
+         (lon - (x1 + t * dx)) * (lon - (x1 + t * dx))
+         + (lat - (y1 + t * dy)) * (lat - (y1 + t * dy)) AS d2
+  FROM pr),
+best AS (
+  SELECT o_orderkey, line_id, seg_idx, qx, qy,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY d2, line_id, seg_idx) AS rn
+  FROM d)
+SELECT o_orderkey, line_id,
+       {SR('qx', 9)} AS cx, {SR('qy', 9)} AS cy
+FROM best WHERE rn = 1""",
+)
+def q_st_closest_point(spark, sf_dir):
+    """ST_ClosestPoint (PostGIS dialect tail; OGRGeometry nearest-point
+    semantics behind OGR_G_Distance, ogrgeometry.cpp:3941 family): the
+    projected closest point ON the nearest gridline for every order point.
+    Same broadcast clamped-projection argmin kernel as the distance gate —
+    the projection coordinates come out of the IDENTICAL IEEE t-clamp
+    algebra the oracle runs, so (cx, cy) round-trip bit-exactly at 9
+    decimals."""
+    from gdal_spark.data.pages import gridlines_df
+
+    out = LN.point_line_distance_join(
+        order_points(spark, sf_dir), gridlines_df(spark), return_point=True
+    )
+    return out.select(
+        "o_orderkey", "line_id",
+        R(F.col("cx"), 9).alias("cx"), R(F.col("cy"), 9).alias("cy"),
+    )
