@@ -99,3 +99,54 @@ def hits_micro(nodes: DataFrame, edges: DataFrame, iters: int = 3,
         .select("id", F.col("h").alias("hub_micro"),
                 F.col("a").alias("auth_micro"))
     )
+
+
+INF_DIST = 1 << 40  # unreachable sentinel, far outside any K-round path sum
+
+
+def bellman_ford_rounds(nodes: DataFrame, wedges: DataFrame,
+                        seeds: DataFrame, rounds: int,
+                        id_col: str = "id") -> DataFrame:
+    """Multi-source shortest path, K synchronous Bellman-Ford relaxation
+    rounds (gnmanalyse dijkstra semantics, gnm/gnmgraph.cpp — the
+    distributed formulation of the reference's priority-queue walk; equal
+    to exact Dijkstra distance whenever ``rounds`` >= the shortest-path
+    hop diameter).  INTEGER edge weights make every min/plus exact and
+    order-free, so a SQL oracle can chain the identical rounds as CTEs.
+
+    Distributed shape: dist table joined to the weighted edge list on src
+    (ONE shuffle per round: groupBy dst of integer candidates) + a left
+    join back to the node table; lineage truncated every 2 rounds — the
+    engine's standard driver-paced iterative contract.  Unreachable nodes
+    stay at the ``INF_DIST`` sentinel.
+
+    Inputs: nodes[id_col], wedges[src, dst, w (long)], seeds[id_col].
+    Returns (id, dist) with dist = INF_DIST where no <=K-hop path exists.
+    """
+    e = wedges.select("src", "dst", "w").localCheckpoint(eager=True)
+    ids = nodes.select(F.col(id_col).alias("id"))
+    dist = ids.join(
+        seeds.select(F.col(id_col).alias("_s")).distinct(),
+        ids["id"] == F.col("_s"), "left",
+    ).select(
+        "id",
+        F.when(F.col("_s").isNotNull(), F.lit(0))
+        .otherwise(F.lit(INF_DIST)).cast("long").alias("dist"),
+    )
+    for i in range(rounds):
+        cand = (
+            e.join(dist, e["src"] == dist["id"])
+            .filter(F.col("dist") < F.lit(INF_DIST))
+            .select("dst", (F.col("dist") + F.col("w")).alias("_c"))
+            .groupBy("dst")
+            .agg(F.min("_c").alias("_cm"))
+        )
+        dist = dist.join(cand, dist["id"] == cand["dst"], "left").select(
+            "id",
+            F.least(
+                F.col("dist"), F.coalesce(F.col("_cm"), F.lit(INF_DIST))
+            ).cast("long").alias("dist"),
+        )
+        if (i + 1) % 2 == 0 and i + 1 < rounds:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

@@ -13445,3 +13445,240 @@ def q_st_closest_point(spark, sf_dir):
         "o_orderkey", "line_id",
         R(F.col("cx"), 9).alias("cx"), R(F.col("cy"), 9).alias("cy"),
     )
+
+
+# ===========================================================================
+# Round-4 session-8 (cont.): GNM shortest path, linear referencing,
+# raster blend src-over compositing
+# ===========================================================================
+
+_SP_ROUNDS = 4
+
+
+def _sql_shortest_path() -> str:
+    from gdal_spark.operators.graph import INF_DIST
+
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {a} + {b}) % cnt AS dst "
+        "FROM n CROSS JOIN c"
+        for a, b in ((31, 7), (17, 3), (13, 11)))
+    blocks = [f"""n AS (SELECT doc_id FROM documents),
+c AS (SELECT count(*)::bigint AS cnt FROM n),
+e AS (SELECT DISTINCT src, dst FROM ({edges}) WHERE src <> dst),
+we AS (SELECT src, dst, (1 + (src * 7 + dst * 3) % 9)::bigint AS w FROM e),
+d0 AS (SELECT doc_id AS id,
+              (CASE WHEN doc_id % 97 = 0 THEN 0 ELSE {INF_DIST} END)::bigint
+                AS dist
+       FROM n)"""]
+    for i in range(1, _SP_ROUNDS + 1):
+        blocks.append(f"""s{i} AS (
+  SELECT we.dst, min(d{i - 1}.dist + we.w)::bigint AS cm
+  FROM we JOIN d{i - 1} ON d{i - 1}.id = we.src
+  WHERE d{i - 1}.dist < {INF_DIST} GROUP BY we.dst),
+d{i} AS (
+  SELECT d{i - 1}.id,
+         least(d{i - 1}.dist, COALESCE(s{i}.cm, {INF_DIST}))::bigint AS dist
+  FROM d{i - 1} LEFT JOIN s{i} ON s{i}.dst = d{i - 1}.id)""")
+    return (f"WITH {', '.join(blocks)}\n"
+            f"SELECT id AS doc_id, dist FROM d{_SP_ROUNDS}")
+
+
+@register("network_shortest_path", _sql_shortest_path())
+def q_network_shortest_path(spark, sf_dir):
+    """GNM network analysis (gnmanalyse dijkstra, gnm/gnmgraph.cpp
+    CGNMGraph::DijkstraShortestPath): multi-source shortest path over the
+    deterministic 3-out-link document graph with integer edge weights
+    1 + (7·src + 3·dst) mod 9, seeds at doc_id % 97 == 0 — 4 synchronous
+    Bellman-Ford relaxation rounds (ONE min-candidate shuffle each), the
+    distributed re-expression of the reference's priority-queue walk.
+    Integer weights make every min/plus order-free, so the oracle chains
+    the identical rounds as CTEs bit-exactly; unreachable-within-4-hops
+    nodes report the shared INF sentinel."""
+    from gdal_spark.operators.graph import bellman_ford_rounds
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for a, b in ((31, 7), (17, 3), (13, 11)):
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionAll(part)
+    wedges = (
+        edges.filter(F.col("src") != F.col("dst")).distinct()
+        .withColumn(
+            "w",
+            (F.lit(1) + (F.col("src") * 7 + F.col("dst") * 3) % 9)
+            .cast("long"),
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0)
+    out = bellman_ford_rounds(
+        docs, wedges, seeds, rounds=_SP_ROUNDS, id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "dist")
+
+
+@register(
+    "lineref_locate",
+    f"""WITH pts AS ({SQL_POINTS}),
+sb(line_id, seg_idx, x1, y1, x2, y2) AS ({_line_segment_values()}),
+sl AS (
+  SELECT line_id, seg_idx, x1, y1,
+         floor(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+               * 1000000.0 + 0.5)::bigint AS len_micro
+  FROM sb),
+pf AS (
+  SELECT line_id, seg_idx, x1, y1,
+         COALESCE(sum(len_micro) OVER (
+           PARTITION BY line_id ORDER BY seg_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+           AS prefix_micro
+  FROM sl),
+pr AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         least(greatest(((lon - x1) * (x2 - x1) + (lat - y1) * (y2 - y1))
+                        / ((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)),
+                        0.0), 1.0) AS t,
+         lon, lat, x1, y1, x2 - x1 AS dx, y2 - y1 AS dy
+  FROM pts CROSS JOIN sb),
+d AS (
+  SELECT o_orderkey, line_id, seg_idx,
+         x1 + t * dx AS qx, y1 + t * dy AS qy,
+         (lon - (x1 + t * dx)) * (lon - (x1 + t * dx))
+         + (lat - (y1 + t * dy)) * (lat - (y1 + t * dy)) AS d2
+  FROM pr),
+best AS (
+  SELECT o_orderkey, line_id, seg_idx, qx, qy,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY d2, line_id, seg_idx) AS rn
+  FROM d)
+SELECT b.o_orderkey, b.line_id,
+       (pf.prefix_micro
+        + floor(sqrt((b.qx - pf.x1) * (b.qx - pf.x1)
+                     + (b.qy - pf.y1) * (b.qy - pf.y1))
+                * 1000000.0 + 0.5)::bigint)::bigint AS m_micro
+FROM best b JOIN pf ON pf.line_id = b.line_id AND pf.seg_idx = b.seg_idx
+WHERE b.rn = 1""",
+)
+def q_lineref_locate(spark, sf_dir):
+    """Linear referencing — locate a point ALONG a line (ogrlineref
+    -get_pos, apps/ogrlineref.cpp; ST_LineLocatePoint measure semantics):
+    for every order point, the arc-length measure of its projection onto
+    the nearest §2e walk polyline.  Segment lengths are micro-quantized
+    to integers FIRST (identical IEEE sqrt chains on both engines), so
+    the per-line prefix sums are order-free integer adds — the window
+    cumsum needs no cross-engine float-fold pairing.  Engine shape: the
+    broadcast clamped-projection argmin kernel emits (line_id, seg_idx,
+    cx, cy); a dimension-sized segment-prefix table (posexplode + lead +
+    integer window cumsum) broadcast-joins the measure on."""
+    from pyspark.sql import Window
+
+    from gdal_spark.data.pages import lines_df
+
+    segs = lines_df(spark).select(
+        "line_id", F.posexplode("coords").alias("pos", "pt"))
+    wl = Window.partitionBy("line_id").orderBy("pos")
+    seg = (
+        segs.select(
+            "line_id", F.col("pos").alias("seg_idx"),
+            F.col("pt")[0].alias("x1"), F.col("pt")[1].alias("y1"),
+            F.lead("pt").over(wl).alias("np"))
+        .filter(F.col("np").isNotNull())
+        .select(
+            "line_id", "seg_idx", "x1", "y1",
+            F.floor(
+                F.sqrt(
+                    (F.col("np")[0] - F.col("x1"))
+                    * (F.col("np")[0] - F.col("x1"))
+                    + (F.col("np")[1] - F.col("y1"))
+                    * (F.col("np")[1] - F.col("y1"))
+                ) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long").alias("len_micro"))
+    )
+    ws = Window.partitionBy("line_id").orderBy("seg_idx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    pf = seg.select(
+        "line_id", "seg_idx", "x1", "y1",
+        F.coalesce(F.sum("len_micro").over(ws), F.lit(0))
+        .cast("long").alias("prefix_micro"))
+    near = LN.point_line_distance_join(
+        order_points(spark, sf_dir), lines_df(spark), return_point=True)
+    out = near.join(F.broadcast(pf), ["line_id", "seg_idx"])
+    resid = F.floor(
+        F.sqrt(
+            (F.col("cx") - F.col("x1")) * (F.col("cx") - F.col("x1"))
+            + (F.col("cy") - F.col("y1")) * (F.col("cy") - F.col("y1"))
+        ) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        "o_orderkey", "line_id",
+        (F.col("prefix_micro") + resid).cast("long").alias("m_micro"))
+
+
+def _blend_core_sql() -> str:
+    """Shared integer src-over compositing chain (verbatim on both engines;
+    apps/gdalalg_raster_blend.cpp MulScale255 / gTabInvDstA math).  Expects
+    a relation p(py, px); emits py, px, outr, outg, outb, outa."""
+    def idiv(a: str, b: int) -> str:
+        return f"CAST(floor(({a}) / {b}.0) AS BIGINT)"
+
+    oa = idiv("((px * py) % 256) * 153 + 255", 256)          # opacity 60%
+    st = idiv("(255 - ((px + py) % 97)) * (255 - qa) + 255", 256)
+    # inverse-table divide is BY da (a variable), so it is spelled directly
+    inv = ("CASE WHEN da = 0 THEN 0 "
+           f"ELSE CAST(floor((65280 + CAST(floor(da / 2.0) AS BIGINT))"
+           f" / da) AS BIGINT) END")
+    return f"""k1 AS (
+  SELECT py, px,
+         (px * 7 + py * 13) % 256 AS br,
+         (px * 3 + py * 5) % 256 AS bg,
+         (px * 11 + py) % 256 AS bb,
+         (px * 5 + py * 17) % 256 AS orr,
+         (px * 13 + py * 7) % 256 AS og,
+         (px + py * 19) % 256 AS ob,
+         {oa} AS qa
+  FROM p),
+k2 AS (
+  SELECT py, px, br, bg, bb, orr, og, ob, qa, {st} AS st
+  FROM k1),
+k3 AS (
+  SELECT py, px, qa + st AS da,
+         {idiv('orr * qa + br * st + 255', 256)} AS prer,
+         {idiv('og * qa + bg * st + 255', 256)} AS preg,
+         {idiv('ob * qa + bb * st + 255', 256)} AS preb
+  FROM k2),
+k4 AS (
+  SELECT py, px, da, prer, preg, preb, {inv} AS inv
+  FROM k3)
+SELECT py, px,
+       {idiv('prer * inv + 255', 256)} AS outr,
+       {idiv('preg * inv + 255', 256)} AS outg,
+       {idiv('preb * inv + 255', 256)} AS outb,
+       CAST(da AS BIGINT) AS outa
+FROM k4"""
+
+
+@register(
+    "raster_blend",
+    f"""WITH g AS (SELECT unnest(generate_series(0, 63)) AS v),
+p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx),
+{_blend_core_sql()}""",
+)
+def q_raster_blend(spark, sf_dir):
+    """Raster blend — Porter-Duff source-over compositing of an RGBA
+    overlay onto an RGBA base at 60% opacity (gdal raster blend,
+    apps/gdalalg_raster_blend.cpp BlendSrcOverRGBA_Generic): the
+    reference's ALL-INTEGER kernel — MulScale255 ceil-divides
+    (a·b+255)/256, the premultiplied channels composite as
+    (C_ov·A_ov + C_base·A_term + 255)/256, and the un-premultiply uses
+    the gTabInvDstA inverse table ((255<<8)+da/2)/da with a +255 >> 8
+    round — re-expressed verbatim as one whole-stage-codegen projection
+    over a generated 64×64 grid (map-only; at fact scale this is a
+    zip-join of two tile tables followed by the same column math)."""
+    spark.sql(
+        "SELECT explode(sequence(0, 63)) AS v"
+    ).createOrReplaceTempView("g")
+    return spark.sql(f"""WITH
+p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx),
+{_blend_core_sql()}""")
