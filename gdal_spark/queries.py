@@ -13682,3 +13682,135 @@ def q_raster_blend(spark, sf_dir):
     return spark.sql(f"""WITH
 p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx),
 {_blend_core_sql()}""")
+
+
+# ===========================================================================
+# Round-4 session-8 (cont.): invdistnn gridding, focal-neighbor stat menu
+# ===========================================================================
+
+_NN_K = 8
+
+
+def _sql_grid_invdistnn() -> str:
+    tx = TM.sql_tile_x("lon", Z_IDW)
+    ty = TM.sql_tile_y_xyz("lat", Z_IDW)
+    res = TM.resolution(Z_IDW)
+    cx = f"((tx::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    ty_tms = f"({(1 << Z_IDW) - 1} - ty)"
+    cy = f"(({ty_tms}::double + 0.5) * 256.0::double * {res!r}::double - {TM.ORIGIN_SHIFT!r}::double)"
+    clon = f"(({cx}) / {TM.ORIGIN_SHIFT!r}::double * 180.0::double)"
+    clat = (
+        f"(180.0::double / pi() * (2.0::double * atan(exp(({cy}) / {TM.ORIGIN_SHIFT!r}::double"
+        f" * 180.0::double * pi() / 180.0::double)) - pi() / 2.0::double))"
+    )
+    d2 = f"((lon - {clon}) * (lon - {clon}) + (lat - {clat}) * (lat - {clat}) + 1e-12)"
+    fold = ("list_reduce(list_prepend(0.0::double, list({t} ORDER BY rn)), "
+            "(a, b) -> a + b)")
+    return f"""
+WITH pts AS (SELECT o_orderkey, o_totalprice, lon, lat, {tx} AS tx, {ty} AS ty
+             FROM ({SQL_POINTS})),
+dv AS (SELECT o_orderkey, o_totalprice, tx, ty, {d2} AS d2v FROM pts),
+rk AS (SELECT *, row_number() OVER (PARTITION BY tx, ty
+                                    ORDER BY d2v, o_orderkey) AS rn
+       FROM dv),
+sel AS (SELECT tx, ty, rn, o_totalprice / d2v AS num_t,
+               1.0::double / d2v AS den_t
+        FROM rk WHERE rn <= {_NN_K}),
+agg AS (SELECT tx, ty, count(*)::bigint AS n_used,
+               {fold.format(t='num_t')} AS num,
+               {fold.format(t='den_t')} AS den
+        FROM sel GROUP BY tx, ty)
+SELECT tx, ty, n_used, {SR('num / den', 6)} AS nn_price FROM agg"""
+
+
+@register("grid_invdistnn", _sql_grid_invdistnn())
+def q_grid_invdistnn(spark, sf_dir):
+    """invdistnn gridding (alg/gdalgrid.cpp GDALGridInverseDistanceToA
+    PowerNearestNeighbor, power=2, max_points=8, cell-local search
+    window): per z4 tile, IDW over only the 8 NEAREST points to the tile
+    center (ties broken by orderkey — the d2 doubles are bit-identical
+    on both engines, so the selection matches).  The 8 weight terms are
+    folded SEQUENTIALLY in rank order via an array aggregate HOF on both
+    engines, so the float sums are bit-identical — no order-lottery.
+    One window shuffle (per-tile rank) + one groupBy."""
+    from pyspark.sql import Window
+
+    pts = TL.assign_tiles(
+        order_points(spark, sf_dir), Z_IDW, with_quadkey=False)
+    res = TM.resolution(Z_IDW)
+    cx = (F.col("tx").cast("double") + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    ty_tms = (F.lit((1 << Z_IDW) - 1) - F.col("ty")).cast("double")
+    cy = (ty_tms + F.lit(0.5)) * F.lit(256.0) * F.lit(res) - F.lit(TM.ORIGIN_SHIFT)
+    clon, clat = TM.meters_to_lonlat(cx, cy)
+    d2 = (
+        (F.col("lon") - clon) * (F.col("lon") - clon)
+        + (F.col("lat") - clat) * (F.col("lat") - clat)
+        + F.lit(1e-12)
+    )
+    dv = pts.withColumn("d2v", d2)
+    w = Window.partitionBy("tx", "ty").orderBy("d2v", "o_orderkey")
+    sel = (
+        dv.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NN_K)
+        .withColumn("num_t", F.col("o_totalprice") / F.col("d2v"))
+        .withColumn("den_t", F.lit(1.0) / F.col("d2v"))
+    )
+    fold = ("aggregate(array_sort(collect_list(struct(rn, {t}))), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x.{t})")
+    agg = sel.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.expr(fold.format(t="num_t")).alias("num"),
+        F.expr(fold.format(t="den_t")).alias("den"),
+    )
+    return agg.select(
+        "tx", "ty", "n_used",
+        R(F.col("num") / F.col("den"), 6).alias("nn_price"))
+
+
+def _focal_core_sql() -> str:
+    """3×3 edge-clamped focal taps over the synthetic (px*31+py*17+7)%256
+    grid — shared verbatim by both engines.  Expects p(py, px); integer
+    outputs: min / max / range / 9-tap sum / sum of squares."""
+    def val(ix: str, jy: str) -> str:
+        cx = f"least(greatest({ix}, 0), 63)"
+        cy = f"least(greatest({jy}, 0), 63)"
+        return f"((({cx}) * 31 + ({cy}) * 17 + 7) % 256)"
+
+    taps = [val(f"px + {dx}", f"py + {dy}")
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    lmin = taps[0]
+    lmax = taps[0]
+    for t in taps[1:]:
+        lmin = f"least({lmin}, {t})"
+        lmax = f"greatest({lmax}, {t})"
+    ssum = " + ".join(taps)
+    sqsum = " + ".join(f"({t}) * ({t})" for t in taps)
+    return f"""SELECT py, px,
+       CAST({lmin} AS BIGINT) AS f_min,
+       CAST({lmax} AS BIGINT) AS f_max,
+       CAST(({lmax}) - ({lmin}) AS BIGINT) AS f_range,
+       CAST({ssum} AS BIGINT) AS f_sum,
+       CAST({sqsum} AS BIGINT) AS f_sqsum
+FROM p"""
+
+
+@register(
+    "raster_focal_menu",
+    f"""WITH g AS (SELECT unnest(generate_series(0, 63)) AS v),
+p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx)
+{_focal_core_sql()}""",
+)
+def q_raster_focal_menu(spark, sf_dir):
+    """Focal neighbor statistics (gdal raster neighbors,
+    apps/gdalalg_raster_neighbors.cpp; the 3×3 moving-window family next
+    to the existing focal-mean gate): min / max / range / sum / sum-of-
+    squares over an edge-clamped 3×3 window — ALL-INTEGER taps spelled
+    identically on both engines, one whole-stage-codegen projection
+    (map-only; at fact scale the same taps read from a halo-joined tile
+    table, the tile_focal_mean shape)."""
+    spark.sql(
+        "SELECT explode(sequence(0, 63)) AS v"
+    ).createOrReplaceTempView("g")
+    return spark.sql(f"""WITH
+p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx)
+{_focal_core_sql()}""")
