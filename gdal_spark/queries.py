@@ -13814,3 +13814,134 @@ def q_raster_focal_menu(spark, sf_dir):
     return spark.sql(f"""WITH
 p AS (SELECT gy.v AS py, gx.v AS px FROM g gy CROSS JOIN g gx)
 {_focal_core_sql()}""")
+
+
+_LRP_STEP = 2_000_000  # 2.0 planar units in micro-units
+
+
+@register(
+    "lineref_parts",
+    f"""WITH sb(line_id, seg_idx, x1, y1, x2, y2) AS ({_line_segment_values()}),
+sl AS (
+  SELECT line_id, seg_idx, x1, y1, x2, y2,
+         floor(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+               * 1000000.0 + 0.5)::bigint AS len_micro
+  FROM sb),
+pf AS (
+  SELECT line_id, seg_idx, x1, y1, x2, y2, len_micro,
+         COALESCE(sum(len_micro) OVER (
+           PARTITION BY line_id ORDER BY seg_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+           AS prefix_micro
+  FROM sl),
+tot AS (SELECT line_id, sum(len_micro)::bigint AS total_micro
+        FROM sl GROUP BY line_id),
+mk AS (
+  SELECT line_id,
+         unnest(generate_series(0, greatest((total_micro - 1) // {_LRP_STEP}, 0)))
+           AS k
+  FROM tot),
+mp AS (SELECT line_id, k, k * {_LRP_STEP} AS m FROM mk)
+SELECT mp.line_id, mp.k::bigint AS k,
+       {SR('pf.x1 + ((mp.m - pf.prefix_micro)::double / pf.len_micro::double) * (pf.x2 - pf.x1)', 9)} AS ix,
+       {SR('pf.y1 + ((mp.m - pf.prefix_micro)::double / pf.len_micro::double) * (pf.y2 - pf.y1)', 9)} AS iy
+FROM mp JOIN pf ON pf.line_id = mp.line_id
+  AND pf.prefix_micro <= mp.m AND mp.m < pf.prefix_micro + pf.len_micro""",
+)
+def q_lineref_parts(spark, sf_dir):
+    """Linear referencing — CREATE mileposts (ogrlineref -create,
+    apps/ogrlineref.cpp: split a line into fixed-step parts; the part
+    boundaries are the interpolated points at measures k·L): every 2.0
+    planar units along each §2e walk polyline.  All measures live as
+    INTEGER micro-units (segment lengths micro-quantized first), so the
+    per-line interval partition [prefix, prefix+len) is exact on both
+    engines and each milepost joins to exactly ONE segment; the within-
+    segment interpolation is an integer-ratio double — bit-identical.
+    Engine shape: segment-prefix dimension table (posexplode + integer
+    window cumsum), per-line explode of the milepost sequence, broadcast
+    range join, closed-form interpolation."""
+    from pyspark.sql import Window
+
+    from gdal_spark.data.pages import lines_df
+
+    segs = lines_df(spark).select(
+        "line_id", F.posexplode("coords").alias("pos", "pt"))
+    wl = Window.partitionBy("line_id").orderBy("pos")
+    seg = (
+        segs.select(
+            "line_id", F.col("pos").alias("seg_idx"),
+            F.col("pt")[0].alias("x1"), F.col("pt")[1].alias("y1"),
+            F.lead("pt").over(wl).alias("np"))
+        .filter(F.col("np").isNotNull())
+        .select(
+            "line_id", "seg_idx", "x1", "y1",
+            F.col("np")[0].alias("x2"), F.col("np")[1].alias("y2"),
+            F.floor(
+                F.sqrt(
+                    (F.col("np")[0] - F.col("x1"))
+                    * (F.col("np")[0] - F.col("x1"))
+                    + (F.col("np")[1] - F.col("y1"))
+                    * (F.col("np")[1] - F.col("y1"))
+                ) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long").alias("len_micro"))
+    )
+    ws = Window.partitionBy("line_id").orderBy("seg_idx") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    pf = seg.withColumn(
+        "prefix_micro",
+        F.coalesce(F.sum("len_micro").over(ws), F.lit(0)).cast("long"))
+    tot = seg.groupBy("line_id").agg(
+        F.sum("len_micro").cast("long").alias("total_micro"))
+    mp = tot.select(
+        "line_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.floor((F.col("total_micro") - 1) / F.lit(_LRP_STEP))
+                    .cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        ).alias("k"),
+    ).withColumn("m", (F.col("k") * F.lit(_LRP_STEP)).cast("long"))
+    j = mp.join(
+        F.broadcast(pf),
+        (mp["line_id"] == pf["line_id"])
+        & (pf["prefix_micro"] <= mp["m"])
+        & (mp["m"] < pf["prefix_micro"] + pf["len_micro"]),
+    )
+    t = (mp["m"] - F.col("prefix_micro")).cast("double") \
+        / F.col("len_micro").cast("double")
+    return j.select(
+        mp["line_id"], F.col("k").cast("long").alias("k"),
+        R(F.col("x1") + t * (F.col("x2") - F.col("x1")), 9).alias("ix"),
+        R(F.col("y1") + t * (F.col("y2") - F.col("y1")), 9).alias("iy"))
+
+
+@register(
+    "corpus_shuffle_order",
+    """WITH h AS (
+  SELECT doc_id, md5('ep1:' || doc_id::varchar) AS hk FROM documents)
+SELECT doc_id, hk,
+       row_number() OVER (ORDER BY hk, doc_id)::bigint AS shuffle_rank
+FROM h""",
+)
+def q_corpus_shuffle_order(spark, sf_dir):
+    """Deterministic training-order shuffle (the per-epoch document
+    shuffle every LLM data loader needs — seeded, reproducible across
+    cluster sizes; GPT-3 / T5 data-pipeline practice): shuffle key =
+    md5(seed || doc_id), global rank by distributed range-partitioned
+    sort (zero driver collect; Spark samples range bounds, ranks are
+    computed per-partition + offset — the curve_rank machinery's
+    contract).  Both engines agree because md5 of the same bytes is the
+    same everywhere; the (hk, doc_id) tie order is total."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = docs.withColumn(
+        "hk", F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string"))))
+    from gdal_spark.operators.curve_sort import curve_rank
+    ranked = curve_rank(h, "hk", "doc_id", pos_name="shuffle_rank")
+    return ranked.select(
+        "doc_id", "hk", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
