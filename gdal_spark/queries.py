@@ -13974,3 +13974,125 @@ def q_coverage_check(spark, sf_dir):
         out.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", R("inter_area", 6).alias("overlap_area"))
     )
+
+
+def _sql_curve_multi() -> str:
+    # same closed-form chord algebra as _sql_curve_linearize: m chords of
+    # sweep θ on radius r total m·2r·sin(θ/(2m)); inscribed m-gon area
+    # (m/2)·r²·sin(2π/m).  Member sums evaluated analytically.
+    mc_len = "45 * 2.0 * 4.0 * sin(pi() / 90.0) + 5.0"
+    ms_len = "90 * 2.0 * 3.0 * sin(pi() / 90.0) + 6.0"
+    ms_area = "45.0 * 9.0 * sin(pi() / 45.0) + 2.0"
+    return f"""
+SELECT curve_id, kind, n_members, n_points,
+       {SR('len_expr', 6)} AS length, {SR('area_expr', 6)} AS area
+FROM (VALUES
+  (5, 'multiline', 2, 48, {mc_len}, 0.0),
+  (6, 'multipolygon', 2, 96, {ms_len}, {ms_area})
+) AS t(curve_id, kind, n_members, n_points, len_expr, area_expr)"""
+
+
+@register("curve_multi_linearize", _sql_curve_multi())
+def q_curve_multi_linearize(spark, sf_dir):
+    """MultiCurve / MultiSurface containers (ISO WKB types 11/12;
+    ogr_geometry.h OGRMultiCurve/OGRMultiSurface — the container half of
+    the curve family next to the member-level curve_linearize gate):
+    parse the container WKB, stroke every member at the 4° OGR step, and
+    report member/vertex counts + total linearized length (+ total area
+    for MultiSurface).  Oracle = analytic chord-sum/inscribed-polygon
+    formulas per member, summed in closed form."""
+    import pandas as pd
+
+    rows = [
+        (5, bytearray(CV.wkb_multicurve([
+            CV.wkb_circularstring([(4, 0), (0, 4), (-4, 0)]),
+            CV.wkb_linestring([(0, 0), (3, 4)]),
+        ]))),
+        (6, bytearray(CV.wkb_multisurface([
+            CV.wkb_curvepolygon([CV.wkb_circularstring(
+                [(8, 5), (5, 8), (2, 5), (5, 2), (8, 5)])]),
+            CV.wkb_curvepolygon([CV.wkb_linestring(
+                [(0, 0), (2, 0), (2, 1), (0, 1), (0, 0)])]),
+        ]))),
+    ]
+    df = spark.createDataFrame(rows, "curve_id int, wkb binary")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"curve_id": [], "kind": [], "n_members": [],
+                   "n_points": [], "length": [], "area": []}
+            for cid, blob in zip(pdf["curve_id"], pdf["wkb"]):
+                tree, _ = CV.parse_curve_wkb(bytes(blob))
+                lin = CV.linearize(tree)
+                if tree[0] == "multisurface":
+                    kind = "multipolygon"
+                    n = sum(r.shape[0] for poly in lin for r in poly)
+                    length = sum(
+                        CV.line_length(r) for poly in lin for r in poly)
+                    area = sum(G.rings_area(poly) for poly in lin)
+                else:
+                    kind = "multiline"
+                    n = sum(l.shape[0] for l in lin)
+                    length = sum(CV.line_length(l) for l in lin)
+                    area = 0.0
+                out["curve_id"].append(int(cid))
+                out["kind"].append(kind)
+                out["n_members"].append(len(lin))
+                out["n_points"].append(n)
+                out["length"].append(length)
+                out["area"].append(area)
+            yield pd.DataFrame({
+                "curve_id": pd.Series(out["curve_id"], dtype="int32"),
+                "kind": out["kind"],
+                "n_members": pd.Series(out["n_members"], dtype="int32"),
+                "n_points": pd.Series(out["n_points"], dtype="int32"),
+                "length": pd.Series(out["length"], dtype="float64"),
+                "area": pd.Series(out["area"], dtype="float64"),
+            })
+
+    out = df.mapInPandas(
+        run,
+        "curve_id int, kind string, n_members int, n_points int, "
+        "length double, area double",
+    )
+    return out.select(
+        "curve_id", "kind", "n_members", "n_points",
+        R(F.col("length"), 6).alias("length"),
+        R(F.col("area"), 6).alias("area"))
+
+
+@register(
+    "scd2_intervals",
+    """WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM events WHERE event_type IN ('view', 'click', 'purchase'))
+SELECT user_id, event_type, ts AS valid_from, valid_to,
+       CAST(rn AS BIGINT) AS version,
+       CAST(valid_to IS NULL AS BIGINT) AS is_current
+FROM s""",
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval build (the warehouse merge/upsert pattern every
+    Iceberg-backed attribute table needs — Kimball slowly-changing
+    dimensions; the snapshot-table gate's time-travel complement): each
+    user's attribute stream becomes effective-dated rows via ONE
+    partitioned window pass — valid_from = event ts, valid_to = next
+    event's ts, NULL marks the current row.  No shuffle beyond the single
+    user_id window; the (ts, event_id) tiebreak makes the version order
+    total on both engines."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
+    )

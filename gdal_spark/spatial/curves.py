@@ -108,6 +108,15 @@ def parse_curve_wkb(data: bytes, pos: int = 0):
             ring, pos = parse_curve_wkb(data, pos)
             rings.append(ring)
         return ("curvepoly", rings), pos
+    if gtype in (11, 12):  # MultiCurve / MultiSurface containers
+        (n,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        members = []
+        for _ in range(n):
+            m, pos = parse_curve_wkb(data, pos)
+            members.append(m)
+        kind = "multicurve" if gtype == 11 else "multisurface"
+        return (kind, members), pos
     raise ValueError(f"unsupported curve WKB type {gtype}")
 
 
@@ -186,6 +195,8 @@ def linearize(tree, step_deg: float = DEFAULT_STEP_DEG):
         return np.vstack(out)
     if kind == "curvepoly":
         return [linearize(r, step_deg) for r in payload]
+    if kind in ("multicurve", "multisurface"):
+        return [linearize(m, step_deg) for m in payload]
     raise ValueError(kind)
 
 
@@ -202,3 +213,24 @@ def curve_to_line_wkb(data: bytes, step_deg: float = DEFAULT_STEP_DEG):
 def line_length(pts: np.ndarray) -> float:
     d = np.diff(pts, axis=0)
     return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+WKB_MULTICURVE = 11
+WKB_MULTISURFACE = 12
+
+
+def wkb_multicurve(members: list[bytes]) -> bytes:
+    """ISO MultiCurve container (each member a full curve WKB blob —
+    LineString / CircularString / CompoundCurve; ogr_geometry.h
+    OGRMultiCurve)."""
+    return struct.pack("<BII", 1, WKB_MULTICURVE, len(members)) + b"".join(
+        members
+    )
+
+
+def wkb_multisurface(members: list[bytes]) -> bytes:
+    """ISO MultiSurface container (members are CurvePolygon blobs;
+    ogr_geometry.h OGRMultiSurface)."""
+    return struct.pack("<BII", 1, WKB_MULTISURFACE, len(members)) + b"".join(
+        members
+    )
