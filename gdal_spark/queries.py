@@ -14096,3 +14096,60 @@ def q_scd2_intervals(spark, sf_dir):
         F.row_number().over(w).cast("long").alias("version"),
         F.lead("ts").over(w).isNull().cast("long").alias("is_current"),
     )
+
+
+@register(
+    "model_auc_rank",
+    """WITH s AS (
+  SELECT doc_id,
+         (doc_id * 37 + n_chars) % 1009 AS score,
+         CASE WHEN (doc_id * 7919) % 13 < 5 THEN 1 ELSE 0 END AS label
+  FROM documents),
+r AS (
+  SELECT label,
+         row_number() OVER (ORDER BY score, doc_id) AS rk
+  FROM s),
+agg AS (
+  SELECT sum(CASE WHEN label = 1 THEN rk ELSE 0 END)::bigint AS pos_rank_sum,
+         sum(label)::bigint AS n_pos,
+         sum(1 - label)::bigint AS n_neg
+  FROM r)
+SELECT n_pos, n_neg,
+       ((pos_rank_sum - n_pos * (n_pos + 1) // 2) * 1000000
+        // (n_pos * n_neg))::bigint AS auc_micro
+FROM agg""",
+)
+def q_model_auc_rank(spark, sf_dir):
+    """Distributed AUC by rank-sum (Mann–Whitney U — the quality-
+    classifier evaluation step of a curation pipeline; pairs with the
+    DCLM-style linear scorer gate): global rank of every document under
+    a total (score, doc_id) order via the distributed range-partitioned
+    curve_rank (NO single-partition window), then one integer rank-sum
+    aggregate — AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻) in exact micro-
+    units.  Deterministic integer scores/labels keep both engines
+    bit-identical; the tie-broken rank definition is itself the oracle's."""
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * 37 + F.col("n_chars")) % 1009).alias("score"),
+        F.when((F.col("doc_id") * 7919) % 13 < 5, F.lit(1))
+        .otherwise(F.lit(0)).alias("label"),
+    )
+    ranked = curve_rank(s, "score", "doc_id", pos_name="rk")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rk")).otherwise(F.lit(0)))
+        .cast("long").alias("pos_rank_sum"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("label")).cast("long").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.floor(
+            (F.col("pos_rank_sum")
+             - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2))
+            * F.lit(1000000)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).cast("long").alias("auc_micro"),
+    )
