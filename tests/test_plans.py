@@ -513,3 +513,67 @@ def test_pagerank_contribution_joins_no_cartesian(spark):
     p = _plan(spark, "web_pagerank")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_raster_blend_and_focal_map_only(spark):
+    # src-over compositing and 3x3 focal taps are single codegen
+    # projections over the generated 64x64 grid: the only exchange allowed
+    # is the broadcast of the 64-row axis (the grid cross product); a
+    # hash/range shuffle would mean the column math left codegen
+    for name in ("raster_blend", "raster_focal_menu"):
+        p = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in p, name
+        assert "rangepartitioning" not in p, name
+
+
+def test_shortest_path_no_cartesian(spark):
+    # every Bellman-Ford round relaxes through equi-joins on src/dst --
+    # a CartesianProduct or BroadcastNestedLoopJoin would explode at
+    # fact-scale edge tables
+    p = _plan(spark, "network_shortest_path")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_invdistnn_single_rank_window(spark):
+    # nearest-8 selection = ONE per-tile window sort; the weight fold is
+    # an in-group array aggregate, not another shuffle
+    p = _plan(spark, "grid_invdistnn")
+    assert p.count("Window (") <= 1
+    # Spark 4 pushes a partial WindowGroupLimit below the exchange: the
+    # nearest-8 cut happens map-side before the per-tile shuffle
+    assert p.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_shuffle_rank_is_range_partitioned(spark):
+    # the global training-order rank must come from repartitionByRange
+    # (sampled bounds), never a single-partition global window.  The
+    # registry gate materializes (localCheckpoint) so its explain() shows
+    # only the checkpoint scan; pin the plan on the lazy form instead.
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("hk"))
+    ranked = curve_rank(df, "hk", "doc_id", pos_name="shuffle_rank",
+                        materialize=False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ranked.explain("formatted")
+    p = buf.getvalue()
+    # the FACT side is range-partitioned; the only SinglePartition stage
+    # allowed is the partition-count offsets table (one row per partition,
+    # bounded by the partition count, never by data size)
+    assert "rangepartitioning" in p.lower()
+
+
+def test_lineref_measures_broadcast_dimension(spark):
+    # the segment-prefix table is dimension-sized: the measure join must
+    # broadcast it, leaving the fact side shuffle-free for that join
+    p = _plan(spark, "lineref_locate")
+    assert "BroadcastHashJoin" in p
