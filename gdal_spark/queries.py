@@ -14153,3 +14153,23 @@ def q_model_auc_rank(spark, sf_dir):
             / (F.col("n_pos") * F.col("n_neg"))
         ).cast("long").alias("auc_micro"),
     )
+
+
+_SQL_AGG_FILTER = """SELECT lang,
+       CAST(count(*) FILTER (WHERE n_chars > 500) AS BIGINT) AS n_long,
+       CAST(bool_and(n_chars > 0) AS BIGINT) AS all_pos,
+       CAST(bool_or(n_chars > 5000) AS BIGINT) AS any_huge,
+       CAST(count_if(doc_id % 2 = 0) AS BIGINT) AS n_even,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents GROUP BY lang"""
+
+
+@register("sql_agg_filter_menu", _SQL_AGG_FILTER)
+def q_sql_agg_filter_menu(spark, sf_dir):
+    """FILTERed aggregates + boolean aggregate menu (SQL:2003 T612
+    FILTER clause; bool_and / bool_or / count_if — the ogr_swq aggregate
+    tail): ONE SQL text verbatim on Spark SQL and DuckDB.  Catalyst
+    rewrites every FILTER into a conditional partial aggregate — still a
+    single map-side-combined shuffle, no per-predicate passes."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_AGG_FILTER)
