@@ -154,6 +154,13 @@ BENCH_QUERIES = [
     "web_hits",
     "sql_range_frame",
     "sql_lateral_join",
+    # round 4 session-8 additions
+    "network_shortest_path",
+    "grid_invdistnn",
+    "lineref_locate",
+    "model_auc_rank",
+    "coverage_check",
+    "corpus_shuffle_order",
 ]
 
 

@@ -14173,3 +14173,62 @@ def q_sql_agg_filter_menu(spark, sf_dir):
     single map-side-combined shuffle, no per-predicate passes."""
     _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_SQL_AGG_FILTER)
+
+
+_STREAM_GATE_SEQ = [0]
+
+
+@register(
+    "streaming_window_counts",
+    """SELECT event_type,
+       date_trunc('hour', ts) AS win_start,
+       count(*)::bigint AS n_events,
+       sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::bigint
+         AS value_milli
+FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+)
+def q_streaming_window_counts(spark, sf_dir):
+    """Structured-Streaming gate with an EXACT batch oracle (the
+    streaming extension previously verified only by pytest): the events
+    table replayed through readStream (file source) → 2 h watermark →
+    1 h tumbling event-time windows per event_type → availableNow
+    micro-batches into a memory sink.  Tumbling windows are epoch-
+    aligned, so the oracle is a plain date_trunc GROUP BY; per-row
+    milli-quantization before the sum keeps the aggregate order-free.
+    At fact scale this exact plan runs continuously with late-data
+    eviction at the watermark (streaming/ingest.py contract)."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    # the file stream source lists a DIRECTORY; glob-filter it down to
+    # the events table so sibling parquet files never enter the stream
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(sf_dir)
+    )
+    # watermarks need TIMESTAMP (ltz); session tz is pinned UTC, so the
+    # ntz→ltz cast is instant-preserving and the oracle's naive
+    # date_trunc agrees
+    stream = stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.window("ts_ltz", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5))
+                .cast("long")
+            ).cast("long").alias("value_milli"),
+        )
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_win_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "event_type",
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "n_events", "value_milli",
+    )
