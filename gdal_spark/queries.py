@@ -14232,3 +14232,60 @@ def q_streaming_window_counts(spark, sf_dir):
         F.col("window.start").cast("timestamp_ntz").alias("win_start"),
         "n_events", "value_milli",
     )
+
+
+@register(
+    "tpch_q10",
+    f"""SELECT c.c_custkey, c.c_name,
+       {SR("sum(l.l_extendedprice * (1.0 - l.l_discount))", 2)} AS revenue,
+       {SR("c.c_acctbal", 2)} AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20""",
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting — top lost-revenue customers):
+    the 4-way join shape with BOTH dimension directions — nation
+    broadcast onto customer, the filtered quarter of orders shuffling
+    only against returned lineitems; revenue stable-rounded BEFORE the
+    top-20 cut (the tpch_q3 contract).  Plan: two broadcasts (nation,
+    and the date-filtered orders side stays partial), one l_orderkey
+    shuffle, TakeOrderedAndProject."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            R(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            R(F.col("c_acctbal"), 2).alias("c_acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
