@@ -14289,3 +14289,51 @@ def q_tpch_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "streaming_static_join",
+    """SELECT c.c_mktsegment,
+       date_trunc('hour', e.ts) AS win_start,
+       count(*)::bigint AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, date_trunc('hour', e.ts)""",
+)
+def q_streaming_static_join(spark, sf_dir):
+    """Stream-STATIC join (the second streaming feature class next to the
+    windowed-aggregate gate: Structured Streaming joins each micro-batch
+    against a static dimension without state): events replayed through
+    the file stream source, inner-joined to the static customer table on
+    user_id = c_custkey (broadcast — the dimension never shuffles the
+    stream), then watermarked tumbling 1 h counts per market segment in
+    complete mode.  Oracle = the equivalent batch join + date_trunc
+    GROUP BY."""
+    src_dir = sf_dir
+    schema = spark.read.parquet(f"{src_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(src_dir)
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    joined = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+    )
+    agg = (
+        joined.withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.window("ts_ltz", "1 hour"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_sj_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "c_mktsegment",
+        F.col("window.start").cast("timestamp_ntz").alias("win_start"),
+        "n_events",
+    )
