@@ -14337,3 +14337,144 @@ def q_streaming_static_join(spark, sf_dir):
         F.col("window.start").cast("timestamp_ntz").alias("win_start"),
         "n_events",
     )
+
+
+@register(
+    "streaming_dedup",
+    """SELECT user_id, event_type FROM events
+GROUP BY user_id, event_type""",
+)
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state
+    (dropDuplicatesWithinWatermark — the third streaming feature class:
+    per-key dedup state that the watermark reclaims): events replayed
+    through the file stream source, duplicates of (user_id, event_type)
+    arriving within the watermark horizon dropped, append-mode memory
+    sink.  The horizon here covers the whole fixture timeline so the
+    result is the exact DISTINCT (the oracle); only the dedup KEYS are
+    emitted, so survivor choice inside a micro-batch cannot leak
+    nondeterminism.  At 10^12 docs the state is (live keys within the
+    horizon), not rows — the streaming twin of operators/dedup.py
+    exact_dedup (streaming/stateful.py:streaming_dedup contract)."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(sf_dir)
+    )
+    deduped = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_dd_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        deduped.select("user_id", "event_type")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+@register(
+    "streaming_session_windows",
+    """WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING)::bigint AS session_id
+  FROM flagged),
+rolled AS (
+  SELECT user_id, min(ts) AS sess_start, max(ts) AS last_ts,
+         count(*)::bigint AS n_events
+  FROM sessions GROUP BY user_id, session_id)
+SELECT user_id, sess_start, n_events
+FROM rolled
+WHERE epoch_us(last_ts) + 1800000000
+      <= ((epoch_us((SELECT max(ts) FROM events)) // 1000) - 7200000) * 1000""",
+)
+def q_streaming_session_windows(spark, sf_dir):
+    """Event-time SESSION windows in Structured Streaming (gap-close
+    semantics, session_window() — the streaming twin of the batch
+    sessionize gate): events through the file stream source → 2 h
+    watermark → 30 min gap sessions per user → APPEND mode, so only
+    sessions CLOSED by the final watermark emit.  The oracle replicates
+    the exact close rule: a session merges events with inter-arrival
+    gap < 30 min (new session at >= gap), and emits iff
+    last_ts + gap <= watermark, where watermark = ms-truncated
+    max-event-time − 2 h (Spark tracks event-time stats in epoch-ms).
+    The final no-data micro-batch that availableNow runs after the
+    watermark advances is what flushes the closed sessions — the same
+    mechanism that emits continuously at fact scale."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(sf_dir)
+    )
+    agg = (
+        stream.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.session_window("ts_ltz", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_sw_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz")
+        .alias("sess_start"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_running_state",
+    """SELECT event_type, count(*)::bigint AS n_events,
+       sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::bigint
+         AS value_milli
+FROM events GROUP BY event_type""",
+)
+def q_streaming_running_state(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState — the
+    bespoke-state feature class next to windows/dedup/stream-static
+    join): per-event-type running (count, integer milli-sum) totals,
+    state one tuple per live key, emitted each trigger the key receives
+    data.  The replay is one availableNow micro-batch, so the emitted
+    running totals equal the batch aggregate (the oracle); integer
+    accumulation inside the Arrow-batched state function keeps the sum
+    order-free at any batch split or cluster size
+    (streaming/stateful.py:running_type_totals)."""
+    from gdal_spark.streaming.stateful import running_type_totals
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("pathGlobFilter", "events.parquet").load(sf_dir)
+    )
+    totals = running_type_totals(stream)
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_st_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        totals.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)

@@ -102,3 +102,51 @@ def running_tile_counts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TYPE_STATE_SCHEMA = "n LONG, value_milli LONG"
+_TYPE_OUT_SCHEMA = "event_type STRING, n_events LONG, value_milli LONG"
+
+
+def _type_state_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running per-event-type totals. State = (count, integer milli-sum);
+    integer accumulation keeps the running sum order-free across batches
+    and cluster sizes."""
+    n_batch = 0
+    milli_batch = 0
+    for p in pdfs:
+        n_batch += len(p)
+        milli_batch += int(p["value_milli"].sum()) if len(p) else 0
+    n, milli = state.get if state.exists else (0, 0)
+    n += n_batch
+    milli += milli_batch
+    state.update((n, milli))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "value_milli": [milli],
+        }
+    )
+
+
+def running_type_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-event-type
+    running (count, integer milli-quantized value sum) emitted every
+    trigger the key receives data. State is one 2-long tuple per live
+    key — at 10^12 docs the state size is (distinct keys), not rows."""
+    keyed = stream.withColumn(
+        "value_milli",
+        F.floor(F.col("value") * F.lit(1000.0) + F.lit(0.5)).cast("long"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _type_state_fn,
+        outputStructType=_TYPE_OUT_SCHEMA,
+        stateStructType=_TYPE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
