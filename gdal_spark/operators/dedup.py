@@ -597,3 +597,53 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership prefilter (decontamination at 100 TB: the corpus
+# side must not shuffle — a broadcast bitmap filters it map-only, and only
+# bloom-POSITIVE docs (tiny) reach the exact verify join; no false
+# negatives, so bloom-negative docs are provably clean)
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 65536  # 1024 longs — one array literal in the plan
+BLOOM_K = 3
+_BLOOM_A1, _BLOOM_A2, _BLOOM_B = 40503, 30103, 12347
+
+
+def _bloom_positions(h: int, m_bits: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K) -> list[int]:
+    """k probe positions for a 32-bit shingle hash — split-multiply mixing
+    kept inside int64 range so the identical closed form runs as a JVM
+    column expression."""
+    hi, lo = h >> 16, h & 65535
+    return [(hi * _BLOOM_A1 + lo * _BLOOM_A2 + i * _BLOOM_B) % m_bits
+            for i in range(k)]
+
+
+def bloom_bitmap(hashes, m_bits: int = BLOOM_M_BITS,
+                 k: int = BLOOM_K) -> list[int]:
+    """Build the bitmap (list of m/64 SIGNED int64 words, LSB-first) from
+    an iterable of 32-bit hashes — driver-side, numpy-free, deterministic."""
+    words = [0] * (m_bits // 64)
+    for h in hashes:
+        for pos in _bloom_positions(int(h), m_bits, k):
+            words[pos // 64] |= 1 << (pos % 64)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_hit_expr(shingles_col: str, bloom_col: str,
+                   m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> str:
+    """Spark SQL expression: TRUE iff ANY element of the shingle-hash
+    array column has all k bloom bits set. Pure JVM higher-order
+    function — whole-stage codegen, zero Python, zero shuffle."""
+    probes = []
+    for i in range(k):
+        pos = (f"((shiftrightunsigned(h, 16) * {_BLOOM_A1} "
+               f"+ (h & 65535) * {_BLOOM_A2} + {i * _BLOOM_B}) % {m_bits})")
+        probes.append(
+            f"((shiftrightunsigned(element_at({bloom_col}, "
+            f"cast({pos} / 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1)"
+        )
+    return f"exists({shingles_col}, h -> {' AND '.join(probes)})"

@@ -125,3 +125,52 @@ class SnapshotTable:
         if not segments:
             raise ValueError(f"snapshot {snap_id} is empty")
         return spark.read.parquet(*[s["path"] for s in segments])
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame
+                     ) -> tuple[int, int, int]:
+        """Copy-on-write MERGE (Iceberg MERGE INTO semantics, upsert form):
+        rows of ``source`` REPLACE same-key rows and INSERT new keys.
+
+        Segment pruning is ONE pass: source keys range-join (broadcast)
+        the manifest's (kmin, kmax) stats — a segment with no source key
+        inside its range is carried forward by reference, never read.
+        Hit segments are rewritten with matched keys anti-joined out;
+        the whole source lands as one new segment (updates + inserts
+        together).  Returns (snapshot_id, segments_rewritten,
+        segments_carried)."""
+        prev_id = self.current_id()
+        snap_id = prev_id + 1
+        segs = self._load(prev_id)
+        ranges = [
+            (i, s["kmin"], s["kmax"]) for i, s in enumerate(segs)
+            if s["kmin"] is not None
+        ]
+        keys = source.select(F.col(self.key_col))
+        hits: set = set()
+        if ranges:
+            rdf = spark.createDataFrame(
+                ranges, "seg_idx int, kmin long, kmax long")
+            k = F.col(self.key_col)
+            hits = {
+                r["seg_idx"]
+                for r in keys.join(
+                    F.broadcast(rdf),
+                    (k >= F.col("kmin")) & (k <= F.col("kmax")),
+                ).select("seg_idx").distinct().collect()
+            }
+        out, seq, rewritten, carried = [], 0, 0, 0
+        for i, seg in enumerate(segs):
+            if i not in hits:
+                out.append(seg)
+                carried += 1
+                continue
+            kept = spark.read.parquet(seg["path"]).join(
+                F.broadcast(keys), self.key_col, "left_anti")
+            new_seg = self._write_segment(kept, snap_id, seq)
+            seq += 1
+            rewritten += 1
+            if new_seg["rows"]:
+                out.append(new_seg)
+        out.append(self._write_segment(source, snap_id, seq))
+        self._commit(snap_id, out)
+        return snap_id, rewritten, carried

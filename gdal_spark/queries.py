@@ -14478,3 +14478,168 @@ def q_streaming_running_state(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+# ===========================================================================
+# Triangle counting over the deterministic link graph (Latapy 2008 /
+# GraphX TriangleCount semantics — degree-ordered orientation)
+# ===========================================================================
+
+# Shift maps with compositional closure (3 + 7 = 10): edges i->i+3,
+# i->i+7, i->i+10 (mod n) guarantee ~2n real triangles at any n, unlike
+# the pagerank gate's multiplicative maps (triangle-free at n=500).
+_TRI_SHIFTS = (3, 7, 10)
+_TRI_EDGES_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS src, (doc_id + {b}) % cnt AS dst "
+    "FROM n CROSS JOIN c"
+    for b in _TRI_SHIFTS)
+
+
+@register(
+    "web_triangles",
+    f"""WITH n AS (SELECT doc_id FROM documents),
+c AS (SELECT count(*)::bigint AS cnt FROM n),
+e0 AS (SELECT DISTINCT src, dst FROM ({_TRI_EDGES_SQL}) WHERE src <> dst),
+u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+t AS (SELECT u1.a AS x, u1.b AS y, u2.b AS z
+      FROM u u1
+      JOIN u u2 ON u2.a = u1.b
+      JOIN u u3 ON u3.a = u1.a AND u3.b = u2.b),
+v AS (SELECT x AS id FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+SELECT id AS doc_id, count(*)::bigint AS n_tri FROM v GROUP BY id""",
+)
+def q_web_triangles(spark, sf_dir):
+    """Triangle counting over the deterministic 3-out-link document
+    graph (the GraphX TriangleCount analogue; ref has no graph ops —
+    webtext-axis extension): degree-ordered edge orientation bounds
+    per-vertex wedge fanout by graph arboricity, so the wedge self-join
+    survives power-law web graphs; three shuffles, no iteration.  The
+    oracle enumerates x<y<z triangles by id — independent of the
+    engine's (degree, id) orientation, so the count parity is a real
+    cross-check of the enumeration rule
+    (operators/graph.py:triangle_counts)."""
+    from gdal_spark.operators.graph import triangle_counts
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for b in _TRI_SHIFTS:
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionAll(part)
+    out = triangle_counts(edges)
+    return out.select(F.col("id").alias("doc_id"), "n_tri")
+
+
+@register(
+    "corpus_decontaminate_bloom",
+    f"""WITH bh AS (SELECT DISTINCT unnest({D.sql_shingle_hashes('text', 3)}) AS h
+            FROM documents WHERE {_DECON_BENCH_PRED}),
+c AS (SELECT doc_id, {D.sql_shingle_hashes('text', 3)} AS sh
+      FROM documents WHERE NOT ({_DECON_BENCH_PRED})),
+bad AS (SELECT DISTINCT cx.doc_id
+        FROM (SELECT doc_id, unnest(sh) AS h FROM c) cx JOIN bh USING (h))
+SELECT c.doc_id, len(sh)::bigint AS n_shingles
+FROM c WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)""",
+)
+def q_corpus_decontaminate_bloom(spark, sf_dir):
+    """Decontamination via BLOOM-PREFILTER (the exact-membership variant
+    of corpus_decontaminate, and the way it actually runs at 100 TB:
+    the corpus side must not shuffle).  The benchmark slice's 3-gram
+    hash set builds a 65536-bit / k=3 bloom bitmap ONCE (driver-side,
+    the bench side is small by construction), broadcast as a single
+    array<long> literal; the corpus is filtered MAP-ONLY by a pure JVM
+    higher-order probe expression (whole-stage codegen, no shuffle, no
+    Python).  Bloom negatives are provably clean (no false negatives);
+    only the tiny bloom-positive slice reaches the exact broadcast
+    verify join — so the result is EXACT, matching the oracle's plain
+    anti-join, while the big side never shuffles
+    (operators/dedup.py:bloom_bitmap/bloom_hit_expr)."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    corpus = docs.filter(~F.expr(_DECON_BENCH_PRED))
+    bench_set = bench.select(
+        F.explode(D.shingle_hashes(F.col("text"))).alias("h")
+    ).distinct()
+    bloom = D.bloom_bitmap(r[0] for r in bench_set.collect())
+    cand = (
+        corpus
+        .withColumn("_sh", D.shingle_hashes(F.col("text")))
+        .withColumn("_bloom", F.lit(bloom))
+        .withColumn("_hit", F.expr(D.bloom_hit_expr("_sh", "_bloom")))
+    )
+    n_sh = F.size("_sh").cast("long").alias("n_shingles")
+    clean_fast = cand.filter(~F.col("_hit")).select("doc_id", n_sh)
+    pos = cand.filter(F.col("_hit"))
+    contaminated = (
+        pos.select("doc_id", F.explode("_sh").alias("h"))
+        .join(F.broadcast(bench_set), "h")
+        .select("doc_id").distinct()
+    )
+    verified_clean = (
+        pos.join(contaminated, "doc_id", "left_anti").select("doc_id", n_sh)
+    )
+    return clean_fast.unionAll(verified_clean)
+
+
+@register(
+    "snapshot_merge_upsert",
+    """WITH m AS (SELECT max(o_orderkey) // 2 AS mid,
+                  max(o_orderkey) AS mx FROM orders),
+base AS (SELECT o_orderkey AS k,
+                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+         FROM orders),
+upd AS (SELECT k, v + 111 AS v FROM base, m
+        WHERE k >= mid // 4 AND k < mid // 4 + mid // 8),
+ins AS (SELECT mx + 1 + k AS k, k AS v FROM base, m WHERE k < 50),
+src AS (SELECT k, v FROM upd UNION ALL SELECT k, v FROM ins),
+final AS (SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM src)
+          UNION ALL SELECT k, v FROM src)
+SELECT count(*)::bigint AS n_rows, sum(k)::bigint AS key_sum,
+       sum(v)::bigint AS v_sum,
+       1::bigint AS seg_rewritten, 1::bigint AS seg_carried
+FROM final""",
+)
+def q_snapshot_merge_upsert(spark, sf_dir):
+    """Snapshot-table MERGE upsert (Iceberg MERGE INTO, copy-on-write —
+    completes the storage contract next to append / range-delete / time
+    travel): two key-range segments, then a source of updates (keys
+    inside segment 1, value bumped) + inserts (keys past the table max).
+    Pruning is ONE broadcast range-join of source keys against manifest
+    (kmin, kmax) stats — segment 2 holds no source key, so the gate pins
+    seg_rewritten=1 / seg_carried=1 as MEASURED counts against oracle
+    literals; the oracle reconstructs the merged state from orders and
+    never sees the files (plans/snapshots.py:merge_upsert)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="gdalspark_snap_merge_")
+    base = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    row = base.agg(
+        F.expr("max(k) div 2").alias("mid"), F.max("k").alias("mx")
+    ).collect()[0]
+    mid, mx = row["mid"], row["mx"]
+    tbl = SnapshotTable(root, key_col="k")
+    tbl.append(base.filter(F.col("k") < mid))
+    tbl.append(base.filter(F.col("k") >= mid))
+    upd = base.filter(
+        (F.col("k") >= mid // 4) & (F.col("k") < mid // 4 + mid // 8)
+    ).select("k", (F.col("v") + 111).alias("v"))
+    ins = base.filter(F.col("k") < 50).select(
+        (F.lit(int(mx)) + 1 + F.col("k")).alias("k"),
+        F.col("k").cast("long").alias("v"),
+    )
+    _, rewritten, carried = tbl.merge_upsert(spark, upd.unionAll(ins))
+    return tbl.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("v").alias("v_sum"),
+        F.lit(rewritten).cast("long").alias("seg_rewritten"),
+        F.lit(carried).cast("long").alias("seg_carried"),
+    )
