@@ -339,3 +339,62 @@ def cluster_within(
             F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ST_ClusterKMeans (PostGIS window-function semantics, deterministic form):
+# Lloyd iterations over integer micro-quantized planar coordinates.
+# ---------------------------------------------------------------------------
+
+def st_cluster_kmeans(
+    points: DataFrame, seeds: list[tuple[int, int]], iters: int = 2,
+    x: str = "xu", y: str = "yu",
+) -> DataFrame:
+    """K-means (Lloyd) over integer micro-coordinates — the deterministic
+    twin of PostGIS ``ST_ClusterKMeans`` (whose k-means++ seeding is
+    RNG-arbitrary; we pin literal seeds so both engines agree).
+
+    Scale design: each ASSIGNMENT round is a pure column expression —
+    per-point distance keys ``d2*8 + j`` against the k driver-collected
+    centroid LITERALS, folded with ``least(...)`` (order-free integer
+    min; ties break to the lower cluster id).  No join ever touches the
+    point side; each UPDATE round is one bounded (k-row) partial-agg
+    shuffle, and the integer ``sum // count`` centroid is order-free.
+    k is bounded (a clustering parameter, not data), so the per-round
+    driver collect is k rows — the same driver-paced iteration contract
+    as PageRank/BFS.
+
+    Returns (cluster_id, n_points, cx_micro, cy_micro) — counts and
+    centroids AFTER the final update; empty clusters keep their previous
+    centroid with n_points = 0.
+    """
+    spark = points.sparkSession
+    cents = [(int(j), int(cx), int(cy))
+             for j, (cx, cy) in enumerate(seeds)]
+    k = len(cents)
+    assign = None
+    for _ in range(iters):
+        keys = [
+            ((F.col(x) - F.lit(cx)) * (F.col(x) - F.lit(cx))
+             + (F.col(y) - F.lit(cy)) * (F.col(y) - F.lit(cy)))
+            * 8 + F.lit(j)
+            for j, cx, cy in cents
+        ]
+        assign = points.withColumn(
+            "cluster_id", (F.least(*keys) % 8).cast("int"))
+        upd = {
+            r["cluster_id"]: (int(r["n"]), int(r["cx"]), int(r["cy"]))
+            for r in assign.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"sum({x}) div count(*)").alias("cx"),
+                F.expr(f"sum({y}) div count(*)").alias("cy"),
+            ).collect()
+        }
+        cents = [
+            (j, upd[j][1], upd[j][2]) if j in upd else (j, cx, cy)
+            for j, cx, cy in cents
+        ]
+        counts = {j: upd[j][0] if j in upd else 0 for j, _, _ in cents}
+    out = [(j, counts[j], cx, cy) for j, cx, cy in cents]
+    return spark.createDataFrame(
+        out, "cluster_id int, n_points long, cx_micro long, cy_micro long")

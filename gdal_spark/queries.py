@@ -14643,3 +14643,102 @@ def q_snapshot_merge_upsert(spark, sf_dir):
         F.lit(rewritten).cast("long").alias("seg_rewritten"),
         F.lit(carried).cast("long").alias("seg_carried"),
     )
+
+
+# ===========================================================================
+# ST_ClusterKMeans (PostGIS dialect tail — next to DBSCAN / cluster-within)
+# ===========================================================================
+
+_KM2D_SEEDS = [
+    (-1200000, -500000), (-600000, 0), (0, 500000),
+    (600000, -250000), (1200000, 250000), (0, -750000),
+]
+
+
+def _sql_kmeans2d() -> str:
+    xu = f"CAST(floor(({sql_lon('o_orderkey')}) * 10000.0 + 0.5) AS BIGINT)"
+    yu = f"CAST(floor(({sql_lat('o_orderkey')}) * 10000.0 + 0.5) AS BIGINT)"
+    seeds = ", ".join(
+        f"({j}, {cx}::bigint, {cy}::bigint)"
+        for j, (cx, cy) in enumerate(_KM2D_SEEDS))
+
+    def keys(cent_terms):
+        return "least(" + ", ".join(
+            f"((xu - ({cx})) * (xu - ({cx})) + (yu - ({cy})) * (yu - ({cy})))"
+            f" * 8 + {j}"
+            for j, cx, cy in cent_terms) + ") % 8"
+
+    k1 = keys([(j, str(cx), str(cy))
+               for j, (cx, cy) in enumerate(_KM2D_SEEDS)])
+    return f"""WITH p AS (
+  SELECT o_orderkey, {xu} AS xu, {yu} AS yu FROM orders),
+s(j, cx, cy) AS (VALUES {seeds}),
+a1 AS (SELECT xu, yu, ({k1})::int AS cl FROM p),
+u1 AS (SELECT cl, sum(xu) // count(*) AS cx, sum(yu) // count(*) AS cy
+       FROM a1 GROUP BY cl),
+c1 AS (SELECT s.j AS cl, COALESCE(u1.cx, s.cx) AS cx,
+              COALESCE(u1.cy, s.cy) AS cy
+       FROM s LEFT JOIN u1 ON u1.cl = s.j),
+a2 AS (SELECT p.o_orderkey, p.xu, p.yu,
+              (min(((p.xu - c.cx) * (p.xu - c.cx)
+                    + (p.yu - c.cy) * (p.yu - c.cy)) * 8 + c.cl) % 8)::int
+                AS cl
+       FROM p CROSS JOIN c1 c GROUP BY p.o_orderkey, p.xu, p.yu),
+u2 AS (SELECT cl, count(*)::bigint AS n_points,
+              sum(xu) // count(*) AS cx, sum(yu) // count(*) AS cy
+       FROM a2 GROUP BY cl)
+SELECT c1.cl AS cluster_id, COALESCE(u2.n_points, 0)::bigint AS n_points,
+       COALESCE(u2.cx, c1.cx)::bigint AS cx_micro,
+       COALESCE(u2.cy, c1.cy)::bigint AS cy_micro
+FROM c1 LEFT JOIN u2 ON u2.cl = c1.cl"""
+
+
+@register("st_cluster_kmeans", _sql_kmeans2d())
+def q_st_cluster_kmeans(spark, sf_dir):
+    """ST_ClusterKMeans (PostGIS dialect reach — completes the clustering
+    family next to DBSCAN / cluster-within): 2 Lloyd iterations over
+    integer micro-quantized (lon, lat), k=6 pinned literal seeds
+    (PostGIS's k-means++ is RNG-arbitrary; determinism is pinned
+    instead).  Each assignment is a pure column expression (least() over
+    d2*8+j keys vs centroid literals — ties to the lower id, no join on
+    the point side); each update one bounded k-row shuffle; the oracle
+    unrolls the identical integer rounds as CTEs
+    (operators/cluster.py:st_cluster_kmeans)."""
+    from gdal_spark.operators.cluster import st_cluster_kmeans
+
+    pts = order_points(spark, sf_dir).select(
+        F.floor(F.col("lon") * 10000.0 + 0.5).cast("long").alias("xu"),
+        F.floor(F.col("lat") * 10000.0 + 0.5).cast("long").alias("yu"),
+    )
+    return st_cluster_kmeans(pts, _KM2D_SEEDS, iters=2)
+
+
+@register(
+    "coverage_simplify",
+    """SELECT g.v::bigint AS poly_id, 5::int AS n_vertices,
+       2.0::double AS area
+FROM (SELECT unnest(generate_series(0, 31)) AS v) g""",
+)
+def q_coverage_simplify(spark, sf_dir):
+    """Coverage SIMPLIFICATION (gdal vector simplify-coverage,
+    apps/gdalalg_vector_simplify_coverage.cpp; GEOS CoverageSimplifier)
+    — completes the coverage family next to check-coverage and the
+    dissolve noding gate: every shared boundary chain is simplified
+    ONCE (canonical direction, Visvalingam–Whyatt, endpoints pinned)
+    and spliced bit-identically into both owners, so the coverage stays
+    gap/overlap-free by construction.  Stages: edge-key self-join
+    (neighbor detection) → vertex junction-degree agg → per-polygon
+    chain walk → per-distinct-chain VW → per-polygon reassembly — all
+    keyed joins/aggregates, no all-pairs, no driver geometry.  The 8×4
+    zigzag grid fixture must collapse to exact 2×1 rectangles: the
+    oracle pins 5 ring vertices and area exactly 2.0 for every cell —
+    any gap, overlap, missed tooth, or over-simplified corner breaks
+    the count or the shoelace area
+    (operators/coverage_simplify.py:simplify_coverage)."""
+    from gdal_spark.operators.coverage_simplify import (
+        demo_coverage_rings, simplify_coverage)
+
+    df = spark.createDataFrame(
+        demo_coverage_rings(cols=8, rows=4),
+        "poly_id long, ring array<array<double>>")
+    return simplify_coverage(df, tol=0.1)
