@@ -78,27 +78,40 @@ _GATED_ROUNDS = frozenset({
 })
 
 
-# Round-4 stamping priority (the r3 verdict names these operator families
-# as the ones the capped ~50/round gate should verify next); remaining
-# never-gated keys follow in registration order, already-stamped keys last.
+# Round-4 stamping priority: one representative per NEVER-stamped operator
+# family first (warp, DE-9IM, line layer, GeoParquet/COG/WARC storage,
+# clustering, coverage simplify, stencils, rasterize-lines, S2, PQ/k-means,
+# curation recipes, GCP/TPS/RPC transformers, lineage, streaming, graph,
+# snapshot storage) so a capped ~50/round gate maximizes family breadth;
+# remaining never-gated keys follow in registration order, stamped keys
+# last.
 _PRIORITY_R4 = (
-    "warp_reproject_nearest", "warp_reproject_bilinear",
-    "warp_reproject_inverse", "geom_relate_de9im", "line_poly_predicates",
-    "line_clip_rect", "line_line_intersections", "line_substring",
-    "line_hausdorff", "point_line_distance", "geom_snap_vertices",
-    "st_line_merge", "geoparquet_roundtrip", "geoparquet_points_roundtrip",
-    "st_cluster_dbscan", "st_cluster_within", "raster_sieve",
-    "raster_fillnodata", "raster_pansharpen", "rasterize_lines_bresenham",
-    "rasterize_lines_all_touched", "rasterize_lines_z",
-    "rasterize_polygons", "rasterize_polygons_all_touched",
-    "s2_cell_encode", "s2_parent_rollup", "embed_pq_encode", "embed_pq_adc",
+    "warp_reproject_nearest", "warp_reproject_inverse", "warp_cutline",
+    "geom_relate_de9im", "line_poly_predicates", "line_line_intersections",
+    "line_hausdorff", "point_line_distance", "st_line_merge",
+    "geoparquet_roundtrip", "geoparquet_points_roundtrip",
+    "geotiff_cog_overviews", "warc_extract_roundtrip",
+    "st_cluster_dbscan", "st_cluster_kmeans", "coverage_simplify",
+    "raster_sieve", "raster_fillnodata", "raster_pansharpen",
+    "rasterize_lines_bresenham", "rasterize_polygons",
+    "s2_cell_encode", "s2_parent_rollup",
+    "embed_pq_encode", "embed_pq_adc", "embed_kmeans_lloyd",
     "text_c4_filters", "text_gopher_rules", "text_line_dedup",
-    "text_substring_dup", "sql_ansi_portability", "contour_polygons",
-    "voronoi_assign", "geom_make_valid", "geom_buffer_concave",
-    "geom_set_precision", "geom_normalize", "raster_rgb2pct",
-    "raster_dither_bayer", "url_normalize", "wrapdateline", "laea_project",
-    "geom_area_geodesic", "st_project", "warp_cutline", "raster_translate",
-    "grid_linear", "tpch_q3", "tpch_q5", "sql_percentiles",
+    "text_substring_dup", "text_bpe_train", "corpus_decontaminate_bloom",
+    "url_normalize", "sql_ansi_portability", "tpch_q3", "tpch_q10",
+    "contour_polygons", "voronoi_assign", "geom_make_valid",
+    "geom_buffer_concave", "wrapdateline", "laea_project",
+    "warp_gcp_poly", "warp_tps_transform", "warp_rpc_transform",
+    "snapshot_merge_upsert", "lineage_metrics",
+    "streaming_window_counts", "streaming_session_windows",
+    "web_pagerank", "web_triangles", "network_shortest_path",
+    "streaming_static_join", "table_time_travel", "st_cluster_within",
+    "line_substring", "rasterize_polygons_all_touched",
+    "rasterize_lines_z", "geom_snap_vertices", "warp_reproject_bilinear",
+    "grid_linear", "st_project", "tpch_q5", "text_bm25_topk",
+    "raster_rgb2pct", "geom_set_precision", "geom_normalize",
+    "raster_dither_bayer", "geom_area_geodesic", "raster_translate",
+    "sql_percentiles", "line_clip_rect",
 )
 
 
