@@ -161,6 +161,12 @@ BENCH_QUERIES = [
     "model_auc_rank",
     "coverage_check",
     "corpus_shuffle_order",
+    # round 4 session-9 additions
+    "web_triangles",
+    "corpus_decontaminate_bloom",
+    "snapshot_merge_upsert",
+    "st_cluster_kmeans",
+    "coverage_simplify",
 ]
 
 

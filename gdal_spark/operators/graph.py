@@ -210,3 +210,41 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+def label_propagation_rounds(edges: DataFrame, nodes: DataFrame,
+                             rounds: int = 3, n_mult: int = 0) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007, the GraphX/GraphFrames
+    LPA analogue) made DETERMINISTIC: every node starts with its own id;
+    each round it adopts the label most frequent among its neighbours,
+    ties broken by the SMALLEST label — encoded as one integer key
+    ``(n - count) * n + label`` so the per-node argmax is an order-free
+    ``min``.  Two shuffles per round (label join onto edges, per-node
+    count+min), K driver-paced rounds — the engine's standard iterative
+    contract.  ``n_mult``: the encode multiplier (≥ max node id + 1 and
+    ≥ max count + 1); 0 = derive from the node count."""
+    und = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    n = n_mult or (nodes.count() + 1)
+    labels = nodes.select(F.col("id"), F.col("id").alias("lbl"))
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und.src == labels.id)
+            .groupBy("dst", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = (
+            votes.groupBy("dst")
+            .agg(F.min((F.lit(n) - F.col("cnt")) * n + F.col("lbl"))
+                 .alias("key"))
+            .select(F.col("dst").alias("id"),
+                    (F.col("key") % n).alias("new_lbl"))
+        )
+        # isolated nodes (no in-votes) keep their label
+        labels = (
+            labels.join(new_labels, "id", "left")
+            .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -14742,3 +14742,100 @@ def q_coverage_simplify(spark, sf_dir):
         demo_coverage_rings(cols=8, rows=4),
         "poly_id long, ring array<array<double>>")
     return simplify_coverage(df, tol=0.1)
+
+
+def _sql_label_prop() -> str:
+    edges = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id + {b}) % cnt AS dst "
+        "FROM nn CROSS JOIN c"
+        for b in _TRI_SHIFTS)
+    blocks = [f"""nn AS (SELECT doc_id FROM documents),
+c AS (SELECT count(*)::bigint AS cnt FROM nn),
+m AS (SELECT cnt + 1 AS m FROM c),
+e0 AS (SELECT DISTINCT src, dst FROM ({edges}) WHERE src <> dst),
+u AS (SELECT DISTINCT src, dst FROM
+      (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM nn)"""]
+    for i in range(1, 4):
+        blocks.append(f"""v{i} AS (
+  SELECT u.dst, l{i - 1}.lbl, count(*)::bigint AS nv
+  FROM u JOIN l{i - 1} ON l{i - 1}.id = u.src GROUP BY u.dst, l{i - 1}.lbl),
+l{i} AS (
+  SELECT dst AS id,
+         min(((SELECT m FROM m) - nv) * (SELECT m FROM m) + lbl)
+           % (SELECT m FROM m) AS lbl
+  FROM v{i} GROUP BY dst)""")
+    return (f"WITH {', '.join(blocks)}\n"
+            "SELECT id AS doc_id, lbl::bigint AS community FROM l3")
+
+
+@register("web_communities_lp", _sql_label_prop())
+def q_web_communities_lp(spark, sf_dir):
+    """Community detection by synchronous LABEL PROPAGATION (Raghavan
+    2007; the GraphX/GraphFrames LPA analogue — webtext-axis graph
+    family next to PageRank / HITS / shortest-path / triangles), made
+    deterministic: most-frequent neighbour label, ties to the SMALLEST
+    label via the order-free integer encode (n - count) * n + label.
+    3 synchronous rounds, two keyed shuffles per round, lineage
+    truncated per round; the oracle chains the identical integer
+    rounds as CTEs (operators/graph.py:label_propagation_rounds)."""
+    from gdal_spark.operators.graph import label_propagation_rounds
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = None
+    for b in _TRI_SHIFTS:
+        part = docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") + b) % n).alias("dst"),
+        )
+        edges = part if edges is None else edges.unionAll(part)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    out = label_propagation_rounds(
+        edges, docs.select(F.col("doc_id").alias("id")),
+        rounds=3, n_mult=n + 1)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("lbl").cast("long").alias("community"))
+
+
+@register(
+    "text_inverted_index",
+    """WITH t AS (
+  SELECT DISTINCT d.doc_id, u.tok
+  FROM documents d,
+       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+  WHERE u.tok IN ('hash', 'join', 'vector', 'stream', 'filter'))
+SELECT tok AS term, count(*)::bigint AS df,
+       md5(string_agg(doc_id::varchar, ',' ORDER BY doc_id))
+         AS posting_md5
+FROM t GROUP BY tok""",
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index construction (the index STRUCTURE behind the BM25
+    ranking gate — posting lists per term): JVM regexp tokenize +
+    explode, distinct (term, doc) pairs, ONE shuffle on the term key;
+    posting lists ordered by sort_array so the md5 digest is
+    deterministic at any parallelism.  At 100 TB this is the standard
+    build: term-sharded posting lists, each a sorted bounded list —
+    never a driver collect."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term").isin(list(_BM25_TERMS)))
+        .distinct()
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string")
+                                            .cast("long"))),
+                ",",
+            )
+        ).alias("posting_md5"),
+    )
