@@ -577,3 +577,75 @@ def test_lineref_measures_broadcast_dimension(spark):
     # broadcast it, leaving the fact side shuffle-free for that join
     p = _plan(spark, "lineref_locate")
     assert "BroadcastHashJoin" in p
+
+
+def test_triangles_and_lp_no_cartesian(spark):
+    """Graph wedge/closure joins and LP vote joins must stay equi-joins —
+    a CartesianProduct here is quadratic at web-graph scale."""
+    for name in ("web_triangles", "web_communities_lp"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_bloom_decontaminate_corpus_side_map_only(spark):
+    """The bloom prefilter must evaluate as a plain Filter over the corpus
+    scan (JVM HOF probe on a literal bitmap): no Exchange, no Python
+    evaluator, before the first aggregation/join of the verify stage."""
+    df = Q.QUERIES["corpus_decontaminate_bloom"](spark, SF)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the probe itself is a Filter containing the bloom HOF call
+    assert "exists(" in p and "shiftrightunsigned" in p
+
+
+def test_kmeans_assignment_join_free(spark):
+    """ST_ClusterKMeans assignment is a pure column expression over
+    centroid LITERALS: the per-round update aggregate plan has no join
+    and exactly one (partial+final) aggregation on the assignment key."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.queries import _KM2D_SEEDS, order_points
+
+    pts = order_points(spark, SF).select(
+        F.floor(F.col("lon") * 10000.0 + 0.5).cast("long").alias("xu"),
+        F.floor(F.col("lat") * 10000.0 + 0.5).cast("long").alias("yu"),
+    )
+    keys = [
+        ((F.col("xu") - F.lit(cx)) * (F.col("xu") - F.lit(cx))
+         + (F.col("yu") - F.lit(cy)) * (F.col("yu") - F.lit(cy))) * 8
+        + F.lit(j)
+        for j, (cx, cy) in enumerate(_KM2D_SEEDS)
+    ]
+    upd = (
+        pts.withColumn("cluster_id", (F.least(*keys) % 8).cast("int"))
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        upd.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_coverage_simplify_keyed_joins_only(spark):
+    p = _plan(spark, "coverage_simplify")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_inverted_index_partial_agg(spark):
+    p = _plan(spark, "text_inverted_index")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p or "ObjectHashAggregate" in p
