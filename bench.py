@@ -167,6 +167,10 @@ BENCH_QUERIES = [
     "snapshot_merge_upsert",
     "st_cluster_kmeans",
     "coverage_simplify",
+    "web_communities_lp",
+    "text_inverted_index",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
 ]
 
 

@@ -14562,13 +14562,29 @@ def q_corpus_decontaminate_bloom(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     bench = docs.filter(F.expr(_DECON_BENCH_PRED))
     corpus = docs.filter(~F.expr(_DECON_BENCH_PRED))
-    bench_set = bench.select(
-        F.explode(D.shingle_hashes(F.col("text"))).alias("h")
-    ).distinct()
+
+    def staged_shingles(df):
+        # two-projection form (dedup.py contract): split ONCE into a
+        # materialized token array, then shingle+hash from the attribute
+        # — the single-Column HOF form re-splits per window index in the
+        # interpreted path (~10x on fat documents).
+        return (
+            df.select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), " +").alias("_toks"))
+            .select(
+                "doc_id",
+                D.shingles_from_tokens("_toks", 3).alias("_sgl"))
+            .select(
+                "doc_id",
+                F.transform("_sgl", D.md5_h32).alias("_sh"))
+        )
+
+    bench_set = staged_shingles(bench).select(
+        F.explode("_sh").alias("h")).distinct()
     bloom = D.bloom_bitmap(r[0] for r in bench_set.collect())
     cand = (
-        corpus
-        .withColumn("_sh", D.shingle_hashes(F.col("text")))
+        staged_shingles(corpus)
         .withColumn("_bloom", F.lit(bloom))
         .withColumn("_hit", F.expr(D.bloom_hit_expr("_sh", "_bloom")))
     )
@@ -14839,3 +14855,159 @@ def q_text_inverted_index(spark, sf_dir):
             )
         ).alias("posting_md5"),
     )
+
+
+# ===========================================================================
+# Mergeable sketches (Flajolet 2007 HLL / Cormode–Muthukrishnan CMS) with
+# EXACT cross-engine parity: registers are integer folds (max / sum), so
+# both engines compute bit-identical sketch states and estimates.
+# ===========================================================================
+
+
+def _sql_hll() -> str:
+    h = "('0x' || substring(md5('d' || o_orderkey), 1, 8))::bigint"
+    return f"""WITH x AS (
+  SELECT o_orderkey % 4 AS shard, {h} % 64 AS idx, {h} // 64 AS w
+  FROM orders),
+r AS (
+  SELECT shard, idx,
+         max(CASE WHEN w = 0 THEN 27
+                  ELSE 27 - length(bin(w)) END)::bigint AS rho
+  FROM x GROUP BY shard, idx),
+s AS (
+  SELECT shard, count(*)::bigint AS m_used,
+         sum(CAST(2 AS BIGINT) ** (27 - rho))::bigint AS denom_scaled
+  FROM r GROUP BY shard)
+SELECT s.shard, s.m_used, s.denom_scaled,
+       (floor(0.709 * 4096.0 * 134217728.0
+              / ((s.denom_scaled + (64 - s.m_used) * 134217728)::double)
+              * 10000.0 + 0.5) / 10000.0) AS hll_est,
+       (SELECT count(DISTINCT o_orderkey) FROM orders o2
+        WHERE o2.o_orderkey % 4 = s.shard)::bigint AS n_exact
+FROM s"""
+
+
+@register("sketch_hll_distinct", _sql_hll())
+def q_sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007, m=64
+    registers) — the bounded-memory mergeable cardinality structure a
+    10^12-row pipeline uses instead of COUNT(DISTINCT): per-source
+    registers are an integer MAX fold over md5-derived (bucket, rank)
+    pairs, so sketch state AND the harmonic estimate (denominator kept
+    as an exact power-of-two integer sum, one float division at the
+    end) are bit-identical on both engines.  Shards sized n >> 2.5m so
+    the raw-HLL regime applies (small-range linear counting out of
+    scope).  One bounded shuffle (shards × 64 rows); registers merge
+    with max — executor-partial, cluster-size-free."""
+    orders = _read(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("d"),
+               F.col("o_orderkey").cast("string"))), 1, 8), 16, 10
+               ).cast("long")
+    x = orders.select(
+        (F.col("o_orderkey") % 4).alias("shard"),
+        (h % 64).alias("idx"),
+        F.floor(h / F.lit(64)).cast("long").alias("w"),
+    )
+    r = x.groupBy("shard", "idx").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(27))
+            .otherwise(F.lit(27) - F.length(F.bin("w")))
+        ).cast("long").alias("rho")
+    )
+    s = r.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                     "CAST(27 - rho AS INT))"))
+        .cast("long").alias("denom_scaled"),
+    )
+    exact = orders.groupBy((F.col("o_orderkey") % 4).alias("shard")).agg(
+        F.countDistinct("o_orderkey").alias("n_exact"))
+    est = (
+        F.floor(
+            F.lit(0.709) * F.lit(4096.0) * F.lit(134217728.0)
+            / ((F.col("denom_scaled")
+                + (F.lit(64) - F.col("m_used")) * F.lit(134217728))
+               .cast("double"))
+            * 10000.0 + 0.5
+        ) / 10000.0
+    )
+    return (
+        s.join(F.broadcast(exact), "shard")
+        .select("shard", "m_used", "denom_scaled",
+                est.alias("hll_est"), F.col("n_exact").cast("long"))
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    """WITH tok AS (
+  SELECT u.tok FROM documents d,
+       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+  WHERE u.tok <> ''),
+dd AS (SELECT unnest([0, 1]) AS d),
+cms AS (
+  SELECT dd.d,
+         ('0x' || substring(md5(dd.d || '|' || tok), 1, 8))::bigint % 512
+           AS b,
+         count(*)::bigint AS c
+  FROM tok CROSS JOIN dd GROUP BY 1, 2),
+q AS (SELECT unnest(['hash', 'join', 'vector', 'stream', 'filter'])
+        AS term),
+look AS (
+  SELECT q.term, dd.d,
+         ('0x' || substring(md5(dd.d || '|' || q.term), 1, 8))::bigint % 512
+           AS b
+  FROM q CROSS JOIN dd),
+est AS (
+  SELECT l.term, min(cms.c)::bigint AS cms_est
+  FROM look l JOIN cms ON cms.d = l.d AND cms.b = l.b GROUP BY l.term),
+tru AS (
+  SELECT tok AS term, count(*)::bigint AS true_n FROM tok
+  WHERE tok IN ('hash', 'join', 'vector', 'stream', 'filter')
+  GROUP BY tok)
+SELECT est.term, est.cms_est, tru.true_n FROM est JOIN tru USING (term)""",
+)
+def q_sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005, depth 2 × width
+    512) — the bounded-memory mergeable FREQUENCY structure (heavy
+    hitters / token stats at 10^12 scale): all cells are integer SUMS
+    over md5-derived buckets, so sketch state and the min-over-rows
+    point queries are exact on both engines; cms_est >= true_n always
+    (one-sided error), and the gate carries the true count beside the
+    estimate.  One bounded shuffle (2 × 512 cells); cells merge by sum
+    — executor-partial, cluster-size-free."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+"))
+        .alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def bucket(d_col, term_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(d_col.cast("string"), F.lit("|"),
+                                   term_col)), 1, 8), 16, 10)
+            .cast("long") % 512
+        )
+
+    td = toks.select(
+        "tok", F.explode(F.array(F.lit(0), F.lit(1))).alias("d"))
+    cms = (
+        td.withColumn("b", bucket(F.col("d"), F.col("tok")))
+        .groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    )
+    qdf = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    look = qdf.select(
+        "term", F.explode(F.array(F.lit(0), F.lit(1))).alias("d"))
+    look = look.withColumn("b", bucket(F.col("d"), F.col("term")))
+    est = (
+        F.broadcast(look).join(cms, ["d", "b"])
+        .groupBy("term").agg(F.min("c").cast("long").alias("cms_est"))
+    )
+    tru = (
+        toks.filter(F.col("tok").isin(list(_BM25_TERMS)))
+        .groupBy(F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(tru, "term")
