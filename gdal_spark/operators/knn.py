@@ -570,11 +570,55 @@ def knn_hex_kring_join(
     cand = probe.join(base, on=["_cq", "_cr"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
+    wd = cand.withColumn("dist_m", _gc_dist_col()).select(
+        "query_id", "neighbor_id", "dist_m")
+
+    # Per-partition top-k PRE-REDUCTION before the per-query window: the
+    # exhaustive ring join emits (queries x points) candidates, and
+    # shuffling all of them into the window costs more than the join
+    # itself.  An Arrow-batched per-partition selection keeps only
+    # (queries x k) rows per partition — identical (dist, neighbor_id)
+    # order, so the final window sees bit-identical survivors; the
+    # global shuffle shrinks from |candidates| to (#partitions x k x
+    # #queries), the same two-level shape as the engine's CC and rank
+    # reductions.
+    import numpy as np
+    import pandas as pd
+
+    kk = int(k)
+
+    def _prereduce(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for qid, g in pdf.groupby("query_id", sort=False):
+                arr = g[["neighbor_id", "dist_m"]].to_numpy(dtype=np.float64)
+                prev = acc.get(qid)
+                if prev is not None:
+                    arr = np.vstack([prev, arr])
+                if arr.shape[0] > kk:
+                    idx = np.lexsort((arr[:, 0], arr[:, 1]))[:kk]
+                    arr = arr[idx]
+                acc[qid] = arr
+        if not acc:
+            yield pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "neighbor_id": pd.Series([], dtype="int64"),
+                 "dist_m": pd.Series([], dtype="float64")})
+            return
+        qids = np.concatenate(
+            [np.full(a.shape[0], q, dtype=np.int64) for q, a in acc.items()])
+        mat = np.vstack(list(acc.values()))
+        yield pd.DataFrame(
+            {"query_id": qids,
+             "neighbor_id": mat[:, 0].astype(np.int64),
+             "dist_m": mat[:, 1]})
+
+    red = wd.mapInPandas(
+        _prereduce, schema="query_id long, neighbor_id long, dist_m double")
     wv = Window.partitionBy("query_id").orderBy(
         F.asc("dist_m"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("dist_m", _gc_dist_col())
-        .withColumn("rank", F.row_number().over(wv))
+        red.withColumn("rank", F.row_number().over(wv))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "dist_m")
     )
