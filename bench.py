@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "text_inverted_index",
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
+    "raster_resize",
 ]
 
 

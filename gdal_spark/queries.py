@@ -15011,3 +15011,80 @@ def q_sketch_cms_heavy_hitters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("true_n"))
     )
     return est.join(tru, "term")
+
+
+# ===========================================================================
+# gdal raster resize (-outsize with nearest / bilinear resampling)
+# ===========================================================================
+
+_RSZ_W, _RSZ_H = 256, 256        # source grid
+_RSZ_DW, _RSZ_DH = 100, 60      # destination grid (non-integer ratios)
+
+
+def _resize_exprs(dx: str, dy: str) -> tuple[str, str]:
+    """Shared algebra text (verbatim on BOTH engines): gdal_translate
+    -outsize semantics — nearest picks floor((d + 0.5) * ratio) clamped;
+    bilinear maps the dst pixel CENTER back (d + 0.5) * ratio - 0.5 and
+    lerps the edge-clamped 2x2 neighborhood (the engine's floor(x - 0.5)
+    sampling contract)."""
+    rx = f"(CAST({_RSZ_W} AS DOUBLE) / {_RSZ_DW})"
+    ry = f"(CAST({_RSZ_H} AS DOUBLE) / {_RSZ_DH})"
+    nsx = f"least({_RSZ_W - 1}, cast(floor((({dx}) + 0.5) * {rx}) as int))"
+    nsy = f"least({_RSZ_H - 1}, cast(floor((({dy}) + 0.5) * {ry}) as int))"
+    nearest = TL.sql_pixel_value(nsx, nsy, "1")
+    fx = f"((({dx}) + 0.5) * {rx} - 0.5)"
+    fy = f"((({dy}) + 0.5) * {ry} - 0.5)"
+    x0 = f"cast(floor({fx}) as int)"
+    y0 = f"cast(floor({fy}) as int)"
+    tx = f"({fx} - floor({fx}))"
+    ty = f"({fy} - floor({fy}))"
+
+    def cl(v, hi):
+        return f"greatest(0, least({hi}, {v}))"
+
+    xs = [cl(x0, _RSZ_W - 1), cl(f"({x0}) + 1", _RSZ_W - 1)]
+    ys = [cl(y0, _RSZ_H - 1), cl(f"({y0}) + 1", _RSZ_H - 1)]
+    v00 = TL.sql_pixel_value(xs[0], ys[0], "1")
+    v10 = TL.sql_pixel_value(xs[1], ys[0], "1")
+    v01 = TL.sql_pixel_value(xs[0], ys[1], "1")
+    v11 = TL.sql_pixel_value(xs[1], ys[1], "1")
+    bilinear = (
+        f"(({v00}) * (1.0 - {tx}) + ({v10}) * {tx}) * (1.0 - {ty})"
+        f" + (({v01}) * (1.0 - {tx}) + ({v11}) * {tx}) * {ty}"
+    )
+    return nearest, bilinear
+
+
+def _sql_resize() -> str:
+    nearest, bilinear = _resize_exprs("dx", "dy")
+    return f"""WITH gx AS (SELECT unnest(generate_series(0, {_RSZ_DW - 1}))
+                AS dx),
+gy AS (SELECT unnest(generate_series(0, {_RSZ_DH - 1})) AS dy)
+SELECT dx, dy, {nearest} AS v_nearest,
+       {SR(bilinear, 6)} AS v_bilinear
+FROM gx CROSS JOIN gy"""
+
+
+@register("raster_resize", _sql_resize())
+def q_raster_resize(spark, sf_dir):
+    """gdal raster resize / gdal_translate -outsize (the named resize
+    utility next to translate's crop/rescale): 256x256 synthetic band
+    resampled to 100x60 (non-integer ratios both axes) with nearest
+    (floor((d+0.5)*ratio) subsample rule, apps/gdal_translate_lib.cpp)
+    AND bilinear (dst-center inverse map, edge-clamped 2x2 lerp —
+    gdalwarpkernel.cpp parity) — ONE map-only codegen projection per
+    dst pixel from the shared algebra text, no shuffle at any scale
+    (each executor owns a dst block)."""
+    nearest, bilinear = _resize_exprs("dx", "dy")
+    dst = (
+        spark.range(_RSZ_DW * _RSZ_DH)
+        .select(
+            (F.col("id") % _RSZ_DW).cast("int").alias("dx"),
+            (F.col("id") / F.lit(_RSZ_DW)).cast("int").alias("dy"),
+        )
+    )
+    return dst.select(
+        "dx", "dy",
+        F.expr(nearest).alias("v_nearest"),
+        R(F.expr(bilinear), 6).alias("v_bilinear"),
+    )
