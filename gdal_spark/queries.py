@@ -15088,3 +15088,59 @@ def q_raster_resize(spark, sf_dir):
         F.expr(nearest).alias("v_nearest"),
         R(F.expr(bilinear), 6).alias("v_bilinear"),
     )
+
+
+@register(
+    "streaming_stream_join",
+    """SELECT a.event_id AS a_id, b.event_id AS b_id,
+       a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.user_id < 20""",
+)
+def q_streaming_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (the last streaming feature class next
+    to windowed aggs / stream-static / dedup / sessions / custom state):
+    two replays of the events file stream joined on user_id with an
+    event-time RANGE condition (b within 10 min after a) — exactly the
+    watermark-bounded state shape Structured Streaming keeps per side
+    (each side's state is evicted past watermark + range).  availableNow
+    replay makes the inner-join output the complete batch join (the
+    oracle); the id inequality keeps pairs canonical."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+
+    def mk(side):
+        st = (
+            spark.readStream.schema(schema).format("parquet")
+            .option("pathGlobFilter", "events.parquet").load(sf_dir)
+            .filter(F.col("user_id") < 20)
+            .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "2 hours")
+        )
+        return st.select(
+            F.col("event_id").alias(f"{side}_id"),
+            F.col("user_id").alias(f"{side}_uid"),
+            F.col("ts_ltz").alias(f"{side}_ts"),
+        )
+
+    a, b = mk("a"), mk("b")
+    joined = a.join(
+        b,
+        (F.col("a_uid") == F.col("b_uid"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_ssj_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        joined.select("a_id", "b_id", F.col("a_uid").alias("user_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
