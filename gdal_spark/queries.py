@@ -15144,3 +15144,74 @@ def q_streaming_stream_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+# ===========================================================================
+# gdal vector clean-coverage (snap-round + node) — the third coverage verb
+# next to check-coverage and simplify-coverage
+# ===========================================================================
+
+
+def _dirty_coverage_records() -> list[tuple]:
+    """Deterministic DIRTY coverage: shared boundaries offset by sub-snap
+    jitter (< 5e-7, snap grid 1e-6) and split by T-junctions — the two
+    defect classes gdal vector clean-coverage repairs.  Groups:
+    601 = two rects with a jittered shared edge; 602 = T-junction + jitter;
+    603 = 3x3 grid minus center (ring-with-hole union), every cell
+    jittered."""
+
+    def jit(i):
+        return (((i * 7) % 5) - 2) * 1e-7
+
+    def rect(x0, y0, x1, y1, j=0.0):
+        return [[[x0 + j, y0 + j], [x1 + j, y0 + j], [x1 + j, y1 + j],
+                 [x0 + j, y1 + j], [x0 + j, y0 + j]]]
+
+    recs = []
+    recs.append((601, rect(0.0, 0.0, 2.0, 2.0)))
+    recs.append((601, rect(2.0, 0.0, 4.0, 2.0, j=4e-7)))
+    # 602: A's right edge carries a midpoint (T-junction); B1/B2 jittered
+    a = [[[0.0, 0.0], [2.0, 0.0], [2.0, 1.0], [2.0, 2.0], [0.0, 2.0],
+          [0.0, 0.0]]]
+    recs.append((602, a))
+    recs.append((602, rect(2.0, 0.0, 4.0, 1.0, j=-3e-7)))
+    recs.append((602, rect(2.0, 1.0, 4.0, 2.0, j=2e-7)))
+    k = 0
+    for gy in range(3):
+        for gx in range(3):
+            if gx == 1 and gy == 1:
+                continue
+            k += 1
+            recs.append(
+                (603, rect(float(gx), float(gy), gx + 1.0, gy + 1.0,
+                           j=jit(k))))
+    return recs
+
+
+@register(
+    "coverage_clean",
+    """SELECT eas_id, n_src, union_area, n_parts, n_rings FROM (VALUES
+  (601::bigint, 2::bigint, 8.0::double, 1::int, 1::int),
+  (602::bigint, 3::bigint, 8.0::double, 1::int, 1::int),
+  (603::bigint, 8::bigint, 8.0::double, 1::int, 2::int)
+) AS t(eas_id, n_src, union_area, n_parts, n_rings)""",
+)
+def q_coverage_clean(spark, sf_dir):
+    """gdal vector clean-coverage (apps/gdalalg_vector_clean_coverage.cpp
+    — the SNAP + NODE repair verb, completing the coverage triple with
+    check-coverage and simplify-coverage): every shared boundary in the
+    fixture is offset by sub-snap jitter and/or split by T-junctions, so
+    raw edge cancellation cannot dissolve any group; snap-rounding to
+    the 1e-6 grid plus interior-vertex noding makes the coverage
+    edge-matched, and the per-group union must then collapse exactly —
+    the oracle pins analytic area/part/ring counts (square, square, and
+    ring-with-hole).  Per-group work on one keyed shuffle
+    (operators/dissolve.py:node_coverage_rings snap path)."""
+    df = spark.createDataFrame(
+        _dirty_coverage_records(),
+        "eas_id long, rings array<array<array<double>>>")
+    out = DV.dissolve_union(df, node=True, snap=1e-6)
+    return out.select(
+        "eas_id", "n_src", R("union_area", 6).alias("union_area"),
+        "n_parts", "n_rings",
+    )
