@@ -15215,3 +15215,67 @@ def q_coverage_clean(spark, sf_dir):
         "eas_id", "n_src", R("union_area", 6).alias("union_area"),
         "n_parts", "n_rings",
     )
+
+
+@register(
+    "streaming_stream_join_outer",
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+a AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 20),
+b AS (SELECT event_id, user_id, ts FROM events WHERE user_id < 20),
+j AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id, a.ts AS a_ts
+  FROM a LEFT JOIN b
+    ON a.user_id = b.user_id
+   AND a.event_id < b.event_id
+   AND b.ts >= a.ts
+   AND b.ts <= a.ts + INTERVAL 10 MINUTE)
+SELECT a_id, b_id, user_id FROM j
+WHERE b_id IS NOT NULL
+   OR epoch_ms(a_ts) + 600000
+      <= (SELECT epoch_ms(mx) FROM m) - 7200000""",
+)
+def q_streaming_stream_join_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join (the null-emitting join mode —
+    unmatched left rows emit only when the watermark proves no match
+    can still arrive): same key + event-time range as the inner gate.
+    The oracle replicates the exact emission rule: matched pairs always
+    emit; an unmatched left row emits iff its join horizon closed under
+    the final watermark (a.ts + range <= ms-truncated max event time −
+    delay) — trailing rows stay in state, exactly as they would while
+    the stream runs on.  The same availableNow no-data flush batch that
+    closes session windows drives the null emissions here."""
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+
+    def mk(side):
+        st = (
+            spark.readStream.schema(schema).format("parquet")
+            .option("pathGlobFilter", "events.parquet").load(sf_dir)
+            .filter(F.col("user_id") < 20)
+            .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+            .withWatermark("ts_ltz", "2 hours")
+        )
+        return st.select(
+            F.col("event_id").alias(f"{side}_id"),
+            F.col("user_id").alias(f"{side}_uid"),
+            F.col("ts_ltz").alias(f"{side}_ts"),
+        )
+
+    a, b = mk("a"), mk("b")
+    joined = a.join(
+        b,
+        (F.col("a_uid") == F.col("b_uid"))
+        & (F.col("a_id") < F.col("b_id"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    _STREAM_GATE_SEQ[0] += 1
+    qname = f"_gate_stream_ssjo_{_STREAM_GATE_SEQ[0]}"
+    q = (
+        joined.select("a_id", "b_id", F.col("a_uid").alias("user_id"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
