@@ -14580,13 +14580,20 @@ def q_corpus_decontaminate_bloom(spark, sf_dir):
                 F.transform("_sgl", D.md5_h32).alias("_sh"))
         )
 
-    bench_set = staged_shingles(bench).select(
-        F.explode("_sh").alias("h")).distinct()
-    bloom = D.bloom_bitmap(r[0] for r in bench_set.collect())
+    bench_hashes = [
+        r[0] for r in staged_shingles(bench)
+        .select(F.explode("_sh").alias("h")).distinct().collect()
+    ]
+    bloom = D.bloom_bitmap(bench_hashes)
+    # the exact verify set IS the collected bloom input — rebuild it as a
+    # driver-local dimension instead of re-shingling the bench side
+    bench_set = spark.createDataFrame(
+        [(int(h),) for h in bench_hashes], "h long")
     cand = (
         staged_shingles(corpus)
         .withColumn("_bloom", F.lit(bloom))
         .withColumn("_hit", F.expr(D.bloom_hit_expr("_sh", "_bloom")))
+        .localCheckpoint(eager=False)
     )
     n_sh = F.size("_sh").cast("long").alias("n_shingles")
     clean_fast = cand.filter(~F.col("_hit")).select("doc_id", n_sh)
