@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "raster_resize",
+    "embed_ann_ivfpq",
 ]
 
 

@@ -15286,3 +15286,111 @@ def q_streaming_stream_join_outer(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(qname)
+
+
+def _sql_ivfpq() -> str:
+    code, _err = SIM.sql_pq_encode("v.embedding", _PQ_M, _PQ_K, EMB_DIM)
+    lst = SIM.sql_ivf_assign("v.embedding", 8, EMB_DIM)
+    probes = SIM.sql_ivf_probes("q0.embedding", 8, EMB_DIM, 2)
+    subdim = EMB_DIM // _PQ_M
+    lut_terms = []
+    for m in range(_PQ_M):
+        dists = []
+        for k in range(_PQ_K):
+            c = SIM.pq_centroid(m, k, subdim)
+            clit = "[" + ", ".join(repr(x) for x in c) + "]"
+            d2 = (
+                f"list_sum(list_transform(range(1, {subdim} + 1), "
+                f"i -> ((q.embedding)[{m * subdim} + i]::double - {clit}[i])"
+                f" * ((q.embedding)[{m * subdim} + i]::double - {clit}[i])))"
+            )
+            dists.append(SIM.sql_stable_round(d2, SIM.ROUND_DP))
+        lut_terms.append(
+            f"([{', '.join(dists)}])[((e.code // {_PQ_K**m}) % {_PQ_K}) + 1]"
+        )
+    adc = "(" + " + ".join(lut_terms) + ")"
+    return f"""WITH enc AS (
+  SELECT v.vec_id, {code} AS code, {lst} AS lst FROM embeddings v),
+q0 AS (SELECT vec_id AS qid, embedding FROM embeddings
+       WHERE vec_id % 50 = 3 ORDER BY vec_id LIMIT {_PQ_NQ}),
+qp AS (SELECT q0.qid, q0.embedding, unnest({probes}) AS lst FROM q0),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         floor({adc} * 1e6 + 0.5)::bigint AS adc_micro
+  FROM qp q JOIN enc e USING (lst) WHERE e.vec_id <> q.qid),
+rk AS (
+  SELECT qid, vec_id, adc_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adc_micro, vec_id) AS rnk
+  FROM scored)
+SELECT qid, rnk, vec_id, adc_micro FROM rk
+WHERE rnk <= {_PQ_TOPK} ORDER BY qid, rnk"""
+
+
+@register("embed_ann_ivfpq", _sql_ivfpq())
+def q_embed_ann_ivfpq(spark, sf_dir):
+    """IVF+PQ combined ANN search (the Faiss IVFPQ / billion-scale
+    architecture, Jégou 2011 §IV — the ANN menu capstone composing the
+    IVF coarse quantizer with PQ asymmetric distance): every vector
+    lives in ONE inverted list AND carries a 12-bit PQ code; a query
+    probes its nprobe=2 nearest lists and ADC-scans ONLY those lists'
+    codes (list equi-join on a small int key — at 10^12 vectors the
+    scan touches nprobe/n_centroids of the codes, 16 bytes each, never
+    a raw vector).  Scores as exact integer micro-units, (score, id)
+    ties — candidate set and ranking bit-identical on both engines."""
+    from pyspark.sql import Window
+
+    emb = _read(spark, sf_dir, "embeddings")
+    code, _err = SIM.pq_encode_cols("embedding", _PQ_M, _PQ_K, EMB_DIM)
+    enc = emb.select(
+        "vec_id", code.alias("code"),
+        SIM.ivf_assign_col("embedding", 8, EMB_DIM).alias("lst"))
+    sims = SIM._ivf_sims("embedding", 8, EMB_DIM)
+    probes = F.transform(
+        F.slice(
+            F.array_sort(F.array(*[
+                F.struct((-F.element_at(sims, j + 1)).alias("ns"),
+                         F.lit(j + 1).alias("j"))
+                for j in range(8)
+            ])), 1, 2),
+        lambda s: s["j"],
+    )
+    queries = (
+        emb.where(F.col("vec_id") % 50 == 3)
+        .orderBy("vec_id").limit(_PQ_NQ)
+        .select(F.col("vec_id").alias("qid"), "embedding",
+                probes.alias("probes"))
+    )
+    subdim = EMB_DIM // _PQ_M
+    qx = F.col("embedding").cast("array<double>")
+    lut_cols = []
+    for m in range(_PQ_M):
+        sl = F.slice(qx, m * subdim + 1, subdim)
+        dists = []
+        for k in range(_PQ_K):
+            c = SIM.pq_centroid(m, k, subdim)
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(sl, carr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, v: acc + v)
+            dists.append(SIM.stable_round(d2, SIM.ROUND_DP))
+        lut_cols.append(F.array(*dists).alias(f"lut{m}"))
+    qlut = queries.select(
+        "qid", F.explode("probes").alias("lst"), *lut_cols)
+    joined = F.broadcast(qlut).join(enc, "lst").where(
+        F.col("vec_id") != F.col("qid"))
+    adc = None
+    for m in range(_PQ_M):
+        digit = ((F.col("code") / (_PQ_K**m)).cast("long") % _PQ_K).cast(
+            "int")
+        term = F.element_at(F.col(f"lut{m}"), digit + 1)
+        adc = term if adc is None else adc + term
+    scored = joined.select(
+        "qid", "vec_id",
+        F.floor(adc * 1e6 + F.lit(0.5)).cast("long").alias("adc_micro"))
+    w = Window.partitionBy("qid").orderBy("adc_micro", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("qid", "rnk", "vec_id", "adc_micro")
+    )
