@@ -15394,3 +15394,123 @@ def q_embed_ann_ivfpq(spark, sf_dir):
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("qid", "rnk", "vec_id", "adc_micro")
     )
+
+
+@register(
+    "geom_check_validity",
+    """SELECT geom_id, reason, is_valid FROM (VALUES
+  (1, 'valid', true),
+  (2, 'self_intersection', false),
+  (3, 'orientation', false),
+  (4, 'unclosed', false),
+  (5, 'duplicate_points', false)
+) AS t(geom_id, reason, is_valid)""",
+)
+def q_geom_check_validity(spark, sf_dir):
+    """gdal vector check-geometry (apps/gdalalg_vector_check_geometry.cpp;
+    GEOS IsValidOp reasons) — the REPORTING half next to MakeValid's
+    repair half: per-ring OGC validity with the first failing rule named
+    (unclosed / too_few_points / duplicate_points / self_intersection /
+    orientation).  Exact proper-intersection segment test, Arrow-batched
+    per ring, map-only (spatial/geometry.py:check_ring_validity)."""
+    import pandas as pd
+
+    rows = [
+        (1, [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]),
+        (2, [[0.0, 0.0], [2.0, 2.0], [2.0, 0.0], [0.0, 2.0], [0.0, 0.0]]),
+        (3, [[0.0, 0.0], [0.0, 2.0], [2.0, 2.0], [2.0, 0.0], [0.0, 0.0]]),
+        (4, [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]),
+        (5, [[0.0, 0.0], [2.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0],
+             [0.0, 0.0]]),
+    ]
+    df = spark.createDataFrame(rows, "geom_id int, ring array<array<double>>")
+
+    def run(batches):
+        import numpy as np
+        for pdf in batches:
+            out = []
+            for gid, ring in zip(pdf["geom_id"], pdf["ring"]):
+                reason = G.check_ring_validity(
+                    np.array([[float(p[0]), float(p[1])] for p in ring]))
+                out.append((int(gid), reason, reason == "valid"))
+            yield pd.DataFrame(
+                out, columns=["geom_id", "reason", "is_valid"])
+
+    return df.mapInPandas(
+        run, schema="geom_id int, reason string, is_valid boolean")
+
+
+# ===========================================================================
+# gdal raster as-features / nodata-to-alpha (named CLI parity)
+# ===========================================================================
+
+_AF_N, _AF_RES, _AF_X0, _AF_Y0 = 64, 0.5, 10.0, 20.0
+
+
+@register(
+    "raster_as_features",
+    f"""WITH gx AS (SELECT unnest(generate_series(0, {_AF_N - 1})) AS gx),
+gy AS (SELECT unnest(generate_series(0, {_AF_N - 1})) AS gy)
+SELECT gx, gy,
+       {_AF_X0} + gx * {_AF_RES} AS xmin,
+       {_AF_Y0} - (gy + 1) * {_AF_RES} AS ymin,
+       {_AF_X0} + (gx + 1) * {_AF_RES} AS xmax,
+       {_AF_Y0} - gy * {_AF_RES} AS ymax,
+       {TL.sql_pixel_value('gx', 'gy', '1')} AS v
+FROM gx CROSS JOIN gy""",
+)
+def q_raster_as_features(spark, sf_dir):
+    """gdal raster as-features (apps/gdalalg_raster_as_features.cpp):
+    one POLYGON feature per pixel — corners from the geotransform
+    (origin ({_AF_X0}, {_AF_Y0}), res {_AF_RES}, y-down) + the band
+    value.  Pure projection per pixel, no shuffle; at scale each
+    executor emits its own block's features."""
+    g = spark.range(_AF_N * _AF_N).select(
+        (F.col("id") % _AF_N).cast("int").alias("gx"),
+        (F.col("id") / F.lit(_AF_N)).cast("int").alias("gy"),
+    )
+    return g.select(
+        "gx", "gy",
+        (F.lit(_AF_X0) + F.col("gx") * _AF_RES).alias("xmin"),
+        (F.lit(_AF_Y0) - (F.col("gy") + 1) * _AF_RES).alias("ymin"),
+        (F.lit(_AF_X0) + (F.col("gx") + 1) * _AF_RES).alias("xmax"),
+        (F.lit(_AF_Y0) - F.col("gy") * _AF_RES).alias("ymax"),
+        F.expr(TL.sql_pixel_value("gx", "gy", "1")).alias("v"),
+    )
+
+
+@register(
+    "raster_nodata_to_alpha",
+    f"""WITH gx AS (SELECT unnest(generate_series(0, 255)) AS gx),
+gy AS (SELECT unnest(generate_series(0, 255)) AS gy),
+p AS (SELECT gx, gy, {TL.sql_pixel_value('gx', 'gy', '1')} AS v
+      FROM gx CROSS JOIN gy),
+a AS (SELECT gx, gy, v,
+             CASE WHEN v = 37.0 THEN 0 ELSE 255 END AS alpha FROM p)
+SELECT count(*) FILTER (WHERE alpha = 0)::bigint AS n_transparent,
+       count(*) FILTER (WHERE alpha = 255)::bigint AS n_opaque,
+       sum((CAST(v AS BIGINT) * 31 + alpha) * ((gx * 7 + gy * 3) % 13))::bigint
+         AS digest
+FROM a""",
+)
+def q_raster_nodata_to_alpha(spark, sf_dir):
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_nodata_to_alpha.cpp):
+    append an alpha band that is 0 where the pixel equals the nodata
+    value (37) and 255 elsewhere — map-only integer projection; the
+    gate digests the (value, alpha) plane with a position-weighted
+    integer checksum so any misclassified pixel breaks it."""
+    g = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("gx"),
+        (F.col("id") / F.lit(256)).cast("int").alias("gy"),
+    )
+    p = g.withColumn("v", F.expr(TL.sql_pixel_value("gx", "gy", "1")))
+    a = p.withColumn(
+        "alpha", F.when(F.col("v") == 37.0, F.lit(0)).otherwise(F.lit(255)))
+    return a.agg(
+        F.count(F.when(F.col("alpha") == 0, 1)).alias("n_transparent"),
+        F.count(F.when(F.col("alpha") == 255, 1)).alias("n_opaque"),
+        F.sum(
+            (F.col("v").cast("long") * 31 + F.col("alpha"))
+            * ((F.col("gx") * 7 + F.col("gy") * 3) % 13)
+        ).cast("long").alias("digest"),
+    )

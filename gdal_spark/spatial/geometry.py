@@ -1132,3 +1132,39 @@ def wkb_geom_type(buf: bytes) -> int:
     """The raw WKB geometry-type word (OGR_G_GetGeometryType)."""
     endian = "<" if buf[0] == 1 else ">"
     return struct.unpack_from(endian + "I", buf, 1)[0]
+
+
+def check_ring_validity(ring: np.ndarray) -> str:
+    """OGC simple-features ring validity check (the compute behind
+    ``gdal vector check-geometry``, apps/gdalalg_vector_check_geometry.cpp
+    / GEOS IsValidOp): returns 'valid' or the FIRST failing rule in the
+    documented check order — unclosed, too_few_points,
+    duplicate_points, self_intersection, orientation (exterior must be
+    CCW under the engine's convention).  Segment-pair crossing test is
+    exact on the proper-intersection predicate (shared endpoints of
+    adjacent segments excluded)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if r.shape[0] < 2 or (r[0] != r[-1]).any():
+        return "unclosed"
+    if r.shape[0] < 4:
+        return "too_few_points"
+    if any((r[i] == r[i + 1]).all() for i in range(r.shape[0] - 1)):
+        return "duplicate_points"
+    n = r.shape[0] - 1
+    for i in range(n):
+        a, b = r[i], r[i + 1]
+        for j in range(i + 1, n):
+            if j == i or (i == 0 and j == n - 1) or j == i + 1:
+                continue
+            c, d = r[j], r[j + 1]
+            d1 = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+            d2 = (b[0] - a[0]) * (d[1] - a[1]) - (b[1] - a[1]) * (d[0] - a[0])
+            d3 = (d[0] - c[0]) * (a[1] - c[1]) - (d[1] - c[1]) * (a[0] - c[0])
+            d4 = (d[0] - c[0]) * (b[1] - c[1]) - (d[1] - c[1]) * (b[0] - c[0])
+            if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+                return "self_intersection"
+    area = 0.5 * float(
+        np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+    if area <= 0:
+        return "orientation"
+    return "valid"
