@@ -14593,7 +14593,10 @@ def q_corpus_decontaminate_bloom(spark, sf_dir):
         staged_shingles(corpus)
         .withColumn("_bloom", F.lit(bloom))
         .withColumn("_hit", F.expr(D.bloom_hit_expr("_sh", "_bloom")))
-        .localCheckpoint(eager=False)
+        # persist (not localCheckpoint): same compute-once sharing between
+        # the clean/positive branches, but keeps the probe visible in the
+        # physical plan for the map-only pin (tests/test_plans.py)
+        .persist()
     )
     n_sh = F.size("_sh").cast("long").alias("n_shingles")
     clean_fast = cand.filter(~F.col("_hit")).select("doc_id", n_sh)
@@ -15513,4 +15516,1002 @@ def q_raster_nodata_to_alpha(spark, sf_dir):
             (F.col("v").cast("long") * 31 + F.col("alpha"))
             * ((F.col("gx") * 7 + F.col("gy") * 3) % 13)
         ).cast("long").alias("digest"),
+    )
+
+
+# ===========================================================================
+# TPC-H completion — Q2, Q4, Q7-Q9, Q11-Q22 (with the earlier Q1/Q3/Q5/Q6/
+# Q10 gates this closes the full 22-query reach of the reference's
+# ExecuteSQL SQL surface; ref SQLite dialect ogr/ogrsf_frmts/sqlite/
+# ogrsqlitesqlfunctions.cpp + swq grammar ogr/swq.cpp).  The generated
+# tables omit several TPC-H attributes (partsupp, commit/receipt dates,
+# ship modes, containers, mfgr, phone codes, comments); each is DERIVED
+# deterministically with identical integer algebra inline on BOTH engines,
+# so every gate stays cross-engine exact.  Money that feeds a comparison,
+# threshold, or equality is kept in integer cents (BIGINT) end-to-end;
+# float sums appear only inside stable-rounded display aggregates.
+# ===========================================================================
+
+# Derived partsupp: 4 deterministic suppliers per part, integer-cent
+# supply cost, modulo the ACTUAL supplier count so the derivation holds at
+# every scale factor.
+_TPCH_PS_SQL = """SELECT p_partkey AS ps_partkey,
+       (p_partkey * 4 + ii.i) % nn.ns AS ps_suppkey,
+       CAST(1 + (p_partkey * 7 + ii.i * 13) % 9999 AS BIGINT) AS ps_availqty,
+       CAST(1 + (p_partkey * 31 + ii.i * 17) % 99999 AS BIGINT)
+         AS ps_supplycost_c
+FROM part
+CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ii
+CROSS JOIN (SELECT count(*) AS ns FROM supplier) nn"""
+
+# Derived lineitem extension: commit/receipt dates as exact integer-day
+# offsets from l_shipdate, ship mode from a 7-ary key hash.
+_TPCH_LX_SQL = """SELECT l.*,
+       l_shipdate + ((l_orderkey * 3 + l_linenumber * 7) % 31 - 15)
+         * INTERVAL 1 DAY AS l_commitdate,
+       l_shipdate + (1 + (l_partkey + l_linenumber) % 14)
+         * INTERVAL 1 DAY AS l_receiptdate,
+       CASE CAST((l_suppkey + l_linenumber) % 7 AS INT)
+            WHEN 0 THEN 'AIR' WHEN 1 THEN 'AIR REG' WHEN 2 THEN 'MAIL'
+            WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'RAIL'
+            ELSE 'FOB' END AS l_shipmode
+FROM lineitem l"""
+
+# Derived part extension: container class + manufacturer label.
+_TPCH_PX_SQL = """SELECT part.*,
+       CASE CAST(p_partkey % 4 AS INT)
+            WHEN 0 THEN 'SM CASE' WHEN 1 THEN 'MED BOX'
+            WHEN 2 THEN 'LG PACK' ELSE 'JUMBO JAR' END AS p_container,
+       'Manufacturer#' || CAST(1 + p_partkey % 5 AS VARCHAR) AS p_mfgr
+FROM part"""
+
+_TPCH_SHIPMODES = ("AIR", "AIR REG", "MAIL", "SHIP", "TRUCK", "RAIL", "FOB")
+
+
+def _tpch_ps(spark, sf_dir):
+    """Derived partsupp (Spark twin of _TPCH_PS_SQL): map-only explode of a
+    4-long sequence per part — no join, no shuffle."""
+    ns = _read(spark, sf_dir, "supplier").count()
+    return (
+        _read(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 4 + F.col("i")) % F.lit(int(ns)))
+            .cast("long").alias("ps_suppkey"),
+            (1 + (F.col("p_partkey") * 7 + F.col("i") * 13) % 9999)
+            .cast("long").alias("ps_availqty"),
+            (1 + (F.col("p_partkey") * 31 + F.col("i") * 17) % 99999)
+            .cast("long").alias("ps_supplycost_c"),
+        )
+    )
+
+
+def _tpch_lx(df):
+    """Derived lineitem extension (Spark twin of _TPCH_LX_SQL) — pure
+    column projection, whole-stage codegen."""
+    d_commit = (
+        (F.col("l_orderkey") * 3 + F.col("l_linenumber") * 7) % 31 - 15
+    ).cast("int")
+    d_receipt = (
+        1 + (F.col("l_partkey") + F.col("l_linenumber")) % 14
+    ).cast("int")
+    idx = ((F.col("l_suppkey") + F.col("l_linenumber")) % 7).cast("int")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in _TPCH_SHIPMODES]), idx + 1
+    )
+    return (
+        df.withColumn(
+            "l_commitdate",
+            F.timestamp_add("DAY", d_commit, F.col("l_shipdate")),
+        )
+        .withColumn(
+            "l_receiptdate",
+            F.timestamp_add("DAY", d_receipt, F.col("l_shipdate")),
+        )
+        .withColumn("l_shipmode", mode)
+    )
+
+
+def _tpch_px(df):
+    """Derived part extension (Spark twin of _TPCH_PX_SQL)."""
+    container = (
+        F.when(F.col("p_partkey") % 4 == 0, "SM CASE")
+        .when(F.col("p_partkey") % 4 == 1, "MED BOX")
+        .when(F.col("p_partkey") % 4 == 2, "LG PACK")
+        .otherwise("JUMBO JAR")
+    )
+    mfgr = F.concat(
+        F.lit("Manufacturer#"), (1 + F.col("p_partkey") % 5).cast("string")
+    )
+    return df.withColumn("p_container", container).withColumn(
+        "p_mfgr", mfgr
+    )
+
+
+@register(
+    "tpch_q2",
+    f"""WITH ps AS ({_TPCH_PS_SQL}),
+px AS ({_TPCH_PX_SQL}),
+eu AS (SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'EUROPE'),
+cand AS (SELECT p.p_partkey, p.p_mfgr, ps.ps_suppkey, ps.ps_supplycost_c
+         FROM px p JOIN ps ON p.p_partkey = ps.ps_partkey
+         WHERE p.p_size <= 15 AND p.p_type = 'LARGE')
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, c.p_partkey, c.p_mfgr,
+       {SR('c.ps_supplycost_c / 100.0', 2)} AS supplycost
+FROM cand c JOIN eu ON c.ps_suppkey = eu.s_suppkey
+WHERE c.ps_supplycost_c =
+      (SELECT min(c2.ps_supplycost_c)
+       FROM cand c2 JOIN eu e2 ON c2.ps_suppkey = e2.s_suppkey
+       WHERE c2.p_partkey = c.p_partkey)
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, c.p_partkey
+LIMIT 100""",
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: derived partsupp, region
+    EUROPE, LARGE parts ≤ size 15).  The oracle keeps the classic
+    correlated-min subquery; the Spark side is its decorrelated form — a
+    per-part min over the region-filtered candidates joined back on
+    (partkey, exact integer-cent cost), which is what Catalyst rewrites
+    the subquery to anyway.  Supplier/nation/region dimension broadcasts;
+    the only shuffle is the per-part min aggregate."""
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    px = _tpch_px(_read(spark, sf_dir, "part")).filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_mfgr")
+    cand = (
+        _tpch_ps(spark, sf_dir)
+        .join(F.broadcast(px), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("_mk")).agg(
+        F.min("ps_supplycost_c").alias("_mc")
+    )
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (F.col("p_partkey") == F.col("_mk"))
+            & (F.col("ps_supplycost_c") == F.col("_mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_mfgr",
+            R(F.col("ps_supplycost_c") / 100.0, 2).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4",
+    f"""WITH lx AS ({_TPCH_LX_SQL})
+SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lx l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_commitdate < l.l_receiptdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority""",
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (derived commit/receipt dates):
+    EXISTS decorrelates to a LEFT SEMI join on l_orderkey — one shuffle,
+    map-side distinct on the probe side; the count is a second partial
+    aggregate."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    late = _tpch_lx(_read(spark, sf_dir, "lineitem")).filter(
+        F.col("l_commitdate") < F.col("l_receiptdate")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q7",
+    f"""SELECT supp_nation, cust_nation, l_year,
+       {SR('sum(volume)', 2)} AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+             l.l_extendedprice * (1.0 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations: the 5-way join keeps
+    nation broadcast twice under different aliases; lineitem↔orders is
+    the one real shuffle (orders pre-filtered by neither side — the
+    nation predicates land on the joined row, letting AQE shrink the
+    build side at runtime)."""
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation")
+    )
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .filter(pair)
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+             ).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(R(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q8_NUM = SR("sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0.0 END)", 2)
+_Q8_DEN = SR("sum(volume)", 2)
+
+
+@register(
+    "tpch_q8",
+    f"""WITH mkt AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+SELECT o_year,
+       {SR(f'{_Q8_NUM} / {_Q8_DEN}', 6)}
+         AS mkt_share
+FROM mkt GROUP BY o_year ORDER BY o_year""",
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 national market share (ASIA market, STANDARD parts,
+    NATION_2's share per order year).  Numerator and denominator are
+    each stable-rounded BEFORE the division so the share is a ratio of
+    two bit-identical doubles on both engines.  All dimensions broadcast;
+    lineitem↔orders is the only fact-fact shuffle."""
+    p = _read(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD").select("p_partkey")
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate")
+         >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_regionkey").alias("_crk"))
+    r = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("nation"))
+    li = _read(spark, sf_dir, "lineitem")
+    mkt = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("_ck"))
+        .join(F.broadcast(r), F.col("_crk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_sk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice")
+             * (F.lit(1.0) - F.col("l_discount"))).alias("volume"),
+            "nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("nation") == "NATION_2", F.col("volume"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        mkt.groupBy("o_year")
+        .agg(R(R(num, 2) / R(F.sum("volume"), 2), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q9",
+    f"""WITH ps AS ({_TPCH_PS_SQL})
+SELECT nation, o_year, {SR('sum(amount)', 2)} AS sum_profit
+FROM (SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1.0 - l.l_discount)
+               - (ps.ps_supplycost_c / 100.0) * l.l_quantity AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN ps ON ps.ps_suppkey = l.l_suppkey
+             AND ps.ps_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%') profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC""",
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type profit ('%red%' parts; derived partsupp):
+    amount couples the line revenue with the matched supplier's exact
+    integer-cent supply cost.  partsupp is part-derived, so the ps join
+    broadcasts with part; orders↔lineitem is the one fact shuffle."""
+    p = _read(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")).select("p_partkey")
+    ps = _tpch_ps(spark, sf_dir)
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (F.col("l_suppkey") == F.col("ps_suppkey"))
+            & (F.col("l_partkey") == F.col("ps_partkey")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - (F.col("ps_supplycost_c") / 100.0) * F.col("l_quantity")
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(R(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""WITH ps AS ({_TPCH_PS_SQL}),
+eu AS (SELECT s.s_suppkey FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'EUROPE'),
+vals AS (SELECT ps.ps_partkey,
+                ps.ps_supplycost_c * ps.ps_availqty AS value_c
+         FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey)
+SELECT ps_partkey, sum(value_c)::BIGINT AS value_c
+FROM vals
+GROUP BY ps_partkey
+HAVING sum(value_c) * 200 > (SELECT sum(value_c) FROM vals)
+ORDER BY value_c DESC, ps_partkey""",
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important-stock identification (EUROPE suppliers,
+    fraction 1/200): stock value stays in integer cents end-to-end, and
+    the HAVING threshold is the pure-integer comparison
+    sum*200 > total — bit-exact on both engines with no float division.
+    The grand total is a broadcast scalar (Spark: cross-joined 1-row
+    aggregate); one shuffle on ps_partkey."""
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    vals = (
+        _tpch_ps(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_c") * F.col("ps_availqty"))
+            .alias("value_c"),
+        )
+    )
+    total = vals.agg(F.sum("value_c").alias("_total"))
+    return (
+        vals.groupBy("ps_partkey")
+        .agg(F.sum("value_c").alias("value_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 200 > F.col("_total"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q12",
+    f"""WITH lx AS ({_TPCH_LX_SQL})
+SELECT l.l_shipmode,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+FROM orders o JOIN lx l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipmode IN ('MAIL', 'SHIP')
+  AND l.l_commitdate < l.l_receiptdate
+  AND l.l_shipdate < l.l_commitdate
+  AND l.l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_shipmode
+ORDER BY l.l_shipmode""",
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping-mode priority split (derived modes and dates):
+    the mode/date predicates are all map-side on the derived columns, so
+    the scan prunes before the single orders join shuffle."""
+    lx = _tpch_lx(_read(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate")
+           >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_receiptdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_shipmode")
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lx.join(o, lx.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+@register(
+    "tpch_q13",
+    """SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution (adapted: the comment
+    NOT LIKE filter becomes an order-priority exclusion INSIDE the left
+    join condition, preserving zero-order customers).  Two aggregates;
+    the left join is the only key shuffle — count(o_orderkey) counts
+    only matched rows, exactly the SQL NULL-skip rule."""
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q14_NUM = SR(
+    "sum(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)", 2)
+_Q14_DEN = SR("sum(l_extendedprice * (1.0 - l_discount))", 2)
+
+
+@register(
+    "tpch_q14",
+    f"""SELECT {SR(f'100.0 * {_Q14_NUM} / {_Q14_DEN}', 6)} AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion-revenue share (PROMO p_type class): part
+    broadcasts; numerator/denominator each stable-rounded before the
+    ratio so the percentage is a deterministic double on both engines."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            R(F.lit(100.0) * R(num, 2) / R(F.sum(disc), 2), 6)
+            .alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    f"""WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {SR('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey""",
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top supplier (the revenue VIEW of the spec as a CTE):
+    per-supplier quarter revenue is stable-rounded at 2 dp BEFORE the
+    max/equality, so the float join key is bit-identical on both
+    engines.  Spark: one supplier-key shuffle, the max is a broadcast
+    1-row aggregate."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            R(
+                F.sum(F.col("l_extendedprice")
+                      * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16",
+    f"""WITH ps AS ({_TPCH_PS_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey)::BIGINT AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND ps.ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: the complaint-
+    comment supplier exclusion becomes a negative-balance exclusion):
+    NOT IN over a null-free key set decorrelates to a LEFT ANTI join
+    against the broadcast bad-supplier dimension; COUNT DISTINCT is one
+    partial-distinct shuffle on the group keys."""
+    ps = _tpch_ps(spark, sf_dir)
+    p = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").isin("PROMO", "ECONOMY")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _read(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_Q17_SUM = SR("sum(l.l_extendedprice)", 2)
+
+
+@register(
+    "tpch_q17",
+    f"""WITH px AS ({_TPCH_PX_SQL}),
+agg AS (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey)
+SELECT {SR(f'{_Q17_SUM} / 7.0', 2)} AS avg_yearly
+FROM lineitem l
+JOIN px p ON p.p_partkey = l.l_partkey
+JOIN agg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+  AND p.p_container = 'MED BOX'
+  AND l.l_quantity < 0.2 * (a.sq / a.cnt)""",
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order revenue (derived containers; brand
+    set widened so the gate is non-empty at every sf).  The correlated
+    per-part average decorrelates to one partkey aggregate joined back;
+    quantities are integral doubles, so sum/count — and therefore the
+    0.2·avg threshold — is EXACT on both engines regardless of fold
+    order."""
+    li = _read(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("l_quantity").alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    px = _tpch_px(_read(spark, sf_dir, "part")).filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_container") == "MED BOX")
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(px), li.l_partkey == px.p_partkey)
+        .join(F.broadcast(agg), li.l_partkey == F.col("_pk"))
+        .filter(
+            F.col("l_quantity")
+            < F.lit(0.2) * (F.col("_sq") / F.col("_cnt"))
+        )
+        .agg(
+            R(F.sum("l_extendedprice") / F.lit(7.0), 2)
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+LIMIT 100""",
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers (threshold 250 sits in the p99
+    tail at every generated sf, so the gate is non-empty and selective).
+    Quantities are integral doubles — the HAVING sum is exact.  One
+    orderkey aggregate, then the survivors (tiny) broadcast-join back to
+    orders and customer; TakeOrdered for the top-100."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 250.0)
+        .select(
+            "l_orderkey", F.col("_sq").cast("long").alias("sum_qty"))
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    f"""WITH lx AS ({_TPCH_LX_SQL}), px AS ({_TPCH_PX_SQL})
+SELECT {SR('sum(l.l_extendedprice * (1.0 - l.l_discount))', 2)} AS revenue,
+       count(*)::BIGINT AS n
+FROM lx l JOIN px p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipmode IN ('AIR', 'AIR REG')
+  AND ((p.p_brand = 'Brand#1' AND p.p_container IN ('SM CASE', 'MED BOX')
+        AND l.l_quantity BETWEEN 1.0 AND 11.0
+        AND p.p_size BETWEEN 1 AND 5)
+    OR (p.p_brand = 'Brand#2' AND p.p_container IN ('MED BOX', 'LG PACK')
+        AND l.l_quantity BETWEEN 10.0 AND 20.0
+        AND p.p_size BETWEEN 1 AND 10)
+    OR (p.p_brand = 'Brand#3' AND p.p_container IN ('LG PACK', 'JUMBO JAR')
+        AND l.l_quantity BETWEEN 20.0 AND 30.0
+        AND p.p_size BETWEEN 1 AND 15))""",
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 discounted-revenue disjunction (derived containers and
+    ship modes): the three-branch OR predicate is the classic
+    pushdown/join-condition showcase — Catalyst extracts the common
+    l_shipmode conjunct map-side and evaluates the disjunction on the
+    broadcast-joined row."""
+    lx = _tpch_lx(_read(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipmode").isin("AIR", "AIR REG"))
+    px = _tpch_px(_read(spark, sf_dir, "part"))
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_container").isin("SM CASE", "MED BOX")
+            & F.col("l_quantity").between(1.0, 11.0)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_container").isin("MED BOX", "LG PACK")
+            & F.col("l_quantity").between(10.0, 20.0)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_container").isin("LG PACK", "JUMBO JAR")
+            & F.col("l_quantity").between(20.0, 30.0)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        lx.join(F.broadcast(px), lx.l_partkey == px.p_partkey)
+        .filter(branch)
+        .agg(
+            R(
+                F.sum(F.col("l_extendedprice")
+                      * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q20",
+    f"""WITH ps AS ({_TPCH_PS_SQL}),
+qty AS (SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey),
+cand AS (SELECT DISTINCT ps.ps_suppkey
+         FROM ps
+         JOIN part p ON p.p_partkey = ps.ps_partkey
+         JOIN qty q ON q.l_partkey = ps.ps_partkey
+                   AND q.l_suppkey = ps.ps_suppkey
+         WHERE p.p_name LIKE 'small%'
+           AND ps.ps_availqty * 2 > q.sq)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN cand ON cand.ps_suppkey = s.s_suppkey
+WHERE r.r_name = 'EUROPE'
+ORDER BY s.s_suppkey""",
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion ('small%' parts, EUROPE
+    suppliers, derived partsupp): the nested IN subqueries decorrelate
+    to a (partkey, suppkey) shipment aggregate joined against the
+    derived stock levels; the excess-stock test availqty·2 > Σqty is
+    pure integer (quantities are integral doubles cast exactly).  One
+    shuffle for the qty aggregate; everything else broadcasts."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("long").alias("sq"))
+    p = _read(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")).select("p_partkey")
+    cand = (
+        _tpch_ps(spark, sf_dir)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("sq"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(cand), s.s_suppkey == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21",
+    f"""WITH lx AS ({_TPCH_LX_SQL})
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM supplier s
+JOIN lx l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_receiptdate > l1.l_commitdate
+  AND n.n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lx l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lx l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_receiptdate > l3.l_commitdate)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name""",
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (NATION_3; derived
+    dates): the EXISTS/NOT-EXISTS pair decorrelates to a LEFT SEMI plus
+    a LEFT ANTI self-join of the late lines against the other-supplier
+    lines of the same order — both joins hash on l_orderkey, so all
+    three fact passes share one shuffle key.  The anti side pre-filters
+    to late lines only; supplier and nation broadcast."""
+    lx = _tpch_lx(_read(spark, sf_dir, "lineitem")).select(
+        "l_orderkey", "l_suppkey", "l_commitdate", "l_receiptdate")
+    late1 = lx.filter(F.col("l_receiptdate") > F.col("l_commitdate"))
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = _read(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3").select("n_nationkey")
+    other = lx.select(
+        F.col("l_orderkey").alias("_ok2"), F.col("l_suppkey").alias("_sk2"))
+    other_late = late1.select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3"))
+    base = (
+        late1.join(o, late1.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), late1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    base = base.join(
+        other,
+        (F.col("l_orderkey") == F.col("_ok2"))
+        & (F.col("l_suppkey") != F.col("_sk2")),
+        "left_semi",
+    )
+    base = base.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("_ok3"))
+        & (F.col("l_suppkey") != F.col("_sk3")),
+        "left_anti",
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@register(
+    "tpch_q22",
+    f"""WITH cx AS (
+  SELECT c_custkey, c_acctbal,
+         CAST(10 + c_custkey % 25 AS BIGINT) AS cntrycode,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+pos AS (SELECT sum(bal_c) AS total_c, count(*) AS n
+        FROM cx WHERE bal_c > 0
+          AND cntrycode IN (11, 13, 17, 19, 21, 23, 25))
+SELECT cntrycode, count(*)::BIGINT AS numcust,
+       {SR('sum(c_acctbal)', 2)} AS totacctbal
+FROM cx, pos
+WHERE cntrycode IN (11, 13, 17, 19, 21, 23, 25)
+  AND bal_c * pos.n > pos.total_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cx.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY cntrycode
+ORDER BY cntrycode""",
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global sales opportunity (derived phone country codes):
+    the above-average-balance test is the pure-integer cross-multiply
+    bal_c·n > Σbal_c over exact cents — no float average, no boundary
+    lottery.  NOT EXISTS (orders) is a LEFT ANTI against the order
+    custkeys; the positive-balance average is a broadcast 1-row
+    aggregate."""
+    cx = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        (10 + F.col("c_custkey") % 25).cast("long").alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long")
+        .alias("bal_c"),
+    ).filter(F.col("cntrycode").isin(11, 13, 17, 19, 21, 23, 25))
+    pos = cx.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("_total_c"), F.count(F.lit(1)).alias("_n"))
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cx.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("_n") > F.col("_total_c"))
+        .join(o, cx.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            R(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
