@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     "sketch_cms_heavy_hitters",
     "raster_resize",
     "embed_ann_ivfpq",
+    # round 4 session-10: TPC-H completion representatives (join-heavy)
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q18",
+    "tpch_q21",
 ]
 
 
