@@ -522,3 +522,122 @@ def warp_reproject_to_geographic(
     return joined.groupBy("bx", "by").applyInPandas(
         assemble, "bx int, by int, n_px long, val_sum long, digest string"
     )
+
+
+def warp_reproject_to_utm(
+    src_blocks: DataFrame,
+    tiles: DataFrame,
+    zone: int,
+    e_origin: float,
+    n_top: float,
+    res_m: float,
+    tile_px: int = 128,
+) -> DataFrame:
+    """Warp the geographic block raster onto a UTM target grid
+    (``gdalwarp -t_srs EPSG:326{zone}``): same dst-pixel inverse-transform
+    architecture as the Mercator warps, but the inverse is the Krüger
+    BETA-series transverse-Mercator inverse (spatial/crs.py — ref PROJ
+    tmerc via ogr/ogrct.cpp:1002; alg/gdalwarper.cpp dst-scanline loop).
+
+    ``tiles`` has (ux, uy); tile (ux, uy) covers easting
+    [e_origin + ux·tile_px·res_m, +tile_px·res_m) and northing
+    (n_top − uy·tile_px·res_m, −tile_px·res_m] (row-major, north-up).
+
+    Plan (the 100 TB shape, like warp_reproject_nearest): each tile
+    derives its needed geo-block RANGE from the EXACT Column-math UTM
+    inverse at its 4 corners plus a fixed pad (the same role as
+    GDALSuggestedWarpOutput's edge sampling), explodes to (tile, block)
+    pairs, equi-joins the source on the block key — the only shuffle —
+    and a per-tile kernel assembles dst pixels with the vectorized
+    numpy mirror of the identical inverse expression tree."""
+    from gdal_spark.spatial import crs as CRS
+
+    span = float(tile_px) * float(res_m)
+    e_min = F.lit(e_origin) + F.col("ux").cast("double") * span
+    n_max = F.lit(n_top) - F.col("uy").cast("double") * span
+    corners = []
+    for de, dn in ((0.0, 0.0), (span, 0.0), (0.0, span), (span, span)):
+        lon_c, lat_c = CRS.utm_inverse(
+            e_min + F.lit(de), n_max - F.lit(dn), zone)
+        corners.append((lon_c, lat_c))
+    pad = 0.35  # > max interior-vs-corner deflection at tile scale
+    lon_lo = F.least(*[c[0] for c in corners]) - pad
+    lon_hi = F.greatest(*[c[0] for c in corners]) + pad
+    lat_lo = F.least(*[c[1] for c in corners]) - pad
+    lat_hi = F.greatest(*[c[1] for c in corners]) + pad
+    nbx = GEO_W // GEO_BLOCK
+    nby = GEO_H // GEO_BLOCK
+    need = (
+        tiles.select(
+            "ux", "uy",
+            F.greatest(
+                F.lit(0),
+                F.floor((lon_lo + 180.0) / (GEO_RES * GEO_BLOCK))
+                .cast("long"),
+            ).alias("_bx0"),
+            F.least(
+                F.lit(nbx - 1),
+                F.floor((lon_hi + 180.0) / (GEO_RES * GEO_BLOCK))
+                .cast("long"),
+            ).alias("_bx1"),
+            F.greatest(
+                F.lit(0),
+                F.floor((90.0 - lat_hi) / (GEO_RES * GEO_BLOCK))
+                .cast("long"),
+            ).alias("_by0"),
+            F.least(
+                F.lit(nby - 1),
+                F.floor((90.0 - lat_lo) / (GEO_RES * GEO_BLOCK))
+                .cast("long"),
+            ).alias("_by1"),
+        )
+        .withColumn("_bx", F.explode(F.sequence("_bx0", "_bx1")))
+        .withColumn("_by", F.explode(F.sequence("_by0", "_by1")))
+        .select(
+            "ux", "uy",
+            F.col("_bx").cast("int").alias("bx"),
+            F.col("_by").cast("int").alias("by"),
+        )
+    )
+    joined = need.join(src_blocks, on=["bx", "by"], how="inner")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.spatial.crs import np_utm_inverse_mirror
+
+        ux = int(pdf["ux"].iloc[0])
+        uy = int(pdf["uy"].iloc[0])
+        blocks = {
+            (int(r.bx), int(r.by)): np.asarray(r.data, dtype=np.float64)
+            .reshape(GEO_BLOCK, GEO_BLOCK)
+            for r in pdf.itertuples()
+        }
+        py, px = np.mgrid[0:tile_px, 0:tile_px]
+        e = e_origin + (ux * tile_px + px + 0.5) * res_m
+        n = n_top - (uy * tile_px + py + 0.5) * res_m
+        lon, lat = np_utm_inverse_mirror(e, n, zone)
+        i = np.floor((lon + 180.0) / GEO_RES + 1e-10).astype(np.int64)
+        j = np.floor((90.0 - lat) / GEO_RES + 1e-10).astype(np.int64)
+        i = np.clip(i, 0, GEO_W - 1)
+        j = np.clip(j, 0, GEO_H - 1)
+        vals = np.empty((tile_px, tile_px), dtype=np.int64)
+        covered = np.zeros((tile_px, tile_px), dtype=bool)
+        for (bx, by), arr in blocks.items():
+            m = (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+            vals[m] = arr[j[m] % GEO_BLOCK, i[m] % GEO_BLOCK].astype(
+                np.int64)
+            covered |= m
+        if not covered.all():
+            raise RuntimeError(
+                f"utm tile ({ux},{uy}): {int((~covered).sum())} px missing "
+                "source blocks")
+        flat = vals.ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(v)) for v in flat).encode()).hexdigest()
+        return pd.DataFrame([{
+            "ux": ux, "uy": uy, "n_px": int(flat.shape[0]),
+            "val_sum": int(flat.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("ux", "uy").applyInPandas(
+        assemble, "ux int, uy int, n_px long, val_sum long, digest string"
+    )

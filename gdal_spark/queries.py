@@ -16515,3 +16515,61 @@ def q_tpch_q22(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reprojection warp into a UTM target grid (gdalwarp -t_srs EPSG:32631):
+# completes the warp CRS menu beyond Mercator (alg/gdalwarper.cpp dst-pixel
+# loop; PROJ tmerc inverse via ogr/ogrct.cpp:1002).
+# ---------------------------------------------------------------------------
+
+_UTM_WARP_ZONE = 31
+_UTM_WARP_E0 = 200000.0
+_UTM_WARP_NTOP = 5500000.0
+_UTM_WARP_RES = 500.0
+_UTM_WARP_PX = 128
+
+
+def _sql_warp_utm() -> str:
+    from gdal_spark.spatial.crs import sql_utm_inverse
+
+    e = (f"({_UTM_WARP_E0!r} + (tux.v * {_UTM_WARP_PX} + gx.v + 0.5)"
+         f" * {_UTM_WARP_RES!r})")
+    n = (f"({_UTM_WARP_NTOP!r} - (tuy.v * {_UTM_WARP_PX} + gy.v + 0.5)"
+         f" * {_UTM_WARP_RES!r})")
+    lon, lat = sql_utm_inverse(e, n, _UTM_WARP_ZONE)
+    return f"""WITH gs AS (SELECT unnest(generate_series(0, {_UTM_WARP_PX - 1})) AS v),
+tl AS (SELECT unnest(generate_series(0, 1)) AS v),
+p AS (
+  SELECT tux.v AS ux, tuy.v AS uy, gy.v AS py, gx.v AS px,
+         {lon} AS lon, {lat} AS lat
+  FROM tl tux CROSS JOIN tl tuy CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT ux, uy, py, px,
+         floor((lon + 180.0) / {WP.GEO_RES!r} + 1e-10)::bigint AS i,
+         floor((90.0 - lat) / {WP.GEO_RES!r} + 1e-10)::bigint AS j
+  FROM p),
+v AS (SELECT ux, uy, py, px, (i * 31 + j * 17 + 7) % 256 AS val FROM c)
+SELECT ux, uy, count(*)::bigint AS n_px, sum(val)::bigint AS val_sum,
+       md5(string_agg(val::varchar, ',' ORDER BY py, px)) AS digest
+FROM v GROUP BY ux, uy"""
+
+
+@register("warp_utm_grid", _sql_warp_utm())
+def q_warp_utm_grid(spark, sf_dir):
+    """gdalwarp into a UTM zone-31 target grid (500 m pixels, 2x2 tiles
+    of 128x128 over north-central Europe): dst-pixel inverse transform
+    through the Kruger BETA-series tmerc inverse (spatial/crs.py — the
+    same exp-expanded expression tree on Spark Columns, the numpy warp
+    kernel, and the DuckDB oracle), nearest sample with the reference's
+    floor(+1e-10) parity, per-tile md5 pixel digest.  Plan: per-tile
+    block ranges from the exact corner inverse (Column math) + pad,
+    one block equi-join shuffle, vectorized per-tile assembly —
+    the warp_reproject_nearest architecture on a new CRS
+    (operators/warp.py:warp_reproject_to_utm)."""
+    tiles = spark.createDataFrame(
+        [(ux, uy) for ux in (0, 1) for uy in (0, 1)], "ux int, uy int")
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_to_utm(
+        src, tiles, _UTM_WARP_ZONE, _UTM_WARP_E0, _UTM_WARP_NTOP,
+        _UTM_WARP_RES, _UTM_WARP_PX)

@@ -230,3 +230,105 @@ def sql_laea_forward(
         f"{sp1!r} * cos({phi}) * cos({lam})))"
     )
     return x, y
+
+
+# ---------------------------------------------------------------------------
+# UTM inverse (beta series) as three parallel implementations with one
+# expression tree — the dst→src transform of a gdalwarp into a UTM target
+# (PROJ tmerc inverse; Karney 2011 §5).  Hyperbolics are exp-expanded in
+# ALL THREE so Spark, DuckDB, and the numpy warp kernel evaluate the same
+# floating-point ops (np.sinh/np.cosh in py_utm_inverse above are fine for
+# round-trip tests but are different libm entry points).
+# ---------------------------------------------------------------------------
+
+# conformal → geodetic latitude series coefficients (delta, Karney 2011)
+_DELTA = (
+    2.0 * N_ - 2.0 * N_ ** 2 / 3.0 - 2.0 * N_ ** 3,
+    7.0 * N_ ** 2 / 3.0 - 8.0 * N_ ** 3 / 5.0,
+    56.0 * N_ ** 3 / 15.0,
+)
+
+
+def utm_inverse(
+    easting: Column, northing: Column, zone: int
+) -> tuple[Column, Column]:
+    """Column UTM inverse (northern hemisphere): (lon, lat) degrees."""
+    def sinh_c(x):
+        return (F.exp(x) - F.exp(-x)) / 2.0
+
+    def cosh_c(x):
+        return (F.exp(x) + F.exp(-x)) / 2.0
+
+    xi = northing / F.lit(K0 * A_CAP)
+    eta = (easting - F.lit(E0)) / F.lit(K0 * A_CAP)
+    xi_p, eta_p = xi, eta
+    for j, b_j in enumerate(BETA, start=1):
+        xi_p = xi_p - F.lit(b_j) * F.sin(2.0 * j * xi) * cosh_c(
+            2.0 * j * eta)
+        eta_p = eta_p - F.lit(b_j) * F.cos(2.0 * j * xi) * sinh_c(
+            2.0 * j * eta)
+    chi = F.asin(F.sin(xi_p) / cosh_c(eta_p))
+    phi = chi + (
+        F.lit(_DELTA[0]) * F.sin(2.0 * chi)
+        + F.lit(_DELTA[1]) * F.sin(4.0 * chi)
+        + F.lit(_DELTA[2]) * F.sin(6.0 * chi)
+    )
+    lam = F.atan2(sinh_c(eta_p), F.cos(xi_p))
+    lon = F.degrees(lam) + F.lit(zone * 6.0 - 183.0)
+    lat = F.degrees(phi)
+    return lon, lat
+
+
+def sql_utm_inverse(easting: str, northing: str, zone: int):
+    """DuckDB fragments mirroring utm_inverse term-for-term."""
+    def sinh_s(x):
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    def cosh_s(x):
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    xi = f"(({northing}) / {K0 * A_CAP!r})"
+    eta = f"((({easting}) - {E0!r}) / {K0 * A_CAP!r})"
+    xi_p, eta_p = xi, eta
+    for j, b_j in enumerate(BETA, start=1):
+        xi_p = (
+            f"({xi_p} - {b_j!r} * sin(2.0 * {j} * {xi})"
+            f" * {cosh_s(f'2.0 * {j} * {eta}')})"
+        )
+        eta_p = (
+            f"({eta_p} - {b_j!r} * cos(2.0 * {j} * {xi})"
+            f" * {sinh_s(f'2.0 * {j} * {eta}')})"
+        )
+    chi = f"asin(sin({xi_p}) / {cosh_s(eta_p)})"
+    phi = (
+        f"({chi} + ({_DELTA[0]!r} * sin(2.0 * {chi})"
+        f" + {_DELTA[1]!r} * sin(4.0 * {chi})"
+        f" + {_DELTA[2]!r} * sin(6.0 * {chi})))"
+    )
+    lam = f"atan2({sinh_s(eta_p)}, cos({xi_p}))"
+    lon = f"(degrees({lam}) + {zone * 6.0 - 183.0!r})"
+    lat = f"degrees({phi})"
+    return lon, lat
+
+
+def np_utm_inverse_mirror(easting, northing, zone: int):
+    """numpy mirror of utm_inverse / sql_utm_inverse for the warp kernel —
+    exp-expanded hyperbolics, identical term order."""
+    sinh = lambda x: (np.exp(x) - np.exp(-x)) / 2.0  # noqa: E731
+    cosh = lambda x: (np.exp(x) + np.exp(-x)) / 2.0  # noqa: E731
+    xi = np.asarray(northing, dtype=np.float64) / (K0 * A_CAP)
+    eta = (np.asarray(easting, dtype=np.float64) - E0) / (K0 * A_CAP)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b_j in enumerate(BETA, start=1):
+        xi_p = xi_p - b_j * np.sin(2.0 * j * xi) * cosh(2.0 * j * eta)
+        eta_p = eta_p - b_j * np.cos(2.0 * j * xi) * sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xi_p) / cosh(eta_p))
+    phi = chi + (
+        _DELTA[0] * np.sin(2.0 * chi)
+        + _DELTA[1] * np.sin(4.0 * chi)
+        + _DELTA[2] * np.sin(6.0 * chi)
+    )
+    lam = np.arctan2(sinh(eta_p), np.cos(xi_p))
+    lon = np.degrees(lam) + (zone * 6.0 - 183.0)
+    lat = np.degrees(phi)
+    return lon, lat

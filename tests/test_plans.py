@@ -389,6 +389,16 @@ def test_warp_reproject_block_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_warp_utm_block_equi_join(spark):
+    """The UTM warp keeps the same physical shape as the Mercator warps:
+    block-key equi-join + per-tile assembly — no nested loop, and the
+    corner-envelope block-range derivation stays pure Column math."""
+    p = _plan(spark, "warp_utm_grid")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p  # inverse is Column math / Arrow kernel
+
+
 def test_mix_upsample_map_only(spark):
     """Upsampling is hash + map lookup + sequence explode — zero Exchange
     before the gate's fold-back aggregation."""
