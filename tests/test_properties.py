@@ -1,0 +1,126 @@
+"""Property-based tests (hypothesis) — the reference's autotest suite leans
+heavily on randomized/parametrized geometry and transform cases
+(autotest/ogr/ogr_geom.py, autotest/osr/osr_proj4.py); these mirror that
+strategy for the pure-python kernels the engine's Column/Arrow code shares.
+
+All properties run WITHOUT a SparkSession (numpy/python level), so they are
+cheap enough to fuzz hundreds of cases per run.
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gdal_spark.functions.rounding import np_stable_round  # noqa: E402
+from gdal_spark.spatial import crs  # noqa: E402
+from gdal_spark.spatial import geometry as G  # noqa: E402
+
+finite_lon = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+finite_lat = st.floats(min_value=-84.0, max_value=84.0, allow_nan=False)
+
+
+# ---------------------------------------------------------------------------
+# WKB codec: encode -> parse round-trips bit-exactly (ogr wkb import/export
+# pairs, ogr/ogrgeometry.cpp WkbSize/exportToWkb contracts)
+# ---------------------------------------------------------------------------
+
+coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(coord, coord)
+def test_wkb_point_roundtrip(x, y):
+    kind, pt = G.parse_wkb(G.wkb_point(x, y))
+    assert kind == "point"
+    assert pt[0] == x and pt[1] == y
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(coord, coord), min_size=3, max_size=12),
+)
+def test_wkb_polygon_roundtrip(pts):
+    ring = np.asarray(pts + [pts[0]], dtype=np.float64)
+    kind, rings = G.parse_wkb(G.wkb_polygon([ring]))
+    assert kind == "polygon"
+    assert np.array_equal(np.asarray(rings[0]), ring)
+
+
+@settings(max_examples=100, deadline=None)
+@given(coord, coord, coord)
+def test_wkb_point_z_roundtrip(x, y, z):
+    kind, pt = G.parse_wkb(G.wkb_point_z(x, y, z))
+    assert kind == "point_z"
+    assert pt[0] == x and pt[1] == y and pt[2] == z
+
+
+# ---------------------------------------------------------------------------
+# UTM: forward -> inverse closes within the series truncation bound
+# everywhere in a zone's working extent (PROJ tmerc closure; the Krüger
+# n^3 truncation is < 0.1 mm ~ 1e-9 deg; corner overlap regions are
+# looser but bounded)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat)
+def test_utm_forward_inverse_closure(lon, lat):
+    zone, e, n = crs.py_utm_forward(np.array([lon]), np.array([lat]))
+    south = lat < 0.0
+    nn = n - (crs.N0_SOUTH if south else 0.0)
+    lon2, lat2 = crs.np_utm_inverse_mirror(e, nn, int(zone[0]))
+    assert abs(lon2[0] - lon) < 5e-6
+    assert abs(lat2[0] - lat) < 5e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat)
+def test_utm_inverse_mirror_matches_reference_inverse(lon, lat):
+    """The exp-expanded mirror (shared with the SQL oracle and warp
+    kernel) agrees with the np.sinh/np.cosh reference inverse to float
+    noise — different libm entry points, same math."""
+    zone, e, n = crs.py_utm_forward(np.array([lon]), np.array([lat]))
+    nn = n - (crs.N0_SOUTH if lat < 0.0 else 0.0)
+    a = crs.np_utm_inverse_mirror(e, nn, int(zone[0]))
+    b = crs.py_utm_inverse(e, nn, int(zone[0]))
+    assert abs(a[0][0] - b[0][0]) < 1e-9
+    assert abs(a[1][0] - b[1][0]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# stable_round: the engine-wide cross-engine rounding rule is exactly
+# floor(x*10^d + 0.5)/10^d for every float and digit count
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+    st.integers(min_value=0, max_value=6),
+)
+def test_stable_round_definition(x, d):
+    got = float(np_stable_round(np.array([x]), d)[0])
+    want = math.floor(x * 10 ** d + 0.5) / 10 ** d
+    assert got == want or (math.isinf(want) and math.isinf(got))
+
+
+# ---------------------------------------------------------------------------
+# Great-circle distance: symmetry, identity, triangle sanity (SLOC kernel
+# parity with ogr/ogr_geo_utils.cpp:25-46)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=200, deadline=None)
+@given(finite_lon, finite_lat, finite_lon, finite_lat)
+def test_great_circle_symmetry(lo1, la1, lo2, la2):
+    arr = lambda v: np.array([v], dtype=np.float64)  # noqa: E731
+    d12 = float(G.great_circle_distance(arr(la1), arr(lo1), arr(la2), arr(lo2))[0])
+    d21 = float(G.great_circle_distance(arr(la2), arr(lo2), arr(la1), arr(lo1))[0])
+    assert abs(d12 - d21) <= 1e-6 * max(1.0, d12)
+    d_self = float(G.great_circle_distance(arr(la1), arr(lo1), arr(la1), arr(lo1))[0])
+    assert d_self <= 1.0  # acos clamp noise stays under a meter
