@@ -1174,3 +1174,83 @@ def winnowing_fingerprints(docs: DataFrame,
             .alias("fp_sum"),
         )
     )
+
+
+def fineweb_filters(
+    docs: DataFrame,
+    line_words: int = LINE_WORDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FineWeb's three custom line-level quality filters (Penedo et al.
+    2024, the public FineWeb report — the post-C4/Gopher generation of
+    web-curation heuristics):
+
+      1. fraction of lines ending in terminal punctuation  (< 0.12 drops)
+      2. fraction of characters in duplicated lines        (> 0.10 drops)
+      3. fraction of lines shorter than 30 characters      (> 0.67 drops)
+
+    Lines are the engine's pseudo-lines (``line_words``-token windows —
+    the fixture is single-line word soup), and terminal punctuation is
+    INJECTED deterministically (a '.' appended when the raw line length
+    ≡ 0 mod 3) so the ratio path is exercised on a punctuation-free
+    corpus; both rules are mirrored verbatim in the SQL oracle.
+
+    Ratios are integer milli-units ((1000·num) DIV den) so the keep
+    decision is pure integer math on both engines.  Plan: explode to
+    lines (map-only), one partial-agg shuffle on (doc, line) for the
+    within-doc duplicate counts, one (doc) re-aggregate — no joins, no
+    Python."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), " +").alias("_t"),
+    ).withColumn("_nt", F.size("_t"))
+    n_lines = F.ceil(F.col("_nt") / F.lit(float(line_words))).cast("long")
+    raw = toks.withColumn(
+        "_idx", F.explode(F.sequence(F.lit(0), n_lines - 1))
+    ).select(
+        id_col,
+        F.array_join(
+            F.slice(F.col("_t"), F.col("_idx") * line_words + 1, line_words),
+            " ",
+        ).alias("_line0"),
+    )
+    line = F.concat(
+        F.col("_line0"),
+        F.when(F.length("_line0") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    per_line = (
+        raw.select(F.col(id_col), line.alias("_line"))
+        .groupBy(id_col, "_line")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            id_col, "_c",
+            F.length("_line").alias("_len"),
+            F.col("_line").endswith(".").alias("_punct"),
+        )
+    )
+    doc = per_line.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.when(F.col("_punct"), F.col("_c")).otherwise(0))
+        .alias("_np"),
+        F.sum(F.when(F.col("_len") < 30, F.col("_c")).otherwise(0))
+        .alias("_ns"),
+        F.sum(F.col("_len") * F.col("_c")).alias("_ch"),
+        F.sum(
+            F.when(F.col("_c") > 1, F.col("_len") * F.col("_c"))
+            .otherwise(0)
+        ).alias("_dch"),
+    )
+    punct_m = F.expr("(1000 * _np) DIV _n")
+    short_m = F.expr("(1000 * _ns) DIV _n")
+    dup_m = F.expr(
+        "CASE WHEN _ch = 0 THEN 0 ELSE (1000 * _dch) DIV _ch END")
+    return doc.select(
+        F.col(id_col),
+        punct_m.cast("long").alias("punct_milli"),
+        dup_m.cast("long").alias("dup_char_milli"),
+        short_m.cast("long").alias("short_line_milli"),
+        (
+            (punct_m >= 120) & (dup_m <= 100) & (short_m <= 670)
+        ).alias("keep"),
+    )

@@ -16573,3 +16573,130 @@ def q_warp_utm_grid(spark, sf_dir):
     return WP.warp_reproject_to_utm(
         src, tiles, _UTM_WARP_ZONE, _UTM_WARP_E0, _UTM_WARP_NTOP,
         _UTM_WARP_RES, _UTM_WARP_PX)
+
+
+# ---------------------------------------------------------------------------
+# FineWeb custom quality filters (Penedo et al. 2024) — the post-C4/Gopher
+# generation of public web-curation heuristics, completing the named-recipe
+# menu (C4, Gopher, CCNet, RefinedWeb, DCLM, FineWeb).
+# ---------------------------------------------------------------------------
+
+def _sql_fineweb() -> str:
+    lw = T.LINE_WORDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS nt FROM toks),
+raw AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, idx * {lw} + 1, idx * {lw} + {lw}), ' ')
+           AS line0
+  FROM (SELECT doc_id, t,
+               unnest(range(0, cast(ceil(nt / {lw}.0) AS BIGINT))) AS idx
+        FROM n)),
+lt AS (
+  SELECT doc_id,
+         line0 || (CASE WHEN length(line0) % 3 = 0 THEN '.' ELSE '' END)
+           AS line
+  FROM raw),
+per_line AS (
+  SELECT doc_id, line, count(*)::bigint AS c FROM lt GROUP BY doc_id, line),
+doc AS (
+  SELECT doc_id,
+         sum(c) AS n,
+         sum(CASE WHEN line LIKE '%.' THEN c ELSE 0 END) AS np,
+         sum(CASE WHEN length(line) < 30 THEN c ELSE 0 END) AS ns,
+         sum(length(line) * c) AS ch,
+         sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS dch
+  FROM per_line GROUP BY doc_id)
+SELECT doc_id,
+       ((1000 * np) // n)::bigint AS punct_milli,
+       (CASE WHEN ch = 0 THEN 0 ELSE (1000 * dch) // ch END)::bigint
+         AS dup_char_milli,
+       ((1000 * ns) // n)::bigint AS short_line_milli,
+       ((1000 * np) // n >= 120
+        AND (CASE WHEN ch = 0 THEN 0 ELSE (1000 * dch) // ch END) <= 100
+        AND (1000 * ns) // n <= 670) AS keep
+FROM doc"""
+
+
+@register("text_fineweb_filters", _sql_fineweb())
+def q_text_fineweb_filters(spark, sf_dir):
+    """FineWeb's three line-level quality filters (terminal-punctuation
+    ratio >= 0.12, duplicated-line character fraction <= 0.10, short-line
+    fraction <= 0.67) as integer milli-unit ratios + keep decision —
+    operators/text.py:fineweb_filters; explode, one (doc, line) partial
+    aggregate, one (doc) re-aggregate, no Python."""
+    return T.fineweb_filters(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: recall@k of the IVF index vs the exact scan —
+# the evaluation loop every production ANN deployment runs (Faiss bench
+# methodology, Johnson et al. 2017 §5; pairs with embed_ann_ivf).
+# ---------------------------------------------------------------------------
+
+def _sql_ann_recall(n_centroids: int = 8, nprobe: int = 2) -> str:
+    cos = SIM.sql_cosine("q.embedding", "v.embedding")
+    return f"""
+WITH q0 AS (SELECT * FROM embeddings WHERE {ANN_PRED}),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, v.vec_id) AS rk
+    FROM q0 q CROSS JOIN embeddings v WHERE v.vec_id <> q.vec_id)
+  WHERE rk <= {ANN_K}),
+qp AS (SELECT q0.*, {SIM.sql_ivf_probes('q0.embedding', n_centroids, EMB_DIM, nprobe)} AS probes FROM q0),
+v0 AS (SELECT v.*, {SIM.sql_ivf_assign('v.embedding', n_centroids, EMB_DIM)} AS vlist FROM embeddings v),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos} DESC, v.vec_id) AS rk
+    FROM qp q JOIN v0 v ON list_contains(q.probes, v.vlist)
+    WHERE v.vec_id <> q.vec_id)
+  WHERE rk <= {ANN_K}),
+hits AS (
+  SELECT e.query_id, count(a.neighbor_id)::bigint AS n_hit
+  FROM ex e LEFT JOIN ap a
+    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+SELECT query_id, n_hit,
+       ((1000 * n_hit) // {ANN_K})::bigint AS recall_milli
+FROM hits"""
+
+
+@register("embed_ann_recall", _sql_ann_recall())
+def q_embed_ann_recall(spark, sf_dir):
+    """Recall@k of the IVF index against the exact cosine scan, per query
+    (integer milli-units): the two engine paths (SIM.cosine_topk ground
+    truth, SIM.ivf_topk candidate) join on (query, neighbor) and count
+    hits — the standard ANN quality loop, here with BOTH sides
+    reproduced exactly by the oracle so the measured recall itself is
+    cross-engine exact."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.expr(ANN_PRED)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = SIM.cosine_topk(emb, queries, k=ANN_K).select(
+        "query_id", "neighbor_id")
+    approx = SIM.ivf_topk(
+        emb, queries, k=ANN_K, dim=EMB_DIM, n_centroids=8, nprobe=2
+    ).select(
+        F.col("query_id").alias("_aq"), F.col("neighbor_id").alias("_an"))
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("_aq"))
+            & (F.col("neighbor_id") == F.col("_an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("_an").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id", "n_hit",
+        F.expr(f"(1000 * n_hit) DIV {ANN_K}").cast("long")
+        .alias("recall_milli"),
+    )
