@@ -116,15 +116,22 @@ class SnapshotTable:
         return snap_id, rewritten, carried
 
     def read(self, spark: SparkSession,
-             as_of: Optional[int] = None) -> DataFrame:
+             as_of: Optional[int] = None,
+             merge_schema: bool = False) -> DataFrame:
         """Scan the table AS OF a snapshot (default: latest).  The plan is
         built from the manifest's live segment list only — time travel is
-        pure metadata."""
+        pure metadata.  ``merge_schema=True`` reads across SCHEMA
+        EVOLUTION (Iceberg add-column semantics): segments written before
+        a column existed surface it as NULL — parquet's per-file schema
+        union, no rewrite of old segments."""
         snap_id = self.current_id() if as_of is None else as_of
         segments = self._load(snap_id)
         if not segments:
             raise ValueError(f"snapshot {snap_id} is empty")
-        return spark.read.parquet(*[s["path"] for s in segments])
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*[s["path"] for s in segments])
 
     def merge_upsert(self, spark: SparkSession, source: DataFrame
                      ) -> tuple[int, int, int]:

@@ -16700,3 +16700,120 @@ def q_embed_ann_recall(spark, sf_dir):
         F.expr(f"(1000 * n_hit) DIV {ANN_K}").cast("long")
         .alias("recall_milli"),
     )
+
+
+@register(
+    "snapshot_schema_evolution",
+    """WITH m AS (SELECT max(o_orderkey) // 2 AS mid FROM orders),
+old AS (SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+               NULL::BIGINT AS urgent
+        FROM orders, m WHERE o_orderkey < mid),
+new AS (SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v,
+               (CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END)::BIGINT AS urgent
+        FROM orders, m WHERE o_orderkey >= mid),
+t AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+SELECT count(*)::bigint AS n_rows,
+       sum(v)::bigint AS v_sum,
+       count(urgent)::bigint AS n_with_col,
+       coalesce(sum(urgent), 0)::bigint AS n_urgent
+FROM t""",
+)
+def q_snapshot_schema_evolution(spark, sf_dir):
+    """Snapshot-table SCHEMA EVOLUTION (Iceberg add-column semantics —
+    completes the storage contract next to append / range-delete / time
+    travel / MERGE): segment 1 is committed as (k, v), then the table
+    gains an ``urgent`` column and segment 2 lands as (k, v, urgent).
+    Reading the latest snapshot with the manifest's per-file schema
+    union surfaces pre-evolution rows as NULL — no rewrite of old
+    segments, count(urgent) counts exactly the post-evolution rows
+    (plans/snapshots.py:read(merge_schema=True))."""
+    import tempfile
+
+    from gdal_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="gdalspark_snap_evo_")
+    base = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0).cast("long").alias("urgent"),
+    )
+    mid = int(base.agg(F.expr("max(k) div 2")).collect()[0][0])
+    tbl = SnapshotTable(root, key_col="k")
+    tbl.append(base.filter(F.col("k") < mid).select("k", "v"))
+    tbl.append(base.filter(F.col("k") >= mid))
+    return tbl.read(spark, merge_schema=True).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("v_sum"),
+        F.count("urgent").alias("n_with_col"),
+        F.coalesce(F.sum("urgent"), F.lit(0)).alias("n_urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch — completes the sketch family next to
+# HLL (distinct) and CMS (heavy hitters): equi-width integer histograms are
+# the classic mergeable quantile summary (sum cells to merge; Catalyst's
+# partial aggregation IS the per-shard sketch + merge).
+# ---------------------------------------------------------------------------
+
+_HIST_W = 5000 * 100 // 64   # cents per bucket: 64 buckets over ~$5k span
+
+
+@register(
+    "sketch_hist_quantiles",
+    f"""WITH v AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               AS c FROM orders),
+h AS (SELECT c // {_HIST_W} AS b, count(*)::bigint AS n
+      FROM v GROUP BY c // {_HIST_W}),
+cum AS (SELECT b, n, sum(n) OVER (ORDER BY b)::bigint AS cn,
+               (SELECT sum(n) FROM h)::bigint AS total FROM h),
+qs AS (SELECT unnest([500, 900, 990]) AS q_milli),
+pick AS (
+  SELECT q.q_milli, min(c.b) AS bucket
+  FROM qs q JOIN cum c
+    ON c.cn * 1000 >= q.q_milli * c.total
+  GROUP BY q.q_milli)
+SELECT p.q_milli, p.bucket,
+       ((p.bucket + 1) * {_HIST_W})::bigint AS upper_c,
+       c.cn AS cum_rows
+FROM pick p JOIN cum c ON c.b = p.bucket""",
+)
+def q_sketch_hist_quantiles(spark, sf_dir):
+    """Quantile estimation from a MERGEABLE equi-width integer histogram
+    (the third classic sketch next to the HLL and CMS gates; Greenwald–
+    Khanna/KLL solve the same problem adaptively but are insertion-order
+    dependent — the fixed-grid histogram is the order-free, bit-exact
+    formulation): order prices quantize to cents, bucket = cents DIV W,
+    one partial-agg shuffle builds the merged histogram (map-side
+    partials ARE the per-shard sketches), and quantile q reads the first
+    bucket whose cumulative count reaches ceil(q·n) — pure integer
+    cross-multiply, no float thresholds."""
+    from pyspark.sql import Window
+
+    v = _read(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("c"))
+    h = v.groupBy((F.col("c") / F.lit(_HIST_W)).cast("long").alias("b")).agg(
+        F.count(F.lit(1)).alias("n"))
+    cum = h.withColumn(
+        "cn", F.sum("n").over(Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)),
+    ).crossJoin(F.broadcast(h.agg(F.sum("n").alias("total"))))
+    qs = spark.createDataFrame([(500,), (900,), (990,)], "q_milli int")
+    pick = (
+        F.broadcast(qs)
+        .join(cum, cum.cn * 1000 >= F.col("q_milli") * F.col("total"))
+        .groupBy("q_milli")
+        .agg(F.min("b").alias("bucket"))
+    )
+    return (
+        pick.join(cum.select("b", "cn"), pick.bucket == F.col("b"))
+        .select(
+            "q_milli", "bucket",
+            ((F.col("bucket") + 1) * _HIST_W).cast("long").alias("upper_c"),
+            F.col("cn").cast("long").alias("cum_rows"),
+        )
+    )
