@@ -16817,3 +16817,48 @@ def q_sketch_hist_quantiles(spark, sf_dir):
             F.col("cn").cast("long").alias("cum_rows"),
         )
     )
+
+
+@register(
+    "raster_stack",
+    """WITH gx AS (SELECT unnest(generate_series(0, 127)) AS x),
+gy AS (SELECT unnest(generate_series(0, 127)) AS y),
+b1 AS (SELECT x, y, (x * 7 + y * 3) % 251 AS v1 FROM gx CROSS JOIN gy),
+b2 AS (SELECT x, y, (x * 11 + y * 13 + 5) % 241 AS v2
+       FROM gx CROSS JOIN gy),
+s AS (SELECT b1.x, b1.y, v1, v2 FROM b1 JOIN b2 ON b1.x = b2.x
+                                            AND b1.y = b2.y)
+SELECT count(*)::bigint AS n_px,
+       sum(v1)::bigint AS band1_sum,
+       sum(v2)::bigint AS band2_sum,
+       sum((v1 * 256 + v2) * ((x * 5 + y * 9) % 17))::bigint AS digest
+FROM s""",
+)
+def q_raster_stack(spark, sf_dir):
+    """gdal raster stack (apps/gdalalg_raster_stack.cpp — combine N
+    single-band inputs into one multiband dataset): two independent
+    128x128 band sources align on the pixel key with ONE equi-join (the
+    general shape when band sources are separate scans; a stack of
+    co-partitioned tiles co-locates and the join is zip-local), then a
+    position-weighted integer digest over the interleaved band tuple
+    pins per-pixel alignment — any band swap or pixel shift breaks it."""
+    g = spark.range(128 * 128).select(
+        (F.col("id") % 128).cast("int").alias("x"),
+        (F.col("id") / F.lit(128)).cast("int").alias("y"),
+    )
+    b1 = g.select("x", "y", ((F.col("x") * 7 + F.col("y") * 3) % 251)
+                  .alias("v1"))
+    b2 = g.select(
+        F.col("x").alias("_x2"), F.col("y").alias("_y2"),
+        ((F.col("x") * 11 + F.col("y") * 13 + 5) % 241).alias("v2"))
+    s = b1.join(
+        b2, (b1.x == F.col("_x2")) & (b1.y == F.col("_y2")))
+    return s.agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("v1").alias("band1_sum"),
+        F.sum("v2").alias("band2_sum"),
+        F.sum(
+            (F.col("v1") * 256 + F.col("v2"))
+            * ((F.col("x") * 5 + F.col("y") * 9) % 17)
+        ).cast("long").alias("digest"),
+    )
