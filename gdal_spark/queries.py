@@ -16862,3 +16862,112 @@ def q_raster_stack(spark, sf_dir):
             * ((F.col("x") * 5 + F.col("y") * 9) % 17)
         ).cast("long").alias("digest"),
     )
+
+
+@register(
+    "raster_scale_menu",
+    """WITH gx AS (SELECT unnest(generate_series(0, 255)) AS x),
+gy AS (SELECT unnest(generate_series(0, 255)) AS y),
+p AS (SELECT x, y,
+             ((x * 13 + y * 7) % 1000) / 10.0 + 3.25 AS v
+      FROM gx CROSS JOIN gy),
+s AS (SELECT x, y, v,
+             -- scale: linear map src [3.25, 103.15] -> dst [0, 255]
+             20.0 + (v - 3.25) * (220.0 - 20.0) / (103.15 - 3.25) AS scaled,
+             -- unscale: band metadata v*scale + offset
+             v * 2.5 + 100.0 AS unscaled
+      FROM p),
+t AS (SELECT x, y, scaled, unscaled,
+             -- set-type Byte: round-half-up then clamp 0..255
+             least(255, greatest(0,
+               CAST(floor(scaled + 0.5) AS BIGINT))) AS as_byte
+      FROM s)
+SELECT count(*)::bigint AS n_px,
+       CAST(floor(sum(scaled) * 1000 + 0.5) AS BIGINT) AS scaled_milli_sum,
+       CAST(floor(sum(unscaled) * 1000 + 0.5) AS BIGINT)
+         AS unscaled_milli_sum,
+       sum(as_byte)::bigint AS byte_sum,
+       sum(as_byte * ((x * 5 + y * 9) % 17))::bigint AS byte_digest
+FROM t""",
+)
+def q_raster_scale_menu(spark, sf_dir):
+    """gdal raster scale / unscale / set-type (apps/gdalalg_raster_scale
+    .cpp linear src→dst range map; gdalalg_raster_unscale.cpp band
+    scale/offset application; gdalalg_raster_set_type.cpp with
+    GDALCopyWords round-and-clamp to Byte): one map-only codegen
+    projection per verb over the synthetic float plane; float sums are
+    milli-quantized AFTER aggregation, the Byte cast is pure integer
+    (floor(x+0.5) clamp), digest is position-weighted."""
+    g = spark.range(256 * 256).select(
+        (F.col("id") % 256).cast("int").alias("x"),
+        (F.col("id") / F.lit(256)).cast("int").alias("y"),
+    )
+    v = ((F.col("x") * 13 + F.col("y") * 7) % 1000) / 10.0 + 3.25
+    p = g.withColumn("v", v)
+    scaled = (
+        F.lit(20.0)
+        + (F.col("v") - 3.25) * (220.0 - 20.0) / (103.15 - 3.25)
+    )
+    unscaled = F.col("v") * 2.5 + 100.0
+    s = p.withColumn("scaled", scaled).withColumn("unscaled", unscaled)
+    as_byte = F.least(
+        F.lit(255),
+        F.greatest(F.lit(0), F.floor(F.col("scaled") + 0.5)),
+    ).cast("long")
+    t = s.withColumn("as_byte", as_byte)
+    return t.agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.floor(F.sum("scaled") * 1000 + 0.5).cast("long")
+        .alias("scaled_milli_sum"),
+        F.floor(F.sum("unscaled") * 1000 + 0.5).cast("long")
+        .alias("unscaled_milli_sum"),
+        F.sum("as_byte").alias("byte_sum"),
+        F.sum(
+            F.col("as_byte") * ((F.col("x") * 5 + F.col("y") * 9) % 17)
+        ).cast("long").alias("byte_digest"),
+    )
+
+
+@register(
+    "vector_concat_mixed",
+    """WITH a AS (SELECT o_orderkey AS id, o_totalprice AS price,
+                 o_orderpriority AS priority, NULL::VARCHAR AS segment
+          FROM orders WHERE o_orderkey % 10 = 3),
+b AS (SELECT c_custkey AS id, c_acctbal AS price,
+             NULL::VARCHAR AS priority, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 10 = 7),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT count(*)::bigint AS n_rows,
+       count(priority)::bigint AS n_with_priority,
+       count(segment)::bigint AS n_with_segment,
+       CAST(floor(sum(price) * 100 + 0.5) AS BIGINT) AS price_cents
+FROM u""",
+)
+def q_vector_concat_mixed(spark, sf_dir):
+    """gdal vector concat across layers with DIFFERENT schemas
+    (apps/gdalalg_vector_concat.cpp field-list union mode): Spark's
+    unionByName(allowMissingColumns=True) fills the missing fields with
+    NULL — the OGR layer-concat field-union rule; count(col) then counts
+    exactly each source's rows."""
+    a = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 3
+    ).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 7
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").alias("price"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("priority").alias("n_with_priority"),
+        F.count("segment").alias("n_with_segment"),
+        F.floor(F.sum("price") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+    )
