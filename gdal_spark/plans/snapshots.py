@@ -181,3 +181,78 @@ class SnapshotTable:
         out.append(self._write_segment(source, snap_id, seq))
         self._commit(snap_id, out)
         return snap_id, rewritten, carried
+
+    def merge_full(self, spark: SparkSession, source: DataFrame,
+                   delete_col: str = "_delete"
+                   ) -> tuple[int, int, int]:
+        """Full MERGE surface (Iceberg MERGE INTO with all three clauses):
+        source rows flagged ``delete_col`` DELETE their matched keys
+        (WHEN MATCHED AND … THEN DELETE); unflagged rows UPDATE matched
+        keys / INSERT new keys.  Same one-pass stats pruning as
+        merge_upsert — every source key (delete or upsert) participates
+        in the range probe; untouched segments are carried by reference.
+        Returns (snapshot_id, segments_rewritten, segments_carried)."""
+        prev_id = self.current_id()
+        snap_id = prev_id + 1
+        segs = self._load(prev_id)
+        ranges = [
+            (i, s["kmin"], s["kmax"]) for i, s in enumerate(segs)
+            if s["kmin"] is not None
+        ]
+        keys = source.select(F.col(self.key_col))
+        hits: set = set()
+        if ranges:
+            rdf = spark.createDataFrame(
+                ranges, "seg_idx int, kmin long, kmax long")
+            k = F.col(self.key_col)
+            hits = {
+                r["seg_idx"]
+                for r in keys.join(
+                    F.broadcast(rdf),
+                    (k >= F.col("kmin")) & (k <= F.col("kmax")),
+                ).select("seg_idx").distinct().collect()
+            }
+        upserts = source.filter(~F.col(delete_col)).drop(delete_col)
+        out, seq, rewritten, carried = [], 0, 0, 0
+        for i, seg in enumerate(segs):
+            if i not in hits:
+                out.append(seg)
+                carried += 1
+                continue
+            # matched keys leave the segment whether deleted or updated;
+            # updates re-enter via the new source segment below
+            kept = spark.read.parquet(seg["path"]).join(
+                F.broadcast(keys), self.key_col, "left_anti")
+            new_seg = self._write_segment(kept, snap_id, seq)
+            seq += 1
+            rewritten += 1
+            if new_seg["rows"]:
+                out.append(new_seg)
+        new_seg = self._write_segment(upserts, snap_id, seq)
+        if new_seg["rows"]:
+            out.append(new_seg)
+        self._commit(snap_id, out)
+        return snap_id, rewritten, carried
+
+    def compact(self, spark: SparkSession,
+                max_rows: int | None = None) -> tuple[int, int, int]:
+        """Table maintenance: rewrite the small-segment tail into ONE
+        segment (Iceberg rewrite_data_files / OPTIMIZE).  Segments with
+        more than ``max_rows`` rows (default: none — compact everything)
+        are carried by reference; the rest are read once, coalesced, and
+        land as a single new segment.  Data is bit-identical before and
+        after — only the manifest and file layout change.  Returns
+        (snapshot_id, n_compacted, n_carried)."""
+        prev_id = self.current_id()
+        snap_id = prev_id + 1
+        segs = self._load(prev_id)
+        small = [s for s in segs
+                 if max_rows is None or s["rows"] <= max_rows]
+        big = [s for s in segs if s not in small]
+        if len(small) <= 1:
+            self._commit(snap_id, segs)
+            return snap_id, 0, len(segs)
+        merged = spark.read.parquet(*[s["path"] for s in small])
+        out = big + [self._write_segment(merged, snap_id, 0)]
+        self._commit(snap_id, out)
+        return snap_id, len(small), len(big)

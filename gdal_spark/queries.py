@@ -16971,3 +16971,116 @@ def q_vector_concat_mixed(spark, sf_dir):
         F.floor(F.sum("price") * 100 + 0.5).cast("long")
         .alias("price_cents"),
     )
+
+
+@register(
+    "snapshot_merge_delete",
+    """WITH m AS (SELECT max(o_orderkey) // 2 AS mid,
+                  max(o_orderkey) AS mx FROM orders),
+base AS (SELECT o_orderkey AS k,
+                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+         FROM orders),
+del AS (SELECT k FROM base, m WHERE k >= mid // 8 AND k < mid // 8 + 40),
+upd AS (SELECT k, v + 555 AS v FROM base, m
+        WHERE k >= mid // 2 AND k < mid // 2 + 60),
+ins AS (SELECT mx + 1 + k AS k, k * 3 AS v FROM base, m WHERE k < 25),
+touched AS (SELECT k FROM del UNION ALL SELECT k FROM upd),
+final AS (SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM touched)
+          UNION ALL SELECT k, v FROM upd
+          UNION ALL SELECT k, v FROM ins)
+SELECT count(*)::bigint AS n_rows, sum(k)::bigint AS key_sum,
+       sum(v)::bigint AS v_sum,
+       2::bigint AS seg_rewritten, 1::bigint AS seg_carried
+FROM final""",
+)
+def q_snapshot_merge_delete(spark, sf_dir):
+    """Full-surface MERGE (Iceberg MERGE INTO with WHEN MATCHED DELETE +
+    WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT): delete-flagged source
+    rows remove their keys, unflagged rows upsert.  The fixture's three
+    segments split at mid/2: deletes hit segment 1, updates hit segment
+    2, inserts are beyond every range — so pruning measurably rewrites 2
+    and carries 1 (pinned vs oracle literals); the oracle reconstructs
+    the merged state from orders and never sees the files
+    (plans/snapshots.py:merge_full)."""
+    import tempfile
+
+    from gdal_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="gdalspark_snap_mfull_")
+    base = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    row = base.agg(
+        F.expr("max(k) div 2").alias("mid"), F.max("k").alias("mx")
+    ).collect()[0]
+    mid, mx = int(row["mid"]), int(row["mx"])
+    tbl = SnapshotTable(root, key_col="k")
+    tbl.append(base.filter(F.col("k") < mid // 2))
+    tbl.append(base.filter(
+        (F.col("k") >= mid // 2) & (F.col("k") < mid)))
+    tbl.append(base.filter(F.col("k") >= mid))
+    dele = base.filter(
+        (F.col("k") >= mid // 8) & (F.col("k") < mid // 8 + 40)
+    ).select("k", "v", F.lit(True).alias("_delete"))
+    upd = base.filter(
+        (F.col("k") >= mid // 2) & (F.col("k") < mid // 2 + 60)
+    ).select("k", (F.col("v") + 555).alias("v"),
+             F.lit(False).alias("_delete"))
+    ins = base.filter(F.col("k") < 25).select(
+        (F.lit(mx) + 1 + F.col("k")).alias("k"),
+        (F.col("k") * 3).cast("long").alias("v"),
+        F.lit(False).alias("_delete"),
+    )
+    _, rewritten, carried = tbl.merge_full(
+        spark, dele.unionAll(upd).unionAll(ins))
+    return tbl.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("v").alias("v_sum"),
+        F.lit(rewritten).cast("long").alias("seg_rewritten"),
+        F.lit(carried).cast("long").alias("seg_carried"),
+    )
+
+
+@register(
+    "snapshot_compact",
+    """WITH base AS (SELECT o_orderkey AS k,
+                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+         FROM orders WHERE o_orderkey % 7 = 2)
+SELECT count(*)::bigint AS n_rows, sum(k)::bigint AS key_sum,
+       sum(v)::bigint AS v_sum,
+       5::bigint AS n_compacted, 1::bigint AS n_segments_after
+FROM base""",
+)
+def q_snapshot_compact(spark, sf_dir):
+    """Table maintenance compaction (Iceberg rewrite_data_files /
+    OPTIMIZE): five small appended segments rewrite into ONE; the gate
+    pins the measured compaction counts AND that the data survives
+    bit-identically (count/key-sum/value-sum vs the oracle's
+    reconstruction — the oracle never sees the files).  Time travel to
+    the pre-compaction snapshot still works because segments are
+    immutable (plans/snapshots.py:compact)."""
+    import tempfile
+
+    from gdal_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="gdalspark_snap_cmp_")
+    base = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 2
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    tbl = SnapshotTable(root, key_col="k")
+    for b in range(5):
+        tbl.append(base.filter(F.col("k") % 5 == b))
+    _, n_compacted, n_carried = tbl.compact(spark)
+    n_after = len(tbl._load(tbl.current_id()))
+    return tbl.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("key_sum"),
+        F.sum("v").alias("v_sum"),
+        F.lit(n_compacted).cast("long").alias("n_compacted"),
+        F.lit(n_after).cast("long").alias("n_segments_after"),
+    )
