@@ -94,3 +94,59 @@ class TestSnapshotTable:
         from gdal_spark.plans.snapshots import SnapshotTable as _S
         segs = t._load(t.current_id())
         assert len(segs) == 1  # the emptied segment left the manifest
+
+
+class TestSnapshotMaintenance:
+    def test_compact_preserves_data_and_history(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(str(tmp_path / "t"), key_col="k")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        for b in range(4):
+            tbl.append(df.filter(F.col("k") % 4 == b))
+        pre_id = tbl.current_id()
+        pre = sorted(tuple(r) for r in tbl.read(spark).collect())
+
+        snap_id, n_compacted, n_carried = tbl.compact(spark)
+        assert (n_compacted, n_carried) == (4, 0)
+        assert len(tbl._load(snap_id)) == 1
+        post = sorted(tuple(r) for r in tbl.read(spark).collect())
+        assert post == pre
+        # immutable segments: the pre-compaction snapshot still reads
+        old = sorted(tuple(r) for r in tbl.read(spark, as_of=pre_id).collect())
+        assert old == pre
+
+    def test_compact_max_rows_carries_big_segments(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(str(tmp_path / "t2"), key_col="k")
+        df = spark.range(60).select(
+            F.col("id").alias("k"), F.col("id").alias("v"))
+        tbl.append(df.filter(F.col("k") < 40))        # big (40 rows)
+        tbl.append(df.filter((F.col("k") >= 40) & (F.col("k") < 50)))
+        tbl.append(df.filter(F.col("k") >= 50))
+        _, n_compacted, n_carried = tbl.compact(spark, max_rows=20)
+        assert (n_compacted, n_carried) == (2, 1)
+        assert tbl.read(spark).count() == 60
+
+    def test_merge_full_delete_update_insert(self, spark, tmp_path):
+        from gdal_spark.plans.snapshots import SnapshotTable
+
+        tbl = SnapshotTable(str(tmp_path / "t3"), key_col="k")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        tbl.append(df.filter(F.col("k") < 50))
+        tbl.append(df.filter(F.col("k") >= 50))
+        src = spark.createDataFrame(
+            [(5, 0, True),        # delete k=5 (segment 1)
+             (7, 777, False),     # update k=7 (segment 1)
+             (200, 42, False)],   # insert (beyond both ranges)
+            "k long, v long, _delete boolean")
+        _, rewritten, carried = tbl.merge_full(spark, src)
+        assert (rewritten, carried) == (1, 1)
+        rows = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+        assert 5 not in rows
+        assert rows[7] == 777
+        assert rows[200] == 42
+        assert len(rows) == 100  # 100 - 1 deleted + 1 inserted
