@@ -178,6 +178,16 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q18",
     "tpch_q21",
+    # round 4 session-10 additions: UTM warp, FineWeb filters, ANN recall,
+    # quantile sketch, raster stack, storage maintenance
+    "warp_utm_grid",
+    "text_fineweb_filters",
+    "embed_ann_recall",
+    "sketch_hist_quantiles",
+    "raster_stack",
+    "raster_scale_menu",
+    "snapshot_merge_delete",
+    "snapshot_compact",
 ]
 
 
