@@ -641,3 +641,116 @@ def warp_reproject_to_utm(
     return joined.groupBy("ux", "uy").applyInPandas(
         assemble, "ux int, uy int, n_px long, val_sum long, digest string"
     )
+
+
+def _np_cubic_w(t: np.ndarray, tap: int) -> np.ndarray:
+    """Catmull-Rom A=-0.5 weight for the tap at integer offset ``tap``
+    given fractional position t ∈ [0,1) — the gdalwarp cubic
+    (alg/gdalwarpkernel.cpp GWKCubic); expression order mirrors the SQL
+    oracle and the Column kernel in operators/tiles.py exactly."""
+    A = -0.5
+    x = t - float(tap)
+    ax = np.abs(x)
+    w_inner = ((A + 2.0) * ax - (A + 3.0)) * ax * ax + 1.0
+    w_outer = A * (((ax - 5.0) * ax + 8.0) * ax - 4.0)
+    return np.where(ax < 1.0, w_inner, np.where(ax < 2.0, w_outer, 0.0))
+
+
+def warp_reproject_cubic(
+    src_blocks: DataFrame, tiles: DataFrame, zoom: int
+) -> DataFrame:
+    """Cubic reprojection warp (gdalwarp -r cubic — completes the warp
+    kernel menu next to nearest/bilinear/average/mode/rms/sum): same
+    dst-pixel inverse transform and block equi-join as the bilinear warp,
+    4×4 Catmull-Rom taps at floor(src − 0.5) − 1 … + 2 with separable
+    weights, edge-clamped; values micro-quantized for the digest."""
+    n_px = (1 << zoom) * TILE
+
+    gx0 = F.col("tx").cast("double") * TILE
+    gx1 = (F.col("tx") + 1).cast("double") * TILE
+    gy0 = F.col("ty").cast("double") * TILE
+    gy1 = (F.col("ty") + 1).cast("double") * TILE
+    i0 = F.floor(gx0 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    i1 = F.floor(gx1 * F.lit(360.0 / n_px / GEO_RES) + 1e-10)
+    j0 = F.floor((F.lit(90.0) - _merc_lat(gy0 / n_px)) / GEO_RES + 1e-10)
+    j1 = F.floor((F.lit(90.0) - _merc_lat(gy1 / n_px)) / GEO_RES + 1e-10)
+    need = (
+        tiles.select(
+            "tx", "ty",
+            F.greatest(
+                F.lit(0), (i0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_bx0"),
+            F.least(
+                F.lit(GEO_W // GEO_BLOCK - 1),
+                (i1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_bx1"),
+            F.greatest(
+                F.lit(0), (j0 / GEO_BLOCK).cast("long") - 1
+            ).alias("_by0"),
+            F.least(
+                F.lit(GEO_H // GEO_BLOCK - 1),
+                (j1 / GEO_BLOCK).cast("long") + 1,
+            ).alias("_by1"),
+        )
+        .withColumn("_bx", F.explode(F.sequence("_bx0", "_bx1")))
+        .withColumn("_by", F.explode(F.sequence("_by0", "_by1")))
+        .select(
+            "tx", "ty",
+            F.col("_bx").cast("int").alias("bx"),
+            F.col("_by").cast("int").alias("by"),
+        )
+    )
+    joined = need.join(src_blocks, on=["bx", "by"], how="inner")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = int(pdf["tx"].iloc[0])
+        ty = int(pdf["ty"].iloc[0])
+        blocks = {
+            (int(r.bx), int(r.by)): np.asarray(r.data, dtype=np.float64)
+            .reshape(GEO_BLOCK, GEO_BLOCK)
+            for r in pdf.itertuples()
+        }
+
+        def fetch(i: np.ndarray, j: np.ndarray) -> np.ndarray:
+            i = np.clip(i, 0, GEO_W - 1)
+            j = np.clip(j, 0, GEO_H - 1)
+            out = np.empty(i.shape, dtype=np.float64)
+            seen = np.zeros(i.shape, dtype=bool)
+            for (bx, by), arr in blocks.items():
+                m = (i // GEO_BLOCK == bx) & (j // GEO_BLOCK == by)
+                out[m] = arr[j[m] % GEO_BLOCK, i[m] % GEO_BLOCK]
+                seen |= m
+            if not seen.all():
+                raise RuntimeError(
+                    f"tile ({tx},{ty}): cubic taps missing blocks")
+            return out
+
+        py, px = np.mgrid[0:TILE, 0:TILE]
+        gx = tx * TILE + px + 0.5
+        gy = ty * TILE + py + 0.5
+        sx = gx * (360.0 / n_px / GEO_RES)
+        t = np.pi * (1.0 - 2.0 * gy / n_px)
+        lat = np.degrees(np.arctan((np.exp(t) - np.exp(-t)) / 2.0))
+        sy = (90.0 - lat) / GEO_RES
+        x0 = np.floor(sx - 0.5).astype(np.int64)
+        y0 = np.floor(sy - 0.5).astype(np.int64)
+        fx = sx - 0.5 - x0
+        fy = sy - 0.5 - y0
+        v = None
+        for dy in (-1, 0, 1, 2):
+            wy = _np_cubic_w(fy, dy)
+            for dx in (-1, 0, 1, 2):
+                term = fetch(x0 + dx, y0 + dy) * _np_cubic_w(fx, dx) * wy
+                v = term if v is None else v + term
+        vi = np.floor(v * 1e6 + 0.5).astype(np.int64).ravel()
+        digest = hashlib.md5(
+            ",".join(str(int(x)) for x in vi).encode()).hexdigest()
+        return pd.DataFrame([{
+            "tx": tx, "ty": ty, "n_px": int(vi.shape[0]),
+            "val_micro_sum": int(vi.sum()), "digest": digest,
+        }])
+
+    return joined.groupBy("tx", "ty").applyInPandas(
+        assemble,
+        "tx int, ty int, n_px long, val_micro_sum long, digest string",
+    )

@@ -17084,3 +17084,72 @@ def q_snapshot_compact(spark, sf_dir):
         F.lit(n_compacted).cast("long").alias("n_compacted"),
         F.lit(n_after).cast("long").alias("n_segments_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cubic reprojection warp — completes the warp kernel menu
+# (alg/gdalwarpkernel.cpp GWKCubic inside the gdalwarp dst-pixel loop).
+# ---------------------------------------------------------------------------
+
+def _sql_cubic_w(t: str, tap: int) -> str:
+    """Catmull-Rom A=-0.5 weight CASE expression — operation order
+    mirrors operators/warp.py:_np_cubic_w exactly."""
+    ax = f"abs(({t}) - {float(tap)!r})"
+    inner = f"((1.5 * {ax} - 2.5) * {ax} * {ax} + 1.0)"
+    outer = f"(-0.5 * ((({ax} - 5.0) * {ax} + 8.0) * {ax} - 4.0))"
+    return (f"(CASE WHEN {ax} < 1.0 THEN {inner} "
+            f"WHEN {ax} < 2.0 THEN {outer} ELSE 0.0 END)")
+
+
+def _sql_warp_cubic() -> str:
+    terms = []
+    for dy in (-1, 0, 1, 2):
+        wy = _sql_cubic_w("fy", dy)
+        for dx in (-1, 0, 1, 2):
+            gx = f"x0 + {dx}" if dx >= 0 else f"x0 - {-dx}"
+            gyy = f"y0 + {dy}" if dy >= 0 else f"y0 - {-dy}"
+            terms.append(
+                f"{_geo_val(gx, gyy)} * {_sql_cubic_w('fx', dx)} * {wy}")
+    v_expr = "\n           + ".join(terms)
+    return f"""
+WITH gs AS (SELECT unnest(generate_series(0, 255)) AS v),
+tl AS (SELECT unnest(generate_series(1, 2)) AS v),
+p AS (
+  SELECT ttx.v AS tx, tty.v AS ty, gy.v AS py, gx.v AS px,
+         (ttx.v * 256 + gx.v + 0.5) * {_WARP_KX!r} AS sx,
+         pi() * (1.0 - 2.0 * (tty.v * 256 + gy.v + 0.5) / {_WARP_NPX})
+           AS t
+  FROM tl ttx CROSS JOIN tl tty CROSS JOIN gs gy CROSS JOIN gs gx),
+c AS (
+  SELECT tx, ty, py, px, sx,
+         (90.0 - degrees(atan((exp(t) - exp(-t)) / 2.0)))
+           / {WP.GEO_RES!r} AS sy
+  FROM p),
+f AS (
+  SELECT tx, ty, py, px,
+         floor(sx - 0.5)::bigint AS x0, floor(sy - 0.5)::bigint AS y0,
+         sx - 0.5 - floor(sx - 0.5) AS fx, sy - 0.5 - floor(sy - 0.5) AS fy
+  FROM c),
+vv AS (
+  SELECT tx, ty, py, px,
+         floor(({v_expr}) * 1e6 + 0.5)::bigint AS vi
+  FROM f)
+SELECT tx, ty, count(*)::bigint AS n_px, sum(vi)::bigint AS val_micro_sum,
+       md5(string_agg(vi::varchar, ',' ORDER BY py, px)) AS digest
+FROM vv GROUP BY tx, ty"""
+
+
+@register("warp_reproject_cubic", _sql_warp_cubic())
+def q_warp_reproject_cubic(spark, sf_dir):
+    """Cubic reprojection warp over the central 2×2 z2 tile window —
+    gdalwarp -r cubic (GWKCubic Catmull-Rom A=-0.5, 4×4 taps at
+    floor(src−0.5)−1…+2, separable weights, edge clamp): the last warp
+    kernel absent from the warp family (the kernel itself was verified
+    at sample level by raster_sample_cubic).  Same block equi-join +
+    per-tile vectorized assembly plan as the bilinear warp
+    (operators/warp.py:warp_reproject_cubic)."""
+    tiles = spark.createDataFrame(
+        [(tx, ty) for tx in (1, 2) for ty in (1, 2)], "tx int, ty int"
+    )
+    src = WP.synthetic_geo_raster(spark)
+    return WP.warp_reproject_cubic(src, tiles, _WARP_Z)
