@@ -17153,3 +17153,31 @@ def q_warp_reproject_cubic(spark, sf_dir):
     )
     src = WP.synthetic_geo_raster(spark)
     return WP.warp_reproject_cubic(src, tiles, _WARP_Z)
+
+
+@register(
+    "sql_qualify_topn",
+    """SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+)
+def q_sql_qualify_topn(spark, sf_dir):
+    """QUALIFY clause (SQL:2023-generation window filter; DuckDB/Snowflake
+    dialect — the oracle runs the literal QUALIFY text): per-customer
+    top-2 orders by price.  Spark has no QUALIFY keyword, so the engine
+    side is its exact desugaring — window rank + filter — which is also
+    what QUALIFY compiles to; one partition-key shuffle, rank pushdown
+    via WindowGroupLimit in Spark 4."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
+    )
