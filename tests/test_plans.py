@@ -659,3 +659,32 @@ def test_inverted_index_partial_agg(spark):
     p = _plan(spark, "text_inverted_index")
     assert "CartesianProduct" not in p
     assert "HashAggregate" in p or "ObjectHashAggregate" in p
+
+
+def test_tpch_completion_no_cartesians(spark):
+    """The 17 session-10 TPC-H gates must never degenerate to a cartesian:
+    every join is hash-based (broadcast or shuffle) except the documented
+    1-row broadcast scalar joins (q11/q15/q22 grand totals), which show as
+    BroadcastNestedLoopJoin over a single-row side and are allowed."""
+    for n in (2, 4, 7, 8, 9, 12, 13, 14, 16, 17, 18, 19, 20, 21):
+        p = _plan(spark, f"tpch_q{n}")
+        assert "CartesianProduct" not in p, f"tpch_q{n} has a cartesian"
+        assert "BroadcastNestedLoopJoin" not in p, (
+            f"tpch_q{n} has a nested-loop join"
+        )
+
+
+def test_tpch_q9_broadcasts_dimensions(spark):
+    """Q9's part/partsupp/supplier/nation sides are all dimension-sized
+    and must broadcast; at most one shuffle join (orders↔lineitem)."""
+    p = _plan(spark, "tpch_q9")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q21_semi_anti_share_shuffle_key(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate to LeftSemi + LeftAnti
+    hash joins — no correlated re-execution, no nested loop."""
+    p = _plan(spark, "tpch_q21")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
