@@ -17181,3 +17181,122 @@ def q_sql_qualify_topn(spark, sf_dir):
         .select("o_custkey", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mapbox Vector Tiles (ogr/ogrsf_frmts/mvt/ — public vector-tile-spec 2.1):
+# the tiling-native vector FORMAT, closing the driver menu next to
+# GPKG/Shapefile/FlatGeobuf/GeoJSON/GML/KML/GPX/MBTiles.
+# ---------------------------------------------------------------------------
+
+_MVT_Z = 3
+
+
+def _sql_mvt() -> str:
+    lon, lat = sql_lon("o_orderkey"), sql_lat("o_orderkey")
+    res = TM.resolution(_MVT_Z)
+    n_px = (1 << _MVT_Z) * 256
+    pxg = f"((({TM.sql_meters_x(lon)}) + {TM.ORIGIN_SHIFT!r}) / {res!r})"
+    pyg = f"((({TM.sql_meters_y(lat)}) + {TM.ORIGIN_SHIFT!r}) / {res!r})"
+    tx = TM.sql_tile_x(lon, _MVT_Z)
+    ty = TM.sql_tile_y_xyz(lat, _MVT_Z)
+    return f"""
+WITH pts AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
+q AS (
+  SELECT o_orderkey, {tx} AS tx, {ty} AS ty,
+         least(4095, greatest(0, CAST(floor(({pxg} - {tx} * 256.0) * 16.0
+           + 1e-10) AS BIGINT))) AS mx,
+         least(4095, greatest(0, CAST(floor((({n_px}.0 - {pyg})
+           - {ty} * 256.0) * 16.0 + 1e-10) AS BIGINT))) AS my
+  FROM pts)
+SELECT tx, ty, count(*)::bigint AS n_feat,
+       sum(o_orderkey)::bigint AS id_sum,
+       sum(o_orderkey % 97)::bigint AS k_sum,
+       sum(mx)::bigint AS x_sum, sum(my)::bigint AS y_sum,
+       4096::bigint AS extent
+FROM q GROUP BY tx, ty"""
+
+
+@register("mvt_roundtrip", _sql_mvt())
+def q_mvt_roundtrip(spark, sf_dir):
+    """MVT driver gate (vector-tile-spec 2.1; ref ogr/ogrsf_frmts/mvt/):
+    points quantize to tile-local extent-4096 integers by pure Column
+    math (the gdal2tiles pixel chain × 16), each z3 tile ENCODES its
+    features into real protobuf tile bytes (zigzag-delta MoveTo streams,
+    key/value tag tables — sources/mvt.py), a SECOND distributed pass
+    DECODES the blobs, and the gate aggregates the decoded ids, tags,
+    and coordinates per tile — the oracle computes the same quantized
+    sums analytically and never sees the bytes.  Any wire-format
+    asymmetry (zigzag, varint splits, tag indexing, extent) breaks the
+    roundtrip."""
+    from gdal_spark.sources import mvt as MVT
+
+    pts = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    ).select(
+        "o_orderkey",
+        derived_lon(F.col("o_orderkey")).alias("lon"),
+        derived_lat(F.col("o_orderkey")).alias("lat"),
+    )
+    n_px = (1 << _MVT_Z) * 256
+    mxm, mym = TM.lonlat_to_meters(F.col("lon"), F.col("lat"))
+    pxg, pyg = TM.meters_to_pixels(mxm, mym, _MVT_Z)
+    tx, ty = TM.lonlat_to_tile(F.col("lon"), F.col("lat"), _MVT_Z)
+    q = pts.select(
+        "o_orderkey",
+        tx.alias("tx"), ty.alias("ty"),
+        F.least(F.lit(4095), F.greatest(F.lit(0), F.floor(
+            (pxg - F.col("tx") * 256.0) * 16.0 + 1e-10
+        ).cast("long"))).alias("mx"),
+        F.least(F.lit(4095), F.greatest(F.lit(0), F.floor(
+            ((F.lit(float(n_px)) - pyg) - F.col("ty") * 256.0) * 16.0
+            + 1e-10
+        ).cast("long"))).alias("my"),
+    )
+
+    def encode(pdf):
+        import pandas as pd
+
+        feats = [
+            {"id": int(r.o_orderkey),
+             "attrs": {"k": int(r.o_orderkey) % 97},
+             "point": (int(r.mx), int(r.my))}
+            for r in pdf.itertuples()
+        ]
+        buf = MVT.encode_tile(feats)
+        return pd.DataFrame([{
+            "tx": int(pdf["tx"].iloc[0]), "ty": int(pdf["ty"].iloc[0]),
+            "blob": buf,
+        }])
+
+    tiles = q.groupBy("tx", "ty").applyInPandas(
+        encode, "tx int, ty int, blob binary")
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                d = MVT.decode_tile(bytes(r.blob))
+                for f in d["features"]:
+                    (x, y), = f["points"]
+                    rows.append({
+                        "tx": int(r.tx), "ty": int(r.ty),
+                        "fid": int(f["id"]), "k": int(f["attrs"]["k"]),
+                        "x": int(x), "y": int(y),
+                        "extent": int(d["extent"]),
+                    })
+            yield pd.DataFrame(rows)
+
+    back = tiles.mapInPandas(
+        decode,
+        "tx int, ty int, fid long, k long, x long, y long, extent long")
+    return back.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n_feat"),
+        F.sum("fid").alias("id_sum"),
+        F.sum("k").alias("k_sum"),
+        F.sum("x").alias("x_sum"),
+        F.sum("y").alias("y_sum"),
+        F.min("extent").alias("extent"),
+    )

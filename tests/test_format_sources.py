@@ -597,3 +597,41 @@ class TestGMLCodec:
         from gdal_spark.sources.gml import gml_document, parse_gml
 
         assert parse_gml(gml_document([], "x", "y", ["k"]), ["k"]) == []
+
+
+class TestMVT:
+    def test_point_and_polygon_roundtrip(self):
+        from gdal_spark.sources import mvt
+
+        feats = [
+            {"id": 7, "attrs": {"k": 42, "j": 1}, "point": (130, 4000)},
+            {"id": 3, "attrs": {"k": 5}, "point": (0, 4095)},
+            {"id": 9, "attrs": {},
+             "ring": [(0, 0), (100, 0), (100, 100), (0, 100)]},
+        ]
+        d = mvt.decode_tile(mvt.encode_tile(feats, layer_name="roads"))
+        assert d["name"] == "roads"
+        assert d["version"] == 2 and d["extent"] == 4096
+        by_id = {f["id"]: f for f in d["features"]}
+        assert by_id[7]["points"] == [(130, 4000)]
+        assert by_id[7]["attrs"] == {"k": 42, "j": 1}
+        assert by_id[3]["points"] == [(0, 4095)]
+        assert by_id[9]["type"] == 3
+        assert by_id[9]["points"] == [(0, 0), (100, 0), (100, 100), (0, 100)]
+
+    def test_varint_zigzag_edges(self):
+        from gdal_spark.sources.mvt import (
+            _read_varint, _unzigzag, _varint, _zigzag)
+
+        for n in (0, 1, 127, 128, 300, 2 ** 31, 2 ** 45):
+            v, off = _read_varint(_varint(n), 0)
+            assert v == n and off == len(_varint(n))
+        for n in (0, -1, 1, -4096, 4095, -(2 ** 30)):
+            assert _unzigzag(_zigzag(n)) == n
+
+    def test_feature_order_deterministic(self):
+        from gdal_spark.sources import mvt
+
+        a = [{"id": i, "attrs": {}, "point": (i, i)} for i in (5, 1, 3)]
+        b = [{"id": i, "attrs": {}, "point": (i, i)} for i in (3, 5, 1)]
+        assert mvt.encode_tile(a) == mvt.encode_tile(b)
