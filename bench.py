@@ -188,6 +188,9 @@ BENCH_QUERIES = [
     "raster_scale_menu",
     "snapshot_merge_delete",
     "snapshot_compact",
+    "warp_reproject_cubic",
+    "mvt_roundtrip",
+    "sql_qualify_topn",
 ]
 
 
