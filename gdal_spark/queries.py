@@ -17300,3 +17300,109 @@ def q_mvt_roundtrip(spark, sf_dir):
         F.sum("y").alias("y_sum"),
         F.min("extent").alias("extent"),
     )
+
+
+_MVT_PZ = 2          # polygon-layer MVT tile zoom
+_MVT_PTX, _MVT_PTY = 2, 1   # the z2 XYZ tile holding the polygon mosaic
+
+
+def _sql_mvt_polygons() -> str:
+    os_ = TM.ORIGIN_SHIFT
+    res = TM.resolution(_MVT_PZ)
+    n_px = (1 << _MVT_PZ) * 256
+    mx = f"(x * {os_!r} / 180.0)"
+    my = f"(ln(tan((90.0 + y) * pi() / 360.0)) / (pi() / 180.0) * {os_!r} / 180.0)"
+    qx = (f"CAST(floor((({mx} + {os_!r}) / {res!r} - {_MVT_PTX * 256}.0)"
+          f" * 16.0 + 1e-10) AS BIGINT)")
+    qy = (f"CAST(floor((({n_px}.0 - ({my} + {os_!r}) / {res!r})"
+          f" - {_MVT_PTY * 256}.0) * 16.0 + 1e-10) AS BIGINT)")
+    return f"""
+WITH v(poly_id, ring_idx, seq, x, y) AS ({_vertex_values()}),
+q AS (SELECT poly_id, ring_idx, seq, {qx} AS qx, {qy} AS qy FROM v),
+n AS (SELECT poly_id, ring_idx, count(*) AS nv
+      FROM q GROUP BY poly_id, ring_idx),
+e AS (SELECT a.poly_id, a.ring_idx, a.qx, a.qy, b.qx AS nx, b.qy AS ny
+      FROM q a
+      JOIN n t ON t.poly_id = a.poly_id AND t.ring_idx = a.ring_idx
+      JOIN q b ON b.poly_id = a.poly_id AND b.ring_idx = a.ring_idx
+             AND b.seq = (a.seq + 1) % t.nv)
+SELECT poly_id, ring_idx,
+       count(*)::bigint AS n_vtx,
+       sum(qx)::bigint AS x_sum, sum(qy)::bigint AS y_sum,
+       sum(qx * ny - nx * qy)::bigint AS area2
+FROM e GROUP BY poly_id, ring_idx"""
+
+
+@register("mvt_polygons_roundtrip", _sql_mvt_polygons())
+def q_mvt_polygons_roundtrip(spark, sf_dir):
+    """MVT POLYGON layer roundtrip (vector-tile-spec 2.1 ring command
+    streams: MoveTo + LineTo(n−1) + ClosePath): every fixture ring
+    quantizes into the z2 tile holding the mosaic (extent-4096 integers,
+    out-of-tile vertices stay unclamped — the spec's buffer convention,
+    exercising negative zigzag deltas), encodes as one feature per ring
+    into a real tile blob, decodes back, and the gate compares per-ring
+    vertex counts, coordinate sums, and the INTEGER shoelace 2·area of
+    the decoded ring against the oracle's analytic quantization — a
+    wire-format-independent area cross-check (sources/mvt.py)."""
+    import math as _math
+
+    import pandas as pd
+
+    from gdal_spark.sources import mvt as MVT
+
+    os_ = TM.ORIGIN_SHIFT
+    res = TM.resolution(_MVT_PZ)
+    n_px = (1 << _MVT_PZ) * 256
+
+    p = polygons_df(spark).select("poly_id", "rings")
+
+    def encode(batches):
+        feats = []
+        for pdf in batches:
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                for ri, ring in enumerate(G.rings_to_numpy(rings)):
+                    arr = np.asarray(ring, dtype=np.float64)[:-1]
+                    mx = arr[:, 0] * os_ / 180.0
+                    my = (np.log(np.tan((90.0 + arr[:, 1]) * _math.pi
+                                        / 360.0))
+                          / (_math.pi / 180.0) * os_ / 180.0)
+                    qx = np.floor(((mx + os_) / res - _MVT_PTX * 256.0)
+                                  * 16.0 + 1e-10).astype(np.int64)
+                    qy = np.floor(((n_px - (my + os_) / res)
+                                   - _MVT_PTY * 256.0) * 16.0
+                                  + 1e-10).astype(np.int64)
+                    feats.append({
+                        "id": int(pid) * 8 + ri, "attrs": {},
+                        "ring": list(zip(qx.tolist(), qy.tolist())),
+                    })
+        yield pd.DataFrame([{"blob": MVT.encode_tile(feats)}])
+
+    tile = p.coalesce(1).mapInPandas(encode, "blob binary")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["blob"]:
+                d = MVT.decode_tile(bytes(blob))
+                for f in d["features"]:
+                    pts = f["points"]
+                    area2 = sum(
+                        pts[i][0] * pts[(i + 1) % len(pts)][1]
+                        - pts[(i + 1) % len(pts)][0] * pts[i][1]
+                        for i in range(len(pts))
+                    )
+                    rows.append({
+                        "poly_id": f["id"] // 8,
+                        "ring_idx": f["id"] % 8,
+                        "n_vtx": len(pts),
+                        "x_sum": sum(x for x, _ in pts),
+                        "y_sum": sum(y for _, y in pts),
+                        "area2": area2,
+                    })
+            yield pd.DataFrame(rows)
+
+    return tile.mapInPandas(
+        decode,
+        "poly_id long, ring_idx long, n_vtx long, x_sum long, "
+        "y_sum long, area2 long",
+    )
