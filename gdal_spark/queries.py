@@ -17406,3 +17406,84 @@ def q_mvt_polygons_roundtrip(spark, sf_dir):
         "poly_id long, ring_idx long, n_vtx long, x_sum long, "
         "y_sum long, area2 long",
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt disallow filtering — the crawl-politeness step of every
+# Common-Crawl-style pipeline (RFC 9309 path-prefix match; complements the
+# domain-SUFFIX blocklist gate url_blocklist_filter with PREFIX semantics).
+# ---------------------------------------------------------------------------
+
+_ROBOTS_N_HOSTS = 50
+
+
+def _sql_robots() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(doc_id % {_ROBOTS_N_HOSTS} AS BIGINT) AS host,
+         '/' || substr(md5('u' || doc_id), 1, 2)
+             || '/' || substr(md5('u' || doc_id), 3, 6) AS path
+  FROM documents),
+rules AS (
+  SELECT CAST(unnest(range(0, {_ROBOTS_N_HOSTS})) AS BIGINT) AS host),
+r2 AS (
+  SELECT host,
+         '/' || substr('0123456789abcdef',
+                       CAST(1 + host % 8 AS INT), 1) AS disallow
+  FROM rules),
+j AS (
+  SELECT d.doc_id, d.host, d.path,
+         (substr(d.path, 1, length(r.disallow)) = r.disallow) AS blocked
+  FROM docs d JOIN r2 r ON d.host = r.host)
+SELECT host, count(*)::bigint AS n_urls,
+       sum(CASE WHEN blocked THEN 1 ELSE 0 END)::bigint AS n_blocked,
+       sum(CASE WHEN NOT blocked THEN doc_id ELSE 0 END)::bigint
+         AS allowed_id_sum
+FROM j GROUP BY host"""
+
+
+@register("url_robots_filter", _sql_robots())
+def q_url_robots_filter(spark, sf_dir):
+    """robots.txt Disallow filtering (RFC 9309 longest-prefix rule, one
+    rule per host here): the per-host rule table is a BROADCAST dimension
+    joined on the registrable host, the path-prefix test is pure JVM
+    string math, and the only shuffle is the final per-host aggregate —
+    the crawl-politeness filter shape at 10^12 URLs (rules are always
+    dimension-sized; URLs never shuffle on anything but the final
+    group key).  Paths and rules are derived deterministically from ids
+    so both engines build the identical fixture inline."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _ROBOTS_N_HOSTS).cast("long").alias("host"),
+        F.concat(
+            F.lit("/"),
+            F.substring(F.md5(F.concat(F.lit("u"),
+                        F.col("doc_id").cast("string"))), 1, 2),
+            F.lit("/"),
+            F.substring(F.md5(F.concat(F.lit("u"),
+                        F.col("doc_id").cast("string"))), 3, 6),
+        ).alias("path"),
+    )
+    rules = spark.range(_ROBOTS_N_HOSTS).select(
+        F.col("id").cast("long").alias("_rhost"),
+        F.concat(
+            F.lit("/"),
+            F.substring(
+                F.lit("0123456789abcdef"),
+                (1 + F.col("id") % 8).cast("int"), 1),
+        ).alias("disallow"),
+    )
+    j = docs.join(F.broadcast(rules), docs.host == rules._rhost)
+    blocked = F.expr("substring(path, 1, length(disallow)) = disallow")
+    return (
+        j.withColumn("_blocked", blocked)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.when(F.col("_blocked"), 1).otherwise(0))
+            .alias("n_blocked"),
+            F.sum(F.when(~F.col("_blocked"), F.col("doc_id")).otherwise(0))
+            .alias("allowed_id_sum"),
+        )
+    )
