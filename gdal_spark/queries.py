@@ -17487,3 +17487,85 @@ def q_url_robots_filter(spark, sf_dir):
             .alias("allowed_id_sum"),
         )
     )
+
+
+def _sql_minhash_calibration() -> str:
+    rpb = MH_PERM // MH_BANDS
+    band_rows = []
+    for b in range(MH_BANDS):
+        cols = ", ".join(
+            f"sig[{b * rpb + r + 1}]::varchar" for r in range(rpb)
+        )
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(concat_ws(',', '{b}', {cols})) AS bh FROM sigs"
+        )
+    banded = " UNION ALL ".join(band_rows)
+    agree = (
+        "list_sum([CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END "
+        f"FOR i IN range(1, {MH_PERM + 1})])"
+    )
+    inter = "len(list_intersect(ha.sh, hb.sh))"
+    uni = "len(list_distinct(list_concat(ha.sh, hb.sh)))"
+    return f"""
+WITH sigs AS (SELECT doc_id, {D.sql_minhash_sig('text', MH_PERM)} AS sig
+              FROM documents),
+banded AS ({banded}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+         WHERE a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, {D.sql_shingles('text', 3)} AS sh FROM documents),
+m AS (
+  SELECT c.id_a, c.id_b,
+         ((1000 * {agree}) // {MH_PERM})::bigint AS est_milli,
+         ((1000 * {inter}) // {uni})::bigint AS true_milli
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+  JOIN sh ha ON ha.doc_id = c.id_a JOIN sh hb ON hb.doc_id = c.id_b)
+SELECT id_a, id_b, est_milli, true_milli,
+       abs(est_milli - true_milli)::bigint AS err_milli
+FROM m"""
+
+
+@register("dedup_minhash_calibration", _sql_minhash_calibration())
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """MinHash CALIBRATION — the dedup family's evaluation loop (the
+    Broder 1997 estimator property: signature agreement fraction is an
+    unbiased Jaccard estimate; every production near-dup pipeline
+    monitors this before trusting banding thresholds): for each LSH
+    candidate pair, the signature-agreement estimate and the exact
+    shingle Jaccard side-by-side in integer milli-units, plus the
+    absolute estimator error.  Mirrors embed_ann_recall for the text
+    side; both quantities reproduced exactly by the oracle so the
+    measured calibration itself is cross-engine exact."""
+    docs = _read(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_perm=MH_PERM).persist()
+    pairs = D.lsh_candidate_pairs(
+        sigs, bands=MH_BANDS, rows_per_band=MH_PERM // MH_BANDS)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+    sh = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("_toks")
+    ).select("doc_id", D.shingles_from_tokens("_toks", 3).alias("sh"))
+    ha = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("_ha"))
+    hb = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("_hb"))
+    agree = F.aggregate(
+        F.zip_with(
+            "_sa", "_sb",
+            lambda a, b: F.when(a == b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0), lambda acc, x: acc + x,
+    ).cast("long")
+    inter = F.size(F.array_intersect("_ha", "_hb")).cast("long")
+    uni = F.size(F.array_union("_ha", "_hb")).cast("long")
+    est = F.floor((1000 * agree) / F.lit(MH_PERM)).cast("long")
+    tru = F.floor((1000 * inter) / uni).cast("long")
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .join(ha, "id_a").join(hb, "id_b")
+        .select(
+            "id_a", "id_b",
+            est.alias("est_milli"), tru.alias("true_milli"),
+            F.abs(est - tru).cast("long").alias("err_milli"),
+        )
+    )
