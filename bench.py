@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "warp_reproject_cubic",
     "mvt_roundtrip",
     "sql_qualify_topn",
+    "mvt_polygons_roundtrip",
+    "url_robots_filter",
+    "dedup_minhash_calibration",
 ]
 
 
