@@ -17569,3 +17569,38 @@ def q_dedup_minhash_calibration(spark, sf_dir):
             F.abs(est - tru).cast("long").alias("err_milli"),
         )
     )
+
+
+@register(
+    "sql_unpivot",
+    """WITH w AS (
+  SELECT o_orderpriority,
+         count(*)::bigint AS n_orders,
+         count(DISTINCT o_custkey)::bigint AS n_customers,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, metric, value
+FROM w UNPIVOT (value FOR metric IN (n_orders, n_customers, cents))
+ORDER BY o_orderpriority, metric""",
+)
+def q_sql_unpivot(spark, sf_dir):
+    """UNPIVOT / melt (SQL:2016 optional feature; DuckDB runs the literal
+    UNPIVOT clause): wide per-priority aggregates rotate into
+    (metric, value) rows — Spark's DataFrame ``unpivot`` (melt) operator,
+    a pure map-side expand after the aggregate.  Complements the
+    existing sql_pivot gate with the inverse rotation."""
+    o = _read(spark, sf_dir, "orders")
+    w = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long")
+        .alias("cents"),
+    )
+    return (
+        w.unpivot(
+            ["o_orderpriority"],
+            ["n_orders", "n_customers", "cents"],
+            "metric", "value",
+        )
+        .orderBy("o_orderpriority", "metric")
+    )
