@@ -17604,3 +17604,21 @@ def q_sql_unpivot(spark, sf_dir):
         )
         .orderBy("o_orderpriority", "metric")
     )
+
+
+_GBA_SQL = """SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority"""
+
+
+@register("sql_group_by_all", _GBA_SQL)
+def q_sql_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (the DuckDB-popularized shorthand Spark adopted in
+    3.4): ONE SQL text runs verbatim on both engines — the same
+    portability contract as sql_ansi_portability; Catalyst infers the
+    grouping keys from the non-aggregate select list."""
+    _read(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_GBA_SQL)  # analysis binds the view immediately
