@@ -75,48 +75,63 @@ _GATED_ROUNDS = frozenset({
     "sample_stratified", "text_chunking", "polygonize_regions",
     "dem_slope_hillshade", "contour_cells", "dem_viewshed",
     "raster_proximity",
-})
-
-
-# Round-4 stamping priority: one representative per NEVER-stamped operator
-# family first (warp, DE-9IM, line layer, GeoParquet/COG/WARC storage,
-# clustering, coverage simplify, stencils, rasterize-lines, S2, PQ/k-means,
-# curation recipes, GCP/TPS/RPC transformers, lineage, streaming, graph,
-# snapshot storage) so a capped ~50/round gate maximizes family breadth;
-# remaining never-gated keys follow in registration order, stamped keys
-# last.
-_PRIORITY_R4 = (
+    # --- round 4 (CORRECTNESS_r04, all 50 green, disjoint from r01-r03) ---
     "warp_reproject_nearest", "warp_reproject_inverse", "warp_cutline",
     "geom_relate_de9im", "line_poly_predicates", "line_line_intersections",
     "line_hausdorff", "point_line_distance", "st_line_merge",
     "geoparquet_roundtrip", "geoparquet_points_roundtrip",
-    "geotiff_cog_overviews", "warc_extract_roundtrip",
-    "st_cluster_dbscan", "st_cluster_kmeans", "coverage_simplify",
-    "raster_sieve", "raster_fillnodata", "raster_pansharpen",
-    "rasterize_lines_bresenham", "rasterize_polygons",
-    "s2_cell_encode", "s2_parent_rollup",
+    "geotiff_cog_overviews", "warc_extract_roundtrip", "st_cluster_dbscan",
+    "st_cluster_kmeans", "coverage_simplify", "raster_sieve",
+    "raster_fillnodata", "raster_pansharpen", "rasterize_lines_bresenham",
+    "rasterize_polygons", "s2_cell_encode", "s2_parent_rollup",
     "embed_pq_encode", "embed_pq_adc", "embed_kmeans_lloyd",
     "text_c4_filters", "text_gopher_rules", "text_line_dedup",
     "text_substring_dup", "text_bpe_train", "corpus_decontaminate_bloom",
     "url_normalize", "sql_ansi_portability", "tpch_q3", "tpch_q10",
     "contour_polygons", "voronoi_assign", "geom_make_valid",
-    "geom_buffer_concave", "wrapdateline", "laea_project",
-    "warp_gcp_poly", "warp_tps_transform", "warp_rpc_transform",
-    "snapshot_merge_upsert", "lineage_metrics",
-    "streaming_window_counts", "streaming_session_windows",
-    "web_pagerank", "web_triangles", "network_shortest_path",
-    "streaming_static_join", "table_time_travel", "st_cluster_within",
-    "line_substring", "rasterize_polygons_all_touched",
-    "rasterize_lines_z", "geom_snap_vertices", "warp_reproject_bilinear",
-    "grid_linear", "st_project", "tpch_q5", "text_bm25_topk",
-    "raster_rgb2pct", "geom_set_precision", "geom_normalize",
-    "raster_dither_bayer", "geom_area_geodesic", "raster_translate",
-    "sql_percentiles", "line_clip_rect",
+    "geom_buffer_concave", "wrapdateline", "laea_project", "warp_gcp_poly",
+    "warp_tps_transform", "warp_rpc_transform", "snapshot_merge_upsert",
+    "lineage_metrics", "streaming_window_counts",
+    "streaming_session_windows", "web_pagerank",
+})
+
+
+# Round-5 stamping priority (per VERDICT r4 next-steps #1): the biggest
+# never-stamped families first — TPC-H Q2-Q22, snapshot/Iceberg mechanics,
+# streaming completion, format-driver roundtrips, the warp kernel menu,
+# sketches, the web-graph tail, and the tokenizer/retrieval block — so a
+# capped ~50/round gate stamps a third disjoint 50 (cumulative 200/352).
+# Remaining never-gated keys follow in registration order, stamped keys
+# last.
+_PRIORITY_R5 = (
+    "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "table_time_travel", "snapshot_merge_delete",
+    "snapshot_schema_evolution", "snapshot_compact",
+    "streaming_dedup", "streaming_stream_join", "streaming_stream_join_outer",
+    "streaming_running_state", "streaming_static_join",
+    "geojson_roundtrip", "shapefile_roundtrip", "gpkg_points_roundtrip",
+    "flatgeobuf_bbox_scan", "kml_roundtrip", "gml_roundtrip", "gpx_roundtrip",
+    "csv_wkt_roundtrip", "arrow_ipc_roundtrip", "mvt_roundtrip",
+    "geotiff_roundtrip", "mbtiles_pyramid",
+    "warp_utm_grid", "warp_reproject_bilinear", "warp_reproject_cubic",
+    "warp_reproject_average", "warp_reproject_sum", "warp_reproject_rms",
+    "warp_reproject_mode",
+    "sketch_hll_distinct", "sketch_cms_heavy_hitters",
+    "sketch_hist_quantiles",
+    "web_hits", "web_triangles", "web_communities_lp",
+    "network_shortest_path",
+    "text_bpe_encode", "text_bm25_topk", "text_bigram_kn",
+    "text_inverted_index", "text_winnowing",
+    "embed_ann_ivfpq", "embed_ann_recall", "dedup_minhash_calibration",
+    "warp_rpc_inverse", "warp_geoloc_transform", "coverage_check",
+    "sql_pivot", "sql_unpivot", "sql_group_by_all",
 )
 
 
 def _ungated_first(d: dict) -> dict:
-    out = {k: d[k] for k in _PRIORITY_R4 if k in d and k not in _GATED_ROUNDS}
+    out = {k: d[k] for k in _PRIORITY_R5 if k in d and k not in _GATED_ROUNDS}
     out.update(
         (k, v) for k, v in d.items()
         if k not in _GATED_ROUNDS and k not in out
