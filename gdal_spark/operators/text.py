@@ -1196,8 +1196,12 @@ def fineweb_filters(
     ≡ 0 mod 3) so the ratio path is exercised on a punctuation-free
     corpus; both rules are mirrored verbatim in the SQL oracle.
 
-    Ratios are integer milli-units ((1000·num) DIV den) so the keep
-    decision is pure integer math on both engines.  Plan: explode to
+    Reported ratios are integer milli-units ((1000·num) DIV den); the
+    keep decision itself uses integer CROSS-MULTIPLICATION
+    (e.g. 10·dup_chars <= chars) so the paper's strict ">" drop
+    boundaries hold EXACTLY — floor-milli "<= 100" would shift a drop
+    at precisely 0.100…1 to 0.101.  Pure integer math on both engines.
+    Plan: explode to
     lines (map-only), one partial-agg shuffle on (doc, line) for the
     within-doc duplicate counts, one (doc) re-aggregate — no joins, no
     Python."""
@@ -1250,7 +1254,10 @@ def fineweb_filters(
         punct_m.cast("long").alias("punct_milli"),
         dup_m.cast("long").alias("dup_char_milli"),
         short_m.cast("long").alias("short_line_milli"),
-        (
-            (punct_m >= 120) & (dup_m <= 100) & (short_m <= 670)
+        # cross-multiplied exact thresholds: punct >= 0.12, dup <= 0.10,
+        # short <= 0.67 (dch = 0 whenever ch = 0, so no zero-guard needed)
+        F.expr(
+            "25 * _np >= 3 * _n AND 10 * _dch <= _ch"
+            " AND 100 * _ns <= 67 * _n"
         ).alias("keep"),
     )

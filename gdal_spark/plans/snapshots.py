@@ -66,7 +66,15 @@ class SnapshotTable:
     def _write_segment(self, df: DataFrame, snap_id: int, seq: int) -> dict:
         path = f"{self.root}/data/seg-{snap_id:05d}-{seq}"
         df.write.mode("overwrite").parquet(path)
-        stats = df.agg(
+        # Iceberg's write-then-stat contract: manifest stats describe the
+        # BYTES ON DISK, not a second evaluation of the input plan — a
+        # non-deterministic source would otherwise yield kmin/kmax that
+        # disagree with the file, and delete_range/merge stats pruning
+        # would silently carry a segment that contains matched keys.
+        # (Also avoids double-executing every segment's plan; the re-read
+        # aggregate is a footer-bounded parquet scan of 2 columns.)
+        written = df.sparkSession.read.parquet(path)
+        stats = written.agg(
             F.count(F.lit(1)).alias("rows"),
             F.min(self.key_col).alias("kmin"),
             F.max(self.key_col).alias("kmax"),

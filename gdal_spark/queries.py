@@ -16221,7 +16221,10 @@ def q_tpch_q17(spark, sf_dir):
     ).select("p_partkey")
     return (
         li.join(F.broadcast(px), li.l_partkey == px.p_partkey)
-        .join(F.broadcast(agg), li.l_partkey == F.col("_pk"))
+        # no broadcast hint on `agg`: one row per lineitem partkey (full
+        # part cardinality — fact-derived), so a forced broadcast would
+        # OOM at large sf; AQE picks broadcast vs shuffle by measured size
+        .join(agg, li.l_partkey == F.col("_pk"))
         .filter(
             F.col("l_quantity")
             < F.lit(0.2) * (F.col("_sq") / F.col("_cnt"))
@@ -16250,8 +16253,9 @@ def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 large-volume customers (threshold 250 sits in the p99
     tail at every generated sf, so the gate is non-empty and selective).
     Quantities are integral doubles — the HAVING sum is exact.  One
-    orderkey aggregate, then the survivors (tiny) broadcast-join back to
-    orders and customer; TakeOrdered for the top-100."""
+    orderkey aggregate, then the survivors join back to orders (AQE
+    broadcasts when measured-small) and customer; TakeOrdered for the
+    top-100."""
     li = _read(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -16264,7 +16268,9 @@ def q_tpch_q18(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     c = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        # no broadcast hint on `big`: the over-threshold orderkeys are
+        # fact-derived (unbounded with sf) — AQE decides by measured size
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate",
@@ -16614,9 +16620,8 @@ SELECT doc_id,
        (CASE WHEN ch = 0 THEN 0 ELSE (1000 * dch) // ch END)::bigint
          AS dup_char_milli,
        ((1000 * ns) // n)::bigint AS short_line_milli,
-       ((1000 * np) // n >= 120
-        AND (CASE WHEN ch = 0 THEN 0 ELSE (1000 * dch) // ch END) <= 100
-        AND (1000 * ns) // n <= 670) AS keep
+       (25 * np >= 3 * n AND 10 * dch <= ch
+        AND 100 * ns <= 67 * n) AS keep
 FROM doc"""
 
 
@@ -17539,6 +17544,9 @@ def q_dedup_minhash_calibration(spark, sf_dir):
     side; both quantities reproduced exactly by the oracle so the
     measured calibration itself is cross-engine exact."""
     docs = _read(spark, sf_dir, "documents")
+    # persist shares the signature compute across the pair join's two
+    # sides; released by the consumer (bench.py clearCache()s + unpersists
+    # persistent RDDs between queries, so sweeps never accumulate cache)
     sigs = D.minhash_signatures(docs, num_perm=MH_PERM).persist()
     pairs = D.lsh_candidate_pairs(
         sigs, bands=MH_BANDS, rows_per_band=MH_PERM // MH_BANDS)

@@ -32,6 +32,11 @@ _POINT, _POLYGON = 1, 3
 # ---------------------------------------------------------------------------
 
 def _varint(n: int) -> bytes:
+    if n < 0:
+        # Python's arbitrary-precision `n >>= 7` never reaches 0 for a
+        # negative int — the loop would spin forever inside an executor.
+        # Negative ints must be zigzag-encoded (sint_value) by the caller.
+        raise ValueError(f"varint requires a non-negative int, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -122,9 +127,16 @@ def encode_tile(
 
     feats = b""
     for f in sorted(features, key=lambda f: f["id"]):
+        if not isinstance(f["id"], int) or f["id"] < 0:
+            raise ValueError(f"feature id must be a uint64, got {f['id']!r}")
         tags: list[int] = []
         for k in sorted(f.get("attrs", {})):
-            ki, vi = tag(k, f["attrs"][k])
+            v = f["attrs"][k]
+            if not isinstance(v, int):
+                raise ValueError(
+                    f"attr {k!r} must be int (got {type(v).__name__}); "
+                    "this codec carries integer attributes only")
+            ki, vi = tag(k, v)
             tags += [ki, vi]
         if "point" in f:
             gtype, geom = _POINT, _encode_point_geom(*f["point"])
@@ -143,7 +155,12 @@ def encode_tile(
         + _ld(1, layer_name.encode("utf-8"))
         + feats
         + b"".join(_ld(3, k.encode("utf-8")) for k in keys)
-        + b"".join(_ld(4, _key(4, 0) + _varint(v)) for v in vals)
+        # spec value message: int_value (field 4) for v >= 0,
+        # sint_value (field 6, zigzag) for negatives
+        + b"".join(
+            _ld(4, (_key(4, 0) + _varint(v)) if v >= 0
+                else (_key(6, 0) + _varint(_zigzag(v))))
+            for v in vals)
         + _key(5, 0) + _varint(extent)
     )
     return _ld(3, layer)
@@ -184,9 +201,10 @@ def decode_tile(buf: bytes) -> dict:
                 keys.append(payload.decode("utf-8"))
             elif field == 4:
                 kk, oo = _read_varint(payload, 0)
-                assert kk >> 3 == 4
+                vf = kk >> 3
+                assert vf in (4, 6), f"unsupported value field {vf}"
                 v, _ = _read_varint(payload, oo)
-                vals.append(v)
+                vals.append(v if vf == 4 else _unzigzag(v))
 
     feats = []
     for fb in raw_feats:
