@@ -223,6 +223,133 @@ def polygons_b_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(polygon_records_b(), schema=POLYGON_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Third polygon layer (method layer C): GENERAL concave / holed polygons for
+# the arbitrary-geometry overlay gates (ogrlayer.cpp:5386 Intersection
+# against non-rect method geometry).  Every feature is RECTILINEAR and
+# carries an exact disjoint-rectangle decomposition, so area(A ∩ C) has a
+# pure interval-arithmetic SQL oracle (Σ pairwise rect overlaps) while the
+# engine side runs the full noding + boundary-selection + trace kernel
+# (spatial/overlay.py) on the ring arrays — it never sees the rects.
+# Features are pairwise disjoint (so erase accounting is Σ of pairwise
+# cuts) and avoid the hexagon's envelope (the one non-rectilinear A
+# feature contributes no row on either side).
+# ---------------------------------------------------------------------------
+
+def _c_shapes() -> list[tuple[int, list, list]]:
+    """(poly_id, CCW ring vertex lists, disjoint rect decomposition)."""
+    mx = lambda gx: -6.00003 + gx * 2.0
+    my = lambda gy: 42.00003 + gy * 1.5
+    shapes = []
+    # c0: plus/cross over mosaic cells around (-2.5, 47) — 12-gon, concave
+    shapes.append((
+        2000,
+        [[(-2.5, 45.6), (-1.5, 45.6), (-1.5, 46.4), (-0.3, 46.4),
+          (-0.3, 47.2), (-1.5, 47.2), (-1.5, 48.0), (-2.5, 48.0),
+          (-2.5, 47.2), (-3.7, 47.2), (-3.7, 46.4), (-2.5, 46.4),
+          (-2.5, 45.6)]],
+        [(-2.5, 45.6, -1.5, 48.0), (-3.7, 46.4, -2.5, 47.2),
+         (-1.5, 46.4, -0.3, 47.2)],
+    ))
+    # c1: U-shape (notch opens north) straddling mosaic columns
+    shapes.append((
+        2001,
+        [[(4.0, 42.5), (7.0, 42.5), (7.0, 44.5), (6.0, 44.5), (6.0, 43.5),
+          (5.0, 43.5), (5.0, 44.5), (4.0, 44.5), (4.0, 42.5)]],
+        [(4.0, 42.5, 5.0, 44.5), (6.0, 42.5, 7.0, 44.5),
+         (5.0, 42.5, 6.0, 43.5)],
+    ))
+    # c2: staircase, concave
+    shapes.append((
+        2002,
+        [[(-5.0, 50.5), (-3.0, 50.5), (-3.0, 53.0), (-4.0, 53.0),
+          (-4.0, 51.5), (-5.0, 51.5), (-5.0, 50.5)]],
+        [(-5.0, 50.5, -4.0, 51.5), (-4.0, 50.5, -3.0, 53.0)],
+    ))
+    # c3: donut strictly inside mosaic cell (gx=6, gy=2) — holed method geom
+    shapes.append((
+        2003,
+        [[(6.3, 45.2), (7.7, 45.2), (7.7, 46.2), (6.3, 46.2), (6.3, 45.2)],
+         [(6.7, 45.5), (6.7, 45.9), (7.3, 45.9), (7.3, 45.5), (6.7, 45.5)]],
+        [(6.3, 45.2, 6.7, 46.2), (7.3, 45.2, 7.7, 46.2),
+         (6.7, 45.2, 7.3, 45.5), (6.7, 45.9, 7.3, 46.2)],
+    ))
+    # c4: L-shape overlapping A's L (poly 65) — concave ∩ concave
+    shapes.append((
+        2004,
+        [[(31.0, 31.0), (35.0, 31.0), (35.0, 33.0), (33.0, 33.0),
+          (33.0, 35.0), (31.0, 35.0), (31.0, 31.0)]],
+        [(31.0, 31.0, 35.0, 33.0), (31.0, 33.0, 33.0, 35.0)],
+    ))
+    # c5: rect crossing A's donut hole boundary (poly 66) → C-shaped result
+    shapes.append((
+        2005,
+        [[(40.5, 41.0), (42.5, 41.0), (42.5, 45.0), (40.5, 45.0),
+          (40.5, 41.0)]],
+        [(40.5, 41.0, 42.5, 45.0)],
+    ))
+    # c7: tall rect threading THROUGH the donut's hole (poly 66) → the
+    # intersection is split into 2 disjoint parts (multi-part topology)
+    shapes.append((
+        2007,
+        [[(42.6, 39.0), (43.6, 39.0), (43.6, 47.0), (42.6, 47.0),
+          (42.6, 39.0)]],
+        [(42.6, 39.0, 43.6, 47.0)],
+    ))
+    # c6: rect whose bottom edge is COLLINEAR with a mosaic row boundary
+    # (bit-identical my(4) coordinate — shared-edge noding degeneracy)
+    shapes.append((
+        2006,
+        [[(mx(4) - 1.0, my(4)), (mx(4) + 1.0, my(4)),
+          (mx(4) + 1.0, my(4) + 0.8), (mx(4) - 1.0, my(4) + 0.8),
+          (mx(4) - 1.0, my(4))]],
+        [(mx(4) - 1.0, my(4), mx(4) + 1.0, my(4) + 0.8)],
+    ))
+    return shapes
+
+
+def polygon_records_c() -> list[dict]:
+    recs = []
+    for pid, rings, _dec in _c_shapes():
+        arrs = [np.array(r, dtype=np.float64) for r in rings]
+        recs.append(_rec(pid, 1900 + (pid - 2000), arrs))
+    return recs
+
+
+def polygons_c_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(polygon_records_c(), schema=POLYGON_SCHEMA)
+
+
+def polygon_c_decomp() -> list[tuple[int, float, float, float, float]]:
+    """(poly_id, x0, y0, x1, y1) disjoint-rect decomposition of layer C."""
+    return [
+        (pid, *box) for pid, _r, dec in _c_shapes() for box in dec
+    ]
+
+
+def polygon_a_rect_decomp() -> list[tuple[int, float, float, float, float]]:
+    """Disjoint-rect decomposition of the RECTILINEAR A features used by
+    the general-overlay gates: the 8×8 mosaic (single rects), the L-shape
+    (poly 65, two rects) and the donut (poly 66, four rects around the
+    hole).  Literals reuse the exact fixture float arithmetic."""
+    out = []
+    for p in range(64):
+        gx, gy = p % 8, p // 8
+        x0 = -6.00003 + gx * 2.0
+        y0 = 42.00003 + gy * 1.5
+        out.append((p, x0, y0, x0 + 2.0, y0 + 1.5))
+    x0 = y0 = 30.00003
+    out.append((65, x0, y0, x0 + 4.0, y0 + 2.0))        # L bottom slab
+    out.append((65, x0, y0 + 2.0, x0 + 2.0, y0 + 4.0))  # L top-left slab
+    out += [
+        (66, 40.00003, 40.00003, 42.00003, 46.00003),   # donut left
+        (66, 44.00003, 40.00003, 48.00003, 46.00003),   # donut right
+        (66, 42.00003, 40.00003, 44.00003, 42.00003),   # donut bottom
+        (66, 42.00003, 44.00003, 44.00003, 46.00003),   # donut top
+    ]
+    return out
+
+
 def tjunction_records() -> list[dict]:
     """NON-edge-matched coverage fixture (FIXTURES §2d): three dissolve
     groups whose shared boundaries are only PARTIALLY matched — every group

@@ -126,7 +126,14 @@ def union_coverage_rings(rings_list: list[list[np.ndarray]]) -> list[np.ndarray]
                         del edges[rev]
                 else:
                     edges[(p, q)] = edges.get((p, q), 0) + 1
+    return trace_directed_edges(edges)
 
+
+def trace_directed_edges(edges: dict[tuple, int]) -> list[np.ndarray]:
+    """Walk a directed-edge multiset (result interior on the LEFT of every
+    edge) into SIMPLE closed rings with the leftmost-turn rule; pinched
+    walks split off sub-loops.  Shared by the coverage union and the
+    general boolean-overlay boundary selection (spatial/overlay.py)."""
     # adjacency: start point → outgoing edges
     out_map: dict[tuple, list[tuple]] = {}
     for (p, q), cnt in edges.items():

@@ -448,3 +448,106 @@ def layer_overlay_rect(
     if op == "identity":
         return both.unionByName(a_only)
     return a_only.unionByName(b_side)  # update
+
+
+def layer_overlay_poly(
+    a: DataFrame, b: DataFrame, op: str = "intersection", zoom: int = 5,
+    id_a: str = "poly_id", id_b: str = "poly_id",
+    rings_a: str = "rings", rings_b: str = "rings",
+) -> DataFrame:
+    """Pairwise boolean overlay against an ARBITRARY polygon method layer
+    (concave, holed) — the general form of OGRLayer::Intersection / Clip
+    (ogrlayer.cpp:5386, :7538; rect MVP in layer_intersection_rect).
+
+    Same 100 TB plan shape as the rect path: cell-cover candidates via one
+    equi-join (reference-cell dedup, no distinct), then the from-scratch
+    noding + boundary-selection + trace kernel (spatial/overlay.py) per
+    candidate pair inside an Arrow-batched mapInPandas. Output: (id_a,
+    id_b, rings, n_parts, n_rings, inter_area) — empty results dropped.
+    """
+    from gdal_spark.spatial import overlay as OV
+
+    ca = _with_cover(a, zoom, id_a, rings_a, "_a")
+    cb = _with_cover(b, zoom, id_b, rings_b, "_b")
+    cand = (
+        ca.join(cb, on=["cell_tx", "cell_ty"], how="inner")
+        .filter(
+            (F.col("cell_tx") == F.greatest("_txmin_a", "_txmin_b"))
+            & (F.col("cell_ty") == F.greatest("_tymin_a", "_tymin_b"))
+        )
+        .select("id_a", "rings_a", "id_b", "rings_b")
+    )
+    schema = (
+        "id_a long, id_b long, rings array<array<array<double>>>, "
+        "n_parts int, n_rings int, inter_area double"
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "id_a", "id_b", "rings", "n_parts", "n_rings", "inter_area")}
+            for ia, ra, ib, rb in zip(
+                pdf["id_a"], pdf["rings_a"], pdf["id_b"], pdf["rings_b"]
+            ):
+                parts = OV.overlay_polygons(
+                    G.rings_to_numpy(ra), G.rings_to_numpy(rb), op)
+                if not parts:
+                    continue
+                area = OV.overlay_area(parts)
+                if area <= 0.0:
+                    continue
+                flat = OV.overlay_parts_rings(parts)
+                rows["id_a"].append(ia)
+                rows["id_b"].append(ib)
+                rows["rings"].append([r.tolist() for r in flat])
+                rows["n_parts"].append(len(parts))
+                rows["n_rings"].append(len(flat))
+                rows["inter_area"].append(area)
+            yield pd.DataFrame(
+                {
+                    "id_a": pd.Series(rows["id_a"], dtype="int64"),
+                    "id_b": pd.Series(rows["id_b"], dtype="int64"),
+                    "rings": pd.Series(rows["rings"], dtype=object),
+                    "n_parts": pd.Series(rows["n_parts"], dtype="int32"),
+                    "n_rings": pd.Series(rows["n_rings"], dtype="int32"),
+                    "inter_area": pd.Series(
+                        rows["inter_area"], dtype="float64"),
+                }
+            )
+
+    return cand.mapInPandas(refine, schema)
+
+
+def layer_erase_area_poly(
+    a: DataFrame, b: DataFrame, zoom: int = 5,
+    id_a: str = "poly_id", id_b: str = "poly_id",
+    rings_a: str = "rings", rings_b: str = "rings",
+) -> DataFrame:
+    """Erase(A, B) AREA accounting against an arbitrary polygon method
+    layer with mutually disjoint features: area(A \\ ∪B) = area(A) −
+    Σ area(A ∩ B_i), each pairwise intersection computed by the general
+    overlay kernel. Output: (id_a, area, erased_area, remaining_area)."""
+    inter = layer_overlay_poly(
+        a, b, "intersection", zoom, id_a, id_b, rings_a, rings_b)
+    cut = inter.groupBy("id_a").agg(
+        F.sum("inter_area").alias("erased_area"))
+    src = a.select(F.col(id_a).alias("id_a"), F.col(rings_a).alias("_rings"))
+
+    def area_of(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].astype("int64"),
+                    "area": [
+                        G.rings_area(G.rings_to_numpy(r))
+                        for r in pdf["_rings"]
+                    ],
+                }
+            )
+
+    areas = src.mapInPandas(area_of, "id_a long, area double")
+    return (
+        areas.join(cut, "id_a", "left")
+        .withColumn("erased_area", F.coalesce("erased_area", F.lit(0.0)))
+        .withColumn("remaining_area", F.col("area") - F.col("erased_area"))
+    )
