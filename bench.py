@@ -242,6 +242,10 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "16000000"))
 # is meant to observe.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 
+# Sweep-phase calibration cadence: one _cpu_calib() stamp every N timed
+# queries (~1 s each in a clean phase; <5% of sweep time).
+_CALIB_EVERY = int(os.environ.get("SPARK_GRAFT_CALIB_EVERY", "25"))
+
 
 def scaling_flagship(spark, n_rows: int) -> tuple[float, int]:
     """Scaling-evidence job: PIP spatial join + tile assignment over an
@@ -301,6 +305,10 @@ def _cpu_calib() -> float:
     import numpy as np
 
     x = np.arange(50_000_000, dtype=np.int64)
+    # first-call warmup: the process's first pass pays page faults +
+    # allocator growth (~2.4 s vs ~0.2 s steady on this box) — that is
+    # process state, not a hypervisor phase, so time the SECOND pass.
+    (x * 31 + 7).sum()
     t0 = time.perf_counter()
     (x * 31 + 7).sum()
     return round(time.perf_counter() - t0, 3)
@@ -335,9 +343,47 @@ def main():
     flagship_runs = [round(t, 3) for t, _ in fl_runs]
     docs_per_sec = fl_n / fl_t if fl_t > 0 else 0.0
 
-    for name in BENCH_QUERIES:
+    # Per-query phase markers (r4 verdict "what's wrong #2"): the box's
+    # single-thread speed swings ~7-12x on minute scales, so a sweep can
+    # straddle phases and its per-query numbers stop being mutually
+    # comparable. Stamp a calib reading every _CALIB_EVERY queries; each
+    # query records the most recent reading as its phase bucket.
+    calib_track: list[list] = [[0, calib_start]]
+    query_calib: dict[str, float] = {}
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi and qi % _CALIB_EVERY == 0:
+            calib_track.append([qi, _cpu_calib()])
         t, _ = _run_query(spark, name)
         results[name] = round(t, 3)
+        query_calib[name] = calib_track[-1][1]
+
+    # Phase guard: if the sweep ended >2x slower than it started, re-run
+    # the queries timed in degraded buckets ONCE (the phase often recovers
+    # within the sweep's own duration). Queries whose re-run still lands in
+    # a degraded phase keep their time but the record is marked "mixed".
+    calib_end = _cpu_calib()
+    calib_track.append([len(BENCH_QUERIES), calib_end])
+    reran: list[str] = []
+    phase = "single"
+    c_min = min(c for _i, c in calib_track)
+    if max(c for _i, c in calib_track) > 2.0 * c_min:
+        # mixed-phase sweep (in either direction — a sweep that STARTS
+        # degraded is equally incomparable). Re-run the queries stamped in
+        # slow buckets once, if the box is currently in the fast phase.
+        phase = "mixed"
+        degraded = [n for n in BENCH_QUERIES
+                    if query_calib[n] > 2.0 * c_min]
+        recheck = _cpu_calib()
+        if degraded and recheck <= 2.0 * c_min:
+            for name in degraded:
+                t, _ = _run_query(spark, name)
+                results[name] = round(t, 3)
+                query_calib[name] = recheck
+                reran.append(name)
+            calib_end2 = _cpu_calib()
+            calib_track.append([f"rerun x{len(reran)}", calib_end2])
+            if calib_end2 <= 2.0 * c_min:
+                phase = "single_after_rerun"
 
     scaling = {}
     if not skip_scaling:
@@ -431,7 +477,11 @@ def main():
         "flagship_runs_sec": flagship_runs,
         "flagship_rows": fl_n,
         "cpus": CPUS,
-        "cpu_calib_sec": [calib_start, _cpu_calib()],
+        "cpu_calib_sec": [calib_start, calib_end],
+        "calib_track": calib_track,
+        "query_calib_sec": query_calib,
+        "phase": phase,
+        "phase_reran": reran,
         "flagship_best_docs_per_sec":
             round(fl_n / min(t for t, _ in fl_runs), 1),
         "scaling": scaling,
@@ -461,6 +511,7 @@ def main():
         "flagship_runs_sec": flagship_runs,
         "flagship_best_docs_per_sec": full["flagship_best_docs_per_sec"],
         "cpu_calib_sec": full["cpu_calib_sec"],
+        "phase": phase,
         "cpus": CPUS,
         "scaling": {
             k: (_pair_compact(v) if isinstance(v, dict) else v)
