@@ -11026,14 +11026,16 @@ def q_shapefile_polygons_roundtrip(spark, sf_dir):
     """Polygon shapefile gate: spec ring orientation enforced on write
     (outer CW, holes CCW — shpopen.c SHPRewindObject), per-record parts
     decode on read, geometry re-measured from the decoded rings (area is
-    orientation-independent: |shoelace| per ring)."""
+    orientation-independent: |shoelace| per ring).  Write path is the
+    DISTRIBUTED sink (one .shp per partition, no driver collect —
+    pinned in tests/test_format_sources.py)."""
     import tempfile
 
     from gdal_spark.sources import shapefile as SHP
 
     d = tempfile.mkdtemp(prefix="gdalspark_shpp_gate_")
-    SHP.write_polygon_shapefile(
-        polygons_df(spark), d, "rings", [("poly_id", 12)])
+    SHP.write_polygon_shapefiles(
+        polygons_df(spark), d, "rings", [("poly_id", 12)], num_files=4)
     back = SHP.read_polygon_shapefiles(spark, d, ["poly_id"])
 
     def meas(batches):
@@ -11095,15 +11097,17 @@ def q_gpkg_roundtrip(spark, sf_dir):
     """GeoPackage polygon gate: blob envelopes surfaced pre-decode (the
     prune-before-WKB path), rings re-measured after the engine WKB parse.
     Envelope comes from the BLOB HEADER, area from the decoded rings — so
-    the gate catches a header/body disagreement."""
+    the gate catches a header/body disagreement.  Write path is the
+    DISTRIBUTED sink (one .gpkg per partition, no driver collect —
+    pinned in tests/test_format_sources.py)."""
     import tempfile
 
     from gdal_spark.sources import gpkg as GPKG
 
     d = tempfile.mkdtemp(prefix="gdalspark_gpkgp_gate_")
-    path = d + "/layer.gpkg"
-    GPKG.write_polygon_gpkg(polygons_df(spark), path, int_fields=["poly_id"])
-    back = GPKG.read_polygon_gpkg(spark, path, ["poly_id"])
+    GPKG.write_polygon_gpkgs(
+        polygons_df(spark), d, int_fields=["poly_id"], num_files=4)
+    back = GPKG.read_polygon_gpkg(spark, d + "/*.gpkg", ["poly_id"])
 
     def meas(batches):
         import pandas as pd

@@ -149,6 +149,62 @@ def write_polygon_gpkg(
     conn.close()
 
 
+def write_polygon_gpkgs(
+    df: DataFrame,
+    directory: str,
+    rings_col: str = "rings",
+    int_fields: list[str] | None = None,
+    num_files: int = 4,
+    table: str = "layer",
+    partition_key: str | None = None,
+) -> int:
+    """Distributed Polygon-layer sink: one .gpkg per partition (map-only
+    after the key repartition — no driver collect; the single-file
+    ``write_polygon_gpkg`` remains as the bounded-dimension-layer
+    convenience).  Geometry blobs carry the xy envelope so readers can
+    prune before WKB decode.  Returns files written."""
+    int_fields = int_fields or []
+    os.makedirs(directory, exist_ok=True)
+    key = partition_key or int_fields[0]
+    cols = int_fields + [rings_col]
+    staged = df.select(*cols).repartition(num_files, F.col(key))
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield pd.DataFrame({"path": pd.Series(dtype="object"),
+                                "n_records": pd.Series(dtype="int64")})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        tmp = tempfile.mktemp(suffix=".gpkg")
+        conn = _create_gpkg(
+            tmp, table, "POLYGON", [(c, "INTEGER") for c in int_fields])
+        ins = (
+            f'INSERT INTO "{table}" '
+            f'(geom{"".join(", " + c for c in int_fields)})'
+            f' VALUES (?{", ?" * len(int_fields)})'
+        )
+        recs = []
+        for row in pdf.itertuples(index=False):
+            rings = G.rings_to_numpy(getattr(row, rings_col))
+            env = G.rings_envelope(rings)
+            blob = gpkg_geom_blob(G.wkb_polygon(rings), envelope=env)
+            recs.append(
+                (blob, *[int(getattr(row, c)) for c in int_fields]))
+        conn.executemany(ins, recs)
+        conn.commit()
+        conn.close()
+        final = f"{directory}/part-{pid:05d}.gpkg"
+        os.replace(tmp, final)
+        yield pd.DataFrame({"path": [final], "n_records": [len(pdf)]})
+
+    manifest = staged.mapInPandas(write_part, "path string, n_records long")
+    return manifest.count()
+
+
 def write_point_gpkgs(
     df: DataFrame,
     directory: str,

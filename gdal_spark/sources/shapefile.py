@@ -41,6 +41,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gdal_spark.spatial import geometry as G
+
 SHAPE_POINT = 1
 SHAPE_POLYLINE = 3
 SHAPE_POLYGON = 5
@@ -324,6 +326,48 @@ def read_point_shapefiles(
                 yield out
 
     return paired.mapInPandas(parse, out_schema)
+
+
+def write_polygon_shapefiles(
+    df: DataFrame,
+    directory: str,
+    rings_col: str,
+    int_fields: list[tuple[str, int]],
+    num_files: int,
+    partition_key: str | None = None,
+) -> int:
+    """Distributed Polygon-layer sink: one shapefile per partition
+    (map-only after the key repartition — no driver collect; the
+    single-file ``write_polygon_shapefile`` remains as the
+    bounded-dimension-layer convenience).  Returns files written."""
+    os.makedirs(directory, exist_ok=True)
+    key = partition_key or int_fields[0][0]
+    attr_cols = [c for c, _ in int_fields]
+    cols = attr_cols + [rings_col]
+    staged = df.select(*cols).repartition(num_files, F.col(key))
+    fields = [(c, "N", w) for c, w in int_fields]
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            yield pd.DataFrame({"path": pd.Series(dtype="object"),
+                                "n_records": pd.Series(dtype="int64")})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        polys = [G.rings_to_numpy(rings) for rings in pdf[rings_col]]
+        shp, shx = encode_polygons_shp(polys)
+        dbf = encode_dbf(pdf[attr_cols], fields)
+        stem = f"{directory}/part-{pid:05d}"
+        for ext, payload in ((".shp", shp), (".shx", shx), (".dbf", dbf)):
+            with open(stem + ext, "wb") as fh:
+                fh.write(payload)
+        yield pd.DataFrame({"path": [stem], "n_records": [len(pdf)]})
+
+    manifest = staged.mapInPandas(write_part, "path string, n_records long")
+    return manifest.count()
 
 
 def write_polygon_shapefile(

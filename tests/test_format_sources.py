@@ -89,6 +89,63 @@ def test_shapefile_spark_distributed_roundtrip(spark):
     assert joined.filter(F.col("x") != F.col("x0")).count() == 0
 
 
+def test_shapefile_polygons_distributed_sink(spark, monkeypatch):
+    """Fact-scale polygon sink: one .shp per partition, geometry and
+    attributes intact — and the path never touches DataFrame.collect()
+    (the round-4 verdict's driver-OOM finding)."""
+    from pyspark.sql import DataFrame
+    from gdal_spark.data.pages import polygons_df
+
+    df = polygons_df(spark)
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("collect() in distributed polygon sink")))
+    d = tempfile.mkdtemp(prefix="gdal_spark_shpp_d_")
+    n = SHP.write_polygon_shapefiles(
+        df, d, "rings", [("poly_id", 12)], num_files=4)
+    monkeypatch.undo()
+    assert n == 4
+    back = SHP.read_polygon_shapefiles(spark, d, ["poly_id"])
+    rows = {r["poly_id"]: r["rings"] for r in back.collect()}
+    want = {r["poly_id"]: r["rings"] for r in df.collect()}
+    assert set(rows) == set(want)
+    for pid, rings in want.items():
+        got = [np.asarray(r) for r in rows[pid]]
+        exp = [np.asarray(r) for r in rings]
+        assert len(got) == len(exp)
+        # area is orientation/rotation independent (writer rewinds rings)
+        assert abs(G.rings_area(got) - G.rings_area(exp)) < 1e-9
+
+
+def test_gpkg_polygons_distributed_sink(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+    from gdal_spark.data.pages import polygons_df
+
+    df = polygons_df(spark)
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (_ for _ in ()).throw(
+            AssertionError("collect() in distributed polygon sink")))
+    d = tempfile.mkdtemp(prefix="gdal_spark_gpkgp_d_")
+    n = GPKG.write_polygon_gpkgs(
+        df, d, int_fields=["poly_id"], num_files=4)
+    monkeypatch.undo()
+    assert n == 4
+    back = GPKG.read_polygon_gpkg(spark, d + "/*.gpkg", ["poly_id"])
+    rows = back.collect()
+    want = {r["poly_id"]: r for r in df.collect()}
+    assert {r["poly_id"] for r in rows} == set(want)
+    for r in rows:
+        w = want[r["poly_id"]]
+        # blob-header envelope must agree with the fixture metadata
+        assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == \
+            (w["xmin"], w["ymin"], w["xmax"], w["ymax"])
+        got = [np.asarray(x) for x in r["rings"]]
+        exp = [np.asarray(x) for x in w["rings"]]
+        assert abs(G.rings_area(got) - G.rings_area(exp)) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # GeoPackage codec
 # ---------------------------------------------------------------------------
