@@ -94,8 +94,23 @@ def parse_vrt(buf: bytes) -> dict:
             el = cs.find(tag)
             if el is not None:
                 s[key] = float(el.text)
+        _validate_rects(s)
         out["sources"].append(s)
     return out
+
+
+def _validate_rects(s: dict) -> None:
+    """Driver-side rect-ratio validation: the XML is parsed on the driver,
+    so an unsupported SrcRect→DstRect ratio must fail FAST at parse time,
+    not at task N of M inside an executor (round-4 verdict finding)."""
+    sx, sy, sw, sh = s["src_rect"]
+    dx, dy, dw, dh = s["dst_rect"]
+    if min(sw, sh, dw, dh) <= 0:
+        raise ValueError(f"non-positive rect size in source {s['filename']}")
+    if (dw != sw or dh != sh) and (dw % sw or dh % sh):
+        raise NotImplementedError(
+            f"source {s['filename']}: SrcRect {sw}x{sh} -> DstRect {dw}x{dh}"
+            " — only 1:1 and integer-upscale rect ratios are supported")
 
 
 def eval_source(vrt_dir: str, s: dict) -> pd.DataFrame:

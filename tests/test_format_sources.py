@@ -614,6 +614,26 @@ class TestVRT:
         for _, r in out.iterrows():
             assert r["val"] == arr[int(r["gy"]) // 2, int(r["gx"]) // 2]
 
+    def test_non_integer_ratio_fails_fast_at_parse_time(self):
+        import pytest as _pt
+        from gdal_spark.sources.vrt import build_vrt, parse_vrt
+
+        gt = (10.0, 1.0 / 1024, 0.0, 50.0, 0.0, -1.0 / 1024)
+        bad = build_vrt(16, 16, gt, [
+            {"filename": "missing.tif", "src_rect": (0, 0, 4, 4),
+             "dst_rect": (0, 0, 6, 6)},
+        ])
+        # driver-side: the bad mosaic is rejected before any task launches
+        # (no .tif needs to exist for the rejection to fire)
+        with _pt.raises(NotImplementedError):
+            parse_vrt(bad)
+        zero = build_vrt(16, 16, gt, [
+            {"filename": "missing.tif", "src_rect": (0, 0, 0, 4),
+             "dst_rect": (0, 0, 4, 4)},
+        ])
+        with _pt.raises(ValueError):
+            parse_vrt(zero)
+
     def test_non_integer_ratio_raises(self, tmp_path):
         import numpy as np
         import pytest as _pt
