@@ -194,6 +194,13 @@ BENCH_QUERIES = [
     "mvt_polygons_roundtrip",
     "url_robots_filter",
     "dedup_minhash_calibration",
+    # round 5: general polygon overlay, distributed polygon sinks,
+    # parameterized CRS families (dual-emitter tmerc/LCC/stereo/Albers)
+    "overlay_poly_clip",
+    "gpkg_roundtrip",
+    "lcc_project",
+    "utm_any_zone",
+    "tmerc_bng_roundtrip",
 ]
 
 

@@ -17778,3 +17778,183 @@ def q_overlay_poly_topology(spark, sf_dir):
         "id_a", "id_b", "n_parts", "n_rings",
         R("inter_area", 6).alias("inter_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.26 Parameterized CRS families (VERDICT r4 next-step #6) — generic
+# tmerc / LCC 2SP / polar stereographic / Albers via spatial/projections.py's
+# dual emitter: ONE expression tree materializes as both the Spark Column
+# plan (map-only, whole-stage codegen) and the DuckDB oracle SQL, so
+# cross-engine float exactness holds by construction.  Reference: every EPSG
+# code through PROJ (ogr/ogrct.cpp:1002); re-derived from EPSG GN7-2 /
+# Snyder 1987 closed forms.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial import projections as PRJ  # noqa: E402
+
+
+def _sql_lcc() -> str:
+    x, y = PRJ.epsg_forward(2154, PRJ.col("lon"), PRJ.col("lat"))
+    return f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, {SR(x.s, 3)} AS lcc_x, {SR(y.s, 3)} AS lcc_y
+FROM pts WHERE lat BETWEEN 35.0 AND 55.0 AND lon BETWEEN -10.0 AND 15.0"""
+
+
+@register("lcc_project", _sql_lcc())
+def q_lcc_project(spark, sf_dir):
+    """Lambert Conformal Conic 2SP forward (EPSG:2154 RGF93/Lambert-93,
+    GRS80) — EPSG method 9802 closed form, mm-rounded.  Map-only column
+    math; the oracle is the SAME dual-emitted expression tree in DuckDB."""
+    pts = order_points(spark, sf_dir).filter(
+        F.col("lat").between(35.0, 55.0) & F.col("lon").between(-10.0, 15.0)
+    )
+    x, y = PRJ.epsg_forward(2154, PRJ.col("lon"), PRJ.col("lat"))
+    return pts.select(
+        "o_orderkey", R(x.c, 3).alias("lcc_x"), R(y.c, 3).alias("lcc_y")
+    )
+
+
+def _utm_any_zone_xy() -> tuple["PRJ.D", "PRJ.D"]:
+    """Per-row-zone GRS80 tmerc with southern false northing — the
+    'any zone, any ellipsoid' generalization of the fixed-zone WGS84 pair."""
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    zone = PRJ.dfloor((lon + 180.0) / 6.0) + 1.0
+    lon0 = zone * 6.0 - 183.0
+    x, y_n = PRJ.tmerc_forward(
+        lon, lat, ell=PRJ.GRS80, lon0=lon0, lat0=0.0, k0=0.9996,
+        fe=500000.0, fn=0.0,
+    )
+    y = PRJ.dcase(lat < 0.0, y_n + 10000000.0, y_n)
+    return zone, x, y
+
+
+def _sql_utm_any_zone() -> str:
+    zone, x, y = _utm_any_zone_xy()
+    return f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, CAST({zone.s} AS INT) AS zone,
+       {SR(x.s, 2)} AS easting, {SR(y.s, 2)} AS northing
+FROM pts WHERE lat BETWEEN -80.0 AND 80.0"""
+
+
+@register("utm_any_zone", _sql_utm_any_zone())
+def q_utm_any_zone(spark, sf_dir):
+    """Generic-parameter transverse Mercator: every point projected into its
+    OWN UTM zone on GRS80 (the ETRS89/NAD83 figure), southern rows getting
+    the 10,000 km false northing via a dual-emitted CASE — exercises
+    per-row lon0 (a Column, not a constant) through the Krüger series."""
+    pts = order_points(spark, sf_dir).filter(F.col("lat").between(-80.0, 80.0))
+    zone, x, y = _utm_any_zone_xy()
+    return pts.select(
+        "o_orderkey", zone.c.cast("int").alias("zone"),
+        R(x.c, 2).alias("easting"), R(y.c, 2).alias("northing"),
+    )
+
+
+def _polar_remap() -> tuple["PRJ.D", "PRJ.D"]:
+    """Deterministic remap of the fixture's [-83,83) lat band onto the south
+    polar cap [-89,-60] (same arithmetic both engines)."""
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    plat = -60.0 - (lat + 83.0) * (29.0 / 166.0)
+    return lon, plat
+
+
+def _sql_polar_stereo() -> str:
+    lon, plat = _polar_remap()
+    x, y = PRJ.polar_stereo_forward(
+        lon, plat, ell=PRJ.WGS84, lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0,
+        south=True,
+    )
+    return f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, {SR(x.s, 3)} AS ps_x, {SR(y.s, 3)} AS ps_y
+FROM pts"""
+
+
+@register("polar_stereo_project", _sql_polar_stereo())
+def q_polar_stereo_project(spark, sf_dir):
+    """Polar stereographic variant B forward (EPSG:3031 Antarctic, standard
+    parallel 71°S) — EPSG method 9829; fixture latitudes remapped onto the
+    south polar cap.  k0 is derived from lat_ts (unit scale at 71°S,
+    asserted numerically in tests/test_projections.py)."""
+    pts = order_points(spark, sf_dir)
+    lon, plat = _polar_remap()
+    x, y = PRJ.polar_stereo_forward(
+        lon, plat, ell=PRJ.WGS84, lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0,
+        south=True,
+    )
+    return pts.select(
+        "o_orderkey", R(x.c, 3).alias("ps_x"), R(y.c, 3).alias("ps_y")
+    )
+
+
+def _conus_remap() -> tuple["PRJ.D", "PRJ.D"]:
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    plon = -120.0 + (lon + 180.0) * (50.0 / 360.0)
+    plat = 25.0 + (lat + 83.0) * (23.0 / 166.0)
+    return plon, plat
+
+
+def _sql_albers() -> str:
+    plon, plat = _conus_remap()
+    x, y = PRJ.epsg_forward(5070, plon, plat)
+    return f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, {SR(x.s, 3)} AS aea_x, {SR(y.s, 3)} AS aea_y
+FROM pts"""
+
+
+@register("albers_project", _sql_albers())
+def q_albers_project(spark, sf_dir):
+    """Albers equal-area conic forward (EPSG:5070 NAD83/Conus Albers) —
+    EPSG method 9822 / Snyder 14-1..14-11; fixture coordinates remapped to
+    the CONUS window.  The equal-area property is asserted numerically in
+    tests/test_projections.py."""
+    pts = order_points(spark, sf_dir)
+    plon, plat = _conus_remap()
+    x, y = PRJ.epsg_forward(5070, plon, plat)
+    return pts.select(
+        "o_orderkey", R(x.c, 3).alias("aea_x"), R(y.c, 3).alias("aea_y")
+    )
+
+
+def _sql_tmerc_bng() -> str:
+    # STAGE the forward through a CTE: composing inverse(forward) as one
+    # expression tree duplicates the Krüger series multiplicatively (a
+    # 3.9 MB SQL string / equally pathological Column tree); a named
+    # intermediate keeps both engines linear.
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    plon = -6.0 + (lon + 180.0) * (7.5 / 360.0)   # [-6, 1.5] — BNG window
+    plat = 50.0 + (lat + 83.0) * (10.5 / 166.0)   # [50, 60.5]
+    x, y = PRJ.epsg_forward(27700, plon, plat)
+    lon2, lat2 = PRJ.epsg_inverse(
+        27700, PRJ.col("bng_e_raw"), PRJ.col("bng_n_raw")
+    )
+    return f"""WITH pts AS ({SQL_POINTS}),
+fwd AS (SELECT o_orderkey, {x.s} AS bng_e_raw, {y.s} AS bng_n_raw FROM pts)
+SELECT o_orderkey, {SR("bng_e_raw", 3)} AS bng_e, {SR("bng_n_raw", 3)} AS bng_n,
+       {SR(lon2.s, 5)} AS lon_back, {SR(lat2.s, 5)} AS lat_back
+FROM fwd"""
+
+
+@register("tmerc_bng_roundtrip", _sql_tmerc_bng())
+def q_tmerc_bng_roundtrip(spark, sf_dir):
+    """British National Grid (EPSG:27700, Airy 1830 — non-trivial lat0,
+    negative false northing, non-WGS84 ellipsoid) forward AND Krüger
+    beta-series inverse in one plan: projected easting/northing plus the
+    recovered lon/lat (5 dp ≈ 1 m, well inside the n³-series closure
+    bound measured at 2e-7°)."""
+    pts = order_points(spark, sf_dir)
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    plon = -6.0 + (lon + 180.0) * (7.5 / 360.0)
+    plat = 50.0 + (lat + 83.0) * (10.5 / 166.0)
+    x, y = PRJ.epsg_forward(27700, plon, plat)
+    fwd = pts.select(
+        "o_orderkey",
+        x.c.alias("bng_e_raw"), y.c.alias("bng_n_raw"),
+    )
+    lon2, lat2 = PRJ.epsg_inverse(
+        27700, PRJ.col("bng_e_raw"), PRJ.col("bng_n_raw")
+    )
+    return fwd.select(
+        "o_orderkey",
+        R("bng_e_raw", 3).alias("bng_e"), R("bng_n_raw", 3).alias("bng_n"),
+        R(lon2.c, 5).alias("lon_back"), R(lat2.c, 5).alias("lat_back"),
+    )
