@@ -18018,3 +18018,90 @@ def q_zarr_mdim_roundtrip(spark, sf_dir):
             "v_slice", R(F.col("mval"), 6).alias("v_tmean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.28 Exact geodesics (VERDICT r4 next-step #4; ref ogr/ogrgeometry.cpp
+# OGR_G_GeodesicArea/GeodesicLength → GeographicLib) — auxiliary-sphere
+# inverse solver with quadrature integrals + bisection (spatial/geodesic.py,
+# NOT a series port).  Oracles are ODE-refined control values
+# (scripts/gen_geodesic_fixtures.py): 2-D Newton on RK4 integration of the
+# geodesic ODEs, an independent formulation — agreement to <1e-11° endpoint
+# error / <1 m² on 1e12 m² triangles certifies the kernel.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.data import geodesic_fixtures as GFX  # noqa: E402
+from gdal_spark.spatial import geodesic as GEOD  # noqa: E402
+
+
+def _sql_geodesic_inverse() -> str:
+    rows = ", ".join(
+        f"({i}, {SR(f'CAST({s12!r} AS DOUBLE)', 2)}, "
+        f"{SR(f'CAST({azi!r} AS DOUBLE)', 6)})"
+        for i, (_a1, _o1, _a2, _o2, s12, azi) in enumerate(GFX.INVERSE_PAIRS)
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows +
+        ") AS t(pair_id, s12_m, azi1_deg) ORDER BY pair_id"
+    )
+
+
+@register("geodesic_inverse_karney", _sql_geodesic_inverse())
+def q_geodesic_inverse_karney(spark, sf_dir):
+    """Exact inverse geodesic (distance + forward azimuth) on the embedded
+    control pairs — cm-rounded s12, 1e-6°-rounded azimuth.  The kernel is
+    an Arrow-batched map-only plan; at 100 TB this is one pandas kernel
+    pass per partition, no shuffle."""
+    pairs = spark.createDataFrame(
+        [(i, a1, o1, a2, o2)
+         for i, (a1, o1, a2, o2, _s, _z) in enumerate(GFX.INVERSE_PAIRS)],
+        "pair_id int, lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    out = GEOD.inverse_df(pairs)
+    return out.select(
+        "pair_id",
+        R("s12", 2).alias("s12_m"),
+        R("azi1", 6).alias("azi1_deg"),
+    ).orderBy("pair_id")
+
+
+def _sql_geodesic_area() -> str:
+    rows = ", ".join(
+        f"({i}, {SR(f'CAST({area!r} AS DOUBLE)', -5)})"
+        for i, (_la, _lo, area) in enumerate(GFX.AREA_TRIANGLES)
+    )
+    return (
+        "SELECT * FROM (VALUES " + rows +
+        ") AS t(tri_id, area_m2) ORDER BY tri_id"
+    )
+
+
+@register("geodesic_polygon_area_karney", _sql_geodesic_area())
+def q_geodesic_polygon_area_karney(spark, sf_dir):
+    """Exact geodesic polygon area (the S12 edge sum) on the embedded CCW
+    control triangles, rounded to 1e5 m² (the ODE cross-check agrees to
+    <1 m² on ~1e12 m² triangles).  One task per triangle; at scale this is
+    a per-feature Arrow kernel over the polygon layer."""
+    import pandas as pd
+
+    tris = spark.createDataFrame(
+        [(i, list(map(float, la)), list(map(float, lo)))
+         for i, (la, lo, _a) in enumerate(GFX.AREA_TRIANGLES)],
+        "tri_id int, lats array<double>, lons array<double>",
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, areas = [], []
+            for tid, la, lo in zip(pdf["tri_id"], pdf["lats"], pdf["lons"]):
+                ids.append(int(tid))
+                areas.append(GEOD.polygon_area_m2(
+                    np.asarray(la, dtype=np.float64),
+                    np.asarray(lo, dtype=np.float64)))
+            yield pd.DataFrame({"tri_id": pd.Series(ids, dtype="int32"),
+                                "area_m2": areas})
+
+    out = tris.mapInPandas(run, "tri_id int, area_m2 double")
+    return out.select(
+        "tri_id", R("area_m2", -5).alias("area_m2")
+    ).orderBy("tri_id")
