@@ -69,3 +69,62 @@ def test_plan_is_broadcast_map_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- inverse backmap (round 5) ----------------------------------------------
+
+def test_backmap_roundtrip_numpy():
+    """Backmap + Newton recovers interior pixel/line to ~1e-9 px."""
+    import numpy as np
+
+    from gdal_spark.operators import geoloc as GL
+
+    xs, ys = GL.GL_XSIZE, GL.GL_YSIZE
+    gc, gr = np.meshgrid(np.arange(xs), np.arange(ys))
+    glx = -120.0 + gc * 0.5 + gr * 0.0625 + ((gc * 3 + gr * 5) % 8) / 128.0
+    gly = 30.0 + gr * 0.5 - gc * 0.03125 + ((gc * 7 + gr * 11) % 8) / 256.0
+    bm = GL.build_backmap(glx, gly)
+    # oversampled grid: ≥ 2x array size, covers the swath interior
+    assert bm["px"].shape[0] >= 2 * ys and bm["px"].shape[1] >= 2 * xs
+    px = np.linspace(4, 116, 91)
+    ln = np.linspace(4, 84, 91)
+    gx, gy, *_ = GL._forward_np(px, ln, glx, gly)
+    ci = np.clip(((gx - bm["xmin"]) / bm["dx"]).astype(int),
+                 0, bm["px"].shape[1] - 1)
+    cj = np.clip(((gy - bm["ymin"]) / bm["dy"]).astype(int),
+                 0, bm["px"].shape[0] - 1)
+    seeds_px = bm["px"][cj, ci]
+    assert np.isnan(seeds_px).mean() < 0.05   # interior seeds resolve
+    p2, l2 = seeds_px.copy(), bm["ln"][cj, ci].copy()
+    p2 = np.where(np.isnan(p2), 64.0, p2)
+    l2 = np.where(np.isnan(l2), 48.0, l2)
+    for _ in range(3):
+        fx, fy, j11, j12, j21, j22 = GL._forward_np(p2, l2, glx, gly)
+        det = j11 * j22 - j12 * j21
+        rx, ry = fx - gx, fy - gy
+        p2 = p2 - (rx * j22 - ry * j12) / det
+        l2 = l2 - (ry * j11 - rx * j21) / det
+    assert np.abs(p2 - px).max() < 1e-8
+    assert np.abs(l2 - ln).max() < 1e-8
+
+
+def test_backmap_seed_alone_is_subpixel():
+    """Even without Newton, the oversampled backmap seed is < 1 geoloc
+    cell off (the reference's raw backmap accuracy contract)."""
+    import numpy as np
+
+    from gdal_spark.operators import geoloc as GL
+
+    xs, ys = GL.GL_XSIZE, GL.GL_YSIZE
+    gc, gr = np.meshgrid(np.arange(xs), np.arange(ys))
+    glx = -120.0 + gc * 0.5 + gr * 0.0625
+    gly = 30.0 + gr * 0.5 - gc * 0.03125
+    bm = GL.build_backmap(glx, gly)
+    px = np.linspace(8, 112, 41)
+    ln = np.linspace(8, 80, 41)
+    gx, gy, *_ = GL._forward_np(px, ln, glx, gly)
+    ci = ((gx - bm["xmin"]) / bm["dx"]).astype(int)
+    cj = ((gy - bm["ymin"]) / bm["dy"]).astype(int)
+    sp = bm["px"][cj, ci]
+    ok = ~np.isnan(sp)
+    assert np.abs(sp[ok] - px[ok]).max() < GL.GL_PIXEL_STEP
