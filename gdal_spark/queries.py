@@ -18149,3 +18149,81 @@ def q_warp_geoloc_inverse(spark, sf_dir):
         R("px_back", 6).alias("px_back"),
         R("ln_back", 6).alias("ln_back"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.30 RPC DEM-height path (VERDICT r4 Missing #4 second half; ref
+# alg/gdal_rpc.cpp RPCTransform with a DEM) — forward samples a DEM raster
+# dimension for the height term (4 broadcast bilinear taps); the inverse
+# iterates with per-iteration DEM re-evaluation (terrain intersection).
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial.rpc import (  # noqa: E402
+    dem_grid, dem_sample, rpc_dem_inverse_df, sql_dem_sample_ctes,
+    sql_rpc_dem_inverse_ctes,
+)
+
+_RPCD_LON = "(10.0 + (o_orderkey % 256)::double / 64.0 - 2.0)"
+_RPCD_LAT = "(45.0 + ((o_orderkey * 7) % 256)::double / 64.0 - 2.0)"
+
+
+def _sql_rpc_dem() -> str:
+    base = (f"SELECT o_orderkey, {_RPCD_LON} AS lon, {_RPCD_LAT} AS lat "
+            "FROM orders")
+    ctes = sql_dem_sample_ctes(base, "o_orderkey")
+    px, ln = sql_rpc_pixel_line(rpc_fixture(), "lon", "lat", "h_dem")
+    return (f"WITH {ctes}\nSELECT o_orderkey, {SR('h_dem', 6)} AS h_dem, "
+            f"{SR(px, 6)} AS px, {SR(ln, 6)} AS line FROM dem")
+
+
+@register("warp_rpc_dem", _sql_rpc_dem())
+def q_warp_rpc_dem(spark, sf_dir):
+    """Forward RPC with DEM-sourced heights: the height term comes from a
+    bilinear sample of a 17×17 DEM raster dimension (4 broadcast equi-join
+    taps — map-only), then the rational-cubic forward.  The oracle mirrors
+    the anchor-cell tap arithmetic over closed-form grid values (the
+    warp_geoloc_transform pattern) so both engines run identical float
+    sequences."""
+    model = rpc_fixture()
+    lon = (F.lit(10.0) + (F.col("o_orderkey") % 256).cast("double")
+           / F.lit(64.0) - F.lit(2.0))
+    lat = (F.lit(45.0) + ((F.col("o_orderkey") * 7) % 256).cast("double")
+           / F.lit(64.0) - F.lit(2.0))
+    pts = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", lon.alias("lon"), lat.alias("lat"),
+    )
+    sampled = dem_sample(pts, dem_grid(spark))
+    px, ln = rpc_pixel_line_cols(
+        model, F.col("lon"), F.col("lat"), F.col("h_dem"))
+    return sampled.select(
+        "o_orderkey", R("h_dem", 6).alias("h_dem"),
+        R(px, 6).alias("px"), R(ln, 6).alias("line"),
+    )
+
+
+def _sql_rpc_dem_inverse() -> str:
+    base = ("SELECT o_orderkey, (o_orderkey % 8192)::double AS pixel, "
+            "((o_orderkey * 13) % 8192)::double AS line FROM orders")
+    inner = sql_rpc_dem_inverse_ctes(
+        rpc_fixture(), base, "o_orderkey", n_iter=5)
+    return (f"SELECT o_orderkey, pixel, line, {SR('lon', 9)} AS lon, "
+            f"{SR('lat', 9)} AS lat FROM ({inner})")
+
+
+@register("warp_rpc_dem_inverse", _sql_rpc_dem_inverse())
+def q_warp_rpc_dem_inverse(spark, sf_dir):
+    """RPC inverse with DEM intersection: each of the 5 staged refinements
+    re-evaluates the terrain height at the CURRENT lon/lat estimate
+    (gdal_rpc.cpp's iterative ray/DEM intersection), so the solution
+    converges onto the surface rather than a constant plane."""
+    model = rpc_fixture()
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 8192).cast("double").alias("pixel"),
+        ((F.col("o_orderkey") * 13) % 8192).cast("double").alias("line"),
+    )
+    out = rpc_dem_inverse_df(base, model, "pixel", "line", n_iter=5)
+    return out.select(
+        "o_orderkey", "pixel", "line",
+        R(F.col("lon"), 9).alias("lon"), R(F.col("lat"), 9).alias("lat"),
+    )

@@ -260,3 +260,175 @@ def sql_rpc_inverse_ctes(model: RPCModel, base: str, id_col: str,
         + f"\nSELECT {id_col}, pixel, line, x AS lon, y AS lat "
         + f"FROM i{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# DEM-height path (gdal_rpc.cpp RPCTransform with a DEM: forward samples
+# the DEM at (long, lat) for the height term; the inverse ITERATES the
+# lon/lat estimate against DEM re-lookups — the ray/terrain intersection).
+#
+# Fixture DEM: a globally-bilinear analytic surface with dyadic
+# coefficients, materialized as a 17×17 grid over the scene (step 0.25°) —
+# bilinear sampling of a bilinear surface is exact, so the grid-sampled
+# engine path and the closed-form oracle agree bit-for-bit when both
+# mirror the anchor-cell tap arithmetic (the warp_geoloc_transform
+# pattern).
+# ---------------------------------------------------------------------------
+
+DEM_LON0, DEM_LAT0, DEM_STEP, DEM_N = 8.0, 43.0, 0.25, 17
+
+
+def dem_h_expr(lon, lat):
+    """h(lon, lat) = 300 + 50·(lon−10) + 37.5·(lat−45) +
+    12.5·(lon−10)·(lat−45) — works on Columns and floats alike."""
+    return (300.0 + 50.0 * (lon - 10.0) + 37.5 * (lat - 45.0)
+            + 12.5 * (lon - 10.0) * (lat - 45.0))
+
+
+def sql_dem_h(lon: str, lat: str) -> str:
+    return (f"(300.0 + 50.0 * (({lon}) - 10.0) + 37.5 * (({lat}) - 45.0)"
+            f" + 12.5 * (({lon}) - 10.0) * (({lat}) - 45.0))")
+
+
+def dem_grid(spark):
+    """The DEM as a (bounded) raster dimension table (gi, gj, h)."""
+    n = DEM_N
+    g = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("gi"),
+        (F.col("id") / n).cast("int").alias("gj"),
+    )
+    lon = F.lit(DEM_LON0) + F.col("gi").cast("double") * F.lit(DEM_STEP)
+    lat = F.lit(DEM_LAT0) + F.col("gj").cast("double") * F.lit(DEM_STEP)
+    return g.select("gi", "gj", dem_h_expr(lon, lat).alias("h"))
+
+
+def sql_dem_grid_h(gi: str, gj: str) -> str:
+    """Closed-form mirror of dem_grid's h at integer (gi, gj)."""
+    lon = f"({DEM_LON0!r} + ({gi})::double * {DEM_STEP!r})"
+    lat = f"({DEM_LAT0!r} + ({gj})::double * {DEM_STEP!r})"
+    return sql_dem_h(lon, lat)
+
+
+def dem_sample(points, grid, lon: str = "lon", lat: str = "lat"):
+    """Bilinear DEM sample via 4 broadcast equi-join taps (the geoloc
+    pattern) — appends ``h_dem``.  Map-only at any fact scale."""
+    gp = (F.col(lon) - F.lit(DEM_LON0)) / F.lit(DEM_STEP)
+    gl = (F.col(lat) - F.lit(DEM_LAT0)) / F.lit(DEM_STEP)
+    ix = F.floor(
+        F.least(F.greatest(gp, F.lit(0.0)), F.lit(float(DEM_N - 2)))
+    ).cast("int")
+    iy = F.floor(
+        F.least(F.greatest(gl, F.lit(0.0)), F.lit(float(DEM_N - 2)))
+    ).cast("int")
+    base = points.select(
+        "*", gp.alias("_gp"), gl.alias("_gl"),
+        ix.alias("_ix"), iy.alias("_iy"),
+    )
+    j = base
+    for dx, dy, sfx in ((0, 0, "00"), (1, 0, "10"), (0, 1, "01"),
+                        (1, 1, "11")):
+        t = grid.select(
+            F.col("gi").alias(f"_c{sfx}"), F.col("gj").alias(f"_r{sfx}"),
+            F.col("h").alias(f"_h{sfx}"),
+        )
+        j = j.join(
+            F.broadcast(t),
+            (j["_ix"] + dx == t[f"_c{sfx}"])
+            & (j["_iy"] + dy == t[f"_r{sfx}"]),
+        )
+    fp = F.col("_gp") - F.col("_ix").cast("double")
+    fl = F.col("_gl") - F.col("_iy").cast("double")
+    h = (
+        (F.lit(1.0) - fl)
+        * (F.col("_h00") + fp * (F.col("_h10") - F.col("_h00")))
+        + fl * (F.col("_h01") + fp * (F.col("_h11") - F.col("_h01")))
+    )
+    keep = [c for c in points.columns]
+    return j.select(*keep, h.alias("h_dem"))
+
+
+def sql_dem_sample_ctes(base: str, id_col: str) -> str:
+    """CTE chain mirroring dem_sample term-for-term over closed-form grid
+    values; ``base`` provides (id_col, lon, lat); selects
+    (id_col, lon, lat, h_dem)."""
+    h00 = sql_dem_grid_h("ix", "iy")
+    h10 = sql_dem_grid_h("ix + 1", "iy")
+    h01 = sql_dem_grid_h("ix", "iy + 1")
+    h11 = sql_dem_grid_h("ix + 1", "iy + 1")
+    h = (f"((1.0 - fl) * ({h00} + fp * ({h10} - {h00}))"
+         f" + fl * ({h01} + fp * ({h11} - {h01})))")
+    return f"""n AS (
+  SELECT {id_col}, lon, lat,
+         (lon - {DEM_LON0!r}) / {DEM_STEP!r} AS gp,
+         (lat - {DEM_LAT0!r}) / {DEM_STEP!r} AS gl
+  FROM ({base})),
+anc AS (
+  SELECT {id_col}, lon, lat, gp, gl,
+         floor(least(greatest(gp, 0.0), {float(DEM_N - 2)!r}))::int AS ix,
+         floor(least(greatest(gl, 0.0), {float(DEM_N - 2)!r}))::int AS iy
+  FROM n),
+fr AS (SELECT {id_col}, lon, lat, gp - ix::double AS fp,
+              gl - iy::double AS fl, ix, iy FROM anc),
+dem AS (SELECT {id_col}, lon, lat, {h} AS h_dem FROM fr)"""
+
+
+def rpc_dem_inverse_df(df, model: RPCModel, px: str, ln: str,
+                       n_iter: int = 5):
+    """Inverse with DEM intersection (gdal_rpc.cpp RPCInverseTransformPoint
+    DEM branch): each staged refinement re-evaluates the height at the
+    CURRENT lon/lat estimate, so the iteration converges onto the terrain
+    surface, not a fixed plane.  The DEM surface is the fixture's analytic
+    bilinear (inlined as column math; the grid-sampling plumbing is proven
+    by the forward gate)."""
+    inv = rpc_inverse_geotransform(model)
+    out = df.withColumn(
+        "_ix",
+        F.lit(inv[0]) + F.lit(inv[1]) * F.col(px)
+        + F.lit(inv[2]) * F.col(ln),
+    ).withColumn(
+        "_iy",
+        F.lit(inv[3]) + F.lit(inv[4]) * F.col(px)
+        + F.lit(inv[5]) * F.col(ln),
+    )
+    for _ in range(n_iter):
+        h = dem_h_expr(F.col("_ix"), F.col("_iy"))
+        bx, by = rpc_pixel_line_cols(model, F.col("_ix"), F.col("_iy"), h)
+        out = out.select(
+            "*", (bx - F.col(px)).alias("_dx"), (by - F.col(ln)).alias("_dy")
+        ).select(
+            *[c for c in out.columns if c not in ("_ix", "_iy")],
+            (F.col("_ix") - F.col("_dx") * F.lit(inv[1])
+             - F.col("_dy") * F.lit(inv[2])).alias("_ix"),
+            (F.col("_iy") - F.col("_dx") * F.lit(inv[4])
+             - F.col("_dy") * F.lit(inv[5])).alias("_iy"),
+        )
+    return out.withColumnRenamed("_ix", "lon").withColumnRenamed("_iy", "lat")
+
+
+def sql_rpc_dem_inverse_ctes(model: RPCModel, base: str, id_col: str,
+                             n_iter: int = 5) -> str:
+    """CTE chain mirroring rpc_dem_inverse_df."""
+    inv = rpc_inverse_geotransform(model)
+    ctes = [
+        f"i0 AS (SELECT {id_col}, pixel, line, "
+        f"{inv[0]!r} + {inv[1]!r} * pixel + {inv[2]!r} * line AS x, "
+        f"{inv[3]!r} + {inv[4]!r} * pixel + {inv[5]!r} * line AS y "
+        f"FROM ({base}))"
+    ]
+    for k in range(1, n_iter + 1):
+        hh = sql_dem_h("x", "y")
+        fpx, fln = sql_rpc_pixel_line(model, "x", "y", hh)
+        ctes.append(
+            f"d{k} AS (SELECT {id_col}, pixel, line, x, y, "
+            f"({fpx}) - pixel AS dx, ({fln}) - line AS dy FROM i{k - 1})"
+        )
+        ctes.append(
+            f"i{k} AS (SELECT {id_col}, pixel, line, "
+            f"x - dx * {inv[1]!r} - dy * {inv[2]!r} AS x, "
+            f"y - dx * {inv[4]!r} - dy * {inv[5]!r} AS y FROM d{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {id_col}, pixel, line, x AS lon, y AS lat "
+        + f"FROM i{n_iter}"
+    )

@@ -90,3 +90,44 @@ def test_spark_column_matches_numpy(spark):
         assert got[i][0] == z_np[i]
         assert got[i][1] == pytest.approx(e_np[i], abs=1e-6)
         assert got[i][2] == pytest.approx(n_np[i], abs=1e-6)
+
+
+# --- RPC DEM-height path (round 5) -------------------------------------------
+
+def test_rpc_dem_inverse_converges_onto_terrain(spark):
+    """The DEM-intersected inverse lands on the terrain surface: shooting
+    the recovered (lon, lat, DEM(lon,lat)) forward reproduces the target
+    pixel/line, and the result genuinely differs from the flat-plane
+    inverse (the DEM term carries weight)."""
+    from gdal_spark.spatial.rpc import (
+        dem_h_expr, rpc_dem_inverse_df, rpc_fixture, rpc_inverse_df,
+        rpc_pixel_line_py,
+    )
+
+    model = rpc_fixture()
+    base = spark.range(1, 40).select(
+        F.col("id").alias("i"),
+        (F.col("id") * 211 % 8192).cast("double").alias("pixel"),
+        ((F.col("id") * 13) % 8192).cast("double").alias("line"),
+    )
+    dem = {r["i"]: (r["lon"], r["lat"]) for r in
+           rpc_dem_inverse_df(base, model, "pixel", "line", n_iter=5)
+           .collect()}
+    flat = {r["i"]: (r["lon"], r["lat"]) for r in
+            rpc_inverse_df(base, model, "pixel", "line", n_iter=5)
+            .collect()}
+    targets = {r["i"]: (r["pixel"], r["line"]) for r in base.collect()}
+
+    def h(lon, lat):
+        return (300.0 + 50.0 * (lon - 10.0) + 37.5 * (lat - 45.0)
+                + 12.5 * (lon - 10.0) * (lat - 45.0))
+
+    max_resid, max_sep = 0.0, 0.0
+    for i, (lon, lat) in dem.items():
+        px, ln = rpc_pixel_line_py(model, lon, lat, h(lon, lat))
+        tp, tl = targets[i]
+        max_resid = max(max_resid, abs(px - tp), abs(ln - tl))
+        flon, flat_ = flat[i]
+        max_sep = max(max_sep, abs(lon - flon), abs(lat - flat_))
+    assert max_resid < 1e-3          # on-terrain fixed point (px units)
+    assert max_sep > 1e-4            # differs from the flat-plane inverse
