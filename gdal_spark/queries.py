@@ -18227,3 +18227,123 @@ def q_warp_rpc_dem_inverse(spark, sf_dir):
         "o_orderkey", "pixel", "line",
         R(F.col("lon"), 9).alias("lon"), R(F.col("lat"), 9).alias("lat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.31 Baseline JPEG tile codec (VERDICT r4 Missing #7; ref frmts/jpeg/
+# wrapping libjpeg) — from-scratch T.81 SOF0 encoder/decoder
+# (functions/jpeg.py) wired through the MBTiles container: distributed
+# render → JPEG encode → .mbtiles write → read → decode, with golden
+# digests (the mbtiles_pyramid pattern) and an engine-side MAE bound.
+# ---------------------------------------------------------------------------
+
+def _jpeg_golden_rows() -> list[tuple]:
+    """Local numpy mirror of the z1 JPEG tiles (inline-checksum style)."""
+    import hashlib
+
+    from gdal_spark.functions import jpeg as JPG
+    from gdal_spark.functions import png as PNGF
+
+    ts = _RB_TS
+    r = 1 << (_RB_ZSRC - 1)
+    w = ts * r
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            yy, xx = np.mgrid[0:w, 0:w]
+            src = TL.pixel_value(tx * w + xx, ty * w + yy, 1)
+            img = PNGF.quantize_u8(
+                src.reshape(ts, r, ts, r).mean(axis=(1, 3)))
+            blob = JPG.encode_jpeg(img, quality=90)
+            back = JPG.decode_jpeg(blob)
+            mae = float(np.abs(back.astype(np.float64)
+                               - img.astype(np.float64)).mean())
+            rows.append((1, tx, ty, hashlib.md5(blob).hexdigest(),
+                         len(blob), 1 if mae < 2.5 else 0))
+    return rows
+
+
+def _sql_jpeg_tiles() -> str:
+    vals = ", ".join(
+        f"({z}, {tx}, {ty}, '{md5}', {ln}, {ok})"
+        for z, tx, ty, md5, ln, ok in _jpeg_golden_rows()
+    )
+    return (
+        "SELECT zoom, tx, ty, jpg_md5, jpg_len, mae_ok FROM (VALUES "
+        + vals + ") AS t(zoom, tx, ty, jpg_md5, jpg_len, mae_ok)"
+    )
+
+
+@register("mbtiles_jpeg_pyramid", _sql_jpeg_tiles())
+def q_mbtiles_jpeg_pyramid(spark, sf_dir):
+    """JPEG MBTiles gate: the z1 pyramid rendered and T.81-encoded on
+    executors (per-image optimal Huffman), written to one .mbtiles with
+    format=jpg, read back executor-side, decoded, and checked against the
+    distortion bound — digests vs the local golden mirror prove the
+    distributed path is byte-identical."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from gdal_spark.functions import jpeg as JPG
+    from gdal_spark.functions import png as PNGF
+    from gdal_spark.sources import mbtiles as MBT
+
+    base = TL.synthetic_raster(
+        spark, zoom=_RB_ZSRC, bands=1, tile_size=_RB_TS,
+        tx_range=(0, 7), ty_range=(0, 7),
+    )
+    out = TL.render_base_tiles(base, _RB_ZSRC, 1, "average", _RB_TS)
+
+    def enc(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                img = PNGF.quantize_u8(
+                    np.asarray(data, dtype=np.float64)
+                    .reshape(_RB_TS, _RB_TS))
+                recs.append({
+                    "zoom": 1, "tx": int(tx), "ty": int(ty),
+                    "jpg": JPG.encode_jpeg(img, quality=90),
+                })
+            yield pd.DataFrame(recs, columns=["zoom", "tx", "ty", "jpg"])
+
+    tiles_df = out.mapInPandas(enc, "zoom long, tx long, ty long, jpg binary")
+    tiles = [
+        (int(r["zoom"]), int(r["tx"]), int(r["ty"]), bytes(r["jpg"]))
+        for r in tiles_df.collect()
+    ]
+    path = tempfile.mkdtemp(prefix="gdalspark_jmbt_gate_") + "/pyr.mbtiles"
+    MBT.write_mbtiles(tiles, path, name="jpeg_pyramid", fmt="jpg")
+    back = MBT.read_mbtiles(spark, path)
+
+    def digest(batches):
+        for pdf in batches:
+            recs = []
+            for z, tx, ty, blob in zip(pdf["zoom"], pdf["tx"], pdf["ty"],
+                                       pdf["tile_data"]):
+                blob = bytes(blob)
+                dec = JPG.decode_jpeg(blob)
+                r = 1 << (_RB_ZSRC - 1)
+                w = _RB_TS * r
+                yy, xx = np.mgrid[0:w, 0:w]
+                src = TL.pixel_value(int(tx) * w + xx, int(ty) * w + yy, 1)
+                img = PNGF.quantize_u8(
+                    src.reshape(_RB_TS, r, _RB_TS, r).mean(axis=(1, 3)))
+                mae = float(np.abs(dec.astype(np.float64)
+                                   - img.astype(np.float64)).mean())
+                recs.append({
+                    "zoom": int(z), "tx": int(tx), "ty": int(ty),
+                    "jpg_md5": hashlib.md5(blob).hexdigest(),
+                    "jpg_len": len(blob),
+                    "mae_ok": 1 if mae < 2.5 else 0,
+                })
+            yield pd.DataFrame(recs, columns=[
+                "zoom", "tx", "ty", "jpg_md5", "jpg_len", "mae_ok"])
+
+    return back.mapInPandas(
+        digest,
+        "zoom long, tx long, ty long, jpg_md5 string, jpg_len long,"
+        " mae_ok long",
+    )
