@@ -60,10 +60,13 @@ def build():
             os.link(f"{SRC}/{t}.parquet", out)
 
 
-def run(sf_dir: str, label: str):
+def run(sf_dir: str, label: str, dens: float = 1.0):
+    from pyspark.sql import functions as F
+
     from gdal_spark import get_spark
     from gdal_spark import queries as Q
     from gdal_spark.data.pages import polygons_df
+    from gdal_spark.operators import cluster as CL
     from gdal_spark.operators.pip_join import pip_join
     from gdal_spark.operators.tiles import assign_tiles
 
@@ -84,6 +87,29 @@ def run(sf_dir: str, label: str):
         t0 = time.perf_counter()
         rows[name] = Q.QUERIES[name](spark, sf_dir).count()
         times[name] = time.perf_counter() - t0
+
+    # DBSCAN scaling decomposition.  The key-shifted replica lands 10x
+    # points in the SAME synthetic cluster extent, so fixed-eps DBSCAN's
+    # neighbor graph grows ~quadratically BY DEFINITION (density x10 ->
+    # eps-pairs x~100) — the probe below counts those pairs so the
+    # fixed-eps wall-time can be judged against the work actually owed.
+    # The 100 TB shape (more extent at the SAME density — web corpora add
+    # documents, not density) is modeled by shrinking eps by sqrt(growth):
+    # expected neighbors-per-point stays scale-invariant and the run
+    # should scale ~linearly.
+    geo = Q._read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        Q.clustered_lon(F.col("o_orderkey")).alias("x"),
+        Q.clustered_lat(F.col("o_orderkey")).alias("y"),
+    )
+    t0 = time.perf_counter()
+    rows["dbscan_eps_pairs"] = CL.within_eps_pairs(
+        geo, eps=Q.DBSCAN_EPS).count()
+    times["dbscan_eps_pairs"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rows["dbscan_const_density"] = CL.cluster_dbscan(
+        geo, eps=Q.DBSCAN_EPS * dens, minpts=Q.DBSCAN_MINPTS).count()
+    times["dbscan_const_density"] = time.perf_counter() - t0
     spark.stop()
     return rows, times
 
@@ -94,7 +120,7 @@ def main():
     print("running at sf0.1 ...")
     r1, t1 = run(SRC, "sf01")
     print("running at sf1.0 ...")
-    r10, t10 = run(DST, "sf1")
+    r10, t10 = run(DST, "sf1", dens=1.0 / COPIES**0.5)
     print(f"\n{'query':24s} {'rows@0.1':>10s} {'rows@1.0':>10s} "
           f"{'t@0.1':>7s} {'t@1.0':>7s} {'ratio':>6s}")
     for k in r1:
