@@ -201,6 +201,21 @@ BENCH_QUERIES = [
     "lcc_project",
     "utm_any_zone",
     "tmerc_bng_roundtrip",
+    # round 5 (later): overlay topology audit, stereo/Albers CRS, multidim
+    # containers (Zarr v2 + netCDF classic), exact geodesics, GeoLoc/RPC
+    # inverse paths, JPEG pyramid, distributed polygon sink
+    "overlay_poly_topology",
+    "polar_stereo_project",
+    "albers_project",
+    "zarr_mdim_roundtrip",
+    "netcdf_mdim_roundtrip",
+    "geodesic_inverse_karney",
+    "geodesic_polygon_area_karney",
+    "warp_geoloc_inverse",
+    "warp_rpc_dem",
+    "warp_rpc_dem_inverse",
+    "mbtiles_jpeg_pyramid",
+    "shapefile_polygons_roundtrip",
 ]
 
 

@@ -18020,6 +18020,66 @@ def q_zarr_mdim_roundtrip(spark, sf_dir):
     )
 
 
+from gdal_spark.sources import netcdf as NCF  # noqa: E402
+
+
+def _sql_netcdf() -> str:
+    hole = "((t.v + gy.i + gx.i) % 7 = 0)"
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_MD_N - 1})) AS i),
+t AS (SELECT unnest(generate_series(0, {_MD_T - 1})) AS v),
+cube AS (SELECT t.v AS t, gy.i AS y, gx.i AS x,
+                CASE WHEN {hole} THEN -1.0
+                     ELSE {_md_pix('t.v', 'gy.i', 'gx.i')} END AS val
+         FROM t CROSS JOIN g gy CROSS JOIN g gx),
+sl AS (SELECT y, x, val FROM cube WHERE t = 2),
+tm AS (SELECT y, x, avg(val) AS mval FROM cube GROUP BY y, x)
+SELECT sl.x AS d0, sl.y AS d1, sl.val AS v_slice,
+       {SR('tm.mval', 6)} AS v_tmean
+FROM sl JOIN tm ON tm.y = sl.y AND tm.x = sl.x"""
+
+
+@register("netcdf_mdim_roundtrip", _sql_netcdf())
+def q_netcdf_mdim_roundtrip(spark, sf_dir):
+    """netCDF classic (CDF-2) container gate (ref frmts/netcdf/
+    netcdfdataset.cpp via libnetcdf; this driver is a from-scratch codec of
+    the public classic-format grammar): the (t=4, y=32, x=32) cube is
+    written with a punched hole — every (t+y+x)%7==0 cell is ABSENT from
+    the input DataFrame, so read-back must surface the writer's
+    fill_value=-1 pre-fill — one pwrite task per outermost slab, then read
+    back one-task-per-slab through parse_header-only driver metadata and
+    pushed through the mdim views (slice t=2, mean over t).  Doubles
+    survive the big-endian container bit-exactly; the oracle recomputes
+    the holed cube from its generating formula."""
+    import tempfile
+
+    cube = spark.range(_MD_T * _MD_N * _MD_N).select(
+        (F.col("id") / (_MD_N * _MD_N)).cast("long").alias("t"),
+        ((F.col("id") / _MD_N) % _MD_N).cast("long").alias("y"),
+        (F.col("id") % _MD_N).alias("x"),
+    ).withColumn(
+        "val",
+        (F.col("t") * 17 + (F.col("x") * F.col("x")) % 31
+         + (F.col("y") * 5) % 23).cast("double"),
+    ).filter((F.col("t") + F.col("y") + F.col("x")) % 7 != 0)
+    path = tempfile.mktemp(prefix="gdalspark_nc_gate_", suffix=".nc")
+    NCF.write_netcdf(
+        cube, path, "cube", dims=["t", "y", "x"],
+        shape=[_MD_T, _MD_N, _MD_N], fill_value=-1.0,
+        attrs={"source": "gdal_spark mdim gate"},
+    )
+    back = NCF.read_netcdf(spark, path, "cube")
+    sl = MD.md_slice(back, {"t": 2})
+    tm = MD.md_reduce(back, over=["t"], how="mean")
+    return (
+        sl.withColumnRenamed("val", "v_slice")
+        .join(tm.withColumnRenamed("val", "mval"), ["x", "y"])
+        .select(
+            F.col("x").alias("d0"), F.col("y").alias("d1"),
+            "v_slice", R(F.col("mval"), 6).alias("v_tmean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §8.28 Exact geodesics (VERDICT r4 next-step #4; ref ogr/ogrgeometry.cpp
 # OGR_G_GeodesicArea/GeodesicLength → GeographicLib) — auxiliary-sphere
