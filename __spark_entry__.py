@@ -96,25 +96,43 @@ _GATED_ROUNDS = frozenset({
 })
 
 
-# Round-5 stamping priority (per VERDICT r4 next-steps #1): the biggest
-# never-stamped families first — TPC-H Q2-Q22, snapshot/Iceberg mechanics,
-# streaming completion, format-driver roundtrips, the warp kernel menu,
-# sketches, the web-graph tail, and the tokenizer/retrieval block — so a
-# capped ~50/round gate stamps a third disjoint 50 (cumulative 200/352).
+# Round-5 stamping priority (final round — no later rotation exists, so a
+# gate never stamped now stays local-only forever).  Two goals, in order:
+#   1. ROW COVERAGE: every SURVEY §2 / LLM-pipeline-table row that has no
+#      driver stamp yet gets at least one representative key FIRST (format
+#      sinks, GDALG pipeline, DDL + hive-partition sinks, general overlay,
+#      GeoLoc/approx transformers, exact geodesics, Z-geometry, dialect
+#      tail, band-math/quantize, Zarr/netCDF multidim, JPEG tiles,
+#      ogr2ogr facade, LM/DSIR/SemDeDup/AUC/audio corpus ops, new CRS
+#      families).
+#   2. FAMILY DEPTH (VERDICT r4 next-steps #1): snapshot/Iceberg,
+#      streaming completion, format roundtrips, TPC-H Q2-Q22, the warp
+#      kernel menu, sketches, graph + tokenizer tails.
 # Remaining never-gated keys follow in registration order, stamped keys
 # last.
 _PRIORITY_R5 = (
+    # --- 1. one representative per never-stamped §2 / LLM-table row ---
+    "geojson_roundtrip", "shapefile_polygons_roundtrip", "gpkg_roundtrip",
+    "pipeline_gdalg", "ddl_ctas_view", "hive_partition_prune",
+    "overlay_poly_clip", "warp_geoloc_inverse", "warp_approx_transform",
+    "geodesic_polygon_area_karney", "geodesic_inverse_karney",
+    "geom_distance3d", "st_geohash", "raster_rgb2pct", "raster_dither_bayer",
+    "zarr_mdim_roundtrip", "netcdf_mdim_roundtrip", "mbtiles_jpeg_pyramid",
+    "ogr2ogr_convert", "text_unigram_lm", "corpus_dsir_select",
+    "embed_semdedup", "model_auc_rank", "audio_resample",
+    "lcc_project", "utm_any_zone", "warp_rpc_dem",
+    # --- 2. verdict-#1 families ---
+    "table_time_travel", "snapshot_merge_delete",
+    "snapshot_schema_evolution", "snapshot_compact",
+    "streaming_dedup", "streaming_stream_join", "streaming_running_state",
+    "shapefile_roundtrip", "gpkg_points_roundtrip", "flatgeobuf_bbox_scan",
+    "mvt_roundtrip", "geotiff_roundtrip", "mbtiles_pyramid",
     "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
     "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "table_time_travel", "snapshot_merge_delete",
-    "snapshot_schema_evolution", "snapshot_compact",
-    "streaming_dedup", "streaming_stream_join", "streaming_stream_join_outer",
-    "streaming_running_state", "streaming_static_join",
-    "geojson_roundtrip", "shapefile_roundtrip", "gpkg_points_roundtrip",
-    "flatgeobuf_bbox_scan", "kml_roundtrip", "gml_roundtrip", "gpx_roundtrip",
-    "csv_wkt_roundtrip", "arrow_ipc_roundtrip", "mvt_roundtrip",
-    "geotiff_roundtrip", "mbtiles_pyramid",
+    "streaming_stream_join_outer", "streaming_static_join",
+    "kml_roundtrip", "gml_roundtrip", "gpx_roundtrip",
+    "csv_wkt_roundtrip", "arrow_ipc_roundtrip",
     "warp_utm_grid", "warp_reproject_bilinear", "warp_reproject_cubic",
     "warp_reproject_average", "warp_reproject_sum", "warp_reproject_rms",
     "warp_reproject_mode",

@@ -18407,3 +18407,100 @@ def q_mbtiles_jpeg_pyramid(spark, sf_dir):
         "zoom long, tx long, ty long, jpg_md5 string, jpg_len long,"
         " mae_ok long",
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.35 DDL / catalog sink gate (SURVEY §2 row 9; ref gcore/gdaldataset.cpp
+# ExecuteSQL DDL surface + SQL result-layer sinks) — the full statement
+# sequence CREATE TABLE ... AS SELECT → ALTER TABLE ADD COLUMNS →
+# INSERT INTO → read-back, exercised through the session catalog exactly as
+# tests/test_ddl_sink.py does, but driver-gated: the read-back aggregate is
+# reproduced by a pure-SELECT DuckDB oracle over the same parquet input.
+# ---------------------------------------------------------------------------
+
+def _sql_ddl_ctas() -> str:
+    return f"""WITH pts AS ({SQL_POINTS}),
+base AS (SELECT o_orderkey, lon, lat,
+                CAST(floor((lat + 90.0) / 30.0) AS BIGINT) AS band
+         FROM pts),
+evo AS (SELECT o_orderkey, band, lon, lat, NULL AS note FROM base
+        UNION ALL
+        SELECT -1, -1, 0.0, 0.0, 'sentinel')
+SELECT band, count(*) AS n, count(note) AS n_note,
+       {SR('sum(lon)', 4)} AS sum_lon
+FROM evo GROUP BY band"""
+
+
+@register("ddl_ctas_view", _sql_ddl_ctas())
+def q_ddl_ctas_view(spark, sf_dir):
+    """DDL sink gate: CTAS materializes an engine query into a catalog
+    parquet table, ALTER TABLE ADD COLUMNS evolves it (old rows read back
+    NULL), INSERT INTO appends a sentinel row, and the gate output is an
+    aggregate over the evolved table — proving the statements round-trip
+    through real table storage, not just the logical plan."""
+    import tempfile
+
+    loc = tempfile.mkdtemp(prefix="gdalspark_ddl_gate_")
+    pts = order_points(spark, sf_dir).select(
+        "o_orderkey", "lon", "lat",
+        F.floor((F.col("lat") + 90.0) / 30.0).cast("long").alias("band"),
+    )
+    pts.createOrReplaceTempView("ddl_gate_src")
+    spark.sql("DROP TABLE IF EXISTS t_ddl_gate")
+    spark.sql(
+        f"CREATE TABLE t_ddl_gate USING parquet LOCATION '{loc}/t' "
+        "AS SELECT o_orderkey, band, lon, lat FROM ddl_gate_src"
+    )
+    spark.sql("ALTER TABLE t_ddl_gate ADD COLUMNS (note STRING)")
+    spark.sql(
+        "INSERT INTO t_ddl_gate VALUES (-1, -1, 0.0, 0.0, 'sentinel')"
+    )
+    out = spark.sql(
+        "SELECT band, count(*) AS n, count(note) AS n_note, "
+        "sum(lon) AS sum_lon FROM t_ddl_gate GROUP BY band"
+    )
+    return out.select(
+        "band", "n", "n_note", R(F.col("sum_lon"), 4).alias("sum_lon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §8.36 Hive-partitioned write + partition-pruned read gate (SURVEY §2
+# row 81; ref gdalalg_vector_partition.cpp:94-99) — write_partitioned lays
+# out orders by a derived partition column, the re-read filters on it (a
+# PartitionFilters-level prune, asserted in tests/test_plans.py), and the
+# aggregate is reproduced by the oracle directly from the unpartitioned
+# source.
+# ---------------------------------------------------------------------------
+
+def _sql_hive_prune() -> str:
+    return f"""WITH pts AS ({SQL_POINTS}),
+base AS (SELECT o_orderkey, o_totalprice, lon,
+                CAST(floor((lon + 180.0) / 60.0) AS BIGINT) AS lon_band
+         FROM pts)
+SELECT lon_band, count(*) AS n, {SR('sum(o_totalprice)', 2)} AS revenue
+FROM base WHERE lon_band IN (1, 4) GROUP BY lon_band"""
+
+
+@register("hive_partition_prune", _sql_hive_prune())
+def q_hive_partition_prune(spark, sf_dir):
+    """Hive-partitioned sink gate: orders written partitionBy(lon_band)
+    (6 directories), read back with an IN-list partition predicate — the
+    scan lists only the 2 matching directories (partition pruning, the
+    100 TB layout contract) — then aggregated per band."""
+    import tempfile
+
+    from gdal_spark import pipeline as P
+
+    path = tempfile.mkdtemp(prefix="gdalspark_hive_gate_") + "/orders_part"
+    pts = order_points(spark, sf_dir).select(
+        "o_orderkey", "o_totalprice", "lon",
+        F.floor((F.col("lon") + 180.0) / 60.0).cast("long")
+        .alias("lon_band"),
+    )
+    P.write_partitioned(pts, path, "lon_band")
+    back = spark.read.parquet(path).filter(F.col("lon_band").isin(1, 4))
+    return back.groupBy("lon_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        R(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -688,3 +688,13 @@ def test_tpch_q21_semi_anti_share_shuffle_key(spark):
     p = _plan(spark, "tpch_q21")
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_hive_partition_prune_reads_two_partitions(spark):
+    """hive_partition_prune's re-read must prune to the 2 matching
+    lon_band directories (PartitionFilters carry the IN-list; the data
+    filter never reaches the row scan as a parquet PushedFilter on the
+    partition column — it is resolved at listing time)."""
+    p = _plan(spark, "hive_partition_prune")
+    assert "PartitionFilters" in p
+    assert "lon_band" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
