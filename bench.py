@@ -216,6 +216,15 @@ BENCH_QUERIES = [
     "warp_rpc_dem_inverse",
     "mbtiles_jpeg_pyramid",
     "shapefile_polygons_roundtrip",
+    # round 5 (session 2): DDL/hive sinks, SRTM HGT / XYZ / ENVI / DXF
+    # format drivers
+    "ddl_ctas_view",
+    "hive_partition_prune",
+    "srtmhgt_roundtrip",
+    "xyz_grid_roundtrip",
+    "envi_roundtrip",
+    "dxf_roundtrip",
+    "dxf_polylines_roundtrip",
 ]
 
 

@@ -18504,3 +18504,226 @@ def q_hive_partition_prune(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         R(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.37 Round-5 format-driver breadth: SRTM HGT, XYZ ASCII grid, ENVI BSQ,
+# DXF (refs frmts/srtmhgt/srtmhgtdataset.cpp, frmts/xyz/xyzdataset.cpp,
+# frmts/raw/envidataset.cpp, ogr/ogrsf_frmts/dxf/) — each a WRITE→READ
+# roundtrip whose oracle recomputes expected rows from the closed-form
+# fixture and never sees the file.
+# ---------------------------------------------------------------------------
+
+_HGT_N = 65  # tile grid size for the gate (n inferred from size on read)
+
+
+def _sql_srtmhgt() -> str:
+    return f"""WITH t AS (SELECT unnest(generate_series(0, 3)) AS ti),
+g AS (SELECT unnest(generate_series(0, {_HGT_N - 1})) AS i),
+cells AS (SELECT 50 + t.ti % 2 AS lat_sw, 10 + t.ti // 2 AS lon_sw,
+                 gr.i AS row, gc.i AS col,
+                 (gc.i * gc.i) % 97 + (gr.i * 13) % 89
+                   + (t.ti % 2) * 7 + (t.ti // 2) * 5 AS elev
+          FROM t CROSS JOIN g gr CROSS JOIN g gc
+          WHERE (gr.i * 7 + gc.i * 11) % 13 <> 0)
+SELECT lat_sw, lon_sw, count(*)::bigint AS n,
+       sum(elev * (1 + (col * 5 + row * 3) % 17))::bigint AS digest,
+       {SR('sum(lon_sw + col / 64.0) + sum(lat_sw + 1.0 - row / 64.0)', 4)}
+         AS georef_sum
+FROM cells GROUP BY lat_sw, lon_sw"""
+
+
+@register("srtmhgt_roundtrip", _sql_srtmhgt())
+def q_srtmhgt_roundtrip(spark, sf_dir):
+    """SRTM HGT driver gate (frmts/srtmhgt/srtmhgtdataset.cpp; public NASA
+    .hgt tile spec): a 2×2 degree block of closed-form elevations with
+    punched voids written as 4 big-endian tiles (SW-corner filename
+    georeferencing, N→S rows), read back one-task-per-tile; voids must
+    vanish and the per-sample lon/lat recovered from the name + 1/(n-1)
+    spacing is pinned by the dyadic-exact georef_sum."""
+    import tempfile
+
+    from gdal_spark.sources import srtmhgt as HGT
+
+    d = tempfile.mkdtemp(prefix="gdalspark_hgt_gate_")
+    nn = _HGT_N * _HGT_N
+    cells = spark.range(4 * nn).select(
+        (F.lit(50) + (F.col("id") / nn).cast("long") % 2).alias("lat_sw"),
+        (F.lit(10) + (F.col("id") / (2 * nn)).cast("long")).alias("lon_sw"),
+        ((F.col("id") % nn) / _HGT_N).cast("long").alias("row"),
+        (F.col("id") % _HGT_N).alias("col"),
+    ).withColumn(
+        "elev",
+        (F.col("col") * F.col("col")) % 97 + (F.col("row") * 13) % 89
+        + (F.col("lat_sw") - 50) * 7 + (F.col("lon_sw") - 10) * 5,
+    ).filter((F.col("row") * 7 + F.col("col") * 11) % 13 != 0)
+    HGT.write_hgt_tiles(cells, d, n=_HGT_N)
+    back = HGT.read_hgt(spark, d)
+    return back.groupBy("lat_sw", "lon_sw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("elev")
+              * (1 + (F.col("col") * 5 + F.col("row") * 3) % 17))
+        .alias("digest"),
+        R(F.sum(F.col("lon")) + F.sum(F.col("lat")), 4).alias("georef_sum"),
+    )
+
+
+def _sql_xyz_grid() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 AS val
+      FROM g gx CROSS JOIN g gy)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("xyz_grid_roundtrip", _sql_xyz_grid())
+def q_xyz_grid_roundtrip(spark, sf_dir):
+    """XYZ ASCII-grid driver gate (frmts/xyz/xyzdataset.cpp): the DEM
+    written as cell-center x/y/z text lines (JVM concat, shard per
+    partition) and read back as a SPLITTABLE text scan — cell indices
+    recovered by dyadic-exact column math, zero Python and zero shuffle in
+    the scan (plan-pinned in tests/test_new_formats.py)."""
+    import tempfile
+
+    from gdal_spark.sources import xyz as XYZ
+
+    d = tempfile.mkdtemp(prefix="gdalspark_xyz_gate_") + "/grid"
+    cells = _dem_cells(spark, _GT_W)
+    XYZ.write_xyz(cells, d, xll=10.0, yll_top=50.0, cellsize=1.0 / 1024.0)
+    back = XYZ.read_xyz(spark, d, xll=10.0, yll_top=50.0,
+                        cellsize=1.0 / 1024.0)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ENVI_W = 96
+
+
+def _sql_envi() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 2)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN 0
+                  ELSE (gx.i * gx.i) % 97 + (gy.i * 13) % 89
+                       + b.band * 7 + 1 END AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("envi_roundtrip", _sql_envi())
+def q_envi_roundtrip(spark, sf_dir):
+    """ENVI BSQ driver gate (frmts/raw/envidataset.cpp; public .hdr + raw
+    format): a 3-band float32 cube with punched holes written via
+    disjoint-range pwrite slabs, read back one task per (band, row-block)
+    pread — holes come back as the 0.0 fill (the oracle's CASE), pinning
+    the fill path and the BSQ offset math."""
+    import tempfile
+
+    from gdal_spark.sources import envi as ENVI
+
+    hdr = tempfile.mkdtemp(prefix="gdalspark_envi_gate_") + "/img.hdr"
+    w = _ENVI_W
+    cells = spark.range(3 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         + F.col("band") * 7 + 1).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    ENVI.write_envi(cells, hdr, w, w, 3, dtype="f4", block_rows=32)
+    back = ENVI.read_envi(spark, hdr, block_rows=32)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("dxf_roundtrip", _FMT_POINTS_ORACLE)
+def q_dxf_roundtrip(spark, sf_dir):
+    """DXF driver gate (ogr/ogrsf_frmts/dxf/; public group-code grammar):
+    the points layer written as POINT entities — the feature key riding
+    DXF's native attribute channel (layer name, group code 8) — one shard
+    per partition, read back one task per shard.  Coordinates survive via
+    shortest-roundtrip decimals."""
+    import tempfile
+
+    from gdal_spark.sources import dxf as DXF
+
+    d = tempfile.mkdtemp(prefix="gdalspark_dxf_gate_") + "/pts"
+    pts = _fmt_points(spark, sf_dir).select(
+        F.concat_ws(":", F.col("o_orderkey"), F.col("cents")).alias("k"),
+        "lon", "lat",
+    )
+    DXF.write_point_dxfs(pts, d, "k", num_files=4)
+    back = DXF.read_point_dxfs(spark, d)
+    parts = F.split(F.col("layer"), ":")
+    return back.select(
+        F.element_at(parts, 1).cast("long").alias("o_orderkey"),
+        F.element_at(parts, 2).cast("long").alias("cents"),
+        R(F.col("lon"), 6).alias("lon"),
+        R(F.col("lat"), 6).alias("lat"),
+    )
+
+
+def _dxf_poly_values() -> str:
+    """Embedded expected rows for the LWPOLYLINE gate, computed from the
+    fixture metadata (outer rings of polygon_records) — the oracle never
+    sees the file."""
+    rows = []
+    for rec in polygon_records():
+        ring = np.asarray(rec["rings"][0], dtype=np.float64)
+        x, y = ring[:, 0], ring[:, 1]
+        area = 0.5 * abs(float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])))
+        rows.append((rec["poly_id"], len(ring),
+                     np.floor(area * 1e6 + 0.5) / 1e6))
+    vals = ", ".join(f"({p}, {n}, {a!r})" for p, n, a in rows)
+    return (f"SELECT poly_id, n_verts, outer_area FROM (VALUES {vals})"
+            " AS t(poly_id, n_verts, outer_area)")
+
+
+@register("dxf_polylines_roundtrip", _dxf_poly_values())
+def q_dxf_polylines_roundtrip(spark, sf_dir):
+    """DXF LWPOLYLINE gate: every fixture polygon's OUTER ring written as
+    a closed LWPOLYLINE (holes are separate entities in CAD practice;
+    outer-ring-only is the entity's contract), read back and re-measured
+    — vertex count + shoelace area vs fixture metadata."""
+    import tempfile
+
+    from gdal_spark.sources import dxf as DXF
+
+    d = tempfile.mkdtemp(prefix="gdalspark_dxfpl_gate_") + "/pl"
+    polys = polygons_df(spark).select(
+        F.col("poly_id").cast("string").alias("k"),
+        F.transform(F.col("rings")[0], lambda p: p[0]).alias("xs"),
+        F.transform(F.col("rings")[0], lambda p: p[1]).alias("ys"),
+    )
+    DXF.write_polyline_dxfs(polys, d, "k", num_files=2)
+    back = DXF.read_polyline_dxfs(spark, d)
+    # shoelace over the decoded vertex arrays — JVM HOF math, no Python
+    n = F.size(F.col("xs"))
+    idx = F.sequence(F.lit(1), n - 1)
+    cross = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("xs"), i) * F.element_at(F.col("ys"), i + 1)
+        - F.element_at(F.col("xs"), i + 1) * F.element_at(F.col("ys"), i),
+    )
+    return back.select(
+        F.col("layer").cast("long").alias("poly_id"),
+        n.cast("long").alias("n_verts"),
+        R(F.abs(cross) * 0.5, 6).alias("outer_area"),
+    )
