@@ -35,17 +35,29 @@ from pyspark.sql import functions as F
 class D:
     """The Spark side is LAZY (a thunk): oracle SQL strings are composed at
     module-import time, before any SparkContext exists, and ``F.lit``/column
-    arithmetic require an active context.  ``d.c`` materializes the Column."""
+    arithmetic require an active context.  ``d.c`` materializes the Column.
 
-    __slots__ = ("_cf", "s")
+    ``c`` is MEMOIZED per node: the Krüger/LCC expression graphs share
+    subexpressions heavily (a DAG), and evaluating the thunks as a tree
+    re-materialized every shared node once per path — tens of thousands of
+    py4j round-trips (~10 s of driver time per projection build, measured).
+    Caching makes Column construction proportional to the DAG size.  Safe
+    because Columns are immutable expression wrappers and every gate builds
+    a fresh D graph per invocation (no cross-session reuse of cached
+    Columns)."""
+
+    __slots__ = ("_cf", "s", "_cc")
 
     def __init__(self, cf, s: str):
         self._cf = cf
         self.s = s
+        self._cc = None
 
     @property
     def c(self) -> Column:
-        return self._cf()
+        if self._cc is None:
+            self._cc = self._cf()
+        return self._cc
 
     # -- arithmetic (floats lift to literals; same repr text in SQL) -------
     def __add__(self, o):
