@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "envi_roundtrip",
     "dxf_roundtrip",
     "dxf_polylines_roundtrip",
+    "pmtiles_pyramid",
 ]
 
 

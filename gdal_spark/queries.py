@@ -18727,3 +18727,117 @@ def q_dxf_polylines_roundtrip(spark, sf_dir):
         n.cast("long").alias("n_verts"),
         R(F.abs(cross) * 0.5, 6).alias("outer_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.38 PMTiles v3 container (public protomaps/PMTiles spec; reference
+# driver ogr/ogrsf_frmts/pmtiles/) — cumulative-Hilbert tile ids, varint
+# directories, content-deduped clustered tile data; distributed ranged-read
+# scan (one pread per entry, the access pattern the format exists for).
+# ---------------------------------------------------------------------------
+
+def _pmt_golden_rows() -> list[tuple]:
+    """Local numpy mirror of the z0+z1 pyramid with PMTiles tile ids."""
+    import hashlib
+
+    from gdal_spark.functions import png as PNGF
+    from gdal_spark.sources import pmtiles as PMT
+
+    ts = _RB_TS
+    rows = []
+    for zdst in (0, 1):
+        r = 1 << (_RB_ZSRC - zdst)
+        w = ts * r
+        for ty in range(1 << zdst):
+            for tx in range(1 << zdst):
+                yy, xx = np.mgrid[0:w, 0:w]
+                src = TL.pixel_value(tx * w + xx, ty * w + yy, 1)
+                img = PNGF.quantize_u8(
+                    src.reshape(ts, r, ts, r).mean(axis=(1, 3)))
+                png = PNGF.encode_png_gray8(img)
+                rows.append((
+                    zdst, tx, ty, PMT.zxy_to_tileid(zdst, tx, ty),
+                    hashlib.md5(png).hexdigest(), len(png),
+                ))
+    return rows
+
+
+def _sql_pmtiles() -> str:
+    vals = ", ".join(
+        f"({z}, {tx}, {ty}, {tid}, '{md5}', {ln})"
+        for z, tx, ty, tid, md5, ln in _pmt_golden_rows()
+    )
+    return (
+        "SELECT zoom, tx, ty, tile_id, png_md5, png_len FROM (VALUES "
+        + vals + ") AS t(zoom, tx, ty, tile_id, png_md5, png_len)"
+    )
+
+
+@register("pmtiles_pyramid", _sql_pmtiles())
+def q_pmtiles_pyramid(spark, sf_dir):
+    """PMTiles v3 gate: the z0+z1 pyramid rendered and PNG-encoded
+    distributed, written to one .pmtiles (gzip root directory,
+    content-deduped clustered data section), read back via the
+    one-pread-per-entry ranged scan.  The output carries each tile's
+    cumulative-Hilbert tile_id, so an addressing bug (wrong curve
+    rotation, wrong zoom base) mismatches the golden rows even when the
+    bytes roundtrip."""
+    import hashlib
+    import tempfile
+
+    import pandas as pd
+
+    from gdal_spark.functions import png as PNGF
+    from gdal_spark.sources import pmtiles as PMT
+
+    rendered = []
+    for zdst in (0, 1):
+        base = TL.synthetic_raster(
+            spark, zoom=_RB_ZSRC, bands=1, tile_size=_RB_TS,
+            tx_range=(0, 7), ty_range=(0, 7),
+        )
+        out = TL.render_base_tiles(base, _RB_ZSRC, zdst, "average", _RB_TS)
+
+        def enc(batches, _z=zdst):
+            for pdf in batches:
+                recs = []
+                for tx, ty, data in zip(pdf["tx"], pdf["ty"], pdf["data"]):
+                    img = PNGF.quantize_u8(
+                        np.asarray(data, dtype=np.float64)
+                        .reshape(_RB_TS, _RB_TS))
+                    recs.append({
+                        "zoom": _z, "tx": int(tx), "ty": int(ty),
+                        "png": PNGF.encode_png_gray8(img),
+                    })
+                yield pd.DataFrame(
+                    recs, columns=["zoom", "tx", "ty", "png"])
+
+        rendered.append(out.mapInPandas(
+            enc, "zoom long, tx long, ty long, png binary"))
+    tiles = [
+        (int(r["zoom"]), int(r["tx"]), int(r["ty"]), bytes(r["png"]))
+        for r in rendered[0].unionAll(rendered[1]).collect()
+    ]
+    path = tempfile.mkdtemp(prefix="gdalspark_pmt_gate_") + "/pyr.pmtiles"
+    PMT.write_pmtiles(tiles, path, tile_type=PMT.TILE_PNG)
+    back = PMT.read_pmtiles(spark, path)
+
+    def dig(batches):
+        from gdal_spark.sources import pmtiles as _P
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "zoom": pdf["zoom"], "tx": pdf["tx"], "ty": pdf["ty"],
+                "tile_id": [
+                    _P.zxy_to_tileid(int(z), int(x), int(y))
+                    for z, x, y in zip(pdf["zoom"], pdf["tx"], pdf["ty"])
+                ],
+                "png_md5": [hashlib.md5(bytes(b)).hexdigest()
+                            for b in pdf["tile_data"]],
+                "png_len": [len(bytes(b)) for b in pdf["tile_data"]],
+            })
+
+    return back.mapInPandas(
+        dig,
+        "zoom long, tx long, ty long, tile_id long, png_md5 string,"
+        " png_len long")
