@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     "dxf_roundtrip",
     "dxf_polylines_roundtrip",
     "pmtiles_pyramid",
+    "hex_cell_encode",
+    "hex_parent_rollup",
 ]
 
 

@@ -18841,3 +18841,78 @@ def q_pmtiles_pyramid(spark, sf_dir):
         dig,
         "zoom long, tx long, ty long, tile_id long, png_md5 string,"
         " png_len long")
+
+
+# ---------------------------------------------------------------------------
+# §8.39 H3-style hierarchical hex cell index (north rule: "geotags are
+# H3/S2-encoded"; spatial/hexgrid.py — micro-quantized axial binning,
+# cross-engine exact).  Completes the geocell pair next to s2_cell_encode /
+# s2_parent_rollup.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.spatial import hexgrid as HX  # noqa: E402
+
+_HEX_BASE = 2.0  # res-0 circumradius (degrees); res r -> base / 2^r
+
+
+def _sql_hex_encode() -> str:
+    sz = HX.res_size(_HEX_BASE, 3)
+    q, r = HX.sql_hex_cells("lon", "lat", sz)
+    cid = HX.sql_hex_cell_id(q, r, 3)
+    return f"""WITH pts AS ({SQL_POINTS})
+SELECT o_orderkey, {q} AS hq, {r} AS hr, {cid} AS cell_id
+FROM pts WHERE o_orderkey % 3 = 0"""
+
+
+@register("hex_cell_encode", _sql_hex_encode())
+def q_hex_cell_encode(spark, sf_dir):
+    """H3-style hex cell encode (res 3, aperture-4 ladder): every third
+    order point binned to its pointy-top axial hex cell via the
+    micro-quantized integer cube-rounding chain — map-only column math,
+    bit-identical across engines by construction (the kNN path's float
+    binning stays engine-internal; THIS is the public encoding)."""
+    sz = HX.res_size(_HEX_BASE, 3)
+    pts = order_points(spark, sf_dir).filter(F.col("o_orderkey") % 3 == 0)
+    q, r = HX.hex_cells_quantized(F.col("lon"), F.col("lat"), sz)
+    return pts.select(
+        "o_orderkey", q.alias("hq"), r.alias("hr"),
+        HX.hex_cell_id(q, r, 3).alias("cell_id"),
+    )
+
+
+def _sql_hex_rollup() -> str:
+    szf = HX.res_size(_HEX_BASE, 2)
+    szc = HX.res_size(_HEX_BASE, 0)
+    qf, rf = HX.sql_hex_cells("lon", "lat", szf)
+    qc, rc = HX.sql_hex_cells("lon", "lat", szc)
+    fid = HX.sql_hex_cell_id(qf, rf, 2)
+    cid = HX.sql_hex_cell_id(qc, rc, 0)
+    return f"""WITH pts AS ({SQL_POINTS}),
+enc AS (SELECT {cid} AS parent_id, {fid} AS child_id FROM pts)
+SELECT parent_id, count(*)::bigint AS n_points,
+       count(DISTINCT child_id)::bigint AS n_child_cells
+FROM enc GROUP BY parent_id HAVING count(*) >= 5"""
+
+
+@register("hex_parent_rollup", _sql_hex_rollup())
+def q_hex_parent_rollup(spark, sf_dir):
+    """H3-style parent rollup: points encoded at res 2 AND res 0 (the
+    point-level parent semantics — hex apertures don't nest geometrically,
+    so parent = re-encode, exactly as H3 point rollups do), aggregated per
+    parent with distinct-child-cell counts.  One partial-agg shuffle on
+    the parent key; HAVING bounds the output to populated cells."""
+    pts = order_points(spark, sf_dir)
+    qf, rf = HX.hex_cells_quantized(
+        F.col("lon"), F.col("lat"), HX.res_size(_HEX_BASE, 2))
+    qc, rc = HX.hex_cells_quantized(
+        F.col("lon"), F.col("lat"), HX.res_size(_HEX_BASE, 0))
+    enc = pts.select(
+        HX.hex_cell_id(qc, rc, 0).alias("parent_id"),
+        HX.hex_cell_id(qf, rf, 2).alias("child_id"),
+    )
+    return (
+        enc.groupBy("parent_id")
+        .agg(F.count(F.lit(1)).alias("n_points"),
+             F.countDistinct("child_id").alias("n_child_cells"))
+        .filter(F.col("n_points") >= 5)
+    )
