@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "pmtiles_pyramid",
     "hex_cell_encode",
     "hex_parent_rollup",
+    "pnm_roundtrip",
+    "gtx_vshift_grid",
 ]
 
 

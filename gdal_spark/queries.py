@@ -18916,3 +18916,84 @@ def q_hex_parent_rollup(spark, sf_dir):
              F.countDistinct("child_id").alias("n_child_cells"))
         .filter(F.col("n_points") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.40 PNM (PGM P5 16-bit) + NOAA .gtx vertical-shift grid drivers
+# (refs frmts/pnm/pnmdataset.cpp, frmts/gtx/gtxdataset.cpp).
+# ---------------------------------------------------------------------------
+
+def _sql_pnm() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y,
+             ((gx.i * gx.i) % 97 + (gy.i * 13) % 89) * 300 AS val
+      FROM g gx CROSS JOIN g gy)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("pnm_roundtrip", _sql_pnm())
+def q_pnm_roundtrip(spark, sf_dir):
+    """PNM driver gate (P5 binary PGM, maxval 65535 — the 2-byte
+    big-endian sample path): the DEM scaled ×300 past the 1-byte range,
+    written as 8 per-block .pgm files, read back one task per file."""
+    import tempfile
+
+    from gdal_spark.sources import pnm as PNM
+
+    d = tempfile.mkdtemp(prefix="gdalspark_pnm_gate_")
+    cells = _dem_cells(spark, _GT_W).select(
+        "gx", "gy", (F.col("val").cast("long") * 300).alias("val"))
+    PNM.write_gray_pnms(cells, d, width=_GT_W, height=_GT_W,
+                        block_rows=16, maxval=65535)
+    back = PNM.read_gray_pnms(spark, d, block_rows=16)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_GTX_N = 96
+
+
+def _sql_gtx() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GTX_N - 1})) AS i),
+v AS (SELECT gr.i AS r, gc.i AS c,
+             (gr.i * 13) % 89 + (gc.i * gc.i) % 97 - 40 AS shift
+      FROM g gr CROSS JOIN g gc
+      WHERE (gr.i * 7 + gc.i * 11) % 13 <> 0)
+SELECT (r // 32)::bigint AS band, count(*)::bigint AS n,
+       sum(shift * (1 + (c * 5 + r * 3) % 17))::bigint AS digest,
+       {SR('sum(40.0 + r / 128.0) + sum(10.0 + c / 128.0)', 4)} AS georef_sum
+FROM v GROUP BY band"""
+
+
+@register("gtx_vshift_grid", _sql_gtx())
+def q_gtx_vshift_grid(spark, sf_dir):
+    """NOAA .gtx vertical-shift grid gate: a closed-form shift grid with
+    punched -88.8888 nodata written as ONE bottom-up big-endian f32 grid
+    (vertical datums are dimension-scale), read back one pread per
+    row-block — nodata must vanish, and the per-sample lat/lon recovered
+    from the header georef is pinned by the dyadic-exact georef_sum."""
+    import tempfile
+
+    from gdal_spark.sources import gtx as GTX
+
+    rr, cc = np.mgrid[0:_GTX_N, 0:_GTX_N]
+    arr = ((rr * 13) % 89 + (cc * cc) % 97 - 40).astype(np.float64)
+    arr[(rr * 7 + cc * 11) % 13 == 0] = GTX.NODATA
+    path = tempfile.mkdtemp(prefix="gdalspark_gtx_gate_") + "/v.gtx"
+    GTX.write_gtx(arr, path, lat0=40.0, lon0=10.0,
+                  dlat=1.0 / 128.0, dlon=1.0 / 128.0)
+    back = GTX.read_gtx(spark, path, block_rows=24)
+    return back.groupBy((F.col("row") / 32).cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("shift").cast("long")
+              * (1 + (F.col("col") * 5 + F.col("row") * 3) % 17))
+        .alias("digest"),
+        R(F.sum(F.col("lat")) + F.sum(F.col("lon")), 4).alias("georef_sum"),
+    )

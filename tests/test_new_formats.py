@@ -222,3 +222,105 @@ def test_dxf_spark_polylines_roundtrip(spark):
     assert got["p0"] == ([0.0, 2.0, 2.0, 0.0, 0.0],
                          [0.0, 0.0, 1.5, 1.5, 0.0], True)
     assert got["p1"] == ([5.0, 6.0, 7.0], [5.0, 7.0, 5.0], True)
+
+
+# ---------------------------------------------------------------------------
+# PNM (P5/P6) codec
+# ---------------------------------------------------------------------------
+
+def test_pnm_header_and_roundtrip():
+    from gdal_spark.sources import pnm as PNM
+
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    buf = PNM.pnm_bytes(arr)
+    assert buf.startswith(b"P5\n4 3\n255\n")
+    hdr, back = PNM.parse_pnm(buf)
+    assert hdr == {"magic": "P5", "width": 4, "height": 3, "maxval": 255}
+    assert np.array_equal(back, arr)
+    # 16-bit path: big-endian two-byte samples
+    wide = (np.arange(6, dtype=np.int64).reshape(2, 3) * 9999)
+    buf2 = PNM.pnm_bytes(wide, maxval=65535)
+    _, back2 = PNM.parse_pnm(buf2)
+    assert np.array_equal(back2, wide)
+    assert buf2[len(b"P5\n3 2\n65535\n"):][:2] == b"\x00\x00"
+    # P6 RGB
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    hdr3, back3 = PNM.parse_pnm(PNM.pnm_bytes(rgb))
+    assert hdr3["magic"] == "P6" and np.array_equal(back3, rgb)
+
+
+def test_pnm_comments_and_errors():
+    from gdal_spark.sources import pnm as PNM
+
+    arr = np.ones((2, 2), dtype=np.uint8)
+    buf = PNM.pnm_bytes(arr)
+    commented = b"P5\n# a comment\n2 2\n# more\n255\n" + buf[len(b"P5\n2 2\n255\n"):]
+    _, back = PNM.parse_pnm(commented)
+    assert np.array_equal(back, arr)
+    with pytest.raises(ValueError):
+        PNM.pnm_bytes(np.zeros((2, 2, 2), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        PNM.parse_pnm(b"P3\n1 1\n255\n1 2 3\n")  # ASCII PNM: out of scope
+
+
+def test_pnm_spark_roundtrip(spark):
+    from gdal_spark.sources import pnm as PNM
+
+    d = tempfile.mkdtemp(prefix="pnm_rt_")
+    w = 32
+    cells = spark.range(w * w).select(
+        (F.col("id") % w).alias("gx"),
+        (F.col("id") / w).cast("long").alias("gy"),
+        ((F.col("id") * 7) % 60000).alias("val"),
+    )
+    n = PNM.write_gray_pnms(cells, d, width=w, height=w, block_rows=8,
+                            maxval=65535)
+    assert n == 4
+    back = PNM.read_gray_pnms(spark, d, block_rows=8)
+    j = back.join(cells.withColumnRenamed("val", "want"), ["gx", "gy"])
+    assert j.count() == w * w
+    assert j.filter(F.col("val") != F.col("want")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GTX codec
+# ---------------------------------------------------------------------------
+
+def test_gtx_header_roundtrip(tmp_path):
+    from gdal_spark.sources import gtx as GTX
+
+    p = str(tmp_path / "v.gtx")
+    arr = np.zeros((4, 6), dtype=np.float64)
+    GTX.write_gtx(arr, p, lat0=-37.5, lon0=140.0, dlat=0.25, dlon=0.5)
+    h = GTX.parse_gtx_header(p)
+    assert (h["lat0"], h["lon0"], h["dlat"], h["dlon"]) == (
+        -37.5, 140.0, 0.25, 0.5)
+    assert (h["rows"], h["cols"]) == (4, 6)
+    import os as _os
+    assert _os.path.getsize(p) == 40 + 4 * 6 * 4
+    # big-endian doubles in the header
+    raw = open(p, "rb").read(8)
+    import struct as _s
+    assert _s.unpack(">d", raw)[0] == -37.5
+    with open(p, "wb") as fh:
+        fh.write(b"\x00" * 40)
+    with pytest.raises(ValueError):
+        GTX.parse_gtx_header(p)
+
+
+def test_gtx_spark_read_nodata(spark, tmp_path):
+    from gdal_spark.sources import gtx as GTX
+
+    p = str(tmp_path / "v.gtx")
+    arr = np.arange(64, dtype=np.float64).reshape(8, 8) - 10.0
+    arr[2, 3] = GTX.NODATA
+    arr[7, 0] = GTX.NODATA
+    GTX.write_gtx(arr, p, lat0=40.0, lon0=10.0, dlat=0.125, dlon=0.125)
+    back = GTX.read_gtx(spark, p, block_rows=3)
+    rows = back.collect()
+    assert len(rows) == 62
+    got = {(r["row"], r["col"]): (r["shift"], r["lat"], r["lon"])
+           for r in rows}
+    assert (2, 3) not in got and (7, 0) not in got
+    assert got[(5, 6)] == (float(arr[5, 6]), 40.0 + 5 * 0.125,
+                           10.0 + 6 * 0.125)
