@@ -124,3 +124,71 @@ def test_great_circle_symmetry(lo1, la1, lo2, la2):
     assert abs(d12 - d21) <= 1e-6 * max(1.0, d12)
     d_self = float(G.great_circle_distance(arr(la1), arr(lo1), arr(la1), arr(lo1))[0])
     assert d_self <= 1.0  # acos clamp noise stays under a meter
+
+
+# ---------------------------------------------------------------------------
+# Round-5 format codecs: PMTiles tile ids + directories, DXF doubles,
+# SRTM HGT grids, PNM headers — encode -> parse roundtrips, fuzzed.
+# ---------------------------------------------------------------------------
+
+from gdal_spark.sources import dxf as DXF  # noqa: E402
+from gdal_spark.sources import pmtiles as PMT  # noqa: E402
+from gdal_spark.sources import pnm as PNM  # noqa: E402
+from gdal_spark.sources import srtmhgt as HGT  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=20),
+       st.integers(min_value=0, max_value=(1 << 20) - 1),
+       st.integers(min_value=0, max_value=(1 << 20) - 1))
+def test_pmtiles_tileid_inverse(z, x, y):
+    x, y = x % (1 << z), y % (1 << z)
+    assert PMT.tileid_to_zxy(PMT.zxy_to_tileid(z, x, y)) == (z, x, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1 << 40),
+              st.integers(min_value=0, max_value=1 << 30),
+              st.integers(min_value=1, max_value=1 << 20),
+              st.integers(min_value=1, max_value=64)),
+    min_size=0, max_size=40))
+def test_pmtiles_directory_roundtrip(raw):
+    # directory entries must have strictly increasing tile ids
+    seen, entries, last = set(), [], -1
+    for tid, off, ln, rl in sorted(raw):
+        if tid <= last:
+            continue
+        entries.append((tid, off, ln, rl))
+        last = tid
+    buf = PMT.encode_directory(entries)
+    assert PMT.decode_directory(buf) == entries
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=0, max_size=12),
+       st.booleans())
+def test_dxf_polyline_doubles_roundtrip(verts, closed):
+    pls = [("k", [(float(x), float(y)) for x, y in verts], closed)]
+    _, got = DXF.parse_dxf(DXF.dxf_bytes(polylines=pls))
+    assert got == pls
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=2, max_value=24), st.integers())
+def test_hgt_grid_roundtrip(n, seed):
+    rng = np.random.RandomState(abs(seed) % (2 ** 31))
+    arr = rng.randint(-32768, 32767, size=(n, n)).astype(np.int16)
+    assert np.array_equal(HGT.parse_hgt(HGT.hgt_bytes(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=65535),
+       st.integers())
+def test_pnm_gray_roundtrip(w, h, maxval, seed):
+    rng = np.random.RandomState(abs(seed) % (2 ** 31))
+    arr = rng.randint(0, maxval + 1, size=(h, w)).astype(np.int64)
+    hdr, back = PNM.parse_pnm(PNM.pnm_bytes(arr, maxval=maxval))
+    assert hdr["maxval"] == maxval and np.array_equal(back, arr)
