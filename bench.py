@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "hex_parent_rollup",
     "pnm_roundtrip",
     "gtx_vshift_grid",
+    "geotiff_lzw_roundtrip",
 ]
 
 

@@ -18997,3 +18997,43 @@ def q_gtx_vshift_grid(spark, sf_dir):
         .alias("digest"),
         R(F.sum(F.col("lat")) + F.sum(F.col("lon")), 4).alias("georef_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.41 GeoTIFF LZW + horizontal predictor (TIFF 6.0 §13/§14; completes the
+# compression menu next to DEFLATE — LZW is what most striped GeoTIFFs in
+# the wild carry).
+# ---------------------------------------------------------------------------
+
+def _sql_geotiff_lzw() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 AS val
+      FROM g gx CROSS JOIN g gy)
+SELECT (y // 32)::bigint AS band,
+       sum(val * (1 + (x * 7 + y * 11) % 13))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("geotiff_lzw_roundtrip", _sql_geotiff_lzw())
+def q_geotiff_lzw_roundtrip(spark, sf_dir):
+    """GeoTIFF LZW gate: the DEM written as Int32 strips with
+    Compression=5 (spec-derived TIFF-LZW: MSB-first packing, early
+    code-width change, 4094 table reset) AND Predictor=2 horizontal
+    differencing, read back one task per file — digest identical to the
+    uncompressed/DEFLATE paths, proving the codec chain is lossless."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gtlzw_gate_")
+    cells = _dem_cells(spark, _GT_W)
+    GT.write_cell_geotiffs(cells, d, width=_GT_W, height=_GT_W,
+                           block_rows=16, dtype="int32",
+                           compression="lzw", predictor=2)
+    back = GT.read_geotiffs(spark, d)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 7 + F.col("gy") * 11) % 13))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -45,8 +45,151 @@ _T_WIDTH, _T_LENGTH, _T_BPS, _T_COMP, _T_PHOTO = 256, 257, 258, 259, 262
 _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PLANAR = 284
 _T_TILE_W, _T_TILE_L, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
+_T_PREDICTOR = 317
 _T_SAMPLE_FMT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
+
+# Compression tag values (TIFF 6.0 §7/§9/§14 + Adobe DEFLATE note)
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, ClearCode
+    256 / EOI 257, EARLY code-width change (widths bump when NextCode hits
+    511/1023/2047), table reset at 4094.  Re-derived from the spec's
+    pseudo-code — no libtiff."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, nbits: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    nbits = 9
+    emit(CLEAR, nbits)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    w = b""
+    for b in raw:
+        ch = bytes([b])
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], nbits)
+        table[wc] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            nbits += 1
+        elif next_code == 4094:
+            emit(CLEAR, nbits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, nbits = 258, 9
+        w = ch
+    if w:
+        emit(table[w], nbits)
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            nbits += 1
+    emit(EOI, nbits)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """Inverse of ``_lzw_encode`` — decoder switches width one entry
+    earlier (510/1022/2046), per the spec's early-change convention."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    total_bits = len(data) * 8
+    bitpos, nbits = 0, 9
+    table: list[bytes] = []
+    prev = b""
+    while bitpos + nbits <= total_bits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            nbits, prev = 9, b""
+            continue
+        if not table:
+            raise ValueError("lzw: data does not start with ClearCode")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"lzw: bad code {code}")
+        if prev:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        if len(table) in (510, 1022, 2046):
+            nbits += 1
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): runs of 2+ equal bytes as (257-n, byte),
+    literals as (n-1, bytes)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and raw[j] == raw[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(raw[i])
+            i = j
+            continue
+        j = i + 1
+        while (j < n and j - i < 128
+               and not (j + 1 < n and raw[j] == raw[j + 1])):
+            j += 1
+        out.append(j - i - 1)
+        out += raw[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop, per spec
+    return bytes(out)
+
+
+def _predict2(block: np.ndarray) -> np.ndarray:
+    """Horizontal differencing (Predictor=2, TIFF 6.0 §14) — integer
+    samples only; modulo arithmetic in the sample width."""
+    out = block.copy()
+    out[:, 1:] -= block[:, :-1]
+    return out
+
+
+def _unpredict2(block: np.ndarray) -> np.ndarray:
+    return np.cumsum(block.astype(block.dtype), axis=1,
+                     dtype=block.dtype)
 
 _TY_SHORT, _TY_LONG, _TY_DOUBLE = 3, 4, 12
 
@@ -79,19 +222,46 @@ def write_geotiff_bytes(
     tile_size: int = 32,
     deflate: bool = False,
     rows_per_strip: int = 16,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize a 2-D int32/float64 array as a classic little-endian
     GeoTIFF.  ``origin`` = model (X, Y) of the raster's top-left CORNER
     (PixelIsArea); ``res`` = (xres, yres) with yres positive (north-up,
-    Y decreases down rows) — the ModelTiepoint/PixelScale contract."""
-    return write_geotiff_pages([dict(
+    Y decreases down rows) — the ModelTiepoint/PixelScale contract.
+    ``compression``: none / deflate / lzw / packbits (``deflate=True`` is
+    the legacy spelling); Predictor=2 = horizontal differencing."""
+    page = dict(
         arr=arr, origin=origin, res=res, epsg=epsg, tiled=tiled,
         tile_size=tile_size, deflate=deflate, rows_per_strip=rows_per_strip,
-    )])
+        predictor=predictor,
+    )
+    if compression is not None:
+        page["compression"] = compression
+    return write_geotiff_pages([page])
+
+
+def _compress_block(block: np.ndarray, compression: str,
+                    predictor: int) -> bytes:
+    if predictor == 2:
+        if not np.issubdtype(block.dtype, np.integer):
+            raise ValueError("Predictor=2 requires integer samples")
+        block = _predict2(block)
+    elif predictor != 1:
+        raise ValueError(f"unsupported predictor {predictor}")
+    raw = block.astype(block.dtype.newbyteorder("<")).tobytes()
+    if compression == "deflate":
+        return zlib.compress(raw, 6)
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    if compression == "packbits":
+        return _packbits_encode(raw)
+    return raw
 
 
 def _page_blocks(arr: np.ndarray, tiled: bool, tile_size: int,
-                 deflate: bool, rows_per_strip: int) -> list[bytes]:
+                 compression: str, rows_per_strip: int,
+                 predictor: int = 1) -> list[bytes]:
     h, w = arr.shape
     blocks: list[bytes] = []
     if tiled:
@@ -105,13 +275,11 @@ def _page_blocks(arr: np.ndarray, tiled: bool, tile_size: int,
                 part = arr[j * tile_size:(j + 1) * tile_size,
                            i * tile_size:(i + 1) * tile_size]
                 tile[:part.shape[0], :part.shape[1]] = part
-                raw = tile.astype(tile.dtype.newbyteorder("<")).tobytes()
-                blocks.append(zlib.compress(raw, 6) if deflate else raw)
+                blocks.append(_compress_block(tile, compression, predictor))
     else:
         for y0 in range(0, h, rows_per_strip):
-            raw = (arr[y0:y0 + rows_per_strip]
-                   .astype(arr.dtype.newbyteorder("<")).tobytes())
-            blocks.append(zlib.compress(raw, 6) if deflate else raw)
+            blocks.append(_compress_block(
+                arr[y0:y0 + rows_per_strip], compression, predictor))
     return blocks
 
 
@@ -132,12 +300,14 @@ def _page_entries(page: dict, offsets: list[int], counts: list[int],
         (_T_WIDTH, _TY_LONG, 1, w),
         (_T_LENGTH, _TY_LONG, 1, h),
         (_T_BPS, _TY_SHORT, 1, bps),
-        (_T_COMP, _TY_SHORT, 1, 8 if page["deflate"] else 1),
+        (_T_COMP, _TY_SHORT, 1, _COMP_CODES[page["compression"]]),
         (_T_PHOTO, _TY_SHORT, 1, 1),
         (_T_SPP, _TY_SHORT, 1, 1),
         (_T_PLANAR, _TY_SHORT, 1, 1),
         (_T_SAMPLE_FMT, _TY_SHORT, 1, sfmt),
     ]
+    if page.get("predictor", 1) == 2:
+        entries.append((_T_PREDICTOR, _TY_SHORT, 1, 2))
     if overview:
         entries.append((_T_SUBFILE, _TY_LONG, 1, 1))
     else:
@@ -202,11 +372,15 @@ def write_geotiff_pages(pages: list[dict]) -> bytes:
         p.setdefault("tiled", False)
         p.setdefault("tile_size", 32)
         p.setdefault("deflate", False)
+        p.setdefault("compression",
+                     "deflate" if p["deflate"] else "none")
+        p.setdefault("predictor", 1)
         p.setdefault("rows_per_strip", 16)
         p.setdefault("epsg", 4326)
     all_blocks: list[list[bytes]] = [
-        _page_blocks(p["arr"], p["tiled"], p["tile_size"], p["deflate"],
-                     p["rows_per_strip"])
+        _page_blocks(p["arr"], p["tiled"], p["tile_size"],
+                     p["compression"], p["rows_per_strip"],
+                     p["predictor"])
         for p in pages
     ]
     pos = 8
@@ -288,6 +462,7 @@ class GeoTIFF:
         self.width = int(self.tags[_T_WIDTH][0])
         self.height = int(self.tags[_T_LENGTH][0])
         self.compression = int(self.tags.get(_T_COMP, [1])[0])
+        self.predictor = int(self.tags.get(_T_PREDICTOR, [1])[0])
         bps = int(self.tags[_T_BPS][0])
         sfmt = int(self.tags.get(_T_SAMPLE_FMT, [1])[0])
         self.dtype = _DTYPES[(bps, sfmt)]
@@ -319,9 +494,16 @@ class GeoTIFF:
         raw = self.buf[off:off + cnt]
         if self.compression == 8:
             raw = zlib.decompress(raw)
+        elif self.compression == 5:
+            raw = _lzw_decode(raw)
+        elif self.compression == 32773:
+            raw = _packbits_decode(raw)
         elif self.compression != 1:
             raise ValueError(f"unsupported compression {self.compression}")
-        return np.frombuffer(raw, self.dtype).reshape(shape)
+        block = np.frombuffer(raw, self.dtype).reshape(shape)
+        if self.predictor == 2:
+            block = _unpredict2(block)
+        return block
 
     def read_array(self) -> np.ndarray:
         """Decode the full raster."""
@@ -396,6 +578,8 @@ def write_cell_geotiffs(
     tiled: bool = False,
     tile_size: int = 32,
     deflate: bool = False,
+    compression: str | None = None,
+    predictor: int = 1,
 ) -> int:
     """Distributed GeoTIFF sink over a (gx, gy, val) cell table: one .tif
     per horizontal block of ``block_rows`` raster rows (groupBy block key →
@@ -422,7 +606,8 @@ def write_cell_geotiffs(
         arr[gy, gx] = pdf["val"].to_numpy().astype(np_dtype)
         buf = write_geotiff_bytes(
             arr, (origin[0], origin[1] - y0 * res), (res, res),
-            tiled=tiled, tile_size=tile_size, deflate=deflate)
+            tiled=tiled, tile_size=tile_size, deflate=deflate,
+            compression=compression, predictor=predictor)
         final = f"{directory}/block-{blk:05d}.tif"
         with open(final, "wb") as fh:
             fh.write(buf)

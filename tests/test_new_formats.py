@@ -324,3 +324,37 @@ def test_gtx_spark_read_nodata(spark, tmp_path):
     assert (2, 3) not in got and (7, 0) not in got
     assert got[(5, 6)] == (float(arr[5, 6]), 40.0 + 5 * 0.125,
                            10.0 + 6 * 0.125)
+
+
+# ---------------------------------------------------------------------------
+# GeoTIFF LZW / PackBits / Predictor=2
+# ---------------------------------------------------------------------------
+
+def test_geotiff_lzw_packbits_predictor_roundtrip():
+    from gdal_spark.sources import geotiff as GT
+
+    rng = np.random.RandomState(5)
+    arr = rng.randint(-500, 500, (40, 56)).astype(np.int32)
+    for comp, pred in [("lzw", 1), ("lzw", 2), ("packbits", 1),
+                       ("deflate", 2), ("none", 2)]:
+        buf = GT.write_geotiff_bytes(
+            arr, (10.0, 50.0), (0.001, 0.001),
+            compression=comp, predictor=pred, rows_per_strip=16)
+        r = GT.GeoTIFF(buf)
+        assert r.compression == GT._COMP_CODES[comp]
+        assert r.predictor == pred
+        assert np.array_equal(r.read_array(), arr)
+    # lzw + predictor beats raw size on smooth data
+    smooth = np.cumsum(np.ones((64, 64)), axis=1).astype(np.int32)
+    lz = GT.write_geotiff_bytes(smooth, (0, 0), (1, 1),
+                                compression="lzw", predictor=2)
+    raw = GT.write_geotiff_bytes(smooth, (0, 0), (1, 1))
+    assert len(lz) < len(raw) / 2
+
+
+def test_geotiff_predictor_rejects_float():
+    from gdal_spark.sources import geotiff as GT
+
+    with pytest.raises(ValueError):
+        GT.write_geotiff_bytes(np.ones((4, 4), dtype=np.float64),
+                               (0, 0), (1, 1), predictor=2)
