@@ -121,7 +121,7 @@ _PRIORITY_R5 = (
     "ogr2ogr_convert", "text_unigram_lm", "corpus_dsir_select",
     "embed_semdedup", "model_auc_rank", "audio_resample",
     "lcc_project", "utm_any_zone", "warp_rpc_dem",
-    "hex_cell_encode", "hex_parent_rollup",
+    "hex_cell_encode", "hex_parent_rollup", "corpus_curation_capstone",
     # --- 2. verdict-#1 families ---
     "table_time_travel", "snapshot_merge_delete",
     "snapshot_schema_evolution", "snapshot_compact",

@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "pnm_roundtrip",
     "gtx_vshift_grid",
     "geotiff_lzw_roundtrip",
+    "corpus_curation_capstone",
 ]
 
 

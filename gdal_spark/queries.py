@@ -19037,3 +19037,70 @@ def q_geotiff_lzw_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.42 Corpus-curation capstone — the LLM-data-pipeline product path in ONE
+# gate (the corpus-side sibling of flagship_capstone_storage): Gopher
+# quality filter → exact near-identical dedup (md5 text, keep lowest
+# doc_id) → per-language cap → per-language corpus stats.  Both engines
+# run the IDENTICAL composition: the Spark side chains the registered
+# operators; the oracle embeds text_gopher_rules' full SQL as a subquery.
+# ---------------------------------------------------------------------------
+
+_CAP_PER_LANG = 40
+
+
+def _sql_corpus_capstone() -> str:
+    return f"""WITH g AS ({_sql_gopher_rules()}),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, g.n_words
+  FROM g JOIN documents d ON d.doc_id = g.doc_id
+  WHERE g.keep_doc),
+dedup AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+capd AS (
+  SELECT k.lang, k.n_words,
+         row_number() OVER (PARTITION BY k.lang ORDER BY k.doc_id) AS rn
+  FROM kept k JOIN dedup u ON u.doc_id = k.doc_id)
+SELECT lang, count(*)::bigint AS n_docs,
+       sum(n_words)::bigint AS total_words,
+       max(n_words)::bigint AS max_words
+FROM capd WHERE rn <= {_CAP_PER_LANG} GROUP BY lang"""
+
+
+@register("corpus_curation_capstone", _sql_corpus_capstone())
+def q_corpus_curation_capstone(spark, sf_dir):
+    """End-to-end curation pipeline over the documents table: the Gopher
+    keep decision (full metric set, reusing the registered operator),
+    exact dedup on md5(text) keeping the lowest doc_id (one hash-groupBy
+    — the 100 TB exact-dedup shape), a deterministic per-language cap
+    (window rank on the language key), and per-language corpus stats.
+    Every stage is the production operator, not a re-derivation; the
+    oracle chains the same stages in SQL with text_gopher_rules' oracle
+    embedded verbatim."""
+    from pyspark.sql import Window
+
+    g = QUERIES["text_gopher_rules"](spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    kept = (
+        g.filter(F.col("keep_doc"))
+        .select("doc_id", "n_words")
+        .join(docs.select("doc_id", "text", "lang"), "doc_id")
+    )
+    dedup = (
+        kept.groupBy(F.md5(F.col("text").cast("binary")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    capd = (
+        kept.join(dedup, "doc_id")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("lang").orderBy("doc_id")))
+        .filter(F.col("rn") <= _CAP_PER_LANG)
+    )
+    return capd.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.max("n_words").alias("max_words"),
+    )
