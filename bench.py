@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "gtx_vshift_grid",
     "geotiff_lzw_roundtrip",
     "corpus_curation_capstone",
+    "st_collect_astext",
 ]
 
 

@@ -19104,3 +19104,62 @@ def q_corpus_curation_capstone(spark, sf_dir):
         F.sum("n_words").alias("total_words"),
         F.max("n_words").alias("max_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.43 ST_Collect + ST_AsText dialect gate (PostGIS/SQLite-dialect
+# aggregate the reference exposes through OGRSQL/SQLite SQL; geometry
+# collection semantics of OGRGeometryCollection::addGeometry).  Coordinates
+# render as integer micro-degrees — the cross-engine text contract (double
+# formatting differs between engines by design; the binary MULTIPOINT
+# encoder is pinned separately in tests/test_geometry.py).
+# ---------------------------------------------------------------------------
+
+def _sql_st_collect() -> str:
+    xm = "CAST(floor(lon * 1000000 + 0.5) AS BIGINT)"
+    ym = "CAST(floor(lat * 1000000 + 0.5) AS BIGINT)"
+    return f"""WITH pts AS ({SQL_POINTS}),
+sub AS (SELECT o_orderkey,
+               CAST(floor(lon / 45.0) AS BIGINT) AS cx,
+               CAST(floor(lat / 45.0) AS BIGINT) AS cy,
+               {xm} AS xm, {ym} AS ym
+        FROM pts WHERE o_orderkey % 50 = 0)
+SELECT cx, cy, count(*)::bigint AS n,
+       'MULTIPOINT(' || string_agg(xm || ' ' || ym, ', '
+                                   ORDER BY o_orderkey) || ')' AS wkt
+FROM sub GROUP BY cx, cy"""
+
+
+@register("st_collect_astext", _sql_st_collect())
+def q_st_collect_astext(spark, sf_dir):
+    """ST_AsText(ST_Collect(pt ORDER BY key)) per 45° cell: one
+    collect_list aggregate (map-side partial, no separate sort shuffle —
+    the within-group order comes from sort_array on the leading struct
+    key), rendered as MULTIPOINT text with micro-degree integer
+    coordinates so both engines produce identical strings."""
+    pts = order_points(spark, sf_dir).filter(F.col("o_orderkey") % 50 == 0)
+    sub = pts.select(
+        "o_orderkey",
+        F.floor(F.col("lon") / 45.0).cast("long").alias("cx"),
+        F.floor(F.col("lat") / 45.0).cast("long").alias("cy"),
+        F.floor(F.col("lon") * 1e6 + 0.5).cast("long").alias("xm"),
+        F.floor(F.col("lat") * 1e6 + 0.5).cast("long").alias("ym"),
+    )
+    coll = sub.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("o_orderkey", "xm", "ym"))
+        ).alias("_pts"),
+    )
+    body = F.array_join(
+        F.transform(
+            F.col("_pts"),
+            lambda p: F.concat_ws(" ", p["xm"].cast("string"),
+                                  p["ym"].cast("string")),
+        ),
+        ", ",
+    )
+    return coll.select(
+        "cx", "cy", "n",
+        F.concat(F.lit("MULTIPOINT("), body, F.lit(")")).alias("wkt"),
+    )
