@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "geotiff_lzw_roundtrip",
     "corpus_curation_capstone",
     "st_collect_astext",
+    "bmp_roundtrip",
 ]
 
 

@@ -19163,3 +19163,49 @@ def q_st_collect_astext(spark, sf_dir):
         "cx", "cy", "n",
         F.concat(F.lit("MULTIPOINT("), body, F.lit(")")).alias("wkt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.44 BMP raster driver (ref frmts/bmp/bmpdataset.cpp — v3
+# BITMAPINFOHEADER, BI_RGB, bottom-up, 4-byte row padding).  Width 125 is
+# deliberately odd so every 24-bit row (375 bytes) exercises the pad path.
+# ---------------------------------------------------------------------------
+
+_BMP_W = 125
+
+
+def _sql_bmp() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y,
+             (gx.i * 7 + gy.i * 3) % 251 AS r,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 AS gr,
+             (gx.i * 5 + gy.i * 11) % 239 AS b
+      FROM g gx CROSS JOIN g gy WHERE gx.i < {_BMP_W})
+SELECT (y // 32)::bigint AS band, count(*)::bigint AS n,
+       sum(r * (1 + x % 7) + gr * 2 + b * (1 + y % 5))::bigint AS digest
+FROM v GROUP BY band"""
+
+
+@register("bmp_roundtrip", _sql_bmp())
+def q_bmp_roundtrip(spark, sf_dir):
+    """BMP driver gate: a 125×128 closed-form RGB raster written as 8
+    per-block 24-bit .bmp files (odd width → padded rows), read back one
+    task per file, digested per 32-row band."""
+    import tempfile
+
+    from gdal_spark.sources import bmp as BMP
+
+    d = tempfile.mkdtemp(prefix="gdalspark_bmp_gate_")
+    cells = _dem_cells(spark, _GT_W).filter(F.col("gx") < _BMP_W).select(
+        "gx", "gy",
+        ((F.col("gx") * 7 + F.col("gy") * 3) % 251).alias("r"),
+        F.col("val").cast("long").alias("g"),
+        ((F.col("gx") * 5 + F.col("gy") * 11) % 239).alias("b"),
+    )
+    BMP.write_rgb_bmps(cells, d, width=_BMP_W, height=_GT_W, block_rows=16)
+    back = BMP.read_rgb_bmps(spark, d, block_rows=16)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r") * (1 + F.col("gx") % 7) + F.col("g") * 2
+              + F.col("b") * (1 + F.col("gy") % 5)).alias("digest"),
+    )

@@ -358,3 +358,44 @@ def test_geotiff_predictor_rejects_float():
     with pytest.raises(ValueError):
         GT.write_geotiff_bytes(np.ones((4, 4), dtype=np.float64),
                                (0, 0), (1, 1), predictor=2)
+
+
+def test_bmp_truecolor_and_padding():
+    from gdal_spark.sources import bmp as BMP
+
+    rng = np.random.RandomState(7)
+    # odd width -> 3*5=15-byte rows padded to 16
+    rgb = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    buf = BMP.bmp_bytes(rgb)
+    assert buf[:2] == b"BM"
+    hdr, back = BMP.parse_bmp(buf)
+    assert (hdr["width"], hdr["height"], hdr["bits"]) == (5, 4, 24)
+    assert np.array_equal(back, rgb)
+    # stride is 4-aligned: offset 54 + 16*4 rows
+    assert len(buf) == 54 + 16 * 4
+
+
+def test_bmp_paletted_roundtrip():
+    from gdal_spark.sources import bmp as BMP
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    hdr, back = BMP.parse_bmp(BMP.bmp_bytes(idx, palette=pal))
+    assert hdr["bits"] == 8
+    assert np.array_equal(back, idx)
+    assert np.array_equal(hdr["palette"], pal)
+
+
+def test_bmp_errors():
+    import pytest
+
+    from gdal_spark.sources import bmp as BMP
+
+    with pytest.raises(ValueError, match="palette"):
+        BMP.bmp_bytes(np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError, match="palette range"):
+        BMP.bmp_bytes(np.full((2, 2), 9, np.uint8),
+                      palette=np.zeros((4, 3), np.uint8))
+    with pytest.raises(ValueError, match="magic"):
+        BMP.parse_bmp(b"XX" + b"\0" * 60)
