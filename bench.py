@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "corpus_curation_capstone",
     "st_collect_astext",
     "bmp_roundtrip",
+    "gif_roundtrip",
 ]
 
 

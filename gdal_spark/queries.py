@@ -19209,3 +19209,51 @@ def q_bmp_roundtrip(spark, sf_dir):
         F.sum(F.col("r") * (1 + F.col("gx") % 7) + F.col("g") * 2
               + F.col("b") * (1 + F.col("gy") % 5)).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.45 GIF raster driver (ref frmts/gif/gifdataset.cpp wrapping giflib;
+# from-scratch LSB-first variable-width LZW, decode anchored byte-for-byte
+# on the public spec's sample stream in tests/test_new_formats.py).
+# ---------------------------------------------------------------------------
+
+def _sql_gif() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
+v AS (SELECT gx.i AS x, gy.i AS y,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 AS idx
+      FROM g gx CROSS JOIN g gy)
+SELECT (y // 32)::bigint AS band, count(*)::bigint AS n,
+       sum(idx * (1 + x % 7) + (idx * 7) % 256
+           + ((idx * 59) % 256) * 2 + ((idx * 83) % 256) * 3)::bigint
+       AS digest
+FROM v GROUP BY band"""
+
+
+@register("gif_roundtrip", _sql_gif())
+def q_gif_roundtrip(spark, sf_dir):
+    """GIF driver gate: the 128×128 closed-form DEM as palette indices
+    (256-color table → 8-bit min code size, the width-growth LZW path),
+    8 per-block .gif files, read back one task per file with the indices
+    expanded through the color table; digest mixes raw indices and all
+    three palette channels so both the LZW stream and the table must
+    survive the roundtrip."""
+    import tempfile
+
+    import numpy as np
+
+    from gdal_spark.sources import gif as GIF
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gif_gate_")
+    i = np.arange(256)
+    pal = np.stack([(i * 7) % 256, (i * 59) % 256, (i * 83) % 256],
+                   axis=1).astype(np.uint8)
+    cells = _dem_cells(spark, _GT_W).select(
+        "gx", "gy", F.col("val").cast("long").alias("idx"))
+    GIF.write_indexed_gifs(cells, d, width=_GT_W, height=_GT_W,
+                           block_rows=16, palette=pal)
+    back = GIF.read_indexed_gifs(spark, d, block_rows=16)
+    return back.groupBy((F.col("gy") / 32).cast("long").alias("band")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("idx") * (1 + F.col("gx") % 7) + F.col("r")
+              + F.col("g") * 2 + F.col("b") * 3).alias("digest"),
+    )

@@ -399,3 +399,48 @@ def test_bmp_errors():
                       palette=np.zeros((4, 3), np.uint8))
     with pytest.raises(ValueError, match="magic"):
         BMP.parse_bmp(b"XX" + b"\0" * 60)
+
+
+def test_gif_lzw_spec_golden_sample():
+    """The public GIF spec walkthrough sample (10x10, 4 colors, min code
+    size 2): decode must reproduce the documented index grid, and our
+    encoder happens to emit the identical stream (same greedy LZW, same
+    clear-at-start policy)."""
+    from gdal_spark.sources import gif as G
+
+    coded = bytes.fromhex("8C2D99872A1CDC33A00275EC95FAA8DE608C04914C01")
+    expect = bytes(
+        [1, 1, 1, 1, 1, 2, 2, 2, 2, 2] * 3
+        + [1, 1, 1, 0, 0, 0, 0, 2, 2, 2] * 2
+        + [2, 2, 2, 0, 0, 0, 0, 1, 1, 1] * 2
+        + [2, 2, 2, 2, 2, 1, 1, 1, 1, 1] * 3)
+    assert G._lzw_decode(coded, 2) == expect
+    assert G._lzw_encode(expect, 2) == coded
+
+
+def test_gif_lzw_width_growth_and_reset():
+    from gdal_spark.sources import gif as G
+
+    rng = np.random.RandomState(3)
+    # 200k random bytes force 9->12-bit codes and 4096-entry clear resets
+    data = bytes(rng.randint(0, 256, 200000).astype(np.uint8))
+    assert G._lzw_decode(G._lzw_encode(data, 8), 8) == data
+    run = b"\x05" * 70000  # KwKwK-heavy degenerate run
+    assert G._lzw_decode(G._lzw_encode(run, 8), 8) == run
+
+
+def test_gif_container_roundtrip_and_errors():
+    import pytest
+
+    from gdal_spark.sources import gif as G
+
+    pal = np.array([[255, 255, 255], [255, 0, 0], [0, 0, 255]], np.uint8)
+    arr = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    hdr, back = G.parse_gif(G.gif_bytes(arr, pal))
+    assert np.array_equal(back, arr)
+    # palette padded to the power-of-two table size the format requires
+    assert np.array_equal(hdr["palette"][:3], pal) and len(hdr["palette"]) == 4
+    with pytest.raises(ValueError, match="magic"):
+        G.parse_gif(b"NOTAGIF" + b"\0" * 20)
+    with pytest.raises(ValueError, match="palette range"):
+        G.gif_bytes(np.full((2, 2), 5, np.uint8), pal)
