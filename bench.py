@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "st_collect_astext",
     "bmp_roundtrip",
     "gif_roundtrip",
+    "topojson_roundtrip",
 ]
 
 

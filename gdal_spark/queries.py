@@ -19257,3 +19257,82 @@ def q_gif_roundtrip(spark, sf_dir):
         F.sum(F.col("idx") * (1 + F.col("gx") % 7) + F.col("r")
               + F.col("g") * 2 + F.col("b") * 3).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.46 TopoJSON vector driver (public TopoJSON spec; ref reads it via
+# ogr/ogrsf_frmts/geojson/ogrtopojsonreader.cpp — read-only there too).
+# Shared-arc dedup is the format's point: the 16-cell rows below store 49
+# arcs instead of 64 naive edges, adjacent cells referencing the shared
+# wall as ~i.
+# ---------------------------------------------------------------------------
+
+_TJ_NX, _TJ_NY, _TJ_Q = 16, 8, 250
+
+
+def _sql_topojson() -> str:
+    q = _TJ_Q
+    return f"""WITH gx AS (SELECT unnest(generate_series(0, {_TJ_NX - 1})) AS i),
+gy AS (SELECT unnest(generate_series(0, {_TJ_NY - 1})) AS j)
+SELECT (j * {_TJ_NX} + i)::bigint AS fid,
+       ((i * i) % 31 + (j * 7) % 13)::bigint AS h,
+       5::bigint AS n_pts,
+       {2 * q * q}::bigint AS area2q,
+       (10 * (i * {q}) + 5 * ((i + 1) * {q})
+        + 11 * (j * {q}) + 9 * ((j + 1) * {q}))::bigint AS digest
+FROM gx CROSS JOIN gy"""
+
+
+@register("topojson_roundtrip", _sql_topojson())
+def q_topojson_roundtrip(spark, sf_dir):
+    """TopoJSON driver gate: a 16×8 grid of CCW quad cells written as one
+    Topology document per row-block (block-local shared-arc dedup,
+    quantized transform scale=1e-3), read back one task per document;
+    per-feature the stitched exterior ring is re-quantized in JVM HOFs —
+    integer shoelace doubled area, weighted vertex digest, and the
+    property roundtrip all come off the decoded arcs."""
+    import tempfile
+
+    from gdal_spark.sources import topojson as TJ
+
+    d = tempfile.mkdtemp(prefix="gdalspark_tj_gate_")
+    q = F.lit(_TJ_Q)
+    cells = spark.range(_TJ_NX * _TJ_NY).select(
+        (F.col("id") % _TJ_NX).alias("i"),
+        (F.col("id") / _TJ_NX).cast("long").alias("j"),
+    ).select(
+        F.col("j").alias("blk"),
+        (F.col("j") * _TJ_NX + F.col("i")).alias("fid"),
+        F.to_json(F.struct(
+            ((F.col("i") * F.col("i")) % 31 + (F.col("j") * 7) % 13)
+            .alias("h"))).alias("props_json"),
+        F.array(F.col("i") * q, (F.col("i") + 1) * q, (F.col("i") + 1) * q,
+                F.col("i") * q, F.col("i") * q).alias("qx"),
+        F.array(F.col("j") * q, F.col("j") * q, (F.col("j") + 1) * q,
+                (F.col("j") + 1) * q, F.col("j") * q).alias("qy"),
+    )
+    TJ.write_polygon_topologies(
+        cells, d, "cells", scale=(1e-3, 1e-3), translate=(-2.0, -1.0))
+    back = TJ.read_polygon_topologies(spark, d, "cells")
+    # re-quantize: q = (pos - translate) / scale, micro-rounded to ints
+    xq = F.transform(
+        F.col("ring"), lambda p: F.floor((p["x"] + 2.0) * 1000 + 0.5))
+    yq = F.transform(
+        F.col("ring"), lambda p: F.floor((p["y"] + 1.0) * 1000 + 0.5))
+    ks = F.sequence(F.lit(0), F.size("ring") - 2)
+    return back.select(
+        "fid",
+        F.get_json_object("props_json", "$.h").cast("long").alias("h"),
+        F.size("ring").cast("long").alias("n_pts"),
+        F.aggregate(
+            ks, F.lit(0).cast("long"),
+            lambda acc, k: acc
+            + F.element_at(xq, k + 1) * F.element_at(yq, k + 2)
+            - F.element_at(xq, k + 2) * F.element_at(yq, k + 1),
+        ).alias("area2q"),
+        F.aggregate(
+            F.sequence(F.lit(0), F.size("ring") - 1), F.lit(0).cast("long"),
+            lambda acc, k: acc + F.element_at(xq, k + 1) * (k + 1)
+            + F.element_at(yq, k + 1) * (k + 2),
+        ).alias("digest"),
+    )

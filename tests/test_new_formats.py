@@ -444,3 +444,53 @@ def test_gif_container_roundtrip_and_errors():
         G.parse_gif(b"NOTAGIF" + b"\0" * 20)
     with pytest.raises(ValueError, match="palette range"):
         G.gif_bytes(np.full((2, 2), 5, np.uint8), pal)
+
+
+def test_topojson_shared_arcs_and_reversal():
+    """A 4x4 cell grid must store each interior wall ONCE: 40 arcs, not
+    the 64 naive edges; neighbors reference the shared wall as ~i."""
+    import json
+
+    from gdal_spark.sources import topojson as TJ
+
+    q = 10
+    feats = []
+    for j in range(4):
+        for i in range(4):
+            ring = [(i * q, j * q), ((i + 1) * q, j * q),
+                    ((i + 1) * q, (j + 1) * q), (i * q, (j + 1) * q),
+                    (i * q, j * q)]
+            feats.append((j * 4 + i, {"i": i}, [ring]))
+    doc = TJ.encode_topology(feats, "cells", (0.001, 0.001), (0.0, 0.0))
+    topo = json.loads(doc)
+    assert len(topo["arcs"]) == 40  # 2*4*5 walls, each stored once
+    refs = [r for g in topo["objects"]["cells"]["geometries"]
+            for r in g["arcs"][0]]
+    assert any(r < 0 for r in refs)  # reversed references present
+    rows = TJ.decode_topology(doc, "cells")
+    assert len(rows) == 16
+    for fid, props, rings in rows:
+        ring = rings[0]
+        assert ring.shape == (5, 2)
+        assert np.allclose(ring[0], ring[-1])
+        x2 = sum(ring[k, 0] * ring[k + 1, 1] - ring[k + 1, 0] * ring[k, 1]
+                 for k in range(4))
+        assert abs(x2 - 2 * (q * 0.001) ** 2) < 1e-12  # CCW, exact area
+
+
+def test_topojson_unquantized_and_errors():
+    import pytest
+
+    from gdal_spark.sources import topojson as TJ
+
+    # transform-less Topology: arcs are absolute float positions
+    doc = ('{"type":"Topology","objects":{"o":{"type":"GeometryCollection",'
+           '"geometries":[{"type":"Polygon","arcs":[[0,1]],"id":7}]}},'
+           '"arcs":[[[0.0,0.0],[1.0,0.0],[1.0,1.0]],[[1.0,1.0],[0.0,0.0]]]}')
+    (fid, props, rings), = TJ.decode_topology(doc, "o")
+    assert fid == 7 and rings[0].shape == (4, 2)
+    with pytest.raises(ValueError, match="Topology"):
+        TJ.decode_topology('{"type":"FeatureCollection"}', "o")
+    with pytest.raises(ValueError, match="closed"):
+        TJ.encode_topology([(1, {}, [[(0, 0), (1, 0)]])], "o",
+                           (1.0, 1.0), (0.0, 0.0))
