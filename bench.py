@@ -236,6 +236,8 @@ BENCH_QUERIES = [
     "bmp_roundtrip",
     "gif_roundtrip",
     "topojson_roundtrip",
+    "text_kn_perplexity",
+    "embed_ann_sq8",
 ]
 
 

@@ -641,3 +641,63 @@ SELECT (enc % {k} + 1)::int AS cl, count(*)::bigint AS n,
        sum(enc // {k})::bigint AS sse_q
 FROM enc JOIN dg USING (vec_id)
 GROUP BY cl"""
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (the FAISS ScalarQuantizer QT_8bit scheme:
+# per-dimension [min, max] trained on the corpus, 8-bit uniform codes,
+# symmetric reconstructed-L2 distance).  One byte per dimension — the
+# candidate scan reads 64 B codes instead of 256 B float32 vectors.
+# ---------------------------------------------------------------------------
+
+def sq8_topk(emb: DataFrame, query_pred: str, k: int = 5, dim: int = 64,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Top-k by symmetric SQ8 distance → (q_id, rank, vec_id, dist, qsum).
+
+    Train: per-dim min/max is ONE bounded aggregate (2·dim doubles) —
+    the only action; the codebook is literal-broadcast like the PQ/IVF
+    LUTs.  Quantize: q_d = floor((v_d − mn_d)/(mx_d − mn_d)·255 + 0.5),
+    map-only.  Search: queries broadcast against the CODE table (the
+    byte-per-dim scan is the operator's point), distance
+    Σ (Δq_d)²·s_d² with s_d = (mx_d − mn_d)/255 — integer deltas times
+    per-dim double scales, left-folded in dimension order so the oracle
+    reproduces it bit-for-bit.  Dims with mx == mn are untrainable by
+    the scheme (FAISS rejects them too) and would yield NaN codes.
+    """
+    vx = F.col(vec_col).cast("array<double>")
+    row = emb.agg(
+        F.array(*[F.min(F.element_at(vx, d + 1)) for d in range(dim)])
+        .alias("mn"),
+        F.array(*[F.max(F.element_at(vx, d + 1)) for d in range(dim)])
+        .alias("mx"),
+    ).collect()[0]
+    mn, mx = [float(v) for v in row["mn"]], [float(v) for v in row["mx"]]
+    s2 = []
+    for d in range(dim):
+        s = (mx[d] - mn[d]) / 255.0
+        s2.append(s * s)
+
+    qarr = F.array(*[
+        F.floor((F.element_at(vx, d + 1) - F.lit(mn[d]))
+                / F.lit(mx[d] - mn[d]) * 255.0 + 0.5).cast("long")
+        for d in range(dim)])
+    coded = emb.select(
+        F.col(id_col).alias("vec_id"), qarr.alias("q"),
+        F.aggregate(qarr, F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("qsum"))
+    queries = coded.filter(query_pred).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qq"))
+    pairs = coded.crossJoin(F.broadcast(queries)) \
+        .filter(F.col("vec_id") != F.col("q_id"))
+    d2 = F.zip_with("qq", "q", lambda a, b: (a - b) * (a - b))
+    terms = F.zip_with(d2, F.array(*[F.lit(s) for s in s2]),
+                       lambda v, s: v * s)
+    dist = F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
+    ranked = pairs.select(
+        "q_id", "vec_id", "qsum",
+        stable_round(dist, ROUND_DP).alias("dist"))
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return ranked.select(
+        "q_id", F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id", "dist", "qsum").filter(F.col("rank") <= k)

@@ -1044,7 +1044,77 @@ def bigram_kn_counts(docs: DataFrame, text_col: str = "text",
     return out.orderBy(F.desc("cnt"), F.asc("bg")).limit(top_k)
 
 
+def kn_bigram_perplexity(train: DataFrame, test: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Document perplexity under an interpolated Kneser-Ney BIGRAM LM
+    trained on ``train`` (Kneser & Ney 1995; Chen & Goodman 1998 eq. 15
+    with one discount) - the CCNet-style LM-quality signal (Wenzek et
+    al. 2020 score documents with a 5-gram KenLM; the bigram order keeps
+    the model tables vocabulary-bounded while exercising the identical
+    pipeline shape):
+
+        P(w|v) = max(c(v,w) - D, 0)/c(v) + (D * N1+(v.)/c(v)) * Pcont(w)
+        Pcont(w) = (N1+(.w) + 0.5) / (|bigram types| + 0.5 * (V + 1))
+
+    with D = 0.75; an unseen context backs off to Pcont alone, and the
+    +0.5/(V+1) floor keeps OOV continuations finite (one shared UNK
+    type).  D and the floor are dyadic, every per-bigram float op is a
+    single correctly-rounded IEEE op in the same order on both engines,
+    and ln(P) is micro-quantized per bigram BEFORE the per-document sum
+    (order-free integer aggregation - the unigram-LM/DSIR/BM25 pattern).
+
+    Scale shape: the three LM tables (bigram counts, context totals +
+    continuation-type counts, right-continuation counts) are vocabulary-
+    bounded aggregates joined back to the test bigram stream on skinny
+    string keys; nothing driver-side, no cross joins wider than the
+    1-row totals broadcast.
+    """
+    def _pairs(docs: DataFrame, keep_id: bool):
+        cols = [F.col(id_col)] if keep_id else []
+        d = docs.select(
+            *cols, F.split(F.trim(F.col(text_col)), " +").alias("toks")
+        ).filter(F.size("toks") >= 2)
+        return d.select(
+            *cols,
+            F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS v, "
+                "element_at(toks, i + 1) AS w))")).alias("p"),
+        ).select(*cols, "p.v", "p.w")
+
+    bg = _pairs(train, False).groupBy("v", "w").agg(
+        F.count(F.lit(1)).alias("cvw"))
+    ctx = bg.groupBy("v").agg(F.sum("cvw").alias("cv"),
+                              F.count(F.lit(1)).alias("n1v"))
+    cont = bg.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    tot = bg.agg(F.count(F.lit(1)).alias("nb")).crossJoin(
+        train.select(F.explode(
+            F.split(F.trim(F.col(text_col)), " +")).alias("t"))
+        .agg(F.countDistinct("t").alias("vsize")))
+
+    t = (_pairs(test, True)
+         .join(bg, ["v", "w"], "left")
+         .join(ctx, ["v"], "left")
+         .join(cont, ["w"], "left")
+         .crossJoin(F.broadcast(tot)))
+    pcont = (F.coalesce(F.col("nw"), F.lit(0)) + 0.5) \
+        / (F.col("nb") + 0.5 * (F.col("vsize") + 1))
+    seen = F.greatest(F.coalesce(F.col("cvw"), F.lit(0)) - 0.75, F.lit(0.0)) \
+        / F.col("cv") + 0.75 * F.col("n1v") / F.col("cv") * pcont
+    p = F.when(F.col("cv").isNotNull(), seen).otherwise(pcont)
+    scored = t.select(
+        id_col, F.floor(F.log(p) * 1e6).cast("long").alias("logp_micro"))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("logp_micro").cast("long").alias("sum_logp_micro"))
+    avg = F.col("sum_logp_micro").cast("double") / 1e6 / F.col("n_bigrams")
+    return agg.select(id_col, "n_bigrams", "sum_logp_micro",
+                      F.exp(-avg).alias("ppl"))
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
+
               merges: int = 5, top_k: int = 20) -> DataFrame:
     """Byte-pair-encoding TOKENIZER TRAINING (Sennrich et al. 2016, the
     standard subword-vocab build every LLM pipeline runs over its corpus):

@@ -19336,3 +19336,109 @@ def q_topojson_roundtrip(spark, sf_dir):
             + F.element_at(yq, k + 1) * (k + 2),
         ).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.47 Kneser–Ney bigram document perplexity (CCNet's LM-quality signal,
+# Wenzek et al. 2020 — KenLM scoring re-expressed with vocabulary-bounded
+# bigram tables; ref has no LM, this is LLM-pipeline depth).  Train on
+# doc_id % 3 == 0, score the rest; D = 0.75, +0.5/(V+1) UNK floor, ln(P)
+# micro-quantized per bigram before the order-free per-doc integer sum.
+# ---------------------------------------------------------------------------
+
+def _sql_kn_ppl() -> str:
+    pcont = ("(coalesce(nw, 0) + 0.5::double)"
+             " / (nb + 0.5::double * (vsize + 1))")
+    seen = ("greatest(coalesce(cvw, 0) - 0.75::double, 0.0::double) / cv"
+            f" + 0.75::double * n1v / cv * ({pcont})")
+    return f"""WITH d2 AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents),
+tr AS (SELECT l FROM d2 WHERE doc_id % 3 = 0 AND len(l) >= 2),
+te AS (SELECT doc_id, l FROM d2 WHERE doc_id % 3 <> 0 AND len(l) >= 2),
+trbg AS (SELECT unnest([{{'v': l[k], 'w': l[k + 1]}}
+                        FOR k IN range(1, len(l))]) AS p FROM tr),
+bg AS (SELECT p.v AS v, p.w AS w, count(*)::bigint AS cvw
+       FROM trbg GROUP BY 1, 2),
+ctx AS (SELECT v, sum(cvw)::bigint AS cv, count(*)::bigint AS n1v
+        FROM bg GROUP BY v),
+cont AS (SELECT w, count(*)::bigint AS nw FROM bg GROUP BY w),
+tot AS (SELECT (SELECT count(*) FROM bg)::bigint AS nb,
+               (SELECT count(DISTINCT t) FROM (
+                  SELECT unnest(string_split_regex(trim(text), ' +')) AS t
+                  FROM documents WHERE doc_id % 3 = 0))::bigint AS vsize),
+tebg AS (SELECT doc_id, unnest([{{'v': l[k], 'w': l[k + 1]}}
+                                FOR k IN range(1, len(l))]) AS p FROM te),
+j AS (SELECT t.doc_id, b.cvw, c.cv, c.n1v, n.nw, tot.nb, tot.vsize
+      FROM tebg t
+      LEFT JOIN bg b ON b.v = t.p.v AND b.w = t.p.w
+      LEFT JOIN ctx c ON c.v = t.p.v
+      LEFT JOIN cont n ON n.w = t.p.w
+      CROSS JOIN tot),
+s AS (SELECT doc_id,
+             floor(ln(CASE WHEN cv IS NOT NULL THEN {seen}
+                           ELSE {pcont} END) * 1e6)::bigint AS lm
+      FROM j),
+agg AS (SELECT doc_id, count(*)::bigint AS n_bigrams,
+               sum(lm)::bigint AS sum_logp_micro
+        FROM s GROUP BY doc_id)
+SELECT doc_id, n_bigrams, sum_logp_micro,
+       {SR('exp(-(sum_logp_micro::double / 1e6 / n_bigrams))', 6)} AS ppl
+FROM agg"""
+
+
+@register("text_kn_perplexity", _sql_kn_ppl())
+def q_text_kn_perplexity(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    out = T.kn_bigram_perplexity(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0))
+    return out.select("doc_id", "n_bigrams", "sum_logp_micro",
+                      R(F.col("ppl"), 6).alias("ppl"))
+
+
+# ---------------------------------------------------------------------------
+# §8.48 SQ8 scalar-quantized ANN (FAISS ScalarQuantizer QT_8bit analog):
+# per-dim [min,max] trained in one bounded aggregate, byte-per-dim codes,
+# symmetric reconstructed-L2 top-k.  Completes the quantization menu
+# (LSH → IVF → PQ → IVFPQ → SQ8).
+# ---------------------------------------------------------------------------
+
+def _sql_sq8() -> str:
+    terms = ("[(qs.qq[d] - c.q[d]) * (qs.qq[d] - c.q[d]) * sc.s2[d] "
+             "FOR d IN range(1, 65)]")
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dd AS (SELECT unnest(generate_series(1, 64)) AS d),
+mm AS (SELECT d, min(v[d]) AS mn, max(v[d]) AS mx
+       FROM e CROSS JOIN dd GROUP BY d),
+pl AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx
+       FROM mm),
+q8 AS (SELECT vec_id,
+              [floor((v[d] - pl.mn[d]) / (pl.mx[d] - pl.mn[d])
+                     * 255.0::double + 0.5::double)::bigint
+               FOR d IN range(1, 65)] AS q
+       FROM e CROSS JOIN pl),
+sc AS (SELECT [((pl.mx[d] - pl.mn[d]) / 255.0::double)
+               * ((pl.mx[d] - pl.mn[d]) / 255.0::double)
+               FOR d IN range(1, 65)] AS s2 FROM pl),
+qs AS (SELECT vec_id AS q_id, q AS qq FROM q8 WHERE {ANN_PRED}),
+pairs AS (
+  SELECT qs.q_id, c.vec_id,
+         {SR(f'list_reduce(list_prepend(0.0::double, {terms}), (a, b) -> a + b)', 6)}
+           AS dist,
+         list_reduce(list_prepend(0::bigint, c.q), (a, b) -> a + b) AS qsum
+  FROM qs CROSS JOIN q8 c CROSS JOIN sc WHERE c.vec_id <> qs.q_id),
+r AS (SELECT q_id, vec_id, dist, qsum,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY dist, vec_id) AS rk
+      FROM pairs)
+SELECT q_id, rk::bigint AS rank, vec_id, dist, qsum FROM r WHERE rk <= 5"""
+
+
+@register("embed_ann_sq8", _sql_sq8())
+def q_embed_ann_sq8(spark, sf_dir):
+    """SQ8 ANN gate: train per-dim [min,max] on all 500 vectors, encode
+    to 64 bytes each, top-5 per query by symmetric reconstructed-L2 —
+    queries broadcast against the code-only scan."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return SIM.sq8_topk(emb, ANN_PRED.replace(" = ", " == "))
