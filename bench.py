@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "topojson_roundtrip",
     "text_kn_perplexity",
     "embed_ann_sq8",
+    "mif_roundtrip",
+    "corpus_temperature_mix",
 ]
 
 

@@ -19442,3 +19442,110 @@ def q_embed_ann_sq8(spark, sf_dir):
     queries broadcast against the code-only scan."""
     emb = _read(spark, sf_dir, "embeddings")
     return SIM.sq8_topk(emb, ANN_PRED.replace(" = ", " == "))
+
+
+# ===========================================================================
+# §8.49 MapInfo MIF/MID driver (ogr/ogrsf_frmts/mitab/mitab_miffile.cpp):
+# the text interchange pair — .mif header + geometry stream, .mid
+# positional attribute rows.
+# ===========================================================================
+
+
+@register("mif_roundtrip", _FMT_POINTS_ORACLE)
+def q_mif_roundtrip(spark, sf_dir):
+    """MIF/MID driver gate: the point layer written as 8 .mif/.mid pairs
+    (shortest-roundtrip decimal coordinates, delimited integer
+    attributes), read back one task per pair with the spec's positional
+    .mif↔.mid feature pairing."""
+    import tempfile
+
+    from gdal_spark.sources import mif as MIF
+
+    d = tempfile.mkdtemp(prefix="gdalspark_mif_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    MIF.write_point_mifs(pts, d, ["o_orderkey", "cents"])
+    back = MIF.read_point_mifs(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §8.50 Temperature-based mixture allocation (the multilingual/source
+# sampling rule of Lample & Conneau 2019 §3.1 / LLaMA's data mix:
+# p_s ∝ n_s^α with α = 0.5, i.e. sqrt — correctly-rounded on both
+# engines), apportioned to an integer token budget by largest remainder
+# (Hamilton).  Complements corpus_mix_upsample (explicit weights) and
+# corpus_language_cap (hard caps): here the weights COME FROM the corpus.
+# ---------------------------------------------------------------------------
+
+_TMIX_BUDGET = 1_000_000
+
+
+def _sql_temperature_mix() -> str:
+    b = f"{float(_TMIX_BUDGET)!r}::double"
+    return f"""WITH nt AS (
+  SELECT source, sum(len(string_split_regex(trim(text), ' +')))::bigint
+           AS n_tokens
+  FROM documents GROUP BY source),
+ws AS (SELECT source, n_tokens, sqrt(n_tokens::double) AS w FROM nt),
+tot AS (SELECT list_reduce(list_prepend(0.0::double,
+                                        list(w ORDER BY source)),
+                           (a, b) -> a + b) AS wsum FROM ws),
+raw AS (SELECT source, n_tokens,
+               {b} * w / tot.wsum AS r
+        FROM ws CROSS JOIN tot),
+fl AS (SELECT source, n_tokens, floor(r)::bigint AS alloc0,
+              floor((r - floor(r)) * 1e6 + 0.5::double)::bigint AS rem_m
+       FROM raw),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem_m DESC, source) AS rk,
+              (SELECT {_TMIX_BUDGET} - sum(alloc0) FROM fl) AS residue
+       FROM fl)
+SELECT source, n_tokens,
+       (alloc0 + CASE WHEN rk <= residue THEN 1 ELSE 0 END)::bigint
+         AS alloc_tokens,
+       {SR('(alloc0 + CASE WHEN rk <= residue THEN 1 ELSE 0 END)'
+           '::double / n_tokens', 6)} AS eff_epochs
+FROM rk"""
+
+
+@register("corpus_temperature_mix", _sql_temperature_mix())
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature mixing gate: per-source token counts → sqrt weights →
+    largest-remainder integer apportionment of a 1M-token budget.  All
+    tables past the one corpus aggregate are source-bounded; the weight
+    fold runs in source order on both engines so the double sum is
+    bit-identical."""
+    docs = _read(spark, sf_dir, "documents")
+    nt = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), " +")).alias("ntok"),
+    ).groupBy("source").agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    ws = nt.select(
+        "source", "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w"))
+    tot = ws.agg(F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("source", "w"))),
+            lambda s: s["w"]),
+        F.lit(0.0), lambda a, v: a + v).alias("wsum"))
+    raw = ws.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens",
+        (F.lit(float(_TMIX_BUDGET)) * F.col("w") / F.col("wsum")).alias("r"))
+    fl = raw.select(
+        "source", "n_tokens",
+        F.floor("r").cast("long").alias("alloc0"),
+        F.floor((F.col("r") - F.floor("r")) * 1e6 + 0.5).cast("long")
+        .alias("rem_m"))
+    from pyspark.sql import Window
+
+    res = fl.agg((F.lit(_TMIX_BUDGET) - F.sum("alloc0")).alias("residue"))
+    wspec = Window.orderBy(F.desc("rem_m"), F.asc("source"))
+    rk = fl.crossJoin(F.broadcast(res)).withColumn(
+        "rk", F.row_number().over(wspec))
+    alloc = F.col("alloc0") + F.when(
+        F.col("rk") <= F.col("residue"), 1).otherwise(0)
+    return rk.select(
+        "source", "n_tokens", alloc.cast("long").alias("alloc_tokens"),
+        R(alloc.cast("double") / F.col("n_tokens"), 6).alias("eff_epochs"))

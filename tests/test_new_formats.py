@@ -494,3 +494,20 @@ def test_topojson_unquantized_and_errors():
     with pytest.raises(ValueError, match="closed"):
         TJ.encode_topology([(1, {}, [[(0, 0), (1, 0)]])], "o",
                            (1.0, 1.0), (0.0, 0.0))
+
+
+def test_mif_pair_roundtrip_and_errors():
+    import pytest
+
+    from gdal_spark.sources import mif as MIF
+
+    rows = [(1.5, -2.25, [10, 100]), (0.1, 0.2, [11, 200])]
+    mf, md = MIF.mif_pair(rows, ["k", "cents"])
+    assert 'Delimiter ","' in mf and "Columns 2" in mf
+    out = MIF.parse_mif_pair(mf, md, ["k", "cents"])
+    assert list(out["k"]) == [10, 11] and list(out["cents"]) == [100, 200]
+    assert list(out["x"]) == [1.5, 0.1] and list(out["y"]) == [-2.25, 0.2]
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        MIF.parse_mif_pair(mf.replace("Point", "Pline"), md, ["k", "cents"])
+    with pytest.raises(ValueError, match=".mid rows"):
+        MIF.parse_mif_pair(mf, md + "12,300\n", ["k", "cents"])
