@@ -240,6 +240,8 @@ BENCH_QUERIES = [
     "embed_ann_sq8",
     "mif_roundtrip",
     "corpus_temperature_mix",
+    "pgdump_roundtrip",
+    "osm_nodes_roundtrip",
 ]
 
 

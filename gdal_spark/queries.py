@@ -19549,3 +19549,55 @@ def q_corpus_temperature_mix(spark, sf_dir):
     return rk.select(
         "source", "n_tokens", alloc.cast("long").alias("alloc_tokens"),
         R(alloc.cast("double") / F.col("n_tokens"), 6).alias("eff_epochs"))
+
+
+# ===========================================================================
+# §8.51 PGDump driver (ogr/ogrsf_frmts/pgdump/ — write-only in the
+# reference too; the COPY parser here closes the roundtrip): hex-WKB
+# geometry in tab-delimited COPY rows.
+# ===========================================================================
+
+
+@register("pgdump_roundtrip", _FMT_POINTS_ORACLE)
+def q_pgdump_roundtrip(spark, sf_dir):
+    """PGDump driver gate: the point layer written as 8 PostGIS dump
+    scripts (CREATE TABLE + AddGeometryColumn + COPY block, uppercase
+    hex little-endian WKB), read back one task per dump — coordinates
+    ride the 8-byte IEEE WKB payload bit-exactly."""
+    import tempfile
+
+    from gdal_spark.sources import pgdump as PGD
+
+    d = tempfile.mkdtemp(prefix="gdalspark_pgdump_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    PGD.write_point_pgdumps(pts, d, "points", ["o_orderkey", "cents"])
+    back = PGD.read_point_pgdumps(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+# ===========================================================================
+# §8.52 OSM XML driver (ogr/ogrsf_frmts/osm/ — the .osm planet-dump node
+# layer; tags carry the attribute payload).
+# ===========================================================================
+
+
+@register("osm_nodes_roundtrip", _FMT_POINTS_ORACLE)
+def q_osm_nodes_roundtrip(spark, sf_dir):
+    """OSM XML driver gate: the point layer written as 8 .osm documents
+    (<node id lat lon> + <tag k v> payload, shortest-roundtrip decimal
+    coordinates), read back one task per document."""
+    import tempfile
+
+    from gdal_spark.sources import osmxml as OSM
+
+    d = tempfile.mkdtemp(prefix="gdalspark_osm_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    OSM.write_point_osm(pts, d, "o_orderkey", ["cents"])
+    back = OSM.read_point_osm(spark, d, "o_orderkey", ["cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("lon"), 6).alias("lon"), R(F.col("lat"), 6).alias("lat"),
+    )

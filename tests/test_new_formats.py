@@ -511,3 +511,34 @@ def test_mif_pair_roundtrip_and_errors():
         MIF.parse_mif_pair(mf.replace("Point", "Pline"), md, ["k", "cents"])
     with pytest.raises(ValueError, match=".mid rows"):
         MIF.parse_mif_pair(mf, md + "12,300\n", ["k", "cents"])
+
+
+def test_pgdump_copy_block_and_errors():
+    import pytest
+
+    from gdal_spark.sources import pgdump as PGD
+
+    txt = PGD.pgdump_text("pts", [(2.5, -1.25, [7, 70])], ["k", "cents"])
+    assert "CREATE TABLE \"public\".\"pts\"" in txt
+    assert "AddGeometryColumn" in txt and txt.rstrip().endswith("\\.")
+    out = PGD.parse_pgdump(txt, ["k", "cents"])
+    assert list(out["k"]) == [7] and out["x"][0] == 2.5 and out["y"][0] == -1.25
+    with pytest.raises(ValueError, match="no COPY block"):
+        PGD.parse_pgdump("SELECT 1;", ["k"])
+    bad = txt.replace("0101", "0102", 1)  # linestring type byte
+    with pytest.raises(ValueError, match="unsupported WKB"):
+        PGD.parse_pgdump(bad, ["k", "cents"])
+
+
+def test_osm_document_roundtrip():
+    import pytest
+
+    from gdal_spark.sources import osmxml as OSM
+
+    rows = [{"nid": 5, "lat": 48.85, "lon": 2.35, "cents": 99}]
+    buf = OSM.osm_document(rows, "nid", ["cents"])
+    assert b'<osm version="0.6"' in buf and b'k="cents" v="99"' in buf
+    back = OSM.parse_osm(buf, "nid", ["cents"])
+    assert back == [{"nid": 5, "lat": 48.85, "lon": 2.35, "cents": 99}]
+    with pytest.raises(ValueError, match="root element"):
+        OSM.parse_osm(b"<gpx/>", "nid", [])
