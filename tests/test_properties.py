@@ -192,3 +192,90 @@ def test_pnm_gray_roundtrip(w, h, maxval, seed):
     arr = rng.randint(0, maxval + 1, size=(h, w)).astype(np.int64)
     hdr, back = PNM.parse_pnm(PNM.pnm_bytes(arr, maxval=maxval))
     assert hdr["maxval"] == maxval and np.array_equal(back, arr)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-4 codecs: BMP, GIF LZW, TopoJSON, MIF, PGDump, OSM XML
+# ---------------------------------------------------------------------------
+
+_img8 = st.integers(min_value=1, max_value=17)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img8, _img8, st.integers(0, 2**32 - 1))
+def test_bmp_truecolor_any_shape_roundtrips(h, w, seed):
+    from gdal_spark.sources import bmp as BMP
+
+    rng = np.random.RandomState(seed % (2**31))
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    hdr, back = BMP.parse_bmp(BMP.bmp_bytes(rgb))
+    assert (hdr["width"], hdr["height"]) == (w, h)
+    assert np.array_equal(back, rgb)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000),
+       st.integers(min_value=2, max_value=8))
+def test_gif_lzw_roundtrips_any_bytes(data, min_code):
+    from gdal_spark.sources import gif as G
+
+    lim = 1 << min_code
+    clipped = bytes(b % lim for b in data)
+    assert G._lzw_decode(G._lzw_encode(clipped, min_code),
+                         min_code) == clipped
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                          st.integers(-10**6, 10**6)),
+                min_size=3, max_size=12, unique=True),
+       st.integers(0, 10**6))
+def test_topojson_single_ring_roundtrips(pts, fid):
+    from gdal_spark.sources import topojson as TJ
+
+    ring = pts + [pts[0]]
+    doc = TJ.encode_topology([(fid, {"a": 1}, [ring])], "o",
+                             (1e-4, 1e-4), (0.5, -0.5))
+    (rfid, props, rings), = TJ.decode_topology(doc, "o")
+    assert rfid == fid and props == {"a": 1}
+    got = rings[0]
+    want = np.asarray([(0.5 + x * 1e-4, -0.5 + y * 1e-4)
+                       for x, y in ring])
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)  # delta cumsum of ints is exact
+
+
+_fd = st.floats(allow_nan=False, allow_infinity=False,
+                min_value=-1e6, max_value=1e6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_fd, _fd, st.integers(-2**31, 2**31 - 1),
+                          st.integers(-2**31, 2**31 - 1)),
+                min_size=1, max_size=20))
+def test_mif_and_pgdump_rows_roundtrip(rows):
+    from gdal_spark.sources import mif as MIF
+    from gdal_spark.sources import pgdump as PGD
+
+    feats = [(x, y, [k, c]) for x, y, k, c in rows]
+    out = MIF.parse_mif_pair(*MIF.mif_pair(feats, ["k", "c"]), ["k", "c"])
+    assert list(out["x"]) == [x for x, *_ in rows]  # repr is bit-exact
+    assert list(out["k"]) == [k for _, _, k, _ in rows]
+    out2 = PGD.parse_pgdump(PGD.pgdump_text("t", feats, ["k", "c"]),
+                            ["k", "c"])
+    assert list(out2["y"]) == [y for _, y, *_ in rows]  # WKB is bit-exact
+    assert list(out2["c"]) == [c for *_, c in rows]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2**40), _fd, _fd,
+                          st.integers(-10**9, 10**9)),
+                min_size=1, max_size=20, unique_by=lambda r: r[0]))
+def test_osm_nodes_roundtrip_property(rows):
+    from gdal_spark.sources import osmxml as OSM
+
+    docs = [{"nid": n, "lon": x, "lat": y, "cents": c}
+            for n, x, y, c in rows]
+    back = OSM.parse_osm(OSM.osm_document(docs, "nid", ["cents"]),
+                         "nid", ["cents"])
+    assert back == docs
