@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "corpus_temperature_mix",
     "pgdump_roundtrip",
     "osm_nodes_roundtrip",
+    "esrijson_roundtrip",
+    "georss_roundtrip",
 ]
 
 

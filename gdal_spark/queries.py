@@ -19601,3 +19601,49 @@ def q_osm_nodes_roundtrip(spark, sf_dir):
         "o_orderkey", "cents",
         R(F.col("lon"), 6).alias("lon"), R(F.col("lat"), 6).alias("lat"),
     )
+
+
+# ===========================================================================
+# §8.53 ESRI JSON + GeoRSS drivers (ogr/ogrsf_frmts/geojson/
+# ogresrijsonreader.cpp; ogr/ogrsf_frmts/georss/ogrgeorsslayer.cpp).
+# ===========================================================================
+
+
+@register("esrijson_roundtrip", _FMT_POINTS_ORACLE)
+def q_esrijson_roundtrip(spark, sf_dir):
+    """ESRI JSON driver gate: the point layer as 8 ArcGIS REST
+    FeatureSet documents — features rendered by JVM to_json on write,
+    typed from_json + explode on read; doubles ride Jackson
+    shortest-roundtrip text bit-exactly, zero Python in the feature
+    path."""
+    import tempfile
+
+    from gdal_spark.sources import esrijson as EJ
+
+    d = tempfile.mkdtemp(prefix="gdalspark_esrijson_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    EJ.write_point_featuresets(pts, d, ["o_orderkey", "cents"])
+    back = EJ.read_point_featuresets(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+@register("georss_roundtrip", _FMT_POINTS_ORACLE)
+def q_georss_roundtrip(spark, sf_dir):
+    """GeoRSS driver gate: the point layer as 8 RSS 2.0 documents with
+    GeoRSS-Simple points (LAT-FIRST coordinate order, the spec's gotcha)
+    and attribute child elements, read back one task per document."""
+    import tempfile
+
+    from gdal_spark.sources import georss as GR
+
+    d = tempfile.mkdtemp(prefix="gdalspark_georss_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    GR.write_point_georss(pts, d, ["o_orderkey", "cents"])
+    back = GR.read_point_georss(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("lon"), 6).alias("lon"), R(F.col("lat"), 6).alias("lat"),
+    )

@@ -542,3 +542,22 @@ def test_osm_document_roundtrip():
     assert back == [{"nid": 5, "lat": 48.85, "lon": 2.35, "cents": 99}]
     with pytest.raises(ValueError, match="root element"):
         OSM.parse_osm(b"<gpx/>", "nid", [])
+
+
+def test_georss_lat_first_and_errors():
+    import pytest
+
+    from gdal_spark.sources import georss as GR
+
+    rows = [{"k": 3, "cents": 42, "lon": 2.35, "lat": 48.85}]
+    buf = GR.georss_document(rows, ["k", "cents"])
+    # GeoRSS-Simple is latitude FIRST
+    assert b"<georss:point>48.85 2.35</georss:point>" in buf
+    back = GR.parse_georss(buf, ["k", "cents"])
+    assert back == [{"lat": 48.85, "lon": 2.35, "k": 3, "cents": 42}]
+    with pytest.raises(ValueError, match="root element"):
+        GR.parse_georss(b"<feed/>", [])
+    with pytest.raises(ValueError, match="georss:point"):
+        GR.parse_georss(
+            b'<rss version="2.0"><channel><item><k>1</k></item>'
+            b"</channel></rss>", ["k"])
