@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "osm_nodes_roundtrip",
     "esrijson_roundtrip",
     "georss_roundtrip",
+    "corpus_ccnet_buckets",
 ]
 
 

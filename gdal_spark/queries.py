@@ -19647,3 +19647,47 @@ def q_georss_roundtrip(spark, sf_dir):
         "o_orderkey", "cents",
         R(F.col("lon"), 6).alias("lon"), R(F.col("lat"), 6).alias("lat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §8.54 CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020
+# §4.3: corpus split into three LM-perplexity tertiles; "head" is the
+# training-preferred slice).  Composes the KN scorer with ntile(3) over a
+# total order (avg log-prob desc, doc_id) — both engines sort the exact
+# same doubles, so the tertile boundaries agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _sql_ccnet_buckets() -> str:
+    return f"""WITH base AS ({_sql_kn_ppl()}),
+bk AS (SELECT *, ntile(3) OVER (
+         ORDER BY sum_logp_micro::double / n_bigrams DESC, doc_id) AS bucket
+       FROM base)
+SELECT bucket::bigint AS bucket, count(*)::bigint AS n_docs,
+       sum(n_bigrams)::bigint AS sum_bigrams,
+       min(ppl) AS min_ppl, max(ppl) AS max_ppl
+FROM bk GROUP BY bucket"""
+
+
+@register("corpus_ccnet_buckets", _sql_ccnet_buckets())
+def q_corpus_ccnet_buckets(spark, sf_dir):
+    """CCNet bucket gate: KN-scored documents cut into perplexity
+    tertiles.  The global ntile window is corpus-sized here but
+    bucket-boundary assignment at 100 TB would ride the engine's
+    range-partitioned distributed rank (curve_sort) — documented
+    trade-off, the gate pins the semantics."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    base = T.kn_bigram_perplexity(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0))
+    w = Window.orderBy(
+        (F.col("sum_logp_micro").cast("double") / F.col("n_bigrams")).desc(),
+        F.col("doc_id"))
+    bk = base.select(
+        "n_bigrams", R(F.col("ppl"), 6).alias("ppl"),
+        F.ntile(3).over(w).cast("long").alias("bucket"))
+    return bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("sum_bigrams"),
+        F.min("ppl").alias("min_ppl"), F.max("ppl").alias("max_ppl"))

@@ -698,3 +698,41 @@ def test_hive_partition_prune_reads_two_partitions(spark):
     p = _plan(spark, "hive_partition_prune")
     assert "PartitionFilters" in p
     assert "lon_band" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_sq8_codes_broadcast_queries_no_sortmerge(spark):
+    """SQ8 ANN: the bounded query set must BROADCAST against the code
+    scan (byte-per-dim candidates) — a sort-merge/shuffled join would
+    shuffle the full code table for 5 queries."""
+    p = _plan(spark, "embed_ann_sq8")
+    assert "Broadcast" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kn_perplexity_no_cartesian_lm_joins(spark):
+    """KN scorer: LM-table lookups are equi-joins on (v, w) / v / w plus
+    the 1-row totals broadcast — no nested-loop join may appear beyond
+    that single-row cross."""
+    p = _plan(spark, "text_kn_perplexity")
+    assert "CartesianProduct" not in p
+    # two 1-row crosses only: nb x vsize totals build + totals broadcast
+    import re
+    nodes = set(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert len(nodes) <= 2
+
+
+def test_esrijson_read_map_only_after_scan(spark):
+    """ESRI JSON scan: typed from_json + explode is map-only — the
+    reader must not shuffle."""
+    p = _plan(spark, "esrijson_roundtrip")
+    post = p.split("Scan json")[-1]
+    assert "Exchange" not in post.split("== Initial Plan")[0] or \
+        "Exchange" not in post
+
+
+def test_temperature_mix_bounded_windows_only(spark):
+    """Temperature mix: the only window/sort runs on the source-bounded
+    table; the corpus pass is one partial-agg shuffle."""
+    p = _plan(spark, "corpus_temperature_mix")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2  # map-side partial on the corpus
