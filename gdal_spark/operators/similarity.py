@@ -656,15 +656,17 @@ def sq8_topk(emb: DataFrame, query_pred: str, k: int = 5, dim: int = 64,
     """Top-k by symmetric SQ8 distance → (q_id, rank, vec_id, dist, qsum).
 
     Train: per-dim min/max is ONE bounded aggregate (2·dim doubles) —
-    the only action; the codebook is literal-broadcast like the PQ/IVF
-    LUTs.  Quantize: q_d = floor((v_d − mn_d)/(mx_d − mn_d)·255 + 0.5),
-    map-only.  Search: queries broadcast against the CODE table (the
-    byte-per-dim scan is the operator's point), distance
-    Σ (Δq_d)²·s_d² with s_d = (mx_d − mn_d)/255 — integer deltas times
-    per-dim double scales, left-folded in dimension order so the oracle
-    reproduces it bit-for-bit.  Dims with mx == mn are untrainable by
-    the scheme (FAISS rejects them too) and would yield NaN codes.
+    the codebook broadcasts like the PQ/IVF LUTs.  Quantize + scan run
+    in an Arrow numpy kernel with a per-partition top-k pre-reduction
+    (the cosine_topk shape): candidates are encoded to byte codes and
+    the distance Σ (Δq_d)²·s_d² (s_d = (mx_d − mn_d)/255) accumulates
+    dimension-by-dimension in the SAME left-fold order as the DuckDB
+    oracle's list_reduce, so every per-pair double is bit-identical —
+    vectorized over the batch, never per-element interpreted.  Dims
+    with mx == mn are untrainable by the scheme (FAISS rejects them
+    too) and would yield NaN codes.
     """
+    spark = emb.sparkSession
     vx = F.col(vec_col).cast("array<double>")
     row = emb.agg(
         F.array(*[F.min(F.element_at(vx, d + 1)) for d in range(dim)])
@@ -672,32 +674,73 @@ def sq8_topk(emb: DataFrame, query_pred: str, k: int = 5, dim: int = 64,
         F.array(*[F.max(F.element_at(vx, d + 1)) for d in range(dim)])
         .alias("mx"),
     ).collect()[0]
-    mn, mx = [float(v) for v in row["mn"]], [float(v) for v in row["mx"]]
-    s2 = []
-    for d in range(dim):
-        s = (mx[d] - mn[d]) / 255.0
-        s2.append(s * s)
+    mn = np.array([float(v) for v in row["mn"]])
+    mx = np.array([float(v) for v in row["mx"]])
+    den = mx - mn
+    s2 = (den / 255.0) * (den / 255.0)
 
-    qarr = F.array(*[
-        F.floor((F.element_at(vx, d + 1) - F.lit(mn[d]))
-                / F.lit(mx[d] - mn[d]) * 255.0 + 0.5).cast("long")
-        for d in range(dim)])
-    coded = emb.select(
-        F.col(id_col).alias("vec_id"), qarr.alias("q"),
-        F.aggregate(qarr, F.lit(0).cast("long"),
-                    lambda a, v: a + v).alias("qsum"))
-    queries = coded.filter(query_pred).select(
-        F.col("vec_id").alias("q_id"), F.col("q").alias("qq"))
-    pairs = coded.crossJoin(F.broadcast(queries)) \
-        .filter(F.col("vec_id") != F.col("q_id"))
-    d2 = F.zip_with("qq", "q", lambda a, b: (a - b) * (a - b))
-    terms = F.zip_with(d2, F.array(*[F.lit(s) for s in s2]),
-                       lambda v, s: v * s)
-    dist = F.aggregate(terms, F.lit(0.0), lambda a, v: a + v)
-    ranked = pairs.select(
-        "q_id", "vec_id", "qsum",
-        stable_round(dist, ROUND_DP).alias("dist"))
+    def encode(mat: np.ndarray) -> np.ndarray:
+        # identical IEEE op sequence to the oracle's per-element quantize
+        return np.floor((mat - mn[None, :]) / den[None, :] * 255.0 + 0.5)
+
+    q_rows = emb.filter(query_pred).select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_codes = encode(np.array([r[1] for r in q_rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_codes, mn, den, s2))
+
+    out_schema = StructType([
+        StructField("q_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("dist", DoubleType()),
+        StructField("qsum", LongType()),
+    ])
+    id_i = emb.columns.index(id_col)
+    vec_i = emb.columns.index(vec_col)
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qc, mn_b, den_b, s2_b = bc.value
+        nq = ids.shape[0]
+        acc = [(np.full(0, np.inf), np.empty(0, np.int64),
+                np.empty(0, np.int64)) for _ in range(nq)]
+        for pdf in batches:
+            if pdf.shape[0] == 0:
+                continue
+            p_id = pdf.iloc[:, id_i].to_numpy(dtype=np.int64)
+            p_mat = np.array(list(pdf.iloc[:, vec_i]), dtype=np.float64)
+            codes = np.floor(
+                (p_mat - mn_b[None, :]) / den_b[None, :] * 255.0 + 0.5)
+            qsum = codes.astype(np.int64).sum(axis=1)
+            for qi in range(nq):
+                delta = codes - qc[qi][None, :]
+                d2 = delta * delta
+                dist = np.zeros(codes.shape[0])
+                for d in range(codes.shape[1]):  # oracle's left-fold order
+                    dist = dist + d2[:, d] * s2_b[d]
+                dist = np_stable_round(dist, ROUND_DP)
+                keep = p_id != ids[qi]
+                cand = (np.concatenate([acc[qi][0], dist[keep]]),
+                        np.concatenate([acc[qi][1], p_id[keep]]),
+                        np.concatenate([acc[qi][2], qsum[keep]]))
+                if cand[0].shape[0] > k:
+                    # keep ties with the k-th value (rank breaks by id)
+                    kth = np.partition(cand[0], k - 1)[k - 1]
+                    m = cand[0] <= kth
+                    cand = (cand[0][m], cand[1][m], cand[2][m])
+                order = np.lexsort((cand[1], cand[0]))[:k]
+                acc[qi] = (cand[0][order], cand[1][order], cand[2][order])
+        yield pd.DataFrame({
+            "q_id": np.repeat(ids, [a[1].shape[0] for a in acc]),
+            "vec_id": np.concatenate([a[1] for a in acc])
+            if acc else np.empty(0, np.int64),
+            "dist": np.concatenate([a[0] for a in acc])
+            if acc else np.empty(0),
+            "qsum": np.concatenate([a[2] for a in acc])
+            if acc else np.empty(0, np.int64),
+        })
+
+    partial = emb.mapInPandas(local_topk, schema=out_schema)
     w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
-    return ranked.select(
-        "q_id", F.row_number().over(w).cast("long").alias("rank"),
-        "vec_id", "dist", "qsum").filter(F.col("rank") <= k)
+    return partial.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k).select(
+        "q_id", "rank", "vec_id", "dist", "qsum")

@@ -700,13 +700,14 @@ def test_hive_partition_prune_reads_two_partitions(spark):
     assert "lon_band" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
 
-def test_sq8_codes_broadcast_queries_no_sortmerge(spark):
-    """SQ8 ANN: the bounded query set must BROADCAST against the code
-    scan (byte-per-dim candidates) — a sort-merge/shuffled join would
-    shuffle the full code table for 5 queries."""
+def test_sq8_arrow_kernel_partition_topk(spark):
+    """SQ8 ANN: the code scan runs in ONE Arrow kernel with per-partition
+    top-k pre-reduction — no join may appear; the only shuffle carries
+    partitions x k x queries pre-reduced rows into the rank window."""
     p = _plan(spark, "embed_ann_sq8")
-    assert "Broadcast" in p
-    assert "SortMergeJoin" not in p
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" not in p
 
 
 def test_kn_perplexity_no_cartesian_lm_joins(spark):
