@@ -11136,6 +11136,103 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+@register("xlsx_roundtrip", _FMT_POINTS_ORACLE)
+def q_xlsx_roundtrip(spark, sf_dir):
+    """XLSX driver gate (ECMA-376 SpreadsheetML; ogr/ogrsf_frmts/xlsx/):
+    the points layer written as one worksheet package per partition —
+    zip + workbook/rels/sheet XML hand-assembled, numbers as shortest-
+    roundtrip decimal <v> cells so coordinates survive bit-exactly —
+    read back one task per file with a stdlib zip + ElementTree parse
+    (sharedStrings-aware, though this writer emits inlineStr)."""
+    import tempfile
+
+    from gdal_spark.sources import xlsx as XL
+
+    d = tempfile.mkdtemp(prefix="gdalspark_xlsx_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    XL.write_point_xlsxs(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = XL.read_point_xlsxs(spark, d, ["o_orderkey", "cents"],
+                               x_col="lon", y_col="lat")
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+@register("spatialite_points_roundtrip", _FMT_POINTS_ORACLE)
+def q_spatialite_points_roundtrip(spark, sf_dir):
+    """SpatiaLite driver gate (public BLOB-Geometry spec;
+    ogr/ogrsf_frmts/sqlite/ ogrsqlitelayer.cpp Import/ExportSpatiaLite-
+    Geometry): one .sqlite per partition on write (map-only), bytes
+    shipped via binaryFile and opened executor-side with
+    sqlite3.deserialize on read.  Unlike GPKG the geometry body is NOT
+    ISO WKB — one shared endian flag, 0x00/0x7C/0xFE framing — so this
+    gate exercises a second, disjoint SQLite geometry codec."""
+    import tempfile
+
+    from gdal_spark.sources import spatialite as SLITE
+
+    d = tempfile.mkdtemp(prefix="gdalspark_slite_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    SLITE.write_point_sqlites(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = SLITE.read_point_sqlites(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+@register(
+    "spatialite_roundtrip",
+    f"""WITH p(poly_id, n_rings, xmin, ymin, xmax, ymax, area)
+  AS ({_gp_meta_values()})
+SELECT poly_id, n_rings, xmin, ymin, xmax, ymax,
+       {SR('area', 6)} AS area FROM p""",
+)
+def q_spatialite_roundtrip(spark, sf_dir):
+    """SpatiaLite polygon gate: BLOB MBR surfaced pre-decode (the
+    prune-before-body path), rings re-measured after the body parse so
+    a header/body disagreement fails the oracle.  Write path is the
+    DISTRIBUTED sink (one .sqlite per partition, no driver collect —
+    pinned in tests/test_format_sources.py)."""
+    import tempfile
+
+    from gdal_spark.sources import spatialite as SLITE
+
+    d = tempfile.mkdtemp(prefix="gdalspark_slitep_gate_")
+    SLITE.write_polygon_sqlites(
+        polygons_df(spark), d, int_fields=["poly_id"], num_files=4)
+    back = SLITE.read_polygon_sqlites(spark, d, ["poly_id"])
+
+    def meas(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rs = G.rings_to_numpy(row["rings"])
+                out.append({
+                    "poly_id": int(row["poly_id"]),
+                    "n_rings": len(rs),
+                    "xmin": row["xmin"], "ymin": row["ymin"],
+                    "xmax": row["xmax"], "ymax": row["ymax"],
+                    "area": G.rings_area(rs),
+                })
+            yield pd.DataFrame(out)
+
+    measured = back.mapInPandas(
+        meas,
+        "poly_id long, n_rings long, xmin double, ymin double, "
+        "xmax double, ymax double, area double",
+    )
+    return measured.select(
+        "poly_id", "n_rings", "xmin", "ymin", "xmax", "ymax",
+        R(F.col("area"), 6).alias("area"),
+    )
+
+
 @register("flatgeobuf_roundtrip", _FMT_POINTS_ORACLE)
 def q_flatgeobuf_roundtrip(spark, sf_dir):
     """FlatGeobuf driver gate (public spec; ogr/ogrsf_frmts/flatgeobuf/):
@@ -18568,6 +18665,68 @@ def q_srtmhgt_roundtrip(spark, sf_dir):
     )
 
 
+_DTED_N = 61  # 3600 % (n-1) == 0 so the UHL tenth-arcsec intervals are exact
+
+
+def _sql_dted() -> str:
+    return f"""WITH t AS (SELECT unnest(generate_series(0, 1)) AS ti),
+g AS (SELECT unnest(generate_series(0, {_DTED_N - 1})) AS i),
+cells AS (SELECT 40 + t.ti AS lat_sw, -8 AS lon_sw,
+                 gr.i AS row, gc.i AS col,
+                 (gc.i * gc.i) % 97 + (gr.i * 13) % 89 - 45 + t.ti * 3 AS elev
+          FROM t CROSS JOIN g gr CROSS JOIN g gc
+          WHERE (gr.i * 7 + gc.i * 11) % 13 <> 0)
+SELECT lat_sw, count(*)::bigint AS n,
+       sum(elev * (1 + (col * 5 + row * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS georef_ok
+FROM cells GROUP BY lat_sw"""
+
+
+@register("dted_roundtrip", _sql_dted())
+def q_dted_roundtrip(spark, sf_dir):
+    """DTED driver gate (frmts/dted/dted_api.c, dted_create.c;
+    MIL-PRF-89020B): two 1-degree cells of closed-form elevations with
+    NEGATIVE values (exercising the format's signed-magnitude encoding)
+    and punched voids, written as UHL/DSI/ACC + per-column records with
+    real checksums, read back one-task-per-cell with sentinel+checksum
+    verification.  georef_ok pins that every sample's lon/lat recovered
+    from the UHL origin + interval fields inverts exactly to its
+    row/col (so a DMS-field or interval bug fails the count)."""
+    import tempfile
+
+    from gdal_spark.sources import dted as DT
+
+    d = tempfile.mkdtemp(prefix="gdalspark_dted_gate_")
+    nn = _DTED_N * _DTED_N
+    cells = spark.range(2 * nn).select(
+        (F.lit(40) + (F.col("id") / nn).cast("long")).alias("lat_sw"),
+        F.lit(-8).alias("lon_sw"),
+        ((F.col("id") % nn) / _DTED_N).cast("long").alias("row"),
+        (F.col("id") % _DTED_N).alias("col"),
+    ).withColumn(
+        "elev",
+        (F.col("col") * F.col("col")) % 97 + (F.col("row") * 13) % 89
+        - 45 + (F.col("lat_sw") - 40) * 3,
+    ).filter((F.col("row") * 7 + F.col("col") * 11) % 13 != 0)
+    DT.write_dted_cells(cells, d, n_lat=_DTED_N, n_lon=_DTED_N)
+    back = DT.read_dted(spark, d)
+    step = _DTED_N - 1
+    return back.groupBy("lat_sw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("elev")
+              * (1 + (F.col("col") * 5 + F.col("row") * 3) % 17))
+        .alias("digest"),
+        F.sum(
+            F.when(
+                (F.round((F.col("lon") - F.col("lon_sw")) * step)
+                 .cast("long") == F.col("col"))
+                & (F.round((F.col("lat") - F.col("lat_sw")) * step)
+                   .cast("long") == F.col("row")),
+                F.lit(1)).otherwise(F.lit(0))
+        ).alias("georef_ok"),
+    )
+
+
 def _sql_xyz_grid() -> str:
     return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
 v AS (SELECT gx.i AS x, gy.i AS y,
@@ -18643,6 +18802,54 @@ def q_envi_roundtrip(spark, sf_dir):
     ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
     ENVI.write_envi(cells, hdr, w, w, 3, dtype="f4", block_rows=32)
     back = ENVI.read_envi(spark, hdr, block_rows=32)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_ehdr() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 1)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN -9999
+                  ELSE (gx.i * gx.i) % 97 + (gy.i * 13) % 89
+                       + b.band * 7 - 45 END AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("ehdr_roundtrip", _sql_ehdr())
+def q_ehdr_roundtrip(spark, sf_dir):
+    """EHdr BIL driver gate (frmts/raw/ehdrdataset.cpp; public ESRI
+    .hdr-labelled raw format): a 2-band SIGNED int16 image with punched
+    holes written through the BAND-INTERLEAVED-BY-LINE layout (per
+    row-block pwrite of all bands — the addressing that distinguishes
+    EHdr from the ENVI gate's BSQ), read back one task per
+    (band, row-block) with the strided per-row view.  Holes come back as
+    the -9999 NODATA fill and negatives exercise SIGNEDINT."""
+    import tempfile
+
+    from gdal_spark.sources import ehdr as EHDR
+
+    hdr = tempfile.mkdtemp(prefix="gdalspark_ehdr_gate_") + "/img.hdr"
+    w = _ENVI_W
+    cells = spark.range(2 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         + F.col("band") * 7 - 45).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    EHDR.write_ehdr(cells, hdr, w, w, 2, dtype="i2", block_rows=32,
+                    fill=-9999.0)
+    back = EHDR.read_ehdr(spark, hdr, block_rows=32)
     return back.groupBy("band").agg(
         F.sum(F.col("val").cast("long")
               * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))

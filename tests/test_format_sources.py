@@ -712,3 +712,328 @@ class TestMVT:
         a = [{"id": i, "attrs": {}, "point": (i, i)} for i in (5, 1, 3)]
         b = [{"id": i, "attrs": {}, "point": (i, i)} for i in (3, 5, 1)]
         assert mvt.encode_tile(a) == mvt.encode_tile(b)
+
+
+# ---------------------------------------------------------------------------
+# SpatiaLite BLOB codec (ogr/ogrsf_frmts/sqlite/ ogrsqlitelayer.cpp)
+# ---------------------------------------------------------------------------
+
+class TestSpatiaLite:
+    def test_point_blob_spec_bytes(self):
+        from gdal_spark.sources import spatialite as SL
+
+        blob = SL.point_blob(2.5, -1.25, srid=4326)
+        assert blob[0] == 0x00 and blob[-1] == 0xFE and blob[1] == 0x01
+        assert struct.unpack_from("<i", blob, 2)[0] == 4326
+        # MBR degenerates to the point; 0x7C separates MBR from body
+        assert struct.unpack_from("<4d", blob, 6) == (2.5, -1.25, 2.5, -1.25)
+        assert blob[38] == 0x7C
+        assert struct.unpack_from("<I", blob, 39)[0] == 1  # POINT class
+        srid, env, kind, (x, y) = SL.parse_blob(blob)
+        assert (srid, kind, x, y) == (4326, "point", 2.5, -1.25)
+
+    def test_polygon_blob_roundtrip_with_hole(self):
+        from gdal_spark.sources import spatialite as SL
+
+        outer = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        hole = np.array([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]], float)
+        blob = SL.polygon_blob([outer, hole])
+        srid, env, kind, rings = SL.parse_blob(blob)
+        assert kind == "polygon" and len(rings) == 2
+        assert env == (0.0, 0.0, 4.0, 4.0)
+        np.testing.assert_array_equal(rings[0], outer)
+        np.testing.assert_array_equal(rings[1], hole)
+        # body is NOT ISO WKB: no per-geometry endian byte before the class
+        assert struct.unpack_from("<I", blob, 39)[0] == 3
+
+    def test_big_endian_blob_accepted(self):
+        from gdal_spark.sources import spatialite as SL
+
+        x, y = 10.5, -3.75
+        blob = (bytes((0x00, 0x00)) + struct.pack(">i", 4326)
+                + struct.pack(">4d", x, y, x, y) + bytes((0x7C,))
+                + struct.pack(">I2d", 1, x, y) + bytes((0xFE,)))
+        srid, env, kind, (px, py) = SL.parse_blob(blob)
+        assert (px, py) == (x, y)
+
+    def test_garbage_rejected(self):
+        from gdal_spark.sources import spatialite as SL
+
+        with pytest.raises(ValueError):
+            SL.parse_blob(b"\x47\x50" + b"\x00" * 60)  # GPKG magic
+
+    def test_points_spark_distributed_roundtrip(self, spark):
+        from gdal_spark.sources import spatialite as SL
+
+        df = spark.range(0, 300).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3 % 50).alias("v"),
+            (F.col("id") * 0.5 - 70.0).alias("x"),
+            (F.col("id") * 0.25 - 30.0).alias("y"),
+        )
+        d = tempfile.mkdtemp(prefix="gdal_spark_slite_t_")
+        n = SL.write_point_sqlites(df, d, "x", "y", ["k", "v"], num_files=4)
+        assert n == 4
+        back = SL.read_point_sqlites(spark, d, ["k", "v"])
+        assert back.count() == 300
+        joined = back.join(df.select("k", F.col("x").alias("x0")), "k")
+        assert joined.filter(F.col("x") != F.col("x0")).count() == 0
+
+    def test_polygons_distributed_sink_no_collect(self, spark, monkeypatch):
+        from pyspark.sql import DataFrame
+
+        from gdal_spark.data.pages import polygons_df
+        from gdal_spark.sources import spatialite as SL
+
+        df = polygons_df(spark)
+        monkeypatch.setattr(
+            DataFrame, "collect",
+            lambda self: (_ for _ in ()).throw(
+                AssertionError("collect() in distributed polygon sink")))
+        d = tempfile.mkdtemp(prefix="gdal_spark_slitep_d_")
+        n = SL.write_polygon_sqlites(
+            df, d, int_fields=["poly_id"], num_files=4)
+        monkeypatch.undo()
+        assert n == 4
+        back = SL.read_polygon_sqlites(spark, d, ["poly_id"])
+        rows = back.collect()
+        want = {r["poly_id"]: r for r in df.collect()}
+        assert {r["poly_id"] for r in rows} == set(want)
+        for r in rows:
+            w = want[r["poly_id"]]
+            assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == \
+                (w["xmin"], w["ymin"], w["xmax"], w["ymax"])
+            got = [np.asarray(a) for a in r["rings"]]
+            exp = [np.asarray(a) for a in w["rings"]]
+            assert abs(G.rings_area(got) - G.rings_area(exp)) < 1e-9
+
+    def test_metadata_tables_spatialite4_layout(self, tmp_path):
+        import sqlite3
+
+        from gdal_spark.sources import spatialite as SL
+
+        p = str(tmp_path / "t.sqlite")
+        conn = SL._create_db(p, "layer", 1, [("k", "INTEGER")])
+        conn.commit()
+        gc = conn.execute("SELECT * FROM geometry_columns").fetchone()
+        assert gc == ("layer", "geometry", 1, 2, 4326, 0)
+        srs = conn.execute(
+            "SELECT srid, auth_name, auth_srid FROM spatial_ref_sys"
+        ).fetchone()
+        assert srs == (4326, "epsg", 4326)
+        conn.close()
+
+
+# ---------------------------------------------------------------------------
+# DTED codec (frmts/dted/dted_api.c, dted_create.c; MIL-PRF-89020B)
+# ---------------------------------------------------------------------------
+
+class TestDted:
+    def _grid(self, n=13):
+        rr, cc = np.mgrid[0:n, 0:n]
+        return ((cc * cc) % 97 + (rr * 13) % 89 - 45).astype(np.int16)
+
+    def test_uhl_spec_fields(self):
+        from gdal_spark.sources import dted as DT
+
+        arr = self._grid(13)  # 3600 % 12 == 0
+        buf = DT.dted_bytes(arr, lat_sw=40, lon_sw=-8)
+        assert buf[0:4] == b"UHL1"
+        assert buf[4:12] == b"0080000W"          # lon origin DDDMMSSH
+        assert buf[12:20] == b"0400000N"         # lat origin
+        assert buf[20:24] == b"3000"             # (3600/12)*10 tenths
+        assert buf[24:28] == b"3000"
+        assert buf[47:51] == b"0013" and buf[51:55] == b"0013"
+        assert buf[80:83] == b"DSI" and buf[80 + 648:80 + 651] == b"ACC"
+
+    def test_signed_magnitude_and_order(self):
+        from gdal_spark.sources import dted as DT
+
+        arr = self._grid(13)
+        buf = DT.dted_bytes(arr, 40, -8)
+        off = 80 + 648 + 2700
+        rec0 = buf[off:off + 12 + 26]
+        assert rec0[0] == 0xAA
+        # record stores column 0 south->north: first value = arr[0, 0] = -45
+        hi, lo = rec0[8], rec0[9]
+        assert hi & 0x80                        # negative -> sign bit
+        assert ((hi & 0x7F) << 8 | lo) == 45    # magnitude
+        lat_sw, lon_sw, back = DT.parse_dted(buf)
+        assert (lat_sw, lon_sw) == (40, -8)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_checksum_detects_corruption(self):
+        from gdal_spark.sources import dted as DT
+
+        buf = bytearray(DT.dted_bytes(self._grid(13), 40, -8))
+        buf[80 + 648 + 2700 + 9] ^= 0x01        # flip one elevation byte
+        with pytest.raises(ValueError, match="checksum"):
+            DT.parse_dted(bytes(buf))
+
+    def test_interval_must_divide_3600(self):
+        from gdal_spark.sources import dted as DT
+
+        with pytest.raises(ValueError, match="3600"):
+            DT.dted_bytes(np.zeros((14, 14), np.int16), 0, 0)
+
+    def test_spark_roundtrip_with_voids(self, spark):
+        from gdal_spark.sources import dted as DT
+
+        n = 13
+        cells = spark.range(n * n).select(
+            F.lit(40).alias("lat_sw"), F.lit(-8).alias("lon_sw"),
+            (F.col("id") / n).cast("long").alias("row"),
+            (F.col("id") % n).alias("col"),
+        ).withColumn(
+            "elev",
+            (F.col("col") * F.col("col")) % 97 + (F.col("row") * 13) % 89
+            - 45,
+        ).filter((F.col("row") + F.col("col")) % 5 != 0)
+        d = tempfile.mkdtemp(prefix="gdal_spark_dted_t_")
+        assert DT.write_dted_cells(cells, d, n_lat=n, n_lon=n) == 1
+        back = DT.read_dted(spark, d)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("row", "col",
+                                   F.col("elev").alias("e0")),
+                      ["row", "col"])
+        assert j.filter(F.col("elev") != F.col("e0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# EHdr BIL codec (frmts/raw/ehdrdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestEhdr:
+    def test_bil_interleave_addressing(self, tmp_path, spark):
+        """The on-disk byte layout must be band-interleaved-by-LINE:
+        row y holds band0-row, band1-row, ... (a BSQ writer would fail
+        this byte-level check even with identical logical content)."""
+        from gdal_spark.sources import ehdr as EH
+
+        w, h, bands = 8, 4, 2
+        cells = spark.range(bands * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 100 + F.col("gy") * 10 + F.col("gx"))
+            .cast("double"))
+        hdr = str(tmp_path / "img.hdr")
+        EH.write_ehdr(cells, hdr, w, h, bands, dtype="i2", block_rows=2)
+        raw = np.fromfile(str(tmp_path / "img.bil"), dtype="<i2").reshape(
+            h, bands, w)
+        # row 1, band 1, col 3 -> 100 + 10 + 3
+        assert raw[1, 1, 3] == 113
+        assert raw[1, 0, 3] == 13
+
+    def test_hdr_parse_and_center_convention(self, tmp_path):
+        from gdal_spark.sources import ehdr as EH
+
+        p = str(tmp_path / "a.hdr")
+        with open(p, "w") as fh:
+            fh.write("NCOLS 5\nNROWS 3\nNBANDS 1\nNBITS 32\n"
+                     "PIXELTYPE FLOAT\nBYTEORDER I\nLAYOUT BIL\n"
+                     "ULXMAP 10.5\nULYMAP 49.5\nXDIM 1.0\nYDIM 1.0\n"
+                     "NODATA -9999\n")
+        hdr = EH.parse_hdr(p)
+        assert hdr["w"] == 5 and hdr["h"] == 3 and hdr["dtype"] == "<f4"
+        assert hdr["ulx_center"] == 10.5  # CENTER of UL pixel per spec
+
+    def test_unsupported_layout_rejected(self, tmp_path):
+        from gdal_spark.sources import ehdr as EH
+
+        p = str(tmp_path / "b.hdr")
+        with open(p, "w") as fh:
+            fh.write("NCOLS 5\nNROWS 3\nLAYOUT BIP\n")
+        with pytest.raises(ValueError, match="BIL"):
+            EH.parse_hdr(p)
+
+    def test_spark_roundtrip_negative_int16(self, spark, tmp_path):
+        from gdal_spark.sources import ehdr as EH
+
+        w = 16
+        cells = spark.range(w * w).select(
+            F.lit(0).alias("band"),
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val", (F.col("gx") * 3 - F.col("gy") * 7 - 20).cast("double"))
+        hdr = str(tmp_path / "c.hdr")
+        EH.write_ehdr(cells, hdr, w, w, 1, dtype="i2", block_rows=5)
+        back = EH.read_ehdr(spark, hdr, block_rows=7)
+        assert back.count() == w * w
+        j = back.join(
+            cells.select("gy", "gx", F.col("val").alias("v0")),
+            ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# XLSX codec (ECMA-376 SpreadsheetML; ogr/ogrsf_frmts/xlsx/)
+# ---------------------------------------------------------------------------
+
+class TestXlsx:
+    def test_col_letters(self):
+        from gdal_spark.sources import xlsx as XL
+
+        assert [XL.col_letter(i) for i in (0, 25, 26, 27, 701, 702)] == \
+            ["A", "Z", "AA", "AB", "ZZ", "AAA"]
+        for i in (0, 25, 26, 27, 701, 702, 16383):
+            assert XL.letter_col(XL.col_letter(i) + "42") == i
+
+    def test_package_parts_and_roundtrip(self):
+        import zipfile as zf
+        import io
+
+        from gdal_spark.sources import xlsx as XL
+
+        buf = XL.xlsx_bytes(
+            ["k", "name", "x"],
+            [(1, "a&<b>", 0.1), (2, "", -3.5e-7)])
+        with zf.ZipFile(io.BytesIO(buf)) as z:
+            names = set(z.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels",
+                "xl/worksheets/sheet1.xml"} <= names
+        header, rows = XL.parse_xlsx(buf)
+        assert header == ["k", "name", "x"]
+        assert rows[0] == [1, "a&<b>", 0.1]     # XML-escaped text survives
+        assert rows[1][2] == -3.5e-7            # shortest-roundtrip double
+
+    def test_shared_strings_reader_path(self):
+        import io
+        import zipfile as zf
+
+        from gdal_spark.sources import xlsx as XL
+
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        sheet = (f'<worksheet xmlns="{ns}"><sheetData>'
+                 '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+                 '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+                 "</sheetData></worksheet>")
+        sst = (f'<sst xmlns="{ns}"><si><t>hdr</t></si>'
+               "<si><t>val</t></si></sst>")
+        bio = io.BytesIO()
+        with zf.ZipFile(bio, "w") as z:
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+            z.writestr("xl/sharedStrings.xml", sst)
+        header, rows = XL.parse_xlsx(bio.getvalue())
+        assert header == ["hdr"] and rows == [["val"]]
+
+    def test_spark_distributed_roundtrip(self, spark):
+        from gdal_spark.sources import xlsx as XL
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3 % 40).alias("v"),
+            (F.col("id") * 0.5 - 30.0).alias("x"),
+            (F.col("id") * 0.125 - 10.0).alias("y"),
+        )
+        d = tempfile.mkdtemp(prefix="gdal_spark_xlsx_t_")
+        n = XL.write_point_xlsxs(df, d, "x", "y", ["k", "v"], num_files=4)
+        assert n == 4
+        back = XL.read_point_xlsxs(spark, d, ["k", "v"])
+        assert back.count() == 200
+        j = back.join(df.select("k", F.col("x").alias("x0")), "k")
+        assert j.filter(F.col("x") != F.col("x0")).count() == 0
