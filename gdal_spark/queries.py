@@ -18858,6 +18858,105 @@ def q_ehdr_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_rraster() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 2)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN -9999
+                  ELSE (gx.i * gx.i) % 97 + (gy.i * 13) % 89
+                       + b.band * 7 - 45 END AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n,
+       min(val)::bigint AS minv, max(val)::bigint AS maxv
+FROM v GROUP BY band"""
+
+
+@register("rraster_roundtrip", _sql_rraster())
+def q_rraster_roundtrip(spark, sf_dir):
+    """RRASTER driver gate (frmts/raw/rrasterdataset.cpp; public R
+    ``raster`` package .grd/.gri format): a 3-band SIGNED int16 image
+    written BIP (band-interleaved-by-PIXEL — completing the interleave
+    triple next to the ENVI gate's BSQ and the EHdr gate's BIL), read
+    back one task per (band, row-block).  minv/maxv re-aggregate the
+    decoded pixels and must agree with the header's per-band
+    minvalue/maxvalue stats (asserted in tests) — holes come back as
+    the -9999 NODATA fill."""
+    import tempfile
+
+    from gdal_spark.sources import rraster as RR
+
+    grd = tempfile.mkdtemp(prefix="gdalspark_rraster_gate_") + "/img.grd"
+    w = _ENVI_W
+    cells = spark.range(3 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         + F.col("band") * 7 - 45).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    RR.write_rraster(cells, grd, w, w, 3, dtype="i2", block_rows=32,
+                     fill=-9999.0)
+    back = RR.read_rraster(spark, grd, block_rows=32)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("val")).cast("long").alias("minv"),
+        F.max(F.col("val")).cast("long").alias("maxv"),
+    )
+
+
+def _sql_saga() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN -9999
+                  ELSE (gx.i * gx.i) % 97 + (gy.i * 13) % 89 - 45 END AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 32)::bigint AS band_row,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band_row"""
+
+
+@register("saga_roundtrip", _sql_saga())
+def q_saga_roundtrip(spark, sf_dir):
+    """SAGA binary grid gate (frmts/saga/sagadataset.cpp; public .sgrd +
+    .sdat format): a single-band int16 grid written through the format's
+    BOTTOM-UP row order (file row 0 = south edge, TOPTOBOTTOM=FALSE —
+    the write flips north-up gy, the read flips it back), grouped by
+    NORTH-UP row bands so a missing/incorrect flip scrambles every
+    digest.  POSITION_XMIN/YMIN are written as cell CENTERS per the
+    spec (pinned in tests)."""
+    import tempfile
+
+    from gdal_spark.sources import saga as SAGA
+
+    sgrd = tempfile.mkdtemp(prefix="gdalspark_saga_gate_") + "/img.sgrd"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         - 45).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    SAGA.write_saga(cells, sgrd, w, w, dtype="i2", block_rows=32,
+                    fill=-9999.0, nodata=-9999.0)
+    back = SAGA.read_saga(spark, sgrd, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 32).cast("long").alias("band_row")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("dxf_roundtrip", _FMT_POINTS_ORACLE)
 def q_dxf_roundtrip(spark, sf_dir):
     """DXF driver gate (ogr/ogrsf_frmts/dxf/; public group-code grammar):

@@ -1037,3 +1037,124 @@ class TestXlsx:
         assert back.count() == 200
         j = back.join(df.select("k", F.col("x").alias("x0")), "k")
         assert j.filter(F.col("x") != F.col("x0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# RRASTER codec (frmts/raw/rrasterdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestRraster:
+    def test_bip_interleave_addressing(self, tmp_path, spark):
+        """On-disk layout must be band-interleaved-by-PIXEL: all bands of
+        one pixel adjacent (BIL/BSQ writers fail this byte check)."""
+        from gdal_spark.sources import rraster as RR
+
+        w, h, bands = 6, 4, 3
+        cells = spark.range(bands * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 100 + F.col("gy") * 10 + F.col("gx"))
+            .cast("double"))
+        grd = str(tmp_path / "img.grd")
+        RR.write_rraster(cells, grd, w, h, bands, dtype="i2", block_rows=2)
+        raw = np.fromfile(str(tmp_path / "img.gri"), dtype="<i2").reshape(
+            h, w, bands)
+        assert raw[1, 3, 2] == 213   # row 1, col 3, band 2
+        assert raw[1, 3, 0] == 13
+
+    def test_grd_header_stats_and_edges(self, tmp_path, spark):
+        from gdal_spark.sources import rraster as RR
+
+        w, h = 8, 8
+        cells = spark.range(w * h).select(
+            F.lit(0).alias("band"),
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val", (F.col("gy") * w + F.col("gx") - 10).cast("double"))
+        grd = str(tmp_path / "s.grd")
+        RR.write_rraster(cells, grd, w, h, 1, dtype="f4",
+                         xmin=10.0, ymax=50.0, cellsize=0.25)
+        hdr = RR.parse_grd(grd)
+        # xmin/ymax are cell EDGES; ymin/xmax derived from size
+        assert hdr["xmin"] == 10.0 and hdr["ymax"] == 50.0
+        assert hdr["xmax"] == 12.0 and hdr["ymin"] == 48.0
+        # per-band stats in the header come from a Spark aggregate
+        assert hdr["minvalue"] == [-10.0] and hdr["maxvalue"] == [53.0]
+        assert hdr["bandorder"] == "BIP"
+
+    def test_reader_accepts_bsq_and_bil(self, tmp_path, spark):
+        from gdal_spark.sources import rraster as RR
+
+        w, h, bands = 4, 3, 2
+        base = np.arange(h * w, dtype="<i2").reshape(h, w)
+        cube = np.stack([base, base + 100], axis=0)   # (band, y, x)
+        for order, blob in (
+            ("BSQ", cube.tobytes()),
+            ("BIL", cube.transpose(1, 0, 2).tobytes()),
+            ("BIP", cube.transpose(1, 2, 0).tobytes()),
+        ):
+            grd = str(tmp_path / f"{order}.grd")
+            with open(grd, "w") as fh:
+                fh.write(f"nrows={h}\nncols={w}\nxmin=0\nymin=0\n"
+                         f"xmax=4\nymax=3\ndatatype=INT2S\n"
+                         f"byteorder=little\nnbands={bands}\n"
+                         f"bandorder={order}\n")
+            with open(str(tmp_path / f"{order}.gri"), "wb") as fh:
+                fh.write(blob)
+            back = RR.read_rraster(spark, grd, block_rows=2).toPandas()
+            got = back[(back["band"] == 1) & (back["gy"] == 2)
+                       & (back["gx"] == 3)]["val"].iloc[0]
+            assert got == base[2, 3] + 100, order
+
+    def test_unknown_datatype_rejected(self, tmp_path):
+        from gdal_spark.sources import rraster as RR
+
+        grd = str(tmp_path / "bad.grd")
+        with open(grd, "w") as fh:
+            fh.write("nrows=1\nncols=1\nxmin=0\nymin=0\nxmax=1\nymax=1\n"
+                     "datatype=FLT4U\n")
+        with pytest.raises(ValueError, match="datatype"):
+            RR.parse_grd(grd)
+
+
+# ---------------------------------------------------------------------------
+# SAGA codec (frmts/saga/sagadataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestSaga:
+    def test_bottom_up_rows_and_center_origin(self, tmp_path, spark):
+        from gdal_spark.sources import saga as SG
+
+        w = 8
+        cells = spark.range(w * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn("val", (F.col("gy") * 10 + F.col("gx")).cast("double"))
+        sgrd = str(tmp_path / "g.sgrd")
+        SG.write_saga(cells, sgrd, w, w, dtype="i2",
+                      xmin=10.0, ymax=50.0, cellsize=0.5)
+        raw = np.fromfile(str(tmp_path / "g.sdat"), dtype="<i2").reshape(w, w)
+        # file row 0 = SOUTH edge = north-up gy 7
+        assert raw[0, 3] == 73 and raw[7, 3] == 3
+        hdr = SG.parse_sgrd(sgrd)
+        # POSITION_* name the CENTER of the SW cell
+        assert hdr["xmin_center"] == 10.25
+        assert hdr["ymin_center"] == 46.25
+        back = SG.read_saga(spark, sgrd)
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_toptobottom_rejected_like_reference(self, tmp_path):
+        from gdal_spark.sources import saga as SG
+
+        p = str(tmp_path / "t.sgrd")
+        with open(p, "w") as fh:
+            fh.write("CELLCOUNT_X\t= 2\nCELLCOUNT_Y\t= 2\n"
+                     "DATAFORMAT\t= FLOAT\nTOPTOBOTTOM\t= TRUE\n")
+        with pytest.raises(ValueError, match="TOPTOBOTTOM"):
+            SG.parse_sgrd(p)
