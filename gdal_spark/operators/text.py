@@ -1331,3 +1331,161 @@ def fineweb_filters(
             " AND 100 * _ns <= 67 * _n"
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, the SentencePiece unigram
+# model — the OTHER standard subword vocabulary next to bpe_train's BPE):
+# seed a substring vocabulary from corpus frequencies, then Viterbi-EM:
+# segment every word with the best (max-likelihood) path under the current
+# piece probabilities, re-estimate probabilities from the winning paths,
+# repeat.
+#
+# Determinism/exactness contract (shared with the DuckDB oracle): piece
+# log-probs are micro-quantized (floor(ln(p)·1e6), the engine's standard
+# cross-engine idiom), the best path minimizes the INTEGER tuple
+# (cost, n_pieces, path-string), and instead of a float DP the bounded
+# path lattice is enumerated EXHAUSTIVELY — words are capped at
+# max_word_len and pieces at max_piece_len, so a word has at most
+# tetranacci(12) ≈ 1.5k segmentations and the enumeration is a chain of
+# small broadcast equi-joins (Spark) / a recursive CTE (DuckDB) with
+# bit-identical winners.
+#
+# Scale: ONE corpus-scale pass builds the word-count table (the only
+# unbounded shuffle); everything after operates on the top-N words and a
+# bounded piece vocabulary (the standard SentencePiece practice of
+# training on a frequency table, not the raw corpus), so EM cost is
+# independent of corpus size.
+# ---------------------------------------------------------------------------
+
+def unigram_tokenizer_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    top_words: int = 200,
+    top_pieces: int = 60,
+    top_k: int = 25,
+) -> DataFrame:
+    """→ (piece, cnt1, cnt2): per-piece usage counts (weighted by word
+    frequency) on the Viterbi-best segmentations after EM round 1 and
+    round 2; top_k by (cnt2 desc, piece asc).
+
+    Round-2 probabilities are Laplace-smoothed round-1 counts
+    ((cnt1+1)/(total1+|V|)) so no piece is dropped mid-EM and every word
+    stays segmentable (single chars are always in the seed vocab)."""
+    spark = docs.sparkSession
+
+    words_df = (
+        docs.select(F.explode(F.split(
+            F.lower(F.trim(F.col(text_col))), "[^a-z]+")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+        .orderBy(F.desc("wcnt"), F.asc("w")).limit(top_words)
+    )
+    # bounded LUT collects (≤ top_words / ≤ top_pieces+26 rows) — the
+    # seed/cost tables are re-referenced by every enumeration step, so
+    # they are materialized once instead of re-deriving the corpus scan
+    # 2×max_word_len times inside the unrolled join chain.
+    words = [(r["w"], int(r["wcnt"])) for r in words_df.collect()]
+
+    sub_freq: dict[str, int] = {}
+    for w, wcnt in words:
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i:i + l]
+                sub_freq[p] = sub_freq.get(p, 0) + wcnt
+    multi = sorted(
+        ((p, f) for p, f in sub_freq.items() if len(p) >= 2),
+        key=lambda t: (-t[1], t[0]))[:top_pieces]
+    chars = sorted((p, f) for p, f in sub_freq.items() if len(p) == 1)
+    pieces = dict(chars + multi)
+
+    import math
+
+    def costs_from(freqs: dict[str, int]) -> list[tuple[str, int, int]]:
+        total = sum(freqs.values())
+        return [
+            (p, len(p),
+             -int(math.floor(math.log(f / total) * 1e6)))
+            for p, f in sorted(freqs.items())
+        ]
+
+    wdf = spark.createDataFrame(words, "w string, wcnt long")
+
+    def best_paths(cost_rows: list[tuple[str, int, int]]) -> DataFrame:
+        """Exhaustive lattice enumeration: max_word_len unrolled rounds,
+        each a broadcast equi-join of the frontier's candidate substrings
+        against the piece table; winner per word by (cost, np, path)."""
+        from pyspark.sql import Window
+
+        # the sentinel row ('', 0, 0) lets COMPLETED paths flow through
+        # every round's join unchanged (their candidate list is [''])
+        # so each round references `paths` exactly ONCE — the naive
+        # done-vs-frontier split references it twice and doubles the
+        # logical plan per round (2^max_word_len leaves).  One linear
+        # 12-join plan, a single Spark job, no checkpoints.
+        cdf = spark.createDataFrame(
+            [("", 0, 0)] + cost_rows, "piece string, plen int, c long")
+        paths = wdf.select(
+            "w", "wcnt",
+            F.lit(0).alias("pos"), F.lit(0).cast("long").alias("cost"),
+            F.lit(0).alias("np"), F.lit("").alias("path"),
+        )
+        for _ in range(max_word_len):
+            cand = paths.select(
+                "*",
+                F.explode(F.expr(
+                    "CASE WHEN pos >= length(w) THEN array('') "
+                    f"ELSE transform(sequence(1, least({max_piece_len}, "
+                    "length(w) - pos)), "
+                    "l -> substring(w, pos + 1, l)) END")).alias("sub"),
+            )
+            paths = cand.join(
+                F.broadcast(cdf), cand["sub"] == cdf["piece"]
+            ).select(
+                "w", "wcnt",
+                (F.col("pos") + F.col("plen")).alias("pos"),
+                (F.col("cost") + F.col("c")).alias("cost"),
+                (F.col("np")
+                 + F.when(F.col("plen") > 0, 1).otherwise(0)).alias("np"),
+                F.concat(
+                    "path",
+                    F.when(F.col("plen") > 0,
+                           F.concat(F.lit("("), "piece", F.lit(")")))
+                    .otherwise(F.lit(""))).alias("path"),
+            )
+        full = paths.filter(F.col("pos") == F.length("w"))
+        win = Window.partitionBy("w").orderBy(
+            F.asc("cost"), F.asc("np"), F.asc("path"))
+        return (
+            full.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select("w", "wcnt", "path")
+        )
+
+    def piece_counts(best: DataFrame) -> DataFrame:
+        return (
+            best.select(
+                "wcnt",
+                F.explode(F.split(
+                    F.expr("trim(BOTH '()' FROM path)"), "\\)\\("))
+                .alias("piece"))
+            .groupBy("piece").agg(F.sum("wcnt").alias("cnt"))
+        )
+
+    cnt1_df = piece_counts(best_paths(costs_from(pieces)))
+    cnt1 = {r["piece"]: int(r["cnt"]) for r in cnt1_df.collect()}
+
+    smoothed = {p: cnt1.get(p, 0) + 1 for p in pieces}
+    cnt2_df = piece_counts(best_paths(costs_from(smoothed)))
+
+    c1df = spark.createDataFrame(
+        sorted(cnt1.items()), "piece string, cnt1 long")
+    return (
+        cnt2_df.select("piece", F.col("cnt").alias("cnt2"))
+        .join(F.broadcast(c1df), "piece", "left")
+        .select("piece", F.coalesce("cnt1", F.lit(0)).alias("cnt1"), "cnt2")
+        .orderBy(F.desc("cnt2"), F.asc("piece")).limit(top_k)
+    )

@@ -12657,6 +12657,84 @@ def q_text_bpe_train(spark, sf_dir):
     return T.bpe_train(docs, merges=_BPE_MERGES, top_k=_BPE_TOPK)
 
 
+_UT_WL, _UT_PL, _UT_W, _UT_P, _UT_K = 12, 4, 200, 60, 25
+
+
+def _sql_unigram_tok() -> str:
+    vit = """
+  SELECT w, wcnt, 0 AS pos, 0::bigint AS cost, 0 AS np, '' AS path
+  FROM words
+  UNION ALL
+  SELECT v.w, v.wcnt, v.pos + c.plen, v.cost + c.c, v.np + 1,
+         v.path || '(' || c.p || ')'
+  FROM {vit} v JOIN {costs} c
+    ON v.pos + c.plen <= len(v.w)
+   AND substr(v.w, v.pos + 1, c.plen) = c.p"""
+    best = """SELECT w, wcnt, path FROM (
+  SELECT w, wcnt, path,
+         row_number() OVER (PARTITION BY w ORDER BY cost, np, path) AS rn
+  FROM {vit} WHERE pos = len(w)) WHERE rn = 1"""
+    cnt = """SELECT p, sum(wcnt)::bigint AS cnt FROM (
+  SELECT unnest(string_split(trim(path, '()'), ')(')) AS p, wcnt
+  FROM {best}) GROUP BY p"""
+    return f"""WITH RECURSIVE
+wraw AS (SELECT unnest(string_split_regex(lower(trim(text)), '[^a-z]+'))
+           AS w FROM documents),
+words AS (SELECT w, count(*)::bigint AS wcnt FROM wraw
+          WHERE w <> '' AND len(w) <= {_UT_WL}
+          GROUP BY w ORDER BY wcnt DESC, w ASC LIMIT {_UT_W}),
+gi AS (SELECT unnest(generate_series(1, {_UT_WL})) AS i),
+gl AS (SELECT unnest(generate_series(1, {_UT_PL})) AS l),
+subs AS (SELECT substr(w.w, gi.i, gl.l) AS p, sum(w.wcnt)::bigint AS f
+         FROM words w CROSS JOIN gi CROSS JOIN gl
+         WHERE gi.i + gl.l - 1 <= len(w.w)
+         GROUP BY 1),
+multi AS (SELECT p, f FROM subs WHERE len(p) >= 2
+          ORDER BY f DESC, p ASC LIMIT {_UT_P}),
+vocab AS (SELECT p, f FROM subs WHERE len(p) = 1
+          UNION ALL SELECT p, f FROM multi),
+tot0 AS (SELECT sum(f)::bigint AS t FROM vocab),
+costs1 AS (SELECT p, len(p) AS plen,
+                  (-floor(ln(f::double / (SELECT t FROM tot0)) * 1e6))
+                    ::bigint AS c
+           FROM vocab),
+vit1 AS ({vit.format(vit='vit1', costs='costs1')}),
+best1 AS ({best.format(vit='vit1')}),
+cnt1 AS ({cnt.format(best='best1')}),
+sm AS (SELECT v.p, len(v.p) AS plen, (coalesce(c.cnt, 0) + 1)::bigint AS f
+       FROM vocab v LEFT JOIN cnt1 c ON v.p = c.p),
+tot1 AS (SELECT sum(f)::bigint AS t FROM sm),
+costs2 AS (SELECT p, plen,
+                  (-floor(ln(f::double / (SELECT t FROM tot1)) * 1e6))
+                    ::bigint AS c
+           FROM sm),
+vit2 AS ({vit.format(vit='vit2', costs='costs2')}),
+best2 AS ({best.format(vit='vit2')}),
+cnt2 AS ({cnt.format(best='best2')})
+SELECT c2.p AS piece, coalesce(c1.cnt, 0)::bigint AS cnt1,
+       c2.cnt AS cnt2
+FROM cnt2 c2 LEFT JOIN cnt1 c1 ON c2.p = c1.p
+ORDER BY cnt2 DESC, piece ASC LIMIT {_UT_K}"""
+
+
+@register("text_unigram_tokenizer", _sql_unigram_tok())
+def q_text_unigram_tokenizer(spark, sf_dir):
+    """Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    unigram model, the OTHER standard subword vocabulary next to
+    text_bpe_train's BPE): substring seed vocab from the corpus word
+    table, then two Viterbi-EM rounds — best segmentation per word under
+    micro-quantized piece log-probs, Laplace-smoothed re-estimation,
+    re-segment.  The bounded path lattice is enumerated EXHAUSTIVELY
+    (words ≤12 chars, pieces ≤4) with winners by the integer tuple
+    (cost, n_pieces, path) — a chain of broadcast equi-joins in Spark,
+    a recursive CTE in DuckDB, bit-identical on both engines.  One
+    corpus-scale shuffle total; EM cost is corpus-size-independent."""
+    docs = _read(spark, sf_dir, "documents")
+    return T.unigram_tokenizer_counts(
+        docs, max_word_len=_UT_WL, max_piece_len=_UT_PL,
+        top_words=_UT_W, top_pieces=_UT_P, top_k=_UT_K)
+
+
 # ===========================================================================
 # gdal_retile: re-block the geographic raster onto a new tile grid
 # ===========================================================================

@@ -737,3 +737,13 @@ def test_temperature_mix_bounded_windows_only(spark):
     p = _plan(spark, "corpus_temperature_mix")
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2  # map-side partial on the corpus
+
+
+def test_unigram_tokenizer_broadcast_lattice_joins(spark):
+    """Unigram tokenizer: every lattice-extension join is a broadcast
+    equi-join against the bounded piece table — no sort-merge join and
+    no cartesian anywhere in the two EM enumerations."""
+    p = _plan(spark, "text_unigram_tokenizer")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p

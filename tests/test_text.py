@@ -359,3 +359,50 @@ class TestBM25:
         assert len(out) == 2
         assert list(out["score_micro"]) == sorted(
             out["score_micro"], reverse=True)
+
+
+class TestUnigramTokenizer:
+    def test_viterbi_prefers_frequent_long_pieces(self, spark):
+        from gdal_spark.operators.text import unigram_tokenizer_counts
+
+        # 'the' dominates the corpus -> the piece 'the' must win over
+        # t/h/e char paths in both EM rounds
+        docs = spark.createDataFrame(
+            [(i, "the theme then the") for i in range(20)]
+            + [(100 + i, "zap") for i in range(3)],
+            "doc_id long, text string",
+        )
+        out = unigram_tokenizer_counts(docs, top_k=50).toPandas()
+        counts = dict(zip(out["piece"], out["cnt2"]))
+        # standalone 'the' x2 per doc x20 docs; 'theme'/'then' win their
+        # own 4-char pieces (them+e / then), never t/h/e char paths
+        assert counts.get("the", 0) >= 40
+        assert counts.get("then", 0) >= 20
+        assert "t" not in counts or counts["t"] < counts["the"]
+
+    def test_em_reestimation_changes_costs_not_vocab(self, spark):
+        from gdal_spark.operators.text import unigram_tokenizer_counts
+
+        docs = spark.createDataFrame(
+            [(i, "abab abab cd") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = unigram_tokenizer_counts(docs, top_k=50).toPandas()
+        # every reported piece has a round-2 count > 0 and cnt1 >= 0
+        assert (out["cnt2"] > 0).all() and (out["cnt1"] >= 0).all()
+        # total round-2 usage covers every word occurrence's characters
+        total_chars = sum(len(p) * c for p, c in
+                          zip(out["piece"], out["cnt2"]))
+        # corpus: 5 x ('abab' x2 + 'cd') = 5*(4+4+2) = 50 chars
+        assert total_chars == 50
+
+    def test_deterministic_across_runs(self, spark):
+        from gdal_spark.operators.text import unigram_tokenizer_counts
+
+        docs = spark.createDataFrame(
+            [(i, "banana band bandana") for i in range(4)],
+            "doc_id long, text string",
+        )
+        a = unigram_tokenizer_counts(docs).toPandas()
+        b = unigram_tokenizer_counts(docs).toPandas()
+        assert a.equals(b)
