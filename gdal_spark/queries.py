@@ -18805,6 +18805,65 @@ def q_dted_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_usgsdem() -> str:
+    return f"""WITH t AS (SELECT unnest(generate_series(0, 1)) AS ti),
+g AS (SELECT unnest(generate_series(0, {_DTED_N - 1})) AS i),
+cells AS (SELECT 34 AS lat_sw, -120 + t.ti AS lon_sw,
+                 gr.i AS row, gc.i AS col,
+                 (gc.i * gc.i) % 97 + (gr.i * 13) % 89 - 45 + t.ti * 3 AS elev
+          FROM t CROSS JOIN g gr CROSS JOIN g gc
+          WHERE (gr.i * 7 + gc.i * 11) % 13 <> 0)
+SELECT lon_sw, count(*)::bigint AS n,
+       sum(elev * (1 + (col * 5 + row * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS georef_ok
+FROM cells GROUP BY lon_sw"""
+
+
+@register("usgsdem_roundtrip", _sql_usgsdem())
+def q_usgsdem_roundtrip(spark, sf_dir):
+    """USGS DEM driver gate (frmts/usgsdem/usgsdemdataset.cpp; public
+    USGS ASCII standard): two 1-degree cells with negative elevations
+    and punched voids written as Type A (fixed-offset fields, Fortran
+    D-exponent floats) + one Type B text profile per column padded to
+    1024-byte blocks, read back one-task-per-cell with a profile
+    x-start vs column-id consistency check.  georef_ok pins that each
+    sample's lon/lat from the corner + arc-second resolution fields
+    inverts exactly to its row/col."""
+    import tempfile
+
+    from gdal_spark.sources import usgsdem as UD
+
+    d = tempfile.mkdtemp(prefix="gdalspark_usgsdem_gate_")
+    nn = _DTED_N * _DTED_N
+    cells = spark.range(2 * nn).select(
+        F.lit(34).alias("lat_sw"),
+        (F.lit(-120) + (F.col("id") / nn).cast("long")).alias("lon_sw"),
+        ((F.col("id") % nn) / _DTED_N).cast("long").alias("row"),
+        (F.col("id") % _DTED_N).alias("col"),
+    ).withColumn(
+        "elev",
+        (F.col("col") * F.col("col")) % 97 + (F.col("row") * 13) % 89
+        - 45 + (F.col("lon_sw") + 120) * 3,
+    ).filter((F.col("row") * 7 + F.col("col") * 11) % 13 != 0)
+    UD.write_dem_cells(cells, d, n_lat=_DTED_N, n_lon=_DTED_N)
+    back = UD.read_dem(spark, d)
+    step = _DTED_N - 1
+    return back.groupBy("lon_sw").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("elev")
+              * (1 + (F.col("col") * 5 + F.col("row") * 3) % 17))
+        .alias("digest"),
+        F.sum(
+            F.when(
+                (F.round((F.col("lon") - F.col("lon_sw")) * step)
+                 .cast("long") == F.col("col"))
+                & (F.round((F.col("lat") - F.col("lat_sw")) * step)
+                   .cast("long") == F.col("row")),
+                F.lit(1)).otherwise(F.lit(0))
+        ).alias("georef_ok"),
+    )
+
+
 def _sql_xyz_grid() -> str:
     return f"""WITH g AS (SELECT unnest(generate_series(0, {_GT_W - 1})) AS i),
 v AS (SELECT gx.i AS x, gy.i AS y,

@@ -1158,3 +1158,84 @@ class TestSaga:
                      "DATAFORMAT\t= FLOAT\nTOPTOBOTTOM\t= TRUE\n")
         with pytest.raises(ValueError, match="TOPTOBOTTOM"):
             SG.parse_sgrd(p)
+
+
+# ---------------------------------------------------------------------------
+# USGS DEM codec (frmts/usgsdem/usgsdemdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestUsgsDem:
+    def _grid(self, n=13):
+        rr, cc = np.mgrid[0:n, 0:n]
+        return ((cc * cc) % 97 + (rr * 13) % 89 - 45).astype(np.int16)
+
+    def test_type_a_fixed_offsets(self):
+        from gdal_spark.sources import usgsdem as UD
+
+        buf = UD.dem_bytes(self._grid(13), lat_sw=34, lon_sw=-120)
+        assert int(buf[156:162]) == 0          # geographic
+        assert int(buf[528:534]) == 3          # arc-seconds
+        assert int(buf[534:540]) == 2          # meters
+        assert int(buf[858:864]) == 13         # profile count
+        # SW corner x in arc-seconds, Fortran D exponent
+        assert b"D" in buf[546:570]
+        assert float(buf[546:570].replace(b"D", b"E")) == -120 * 3600.0
+        # resolutions: 3600/12 = 300 arc-sec
+        assert float(buf[816:828].replace(b"D", b"E")) == 300.0
+
+    def test_block_padding_and_roundtrip(self):
+        from gdal_spark.sources import usgsdem as UD
+
+        arr = self._grid(13)
+        buf = UD.dem_bytes(arr, 34, -120)
+        assert len(buf) % 1024 == 0
+        lat, lon, back = UD.parse_dem(buf)
+        assert (lat, lon) == (34, -120)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_adjacent_full_width_negatives_tokenize(self):
+        """Consecutive -32767 nodata fields fill their 6 chars with no
+        separator — the sign-aware scan must still split them (the
+        naive whitespace split fails here)."""
+        from gdal_spark.sources import usgsdem as UD
+
+        arr = np.full((13, 13), UD.NODATA, dtype=np.int16)
+        arr[3, 4] = -12345
+        lat, lon, back = UD.parse_dem(UD.dem_bytes(arr, 34, -120))
+        np.testing.assert_array_equal(back, arr)
+
+    def test_profile_xstart_consistency_enforced(self):
+        from gdal_spark.sources import usgsdem as UD
+
+        buf = bytearray(UD.dem_bytes(self._grid(13), 34, -120))
+        # corrupt the first profile's x-start (first 24-char D-float
+        # after the four 6-char ints at the start of block 1)
+        pos = 1024 + 24
+        # shift by 2 whole columns (dx = 300 arc-sec at n=13) so the
+        # recovered column id disagrees with the record's
+        field = UD._dfloat(-120 * 3600.0 + 600.0, 24).encode()
+        buf[pos:pos + 24] = field
+        with pytest.raises(ValueError, match="x-start"):
+            UD.parse_dem(bytes(buf))
+
+    def test_spark_roundtrip(self, spark):
+        from gdal_spark.sources import usgsdem as UD
+
+        n = 13
+        cells = spark.range(n * n).select(
+            F.lit(34).alias("lat_sw"), F.lit(-120).alias("lon_sw"),
+            (F.col("id") / n).cast("long").alias("row"),
+            (F.col("id") % n).alias("col"),
+        ).withColumn(
+            "elev",
+            (F.col("col") * F.col("col")) % 97 + (F.col("row") * 13) % 89
+            - 45,
+        ).filter((F.col("row") + F.col("col")) % 5 != 0)
+        d = tempfile.mkdtemp(prefix="gdal_spark_usgsdem_t_")
+        assert UD.write_dem_cells(cells, d, n_lat=n, n_lon=n) == 1
+        back = UD.read_dem(spark, d)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("row", "col",
+                                   F.col("elev").alias("e0")),
+                      ["row", "col"])
+        assert j.filter(F.col("elev") != F.col("e0")).count() == 0
