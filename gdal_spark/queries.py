@@ -19094,6 +19094,98 @@ def q_saga_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_bt() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             CASE WHEN (gx.i * 7 + gy.i * 11) % 13 = 0 THEN -9999
+                  ELSE (gx.i * gx.i) % 97 + (gy.i * 13) % 89 - 45 END AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (x // 32)::bigint AS band_col,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band_col"""
+
+
+@register("bt_roundtrip", _sql_bt())
+def q_bt_roundtrip(spark, sf_dir):
+    """BT Binary Terrain gate (frmts/raw/btdataset.cpp; public VTP 1.3
+    spec): an int16 heightfield written through the format's TRANSPOSED
+    layout — column-major, each column bottom→top — with one contiguous
+    pwrite per COLUMN-block and one pread per column-block on read
+    (the slab contract rotated 90°).  Grouping by NORTH-UP column bands
+    means a missing transpose or column flip scrambles every digest;
+    negatives exercise int16, holes come back as the -9999 fill."""
+    import tempfile
+
+    from gdal_spark.sources import bt as BT
+
+    path = tempfile.mkdtemp(prefix="gdalspark_bt_gate_") + "/img.bt"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         - 45).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    BT.write_bt(cells, path, w, w, dtype="i2", block_cols=32,
+                fill=-9999.0)
+    back = BT.read_bt(spark, path, block_cols=32)
+    return back.groupBy(
+        (F.col("gx") / 32).cast("long").alias("band_col")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_zmap() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 - 45 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 7 + gy.i * 11) % 13 <> 0)
+SELECT (x // 32)::bigint AS band_col,
+       sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band_col"""
+
+
+@register("zmap_roundtrip", _sql_zmap())
+def q_zmap_roundtrip(spark, sf_dir):
+    """ZMap Plus grid gate (frmts/zmap/zmapdataset.cpp; public Landmark
+    ASCII format): the grid written as right-justified fixed-width text
+    in the format's COLUMN-MAJOR top→bottom order with forced breaks at
+    column ends, nodata holes PRESENT in the text (1e30 sentinel) and
+    dropped on read — so the count pins the nodata path and the
+    column-band digests pin the value order."""
+    import tempfile
+
+    from gdal_spark.sources import zmap as ZM
+
+    path = tempfile.mkdtemp(prefix="gdalspark_zmap_gate_") + "/g.zmap"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         - 45).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    ZM.write_zmap(cells, path, w, w)
+    back = ZM.read_zmap(spark, path)
+    return back.groupBy(
+        (F.col("gx") / 32).cast("long").alias("band_col")).agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("dxf_roundtrip", _FMT_POINTS_ORACLE)
 def q_dxf_roundtrip(spark, sf_dir):
     """DXF driver gate (ogr/ogrsf_frmts/dxf/; public group-code grammar):

@@ -1239,3 +1239,110 @@ class TestUsgsDem:
                                    F.col("elev").alias("e0")),
                       ["row", "col"])
         assert j.filter(F.col("elev") != F.col("e0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BT Binary Terrain codec (frmts/raw/btdataset.cpp; VTP 1.3 spec)
+# ---------------------------------------------------------------------------
+
+class TestBt:
+    def test_header_spec_bytes(self, tmp_path, spark):
+        from gdal_spark.sources import bt as BT
+
+        hdr = BT.bt_header(7, 5, "i2", 10.0, 17.0, 45.0, 50.0)
+        assert hdr[0:10] == b"binterr1.3"
+        assert struct.unpack_from("<i", hdr, 10)[0] == 7
+        assert struct.unpack_from("<i", hdr, 14)[0] == 5
+        assert struct.unpack_from("<h", hdr, 18)[0] == 2
+        assert hdr[20] == 0
+        assert struct.unpack_from("<d", hdr, 28)[0] == 10.0
+        assert struct.unpack_from("<d", hdr, 52)[0] == 50.0
+        meta = BT.parse_bt_header(hdr)
+        assert meta["w"] == 7 and meta["dtype"] == "<i2"
+
+    def test_transposed_column_major_bottom_up(self, tmp_path, spark):
+        """Byte layout: columns left->right, each column BOTTOM->TOP —
+        a row-major or top-down writer fails this check."""
+        from gdal_spark.sources import bt as BT
+
+        w = h = 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn("val", (F.col("gy") * 10 + F.col("gx")).cast("double"))
+        path = str(tmp_path / "t.bt")
+        BT.write_bt(cells, path, w, h, dtype="i2", block_cols=2)
+        raw = np.fromfile(path, dtype="<i2", offset=256).reshape(w, h)
+        # file column 1, first value = bottom row (gy 3) of gx 1 -> 31
+        assert raw[1, 0] == 31 and raw[1, h - 1] == 1
+        back = BT.read_bt(spark, path, block_cols=3)
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_float32_variant(self, tmp_path, spark):
+        from gdal_spark.sources import bt as BT
+
+        w = 6
+        cells = spark.range(w * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn("val", (F.col("gx") * 0.5 - 1.25).cast("double"))
+        path = str(tmp_path / "f.bt")
+        BT.write_bt(cells, path, w, w, dtype="f4")
+        meta = BT.parse_bt_header(open(path, "rb").read(256))
+        assert meta["dtype"] == "<f4"
+        back = BT.read_bt(spark, path)
+        assert back.count() == w * w
+        assert back.filter(F.col("val") == -1.25).count() == w
+
+
+# ---------------------------------------------------------------------------
+# ZMap codec (frmts/zmap/zmapdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestZmap:
+    def test_header_and_column_major_order(self):
+        from gdal_spark.sources import zmap as ZM
+
+        arr = np.arange(12, dtype=float).reshape(3, 4)  # rows x cols
+        buf = ZM.zmap_bytes(arr, 0, 4, -3, 0)
+        text = buf.decode()
+        assert "@gdal_spark grid, GRID, 4" in text
+        data = text.split("@\n")[-1].split()
+        # column-major: first column top->bottom = 0, 4, 8
+        assert [float(v) for v in data[:3]] == [0.0, 4.0, 8.0]
+        xmin, xmax, ymin, ymax, nodata, back = ZM.parse_zmap(buf)
+        assert (xmin, xmax, ymin, ymax) == (0.0, 4.0, -3.0, 0.0)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_nodata_sentinel_scientific_fallback(self):
+        from gdal_spark.sources import zmap as ZM
+
+        arr = np.full((2, 2), 1e30)
+        arr[0, 0] = 5.0
+        buf = ZM.zmap_bytes(arr, 0, 2, -2, 0)
+        # every data line splits into clean <=20-char tokens
+        for line in buf.decode().split("@\n")[-1].splitlines():
+            for tok in line.split():
+                assert len(tok) <= 20
+        *_, nodata, back = ZM.parse_zmap(buf)
+        assert back[0, 0] == 5.0 and back[1, 1] == 1e30
+
+    def test_spark_roundtrip_with_holes(self, spark, tmp_path):
+        from gdal_spark.sources import zmap as ZM
+
+        w = 8
+        cells = spark.range(w * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val", (F.col("gy") * 10 + F.col("gx")).cast("double"),
+        ).filter((F.col("gy") + F.col("gx")) % 3 != 0)
+        path = str(tmp_path / "g.zmap")
+        ZM.write_zmap(cells, path, w, w)
+        back = ZM.read_zmap(spark, path)
+        assert back.count() == cells.count()  # holes dropped as nodata
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
