@@ -1489,3 +1489,39 @@ def unigram_tokenizer_counts(
         .select("piece", F.coalesce("cnt1", F.lit(0)).alias("cnt1"), "cnt2")
         .orderBy(F.desc("cnt2"), F.asc("piece")).limit(top_k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the Dolma / FineWeb pre-training hygiene pass: mask
+# email addresses, IPv4 addresses and US-style phone numbers with
+# sentinel tokens before the corpus ships).  Patterns are written in the
+# Java-regex ∩ RE2 common subset (no lookaround, no backrefs) so the
+# DuckDB oracle applies literally the same strings.
+#
+# Scale: pure JVM regexp_replace columns — shuffle-free, codegen-side,
+# no Python in the path.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}",
+     "|||EMAIL|||"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "|||IP|||"),
+    ("phone", r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}", "|||PHONE|||"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id_col, n_email, n_ip, n_phone, redacted) — per-doc match counts
+    plus the masked text.  Order matters and is fixed: emails first
+    (so their user@host digits can't half-match as phones), then IPs,
+    then phones — the Dolma ordering."""
+    counts = [
+        F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select(F.col(id_col), *counts, red.alias("redacted"))

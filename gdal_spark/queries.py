@@ -11136,6 +11136,28 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+@register("gmt_roundtrip", _FMT_POINTS_ORACLE)
+def q_gmt_roundtrip(spark, sf_dir):
+    """OGR GMT ASCII driver gate (ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp):
+    the points layer written as @VGMT1.0 comment-metadata text — field
+    names/types in @N/@T keys, attributes on per-feature @D lines,
+    shortest-roundtrip decimal coordinates — one shard per partition,
+    read back one task per shard."""
+    import tempfile
+
+    from gdal_spark.sources import gmt as GMT
+
+    d = tempfile.mkdtemp(prefix="gdalspark_gmt_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    GMT.write_point_gmts(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = GMT.read_point_gmts(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
 @register("xlsx_roundtrip", _FMT_POINTS_ORACLE)
 def q_xlsx_roundtrip(spark, sf_dir):
     """XLSX driver gate (ECMA-376 SpreadsheetML; ogr/ogrsf_frmts/xlsx/):
@@ -12655,6 +12677,70 @@ def q_text_bpe_train(spark, sf_dir):
     token frequencies."""
     docs = _read(spark, sf_dir, "documents")
     return T.bpe_train(docs, merges=_BPE_MERGES, top_k=_BPE_TOPK)
+
+
+def _sql_pii() -> str:
+    email = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    phone = r"\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"
+    return f"""WITH seeded AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact u' || doc_id || '@mail-' || doc_id
+                       || '.example.org now'
+           WHEN 1 THEN ' from 10.' || doc_id % 256 || '.0.'
+                       || doc_id % 100 || ' logged'
+           WHEN 2 THEN ' call (555) 01' || doc_id % 10 || '-'
+                       || 1000 + doc_id % 9000 || ' today'
+           ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{email}'))::bigint AS n_email,
+       len(regexp_extract_all(t, '{ip}'))::bigint AS n_ip,
+       len(regexp_extract_all(t, '{phone}'))::bigint AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{email}', '|||EMAIL|||', 'g'),
+           '{ip}', '|||IP|||', 'g'),
+           '{phone}', '|||PHONE|||', 'g')) AS redacted_hash
+FROM seeded"""
+
+
+@register("text_pii_redact", _sql_pii())
+def q_text_pii_redact(spark, sf_dir):
+    """PII redaction gate (the Dolma/FineWeb pre-ship hygiene pass):
+    synthetic emails / IPv4s / phone numbers are seeded into the
+    documents deterministically (doc_id mod 4), then masked with
+    sentinel tokens in the fixed email→ip→phone order.  Patterns live
+    in the Java-regex ∩ RE2 common subset so the oracle applies the
+    SAME strings; the md5 of the redacted text pins every replacement
+    byte-exactly.  Pure JVM regexp columns — shuffle-free."""
+    docs = _read(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.concat(
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@mail-"), F.col("doc_id").cast("string"),
+                F.lit(".example.org now")))
+            .when(F.col("doc_id") % 4 == 1, F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+                F.lit(" logged")))
+            .when(F.col("doc_id") % 4 == 2, F.concat(
+                F.lit(" call (555) 01"),
+                (F.col("doc_id") % 10).cast("string"), F.lit("-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = T.pii_redact(seeded, id_col="doc_id")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_hash"),
+    )
 
 
 _UT_WL, _UT_PL, _UT_W, _UT_P, _UT_K = 12, 4, 200, 60, 25

@@ -1346,3 +1346,53 @@ class TestZmap:
         j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
                       ["gy", "gx"])
         assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# GMT ASCII vector codec (ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp)
+# ---------------------------------------------------------------------------
+
+class TestGmt:
+    def test_point_header_and_roundtrip(self):
+        from gdal_spark.sources import gmt as GMT
+
+        pdf = pd.DataFrame({"k": [7, -3], "x": [1.25, -179.5],
+                            "y": [-0.5, 89.0]})
+        buf = GMT.points_gmt_bytes(pdf, "x", "y", ["k"])
+        text = buf.decode()
+        assert text.startswith("# @VGMT1.0 @GPOINT @Nk\n")
+        assert "# @Tinteger\n" in text
+        assert "# @D7\n1.25 -0.5\n" in text
+        gt, names, feats = GMT.parse_gmt(buf)
+        assert gt == "POINT" and names == ["k"]
+        assert feats[0][0] == [7] and feats[1][0] == [-3]
+        assert feats[1][1][0, 0] == -179.5
+
+    def test_linestring_segments_with_separator(self):
+        from gdal_spark.sources import gmt as GMT
+
+        a = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 0.5]])
+        b = np.array([[5.0, 5.0], [6.0, 5.5]])
+        buf = GMT.lines_gmt_bytes([([1], a), ([2], b)], ["seg"])
+        gt, names, feats = GMT.parse_gmt(buf)
+        assert gt == "LINESTRING" and names == ["seg"]
+        assert len(feats) == 2
+        np.testing.assert_array_equal(feats[0][1], a)
+        np.testing.assert_array_equal(feats[1][1], b)
+
+    def test_spark_distributed_roundtrip(self, spark):
+        from gdal_spark.sources import gmt as GMT
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3 % 40).alias("v"),
+            (F.col("id") * 0.5 - 30.0).alias("x"),
+            (F.col("id") * 0.125 - 10.0).alias("y"),
+        )
+        d = tempfile.mkdtemp(prefix="gdal_spark_gmt_t_")
+        n = GMT.write_point_gmts(df, d, "x", "y", ["k", "v"], num_files=4)
+        assert n == 4
+        back = GMT.read_point_gmts(spark, d, ["k", "v"])
+        assert back.count() == 200
+        j = back.join(df.select("k", F.col("x").alias("x0")), "k")
+        assert j.filter(F.col("x") != F.col("x0")).count() == 0

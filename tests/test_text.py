@@ -406,3 +406,34 @@ class TestUnigramTokenizer:
         a = unigram_tokenizer_counts(docs).toPandas()
         b = unigram_tokenizer_counts(docs).toPandas()
         assert a.equals(b)
+
+
+class TestPiiRedact:
+    def test_masks_and_counts(self, spark):
+        from gdal_spark.operators.text import pii_redact
+
+        docs = spark.createDataFrame(
+            [(1, "mail a.b-c%d@sub.example.co.uk or x@y.io thanks"),
+             (2, "server 192.168.001.254 and 8.8.8.8 up"),
+             (3, "call (555) 123-4567 or 555.123.4567 now"),
+             (4, "clean text, no pii at all")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+        assert out[1]["n_email"] == 2
+        assert "|||EMAIL|||" in out[1]["redacted"]
+        assert "@" not in out[1]["redacted"]
+        assert out[2]["n_ip"] == 2 and "8.8.8.8" not in out[2]["redacted"]
+        assert out[3]["n_phone"] == 2
+        assert out[4]["n_email"] == out[4]["n_ip"] == out[4]["n_phone"] == 0
+        assert out[4]["redacted"] == "clean text, no pii at all"
+
+    def test_email_wins_over_phone_on_digit_hosts(self, spark):
+        from gdal_spark.operators.text import pii_redact
+
+        # digits in an email's host must be consumed by the EMAIL mask,
+        # never half-matched as a phone (the fixed Dolma ordering)
+        docs = spark.createDataFrame(
+            [(1, "x 123-456-7890@dom.com y")], "doc_id long, text string")
+        r = pii_redact(docs).collect()[0]
+        assert r["n_email"] == 1
+        assert "|||PHONE|||" not in r["redacted"]
