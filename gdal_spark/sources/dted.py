@@ -72,6 +72,10 @@ def dted_bytes(arr: np.ndarray, lat_sw: int, lon_sw: int) -> bytes:
     for n in (n_lat, n_lon):
         if n < 2 or 3600 % (n - 1):
             raise ValueError(f"dted: 3600 % (n-1) != 0 for n={n}")
+        if (3600 // (n - 1)) * 10 > 9999:
+            # the UHL interval field is 4 chars of tenth-arcseconds —
+            # grids coarser than 999.9 arcsec cannot be represented
+            raise ValueError(f"dted: interval overflows UHL field for n={n}")
     if np.any(np.abs(arr.astype(np.int64)) > 0x7FFF):
         raise ValueError("dted: |elevation| exceeds signed-magnitude range")
 

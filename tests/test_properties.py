@@ -279,3 +279,113 @@ def test_osm_nodes_roundtrip_property(rows):
     back = OSM.parse_osm(OSM.osm_document(docs, "nid", ["cents"]),
                          "nid", ["cents"])
     assert back == docs
+
+
+# ---------------------------------------------------------------------------
+# Session-5 codecs: SpatiaLite blobs, DTED records, USGS DEM text, BT,
+# ZMap, XLSX column letters, GMT features
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(coord, coord, st.integers(min_value=-10, max_value=32766))
+def test_spatialite_point_blob_roundtrip(x, y, srid):
+    from gdal_spark.sources import spatialite as SL
+
+    srid2, env, kind, (px, py) = SL.parse_blob(SL.point_blob(x, y, srid))
+    assert (srid2, kind) == (srid, "point")
+    assert px == x and py == y
+    assert env == (x, y, x, y)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=3, max_size=10),
+       st.integers(min_value=0, max_value=3))
+def test_spatialite_polygon_blob_roundtrip(pts, extra_rings):
+    from gdal_spark.sources import spatialite as SL
+
+    pts = pts + [pts[0]]
+    rings = [np.array(pts, dtype=np.float64)]
+    for k in range(extra_rings):
+        rings.append(rings[0] * (0.5 / (k + 2)) + k + 1)
+    _, env, kind, back = SL.parse_blob(SL.polygon_blob(rings))
+    assert kind == "polygon" and len(back) == len(rings)
+    for a, b in zip(back, rings):
+        np.testing.assert_array_equal(a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=5, max_value=61).filter(
+           lambda n: 3600 % (n - 1) == 0 and (3600 // (n - 1)) * 10 <= 9999),
+       st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=-89, max_value=89),
+       st.integers(min_value=-179, max_value=179))
+def test_dted_grid_roundtrip(n, seed, lat_sw, lon_sw):
+    from gdal_spark.sources import dted as DT
+
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(-32000, 32000, size=(n, n)).astype(np.int16)
+    la, lo, back = DT.parse_dted(DT.dted_bytes(arr, lat_sw, lon_sw))
+    assert (la, lo) == (lat_sw, lon_sw)
+    np.testing.assert_array_equal(back, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=2, max_value=31).filter(lambda n: 3600 % (n - 1) == 0),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_usgsdem_grid_roundtrip(n, seed):
+    from gdal_spark.sources import usgsdem as UD
+
+    rng = np.random.RandomState(seed % (2**31))
+    arr = rng.randint(-32000, 32000, size=(n, n)).astype(np.int16)
+    la, lo, back = UD.parse_dem(UD.dem_bytes(arr, 12, -77))
+    assert (la, lo) == (12, -77)
+    np.testing.assert_array_equal(back, arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_bt_header_and_zmap_grid_roundtrip(w, h, seed):
+    from gdal_spark.sources import bt as BT
+    from gdal_spark.sources import zmap as ZM
+
+    hdr = BT.bt_header(w, h, "f4", -w / 2.0, w / 2.0, 0.0, float(h))
+    meta = BT.parse_bt_header(hdr)
+    assert (meta["w"], meta["h"], meta["dtype"]) == (w, h, "<f4")
+    assert meta["left"] == -w / 2.0 and meta["top"] == float(h)
+
+    rng = np.random.RandomState(seed % (2**31))
+    arr = np.round(rng.uniform(-1e4, 1e4, size=(h, w)), 7)
+    *_, back = ZM.parse_zmap(ZM.zmap_bytes(arr, 0.0, float(w),
+                                           -float(h), 0.0))
+    np.testing.assert_allclose(back, arr, rtol=0, atol=5e-8)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=16383))
+def test_xlsx_column_letters_bijective(idx):
+    from gdal_spark.sources import xlsx as XL
+
+    ref = XL.col_letter(idx)
+    assert ref.isalpha() and ref.isupper()
+    assert XL.letter_col(ref + "1") == idx
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=-10**9, max_value=10**9), coord, coord),
+    min_size=1, max_size=20))
+def test_gmt_points_roundtrip_property(rows):
+    import pandas as pd
+
+    from gdal_spark.sources import gmt as GMT
+
+    pdf = pd.DataFrame(rows, columns=["k", "x", "y"])
+    gt, names, feats = GMT.parse_gmt(
+        GMT.points_gmt_bytes(pdf, "x", "y", ["k"]))
+    assert gt == "POINT" and names == ["k"]
+    assert len(feats) == len(rows)
+    for (k, x, y), (attrs, xy) in zip(rows, feats):
+        assert attrs == [k]
+        assert xy[0, 0] == x and xy[0, 1] == y
