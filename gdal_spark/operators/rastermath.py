@@ -397,3 +397,48 @@ def sql_nearblack_collar(near_dist: float,
         f" OR {y} < min({by}) OVER (PARTITION BY {x})"
         f" OR {y} > max({by}) OVER (PARTITION BY {x}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram MATCHING (the companion to equalization: remap a source
+# raster so its value distribution follows a reference raster's — the
+# standard radiometric-normalization step before mosaicking scenes).
+# LUT rule: lut[v] = smallest reference value g whose reference CDF is
+# >= the source CDF at v, compared by INTEGER cross-multiplication
+# (cdf_src(v) * n_ref <= cdf_ref(g) * n_src) so both engines agree
+# exactly with no float quantiles.
+#
+# Scale: two bounded histograms (<=levels groups each, partial-agg
+# shuffles), a <=levels LUT broadcast, then a map-only remap.
+# ---------------------------------------------------------------------------
+
+def match_histogram_mapping(src: DataFrame, ref: DataFrame,
+                            value_col: str = "data",
+                            levels: int = 256) -> list[int]:
+    """Length-``levels`` LUT mapping source values onto the reference
+    distribution (identity for values absent from the source)."""
+    import numpy as np
+
+    def hist(raster: DataFrame) -> np.ndarray:
+        counts = np.zeros(levels, dtype=np.int64)
+        for r in (
+            raster.select(F.explode(value_col).alias("v"))
+            .groupBy(F.col("v").cast("long").alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ):
+            counts[int(r.v)] = int(r.n)
+        return counts
+
+    cs = np.cumsum(hist(src))
+    hr = hist(ref)
+    cr = np.cumsum(hr)
+    ns, nr = int(cs[-1]), int(cr[-1])
+    ref_vals = np.nonzero(hr)[0]
+    if ref_vals.size == 0 or ns == 0:
+        return list(range(levels))
+    # first present reference value whose scaled CDF reaches the source's
+    cr_present = cr[ref_vals] * ns
+    idx = np.searchsorted(cr_present, cs * nr, side="left")
+    idx = np.clip(idx, 0, ref_vals.size - 1)
+    return [int(ref_vals[i]) for i in idx]

@@ -9508,6 +9508,92 @@ def q_raster_equalize(spark, sf_dir):
     )
 
 
+def _sql_hist_match() -> str:
+    return f"""
+WITH gs AS (SELECT unnest(generate_series(0, {_EQ_NPX - 1})) AS v),
+px AS (
+  SELECT gx.v AS gx, gy.v AS gy,
+         least((gx.v * 31 + gy.v * 17 + 7) % 256,
+               (gx.v * 7 + gy.v * 3 + 11) % 256) AS val
+  FROM gs gx CROSS JOIN gs gy),
+rpx AS (
+  SELECT greatest((gx.v * 13 + gy.v * 29 + 5) % 256,
+                  (gx.v * 23 + gy.v * 19 + 1) % 256) AS val
+  FROM gs gx CROSS JOIN gs gy),
+cs AS (SELECT val, sum(n) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+       FROM (SELECT val, count(*)::bigint AS n FROM px GROUP BY val)),
+cr AS (SELECT val, sum(n) OVER (ORDER BY val
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+       FROM (SELECT val, count(*)::bigint AS n FROM rpx GROUP BY val)),
+tot AS (SELECT (SELECT max(cdf) FROM cs) AS ns,
+               (SELECT max(cdf) FROM cr) AS nr),
+lut AS (
+  -- smallest reference value whose scaled CDF reaches the source's:
+  -- integer cross-multiplication, no float quantiles
+  SELECT s.val, min(r.val) AS new_v
+  FROM cs s CROSS JOIN tot t JOIN cr r
+    ON s.cdf * t.nr <= r.cdf * t.ns
+  GROUP BY s.val)
+SELECT (px.gx // 256)::bigint AS tx, (px.gy // 256)::bigint AS ty,
+       count(*)::bigint AS n_px,
+       sum(l.new_v)::bigint AS matched_sum
+FROM px JOIN lut l ON l.val = px.val
+GROUP BY px.gx // 256, px.gy // 256"""
+
+
+@register("raster_hist_match", _sql_hist_match())
+def q_raster_hist_match(spark, sf_dir):
+    """Histogram MATCHING gate (radiometric normalization before
+    mosaicking — the companion of raster_equalize): a min-skewed source
+    raster remapped onto a max-skewed reference raster's distribution.
+    LUT rule pinned by integer cross-multiplication on both engines
+    (cdf_src·n_ref <= cdf_ref·n_src), so the per-tile matched sums are
+    exact.  Two bounded histograms + broadcast LUT + map-only remap."""
+    from gdal_spark.operators import rastermath as RM
+
+    base = TL.synthetic_raster(spark, zoom=2, bands=1)
+
+    def fill(a_mul, b_mul, a_add, b_add, reduce_fn):
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            yy, xx = np.mgrid[0:256, 0:256]
+            for pdf in batches:
+                out = pdf.copy()
+                vals = []
+                for tx, ty in zip(pdf["tx"], pdf["ty"]):
+                    gx = tx * 256 + xx
+                    gy = ty * 256 + yy
+                    v = reduce_fn(
+                        (gx * a_mul[0] + gy * a_mul[1] + a_add) % 256,
+                        (gx * b_mul[0] + gy * b_mul[1] + b_add) % 256,
+                    ).astype(np.float64)
+                    vals.append(v.ravel())
+                out["data"] = vals
+                yield out
+        return gen
+
+    import numpy as np
+
+    src = base.mapInPandas(
+        fill((31, 17), (7, 3), 7, 11, np.minimum), base.schema)
+    ref = base.mapInPandas(
+        fill((13, 29), (23, 19), 5, 1, np.maximum), base.schema)
+    lut = RM.match_histogram_mapping(src, ref)
+    matched = RM.apply_equalize(src, lut)  # same broadcast-LUT remap
+    ssum = F.aggregate(
+        "data", F.lit(0.0), lambda a, v: a + v
+    ).cast("long")
+    return matched.select(
+        F.col("tx").cast("long").alias("tx"),
+        F.col("ty").cast("long").alias("ty"),
+        F.size("data").cast("long").alias("n_px"),
+        ssum.alias("matched_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 52. DISTINCT ON / top-1-per-group (the OGR SQL dialect's common "first
 # feature per key" idiom): highest-balance customer per nation, ties by
@@ -11133,6 +11219,29 @@ def q_gpkg_roundtrip(spark, sf_dir):
     return measured.select(
         "poly_id", "n_rings", "xmin", "ymin", "xmax", "ymax",
         R(F.col("area"), 6).alias("area"),
+    )
+
+
+@register("ods_roundtrip", _FMT_POINTS_ORACLE)
+def q_ods_roundtrip(spark, sf_dir):
+    """ODS driver gate (OASIS OpenDocument; ogr/ogrsf_frmts/ods/): the
+    points layer written as one OpenDocument package per partition —
+    STORED-first mimetype member per the package rule, office:value
+    floats carrying shortest-roundtrip coordinates — read back one task
+    per file (number-columns-repeated-aware parser)."""
+    import tempfile
+
+    from gdal_spark.sources import ods as ODS
+
+    d = tempfile.mkdtemp(prefix="gdalspark_ods_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    ODS.write_point_odss(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = ODS.read_point_odss(spark, d, ["o_orderkey", "cents"],
+                               x_col="lon", y_col="lat")
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
     )
 
 

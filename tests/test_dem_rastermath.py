@@ -346,3 +346,32 @@ def test_locationinfo_inverse_geotransform(spark):
     got = {r["id"]: (r["pixel"], r["line"], r["value"]) for r in out}
     assert got[1] == (0, 0, 11.0)
     assert got[2] == (2, 2, 22.0)
+
+
+class TestHistogramMatch:
+    def test_lut_monotone_and_range(self, spark):
+        from gdal_spark.operators import rastermath as RM
+        from gdal_spark.operators import tiles as TL
+        import numpy as np
+
+        base = TL.synthetic_raster(spark, zoom=1, bands=1)
+        lut = RM.match_histogram_mapping(base, base)
+        assert len(lut) == 256
+        assert all(0 <= v <= 255 for v in lut)
+        assert all(a <= b for a, b in zip(lut, lut[1:]))  # CDF rule
+
+    def test_self_match_preserves_present_values(self, spark):
+        """Matching a raster against itself must map every PRESENT
+        value to itself (cdf_s == cdf_r at each present value)."""
+        from gdal_spark.operators import rastermath as RM
+        from gdal_spark.operators import tiles as TL
+        from pyspark.sql import functions as F
+
+        base = TL.synthetic_raster(spark, zoom=1, bands=1)
+        present = {
+            int(r["v"]) for r in base.select(
+                F.explode("data").alias("v")).distinct().collect()
+        }
+        lut = RM.match_histogram_mapping(base, base)
+        for v in present:
+            assert lut[v] == v

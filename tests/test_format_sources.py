@@ -1396,3 +1396,74 @@ class TestGmt:
         assert back.count() == 200
         j = back.join(df.select("k", F.col("x").alias("x0")), "k")
         assert j.filter(F.col("x") != F.col("x0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ODS codec (OASIS OpenDocument; ogr/ogrsf_frmts/ods/)
+# ---------------------------------------------------------------------------
+
+class TestOds:
+    def test_package_rule_mimetype_first_stored(self):
+        import zipfile as zf
+        import io
+
+        from gdal_spark.sources import ods as ODS
+
+        buf = ODS.ods_bytes(["k"], [(1.0,)])
+        with zf.ZipFile(io.BytesIO(buf)) as z:
+            infos = z.infolist()
+        assert infos[0].filename == "mimetype"
+        assert infos[0].compress_type == zf.ZIP_STORED
+        # sniffable: the mimetype string sits raw at byte 38 of the zip
+        assert buf[38:38 + 46] == b"application/vnd.oasis.opendocument.spreadsheet"
+
+    def test_float_and_string_roundtrip(self):
+        from gdal_spark.sources import ods as ODS
+
+        buf = ODS.ods_bytes(["k", "name", "x"],
+                            [(1.0, "a&<b>", -3.5e-7), (2.0, "", 0.1)])
+        header, rows = ODS.parse_ods(buf)
+        assert header == ["k", "name", "x"]
+        assert rows[0] == [1.0, "a&<b>", -3.5e-7]
+        assert rows[1][2] == 0.1
+
+    def test_number_columns_repeated_expanded(self):
+        import io
+        import zipfile as zf
+
+        from gdal_spark.sources import ods as ODS
+
+        o, t = ODS._OFFICE, ODS._TABLE
+        content = (
+            f'<office:document-content xmlns:office="{o}" '
+            f'xmlns:table="{t}" xmlns:text="{ODS._TEXT}">'
+            "<office:body><office:spreadsheet><table:table>"
+            '<table:table-row><table:table-cell office:value-type="float" '
+            'office:value="9" table:number-columns-repeated="3"/>'
+            "</table:table-row>"
+            "</table:table></office:spreadsheet></office:body>"
+            "</office:document-content>")
+        bio = io.BytesIO()
+        with zf.ZipFile(bio, "w") as z:
+            z.writestr(zf.ZipInfo("mimetype"), ODS._MIME,
+                       compress_type=zf.ZIP_STORED)
+            z.writestr("content.xml", content)
+        header, rows = ODS.parse_ods(bio.getvalue())
+        assert header == ["9.0", "9.0", "9.0"] and rows == []
+
+    def test_spark_distributed_roundtrip(self, spark):
+        from gdal_spark.sources import ods as ODS
+
+        df = spark.range(0, 150).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 3 % 40).alias("v"),
+            (F.col("id") * 0.5 - 30.0).alias("x"),
+            (F.col("id") * 0.125 - 10.0).alias("y"),
+        )
+        d = tempfile.mkdtemp(prefix="gdal_spark_ods_t_")
+        n = ODS.write_point_odss(df, d, "x", "y", ["k", "v"], num_files=4)
+        assert n == 4
+        back = ODS.read_point_odss(spark, d, ["k", "v"])
+        assert back.count() == 150
+        j = back.join(df.select("k", F.col("x").alias("x0")), "k")
+        assert j.filter(F.col("x") != F.col("x0")).count() == 0
