@@ -10366,6 +10366,109 @@ SELECT o_orderkey,
 FROM orders CROSS JOIN c"""
 
 
+def _refine_fixture() -> tuple[list, list[int]]:
+    """16 dyadic GCPs (count a power of two so the FULL-set means are
+    exact), with gross +/-8.0 geo displacements planted at i = 5 and
+    i = 11 — far above the 0.5 tolerance while the clean points' fit
+    residuals stay at the +/-3/64 perturbation scale."""
+    out, outliers = [], [5, 11]
+    for i in range(16):
+        e1 = float((i * 61) % 512 // 8 * 8)
+        n1 = float((i * 113 + 37) % 512 // 8 * 8)
+        pert = ((i * 37) % 7 - 3) / 64.0
+        e2 = 10.0 + e1 / 64.0 + n1 / 128.0 + pert
+        n2 = -5.0 + e1 / 256.0 - n1 / 64.0 - pert
+        if i in outliers:
+            e2 += 8.0
+            n2 -= 8.0
+        out.append((e1, n1, e2, n2))
+    return out, outliers
+
+
+def _sql_gcp_refine() -> str:
+    gcps, outliers = _refine_fixture()
+    full = "VALUES " + ", ".join(
+        f"({e1!r}::double, {n1!r}::double, {e2!r}::double, {n2!r}::double)"
+        for e1, n1, e2, n2 in gcps)
+    kept = "VALUES " + ", ".join(
+        f"({e1!r}::double, {n1!r}::double, {e2!r}::double, {n2!r}::double)"
+        for i, (e1, n1, e2, n2) in enumerate(gcps) if i not in outliers)
+    # identical Cramer expressions to _GCP1_SQL, but: means from the FULL
+    # polluted set (the reference keeps them fixed across refits,
+    # gdal_crs.cpp:1142), normal equations over the KEPT set only.
+    return f"""WITH gf(e1, n1, e2, n2) AS ({full}),
+g(e1, n1, e2, n2) AS ({kept}),
+mu AS (SELECT sum(e1) / count(*) AS me, sum(n1) / count(*) AS mn FROM gf),
+s AS (SELECT me, mn, count(*)::double AS m11,
+             sum(e1 - me) AS m12, sum(n1 - mn) AS m13,
+             sum((e1 - me) * (e1 - me)) AS m22,
+             sum((e1 - me) * (n1 - mn)) AS m23,
+             sum((n1 - mn) * (n1 - mn)) AS m33,
+             sum(e2) AS ae1, sum(e2 * (e1 - me)) AS ae2,
+             sum(e2 * (n1 - mn)) AS ae3,
+             sum(n2) AS an1, sum(n2 * (e1 - me)) AS an2,
+             sum(n2 * (n1 - mn)) AS an3
+      FROM g CROSS JOIN mu GROUP BY me, mn),
+c AS (SELECT me, mn,
+  (ae1 * (m22 * m33 - m23 * m23) - m12 * (ae2 * m33 - m23 * ae3)
+     + m13 * (ae2 * m23 - m22 * ae3))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce0,
+  (m11 * (ae2 * m33 - ae3 * m23) - ae1 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * ae3 - ae2 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce1,
+  (m11 * (m22 * ae3 - m23 * ae2) - m12 * (m12 * ae3 - ae2 * m13)
+     + ae1 * (m12 * m23 - m22 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS ce2,
+  (an1 * (m22 * m33 - m23 * m23) - m12 * (an2 * m33 - m23 * an3)
+     + m13 * (an2 * m23 - m22 * an3))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn0,
+  (m11 * (an2 * m33 - an3 * m23) - an1 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * an3 - an2 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn1,
+  (m11 * (m22 * an3 - m23 * an2) - m12 * (m12 * an3 - an2 * m13)
+     + an1 * (m12 * m23 - m22 * m13))
+  / (m11 * (m22 * m33 - m23 * m23) - m12 * (m12 * m33 - m23 * m13)
+     + m13 * (m12 * m23 - m22 * m13)) AS cn2
+  FROM s)
+SELECT o_orderkey,
+       {SR('ce0 + ce1 * ((o_orderkey % 512)::double - me)'
+           ' + ce2 * (((o_orderkey * 7) % 512)::double - mn)', 9)} AS gx,
+       {SR('cn0 + cn1 * ((o_orderkey % 512)::double - me)'
+           ' + cn2 * (((o_orderkey * 7) % 512)::double - mn)', 9)} AS gy
+FROM orders CROSS JOIN c"""
+
+
+@register("warp_gcp_refine", _sql_gcp_refine())
+def q_warp_gcp_refine(spark, sf_dir):
+    """GCP refinement gate (gdal_translate -refine_gcps; reference
+    remove_outliers in alg/gdal_crs.cpp:1097): two gross outliers are
+    planted in a 16-point dyadic fixture; the iterative
+    fit→worst-residual→drop→refit loop must remove exactly them (one
+    per iteration, means held FIXED at the original full-set values —
+    the reference's quirk) before transforming the orders grid.  A
+    refinement that drops the wrong point, recomputes means, or drops
+    both at once produces different coefficients and hash-mismatches."""
+    from gdal_spark.spatial.gcp import refine_gcps
+
+    gcps, outliers = _refine_fixture()
+    fit, kept = refine_gcps(gcps, order=1, tolerance=0.5)
+    assert [i for i in range(16) if i not in kept] == outliers
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 512).cast("double").alias("e"),
+        ((F.col("o_orderkey") * 7) % 512).cast("double").alias("n"),
+    )
+    gx, gy = gcp_poly_cols(fit, F.col("e"), F.col("n"))
+    return o.select(
+        "o_orderkey", R(gx, 9).alias("gx"), R(gy, 9).alias("gy")
+    )
+
+
 @register("warp_gcp_poly", _GCP1_SQL)
 def q_warp_gcp_poly(spark, sf_dir):
     """Order-1 GCP polynomial transform of orders-derived pixel coords —

@@ -95,18 +95,25 @@ def _cramer3(m11, m12, m13, m22, m23, m33, a1, a2, a3):
 
 
 def fit_gcp_poly(
-    gcps: list[tuple[float, float, float, float]], order: int = 1
+    gcps: list[tuple[float, float, float, float]], order: int = 1,
+    means: tuple[float, float] | None = None,
 ) -> GCPFit:
     """Fit geo = poly(pixel) from GCP tuples ``(e1, n1, e2, n2)`` =
     (src easting, src northing, dst easting, dst northing).  Swap the
     tuple halves to fit the reverse direction (the reference's array
-    swap in CRS_compute_georef_equations)."""
+    swap in CRS_compute_georef_equations).  ``means`` overrides the
+    centering means — the refinement loop passes the ORIGINAL full-set
+    means, which the reference keeps fixed across refits
+    (gdal_crs.cpp:1142 sets them once before the removal loop)."""
     k = n_terms(order)
     if len(gcps) < k:
         raise ValueError(f"order {order} needs >= {k} GCPs, got {len(gcps)}")
     cnt = float(len(gcps))
-    e_mean = sum(g[0] for g in gcps) / cnt
-    n_mean = sum(g[1] for g in gcps) / cnt
+    if means is not None:
+        e_mean, n_mean = means
+    else:
+        e_mean = sum(g[0] for g in gcps) / cnt
+        n_mean = sum(g[1] for g in gcps) / cnt
 
     rows = [_terms_py(g[0] - e_mean, g[1] - n_mean, order) for g in gcps]
     if order == 1:
@@ -176,3 +183,53 @@ def gcp_fixture(order: int) -> list[tuple[float, float, float, float]]:
             n2 += (n1 * n1) / 262144.0
         out.append((e1, n1, e2, n2))
     return out
+
+
+# ---------------------------------------------------------------------------
+# GCP refinement (gdal_translate -refine_gcps; reference remove_outliers /
+# worst_outlier in alg/gdal_crs.cpp:1039-1210): iteratively drop the single
+# worst GCP whose fit residual is >= tolerance, refit, and stop when no
+# outlier remains or the minimum count is reached.  Two reference quirks
+# preserved exactly:
+#   * centering means come from the ORIGINAL full set and stay FIXED
+#     across refits (x1_mean set once at gdal_crs.cpp:1142);
+#   * residuals below FLT_EPSILON are treated as zero, and the worst
+#     outlier is the max residual >= tolerance (ties keep the first).
+# ---------------------------------------------------------------------------
+
+_FLT_EPSILON = 1.19209290e-07
+
+
+def refine_gcps(
+    gcps: list[tuple[float, float, float, float]],
+    order: int = 1,
+    tolerance: float = 1.0,
+    minimum: int | None = None,
+) -> tuple[GCPFit, list[int]]:
+    """→ (final fit, kept original indices).  Driver-side over the
+    bounded GCP list (GCP sets are small by definition); the returned
+    fit applies as map-only Column math like any GCPFit."""
+    if minimum is None:
+        minimum = n_terms(order) + 1
+    e_mean = sum(g[0] for g in gcps) / float(len(gcps))
+    n_mean = sum(g[1] for g in gcps) / float(len(gcps))
+    kept = list(range(len(gcps)))
+    cur = list(gcps)
+    fit = fit_gcp_poly(cur, order=order, means=(e_mean, n_mean))
+    while len(cur) > minimum:
+        worst_i, worst_r = -1, -1.0
+        for i, (e1, n1, e2, n2) in enumerate(cur):
+            te = _terms_py(e1 - e_mean, n1 - n_mean, order)
+            gx = sum(c * t for c, t in zip(fit.coef_e, te))
+            gy = sum(c * t for c, t in zip(fit.coef_n, te))
+            r = ((gx - e2) ** 2 + (gy - n2) ** 2) ** 0.5
+            if r < _FLT_EPSILON:
+                r = 0.0
+            if r > worst_r and r >= tolerance:
+                worst_i, worst_r = i, r
+        if worst_i < 0:
+            break
+        del cur[worst_i]
+        del kept[worst_i]
+        fit = fit_gcp_poly(cur, order=order, means=(e_mean, n_mean))
+    return fit, kept

@@ -97,3 +97,53 @@ def test_column_apply_matches_python(spark):
         assert math.isclose(
             r["gy"], sum(c * t for c, t in zip(fit.coef_n, terms)),
             rel_tol=1e-12)
+
+
+class TestRefineGcps:
+    def _fixture(self):
+        out = []
+        for i in range(16):
+            e1 = float((i * 61) % 512 // 8 * 8)
+            n1 = float((i * 113 + 37) % 512 // 8 * 8)
+            pert = ((i * 37) % 7 - 3) / 64.0
+            e2 = 10.0 + e1 / 64.0 + n1 / 128.0 + pert
+            n2 = -5.0 + e1 / 256.0 - n1 / 64.0 - pert
+            if i in (5, 11):
+                e2 += 8.0
+                n2 -= 8.0
+            out.append((e1, n1, e2, n2))
+        return out
+
+    def test_drops_exactly_the_planted_outliers(self):
+        from gdal_spark.spatial.gcp import refine_gcps
+
+        fit, kept = refine_gcps(self._fixture(), order=1, tolerance=0.5)
+        assert [i for i in range(16) if i not in kept] == [5, 11]
+
+    def test_means_stay_fixed_at_full_set_values(self):
+        """The reference sets x1_mean once before the removal loop
+        (gdal_crs.cpp:1142) — the refined fit must carry the POLLUTED
+        full-set means, not the clean subset's."""
+        from gdal_spark.spatial.gcp import refine_gcps
+
+        gcps = self._fixture()
+        fit, _ = refine_gcps(gcps, order=1, tolerance=0.5)
+        assert fit.e_mean == sum(g[0] for g in gcps) / 16.0
+        assert fit.n_mean == sum(g[1] for g in gcps) / 16.0
+
+    def test_no_outliers_is_a_noop(self):
+        from gdal_spark.spatial.gcp import fit_gcp_poly, gcp_fixture, \
+            refine_gcps
+
+        gcps = gcp_fixture(1)
+        fit, kept = refine_gcps(gcps, order=1, tolerance=0.5)
+        assert kept == list(range(len(gcps)))
+        assert fit == fit_gcp_poly(gcps, order=1)
+
+    def test_minimum_floor_respected(self):
+        from gdal_spark.spatial.gcp import refine_gcps
+
+        # absurdly tight tolerance: everything is an "outlier", but the
+        # loop must stop at the minimum count (n_terms + 1 = 4)
+        fit, kept = refine_gcps(self._fixture(), order=1, tolerance=1e-12)
+        assert len(kept) == 4
