@@ -245,6 +245,23 @@ BENCH_QUERIES = [
     "esrijson_roundtrip",
     "georss_roundtrip",
     "corpus_ccnet_buckets",
+    # round-5 session-5 additions
+    "spatialite_points_roundtrip",
+    "spatialite_roundtrip",
+    "dted_roundtrip",
+    "usgsdem_roundtrip",
+    "ehdr_roundtrip",
+    "rraster_roundtrip",
+    "saga_roundtrip",
+    "bt_roundtrip",
+    "zmap_roundtrip",
+    "xlsx_roundtrip",
+    "ods_roundtrip",
+    "gmt_roundtrip",
+    "text_unigram_tokenizer",
+    "text_pii_redact",
+    "raster_hist_match",
+    "warp_gcp_refine",
 ]
 
 
