@@ -14928,6 +14928,92 @@ def q_streaming_session_windows(spark, sf_dir):
          AS value_milli
 FROM events GROUP BY event_type""",
 )
+def q_streaming_snapshot_sink(spark, sf_dir):
+    """STREAMING → SNAPSHOT-TABLE capstone (the product path a 100 TB
+    ingest actually runs: Structured Streaming micro-batches committing
+    Iceberg-style snapshot appends exactly once).  The events table is
+    split into 4 deterministic slices (event_id % 4) replayed as one
+    micro-batch each (maxFilesPerTrigger=1); foreachBatch appends each
+    batch to a SnapshotTable behind a CONTENT-ADDRESSED commit marker
+    (the slice id, written atomically after the append — the Iceberg
+    commit-UUID idempotency pattern, not Spark's batchId, so it
+    survives checkpoint loss).  The stream is then REPLAYED with a
+    fresh checkpoint: every batch re-arrives, every commit marker
+    short-circuits, and the table must be byte-identical —
+    n_snapshots stays 4 and replay_added pins 0.  The final read-back
+    aggregate has a plain GROUP-BY oracle over the source table."""
+    import os
+    import tempfile
+
+    from gdal_spark.plans.snapshots import SnapshotTable
+
+    base = tempfile.mkdtemp(prefix="gdalspark_stream_snap_")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    events = _read(spark, sf_dir, "events")
+    for i in range(4):
+        stage = f"{base}/stage{i}"
+        (events.filter(F.col("event_id") % 4 == i).coalesce(1)
+         .write.mode("overwrite").parquet(stage))
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        os.replace(f"{stage}/{part}", f"{src}/batch-{i}.parquet")
+
+    root = f"{base}/table"
+    markers = f"{base}/commits"
+    os.makedirs(markers, exist_ok=True)
+    tbl = SnapshotTable(root, key_col="event_id")
+
+    def sink(batch_df, _batch_id):
+        slice_id = batch_df.agg(
+            (F.min("event_id") % 4).alias("s")).collect()[0]["s"]
+        marker = f"{markers}/slice-{int(slice_id)}"
+        if os.path.exists(marker):
+            return  # already committed — exactly-once on replay
+        tbl.append(batch_df)
+        tmp = marker + ".tmp"
+        open(tmp, "w").close()
+        os.replace(tmp, marker)  # atomic commit marker
+
+    schema = events.schema
+
+    def replay(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema).format("parquet")
+            .option("maxFilesPerTrigger", "1").load(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    replay(f"{base}/ckpt1")
+    n1 = tbl.current_id()
+    # second run with a FRESH checkpoint: Spark reprocesses everything,
+    # the content markers must swallow every batch
+    replay(f"{base}/ckpt2")
+    n2 = tbl.current_id()
+
+    return tbl.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000.0 + 0.5).cast("long"))
+        .cast("long").alias("value_milli"),
+    ).select(
+        "event_type", "n_events", "value_milli",
+        F.lit(int(n1)).cast("long").alias("n_snapshots"),
+        F.lit(int(n2 - n1)).cast("long").alias("replay_added"),
+    )
+
+
+register(
+    "streaming_snapshot_sink",
+    """SELECT event_type, count(*)::bigint AS n_events,
+       sum(CAST(floor(value * 1000.0 + 0.5) AS bigint))::bigint
+         AS value_milli,
+       4::bigint AS n_snapshots, 0::bigint AS replay_added
+FROM events GROUP BY event_type""",
+)(q_streaming_snapshot_sink)
+
+
 def q_streaming_running_state(spark, sf_dir):
     """CUSTOM stateful streaming operator (applyInPandasWithState — the
     bespoke-state feature class next to windows/dedup/stream-static

@@ -50,3 +50,18 @@ def test_stream_restart_resumes_from_checkpoint(spark):
     assert out.select("i").distinct().count() == 2000  # exactly-once
     # derived columns survived the restart path
     assert out.filter(F.col("tx").isNull()).count() == 0
+
+
+class TestStreamingSnapshotSink:
+    def test_replay_with_lost_checkpoint_adds_nothing(self, spark):
+        """The capstone's exactly-once contract in isolation: after the
+        fresh-checkpoint replay, the snapshot count and row count are
+        unchanged (content-addressed markers, not Spark batch ids)."""
+        from gdal_spark import queries as Q
+
+        out = Q.QUERIES["streaming_snapshot_sink"](
+            spark, "/root/testdata/sf0.001").collect()
+        assert out, "no event types"
+        for r in out:
+            assert r["n_snapshots"] == 4
+            assert r["replay_added"] == 0
