@@ -19525,6 +19525,57 @@ def q_bt_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_kro() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 2)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             (gx.i * gx.i) % 97 + (gy.i * 13) % 89 + b.band * 7 AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx
+      WHERE (gx.i * 7 + gy.i * 11) % 13 <> 0)
+SELECT band, sum(val * (1 + (x * 5 + y * 3) % 17))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("kro_roundtrip", _sql_kro())
+def q_kro_roundtrip(spark, sf_dir):
+    """KRO driver gate (frmts/raw/krodataset.cpp; public Kolor Raw
+    spec): a 3-component uint16 image through the format's BIG-ENDIAN
+    pixel-interleaved layout — the engine's only big-endian raw pixel
+    payload, so the gate pins the byte-swap path on both write and
+    read.  Punched holes carry the 0 fill in the file; the gate
+    restores the oracle's domain by re-applying the hole predicate
+    (not by value — legitimate 0-valued pixels exist)."""
+    import tempfile
+
+    from gdal_spark.sources import kro as KRO
+
+    path = tempfile.mkdtemp(prefix="gdalspark_kro_gate_") + "/img.kro"
+    w = _ENVI_W
+    cells = spark.range(3 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * F.col("gx")) % 97 + (F.col("gy") * 13) % 89
+         + F.col("band") * 7).cast("double"),
+    ).filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    KRO.write_kro(cells, path, w, w, 3, dtype="u2", block_rows=32)
+    back = KRO.read_kro(spark, path, block_rows=32)
+    # punched holes carry the 0 fill; the fixture's off-hole values can
+    # also be 0 at (x,y,band) where both residues vanish — match the
+    # oracle's domain exactly by re-applying the hole predicate instead
+    # of filtering on the value
+    back = back.filter((F.col("gx") * 7 + F.col("gy") * 11) % 13 != 0)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _sql_zmap() -> str:
     return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
 v AS (SELECT gy.i AS y, gx.i AS x,

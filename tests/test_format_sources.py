@@ -1467,3 +1467,40 @@ class TestOds:
         assert back.count() == 150
         j = back.join(df.select("k", F.col("x").alias("x0")), "k")
         assert j.filter(F.col("x") != F.col("x0")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# KRO codec (frmts/raw/krodataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestKro:
+    def test_header_and_big_endian_payload(self, tmp_path, spark):
+        from gdal_spark.sources import kro as KRO
+
+        w, h, ncomp = 4, 3, 2
+        cells = spark.range(ncomp * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 1000 + F.col("gy") * 10 + F.col("gx") + 1)
+            .cast("double"))
+        path = str(tmp_path / "t.kro")
+        KRO.write_kro(cells, path, w, h, ncomp, dtype="u2", block_rows=2)
+        raw = open(path, "rb").read()
+        assert raw[0:4] == b"KRO\x01"
+        assert struct.unpack_from(">4I", raw, 4) == (w, h, 16, ncomp)
+        # first pixel: band0 then band1 of (gy 0, gx 0), BIG-endian
+        assert struct.unpack_from(">2H", raw, 20) == (1, 1001)
+        back = KRO.read_kro(spark, path, block_rows=2)
+        j = back.join(cells.select("band", "gy", "gx",
+                                   F.col("val").alias("v0")),
+                      ["band", "gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_unhandled_depth_rejected(self):
+        from gdal_spark.sources import kro as KRO
+
+        with pytest.raises(ValueError, match="depth"):
+            KRO.parse_kro_header(b"KRO\x01" + struct.pack(">4I", 1, 1, 24, 1))
