@@ -19525,6 +19525,72 @@ def q_bt_roundtrip(spark, sf_dir):
     )
 
 
+def _sql_ntv2() -> str:
+    glat = ("((({r} * 13) % 89 + ({c} * {c}) % 97 - 40)::double / 16.0)")
+    glon = ("((({r} * {r}) % 83 + ({c} * 7) % 91 - 35)::double / 16.0)")
+
+    def bil(g):
+        return (f"({g.format(r='fy', c='fx')} * (1 - tx) * (1 - ty)"
+                f" + {g.format(r='fy', c='(fx + 1)')} * tx * (1 - ty)"
+                f" + {g.format(r='(fy + 1)', c='fx')} * (1 - tx) * ty"
+                f" + {g.format(r='(fy + 1)', c='(fx + 1)')} * tx * ty)")
+
+    return f"""WITH p AS (
+  SELECT o_orderkey,
+         (o_orderkey % 512)::double / 16.0 AS px,
+         ((o_orderkey * 7) % 512)::double / 16.0 AS py
+  FROM orders),
+b AS (SELECT o_orderkey, px, py,
+             least(floor(px), 31.0)::bigint AS fx,
+             least(floor(py), 31.0)::bigint AS fy,
+             px - least(floor(px), 31.0) AS tx,
+             py - least(floor(py), 31.0) AS ty
+      FROM p)
+SELECT o_orderkey,
+       {SR(f'10.0 + px / 32.0 - {bil(glon)} / 3600.0', 9)} AS lon_s,
+       {SR(f'40.0 + py / 32.0 + {bil(glat)} / 3600.0', 9)} AS lat_s
+FROM b"""
+
+
+@register("ntv2_shift_points", _sql_ntv2())
+def q_ntv2_shift_points(spark, sf_dir):
+    """NTv2 datum-shift gate (frmts/raw/ntv2dataset.cpp; public .gsb
+    spec): a dyadic 33×33 shift grid written through the format's
+    quirks — positive-WEST header longitudes, nodes stored south→north
+    and EAST→WEST, 4×float32 records — re-read from the BYTES, then
+    applied to the orders point table as pure Column bilinear math
+    (broadcast node-array literals; the PROJ hgridshift apply,
+    map-only at fact scale).  All node values and point fractions are
+    dyadic, so the shifted coordinates are exact on both engines."""
+    import tempfile
+
+    from gdal_spark.sources import ntv2 as NT
+
+    rr, cc = np.mgrid[0:33, 0:33]
+    lat_shift = (((rr * 13) % 89 + (cc * cc) % 97 - 40) / 16.0)
+    lon_shift_w = (((rr * rr) % 83 + (cc * 7) % 91 - 35) / 16.0)
+    path = tempfile.mkdtemp(prefix="gdalspark_ntv2_gate_") + "/shift.gsb"
+    with open(path, "wb") as fh:
+        fh.write(NT.ntv2_bytes([{
+            "name": "GATE", "s_lat": 40.0, "n_lat": 41.0,
+            "lon_min_e": 10.0, "lon_max_e": 11.0,
+            "lat_inc": 1.0 / 32.0, "lon_inc": 1.0 / 32.0,
+            "lat_shift": lat_shift, "lon_shift_w": lon_shift_w,
+        }]))
+    grid = NT.parse_ntv2(open(path, "rb").read())[0]
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.lit(10.0) + (F.col("o_orderkey") % 512).cast("double")
+         / 16.0 / 32.0).alias("lon"),
+        (F.lit(40.0) + ((F.col("o_orderkey") * 7) % 512).cast("double")
+         / 16.0 / 32.0).alias("lat"),
+    )
+    lon_s, lat_s = NT.apply_shift_cols(grid, F.col("lon"), F.col("lat"))
+    return o.select(
+        "o_orderkey", R(lon_s, 9).alias("lon_s"), R(lat_s, 9).alias("lat_s")
+    )
+
+
 def _sql_kro() -> str:
     return f"""WITH b AS (SELECT unnest(generate_series(0, 2)) AS band),
 g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),

@@ -1504,3 +1504,96 @@ class TestKro:
 
         with pytest.raises(ValueError, match="depth"):
             KRO.parse_kro_header(b"KRO\x01" + struct.pack(">4I", 1, 1, 24, 1))
+
+
+# ---------------------------------------------------------------------------
+# NTv2 codec (frmts/raw/ntv2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestNtv2:
+    def _grid(self):
+        rr, cc = np.mgrid[0:5, 0:7]
+        return {
+            "name": "T", "s_lat": 40.0, "n_lat": 40.125,
+            "lon_min_e": 10.0, "lon_max_e": 10.1875,
+            "lat_inc": 1.0 / 32.0, "lon_inc": 1.0 / 32.0,
+            "lat_shift": (rr + cc * 10).astype(float),
+            "lon_shift_w": (rr * 100 - cc).astype(float),
+        }
+
+    def test_header_quirks_positive_west_and_node_order(self):
+        from gdal_spark.sources import ntv2 as NT
+
+        buf = NT.ntv2_bytes([self._grid()])
+        assert buf[0:8] == b"NUM_OREC"
+        assert struct.unpack_from("<i", buf, 8)[0] == 11
+        sub = 11 * 16
+        assert buf[sub:sub + 8].rstrip() == b"SUB_NAME"
+        # E_LONG record carries POSITIVE-WEST arc-seconds of the
+        # EASTERN edge: -(10.1875 deg) * 3600
+        e_long = struct.unpack_from("<d", buf, sub + 6 * 16 + 8)[0]
+        assert e_long == -10.1875 * 3600.0
+        # first node (south row, EAST-most col = c 6): lat shift 60+... =
+        # rr 0 cc 6 -> 0 + 60 = 60
+        nodes_off = sub + 11 * 16
+        assert struct.unpack_from("<f", buf, nodes_off)[0] == 60.0
+        g = NT.parse_ntv2(buf)[0]
+        np.testing.assert_array_equal(
+            g["lat_shift"], self._grid()["lat_shift"])
+        np.testing.assert_array_equal(
+            g["lon_shift_w"], self._grid()["lon_shift_w"])
+        assert g["lon_min_e"] == 10.0 and g["lon_max_e"] == 10.1875
+
+    def test_big_endian_accepted(self):
+        import struct as st
+
+        from gdal_spark.sources import ntv2 as NT
+
+        buf = bytearray(NT.ntv2_bytes([self._grid()]))
+        # transcode every value field to big-endian
+        out = bytearray()
+        n_nodes = 5 * 7
+        recs = 11 + 11
+        for i in range(recs):
+            rec = bytes(buf[i * 16:(i + 1) * 16])
+            name = rec[:8]
+            if name.rstrip() in (b"NUM_OREC", b"NUM_SREC", b"NUM_FILE",
+                                 b"GS_COUNT"):
+                v = st.unpack("<i", rec[8:12])[0]
+                rec = name + st.pack(">i", v) + b"\x00" * 4
+            elif name.rstrip() in (b"S_LAT", b"N_LAT", b"E_LONG",
+                                   b"W_LONG", b"LAT_INC", b"LONG_INC",
+                                   b"MAJOR_F", b"MINOR_F", b"MAJOR_T",
+                                   b"MINOR_T"):
+                v = st.unpack("<d", rec[8:16])[0]
+                rec = name + st.pack(">d", v)
+            out += rec
+        vals = np.frombuffer(bytes(buf[recs * 16:]), dtype="<f4")
+        out += vals.astype(">f4").tobytes()
+        g = NT.parse_ntv2(bytes(out))[0]
+        np.testing.assert_array_equal(
+            g["lat_shift"], self._grid()["lat_shift"])
+
+    def test_count_mismatch_rejected(self):
+        from gdal_spark.sources import ntv2 as NT
+
+        buf = bytearray(NT.ntv2_bytes([self._grid()]))
+        # corrupt GS_COUNT (record 10 of the subgrid header)
+        off = (11 + 10) * 16 + 8
+        buf[off:off + 4] = struct.pack("<i", 999)
+        with pytest.raises(ValueError, match="GS_COUNT"):
+            NT.parse_ntv2(bytes(buf))
+
+    def test_outside_points_pass_through(self, spark):
+        from gdal_spark.sources import ntv2 as NT
+        from pyspark.sql import functions as F
+
+        g = self._grid()
+        df = spark.createDataFrame(
+            [(1, 10.05, 40.05), (2, 99.0, -3.0)], "k long, lon double, "
+            "lat double")
+        lon_s, lat_s = NT.apply_shift_cols(g, F.col("lon"), F.col("lat"))
+        out = {r["k"]: r for r in df.select(
+            "k", lon_s.alias("lon_s"), lat_s.alias("lat_s")).collect()}
+        assert out[2]["lon_s"] == 99.0 and out[2]["lat_s"] == -3.0
+        assert out[1]["lat_s"] != 40.05  # inside: shifted
