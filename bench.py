@@ -262,6 +262,10 @@ BENCH_QUERIES = [
     "text_pii_redact",
     "raster_hist_match",
     "warp_gcp_refine",
+    "streaming_snapshot_sink",
+    "kro_roundtrip",
+    "ntv2_shift_points",
+    "ogr_tindex",
 ]
 
 

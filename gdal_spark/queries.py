@@ -11325,6 +11325,65 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "ogr_tindex",
+    f"""WITH p AS (SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       {sql_lon('o_orderkey')} AS lon, {sql_lat('o_orderkey')} AS lat
+  FROM orders)
+SELECT 8::bigint AS n_files,
+       {SR('min(lon)', 6)} AS xmin, {SR('min(lat)', 6)} AS ymin,
+       {SR('max(lon)', 6)} AS xmax, {SR('max(lat)', 6)} AS ymax
+FROM p""",
+)
+def q_ogr_tindex(spark, sf_dir):
+    """ogrtindex gate (apps/ogrtindex.cpp — build a tile-index layer of
+    per-source envelopes): the points layer is written as 8 distributed
+    shapefiles, then indexed by a HEADER-ONLY scan — the .shp main-file
+    header carries the layer envelope at bytes 36..68 (shapefile 1998
+    spec), so the tindex reads 100 bytes per source and never touches a
+    record.  The per-file envelopes depend on hash partitioning, so the
+    gate pins the partition-invariant facts: file count and the UNION
+    envelope, which must equal the exact global coordinate extremes."""
+    import struct
+    import tempfile
+
+    from gdal_spark.sources import shapefile as SHP
+
+    d = tempfile.mkdtemp(prefix="gdalspark_tindex_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    SHP.write_point_shapefiles(
+        pts, d, "lon", "lat",
+        [("o_orderkey", 12), ("cents", 12)], num_files=8)
+
+    files = spark.read.format("binaryFile").load(f"{d}/*.shp") \
+        .select("path", F.col("content").alias("buf"))
+
+    def headers(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for path, buf in zip(pdf["path"], pdf["buf"]):
+                xmin, ymin, xmax, ymax = struct.unpack_from(
+                    "<4d", bytes(buf[:100]), 36)
+                recs.append({"location": str(path), "xmin": xmin,
+                             "ymin": ymin, "xmax": xmax, "ymax": ymax})
+            yield pd.DataFrame(
+                recs,
+                columns=["location", "xmin", "ymin", "xmax", "ymax"])
+
+    tindex = files.mapInPandas(
+        headers,
+        "location string, xmin double, ymin double, xmax double, "
+        "ymax double")
+    return tindex.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        R(F.min("xmin"), 6).alias("xmin"), R(F.min("ymin"), 6).alias("ymin"),
+        R(F.max("xmax"), 6).alias("xmax"), R(F.max("ymax"), 6).alias("ymax"),
+    )
+
+
 @register("ods_roundtrip", _FMT_POINTS_ORACLE)
 def q_ods_roundtrip(spark, sf_dir):
     """ODS driver gate (OASIS OpenDocument; ogr/ogrsf_frmts/ods/): the

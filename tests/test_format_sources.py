@@ -1597,3 +1597,29 @@ class TestNtv2:
             "k", lon_s.alias("lon_s"), lat_s.alias("lat_s")).collect()}
         assert out[2]["lon_s"] == 99.0 and out[2]["lat_s"] == -3.0
         assert out[1]["lat_s"] != 40.05  # inside: shifted
+
+
+def test_ogr_tindex_header_only_scan(spark):
+    """ogrtindex gate machinery in isolation: the per-file envelopes read
+    from .shp headers must bound every record actually in that file."""
+    import struct as st
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("v"),
+        (F.col("id") * 0.25 - 40.0).alias("x"),
+        (F.col("id") * 0.125 - 20.0).alias("y"),
+    )
+    d = tempfile.mkdtemp(prefix="gdal_spark_tindex_t_")
+    SHP.write_point_shapefiles(df, d, "x", "y", [("k", 12), ("v", 12)],
+                               num_files=4)
+    import glob
+    import os
+
+    for path in glob.glob(f"{d}/*.shp"):
+        hdr = open(path, "rb").read(100)
+        xmin, ymin, xmax, ymax = st.unpack_from("<4d", hdr, 36)
+        xs, ys = SHP.decode_points_shp(open(path, "rb").read())
+        assert xs.min() >= xmin and xs.max() <= xmax
+        assert ys.min() >= ymin and ys.max() <= ymax
+        assert xs.min() == xmin and ys.max() == ymax  # tight envelope
