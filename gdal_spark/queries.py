@@ -14981,10 +14981,11 @@ def q_streaming_session_windows(spark, sf_dir):
 
 
 @register(
-    "streaming_running_state",
+    "streaming_snapshot_sink",
     """SELECT event_type, count(*)::bigint AS n_events,
-       sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::bigint
-         AS value_milli
+       sum(CAST(floor(value * 1000.0 + 0.5) AS bigint))::bigint
+         AS value_milli,
+       4::bigint AS n_snapshots, 0::bigint AS replay_added
 FROM events GROUP BY event_type""",
 )
 def q_streaming_snapshot_sink(spark, sf_dir):
@@ -15063,16 +15064,13 @@ def q_streaming_snapshot_sink(spark, sf_dir):
     )
 
 
-register(
-    "streaming_snapshot_sink",
+@register(
+    "streaming_running_state",
     """SELECT event_type, count(*)::bigint AS n_events,
-       sum(CAST(floor(value * 1000.0 + 0.5) AS bigint))::bigint
-         AS value_milli,
-       4::bigint AS n_snapshots, 0::bigint AS replay_added
+       sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))::bigint
+         AS value_milli
 FROM events GROUP BY event_type""",
-)(q_streaming_snapshot_sink)
-
-
+)
 def q_streaming_running_state(spark, sf_dir):
     """CUSTOM stateful streaming operator (applyInPandasWithState — the
     bespoke-state feature class next to windows/dedup/stream-static
