@@ -266,6 +266,8 @@ BENCH_QUERIES = [
     "kro_roundtrip",
     "ntv2_shift_points",
     "ogr_tindex",
+    "vicar_roundtrip",
+    "pds_roundtrip",
 ]
 
 

@@ -20784,3 +20784,97 @@ def q_corpus_ccnet_buckets(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bigrams").alias("sum_bigrams"),
         F.min("ppl").alias("min_ppl"), F.max("ppl").alias("max_ppl"))
+
+
+def _sql_vicar() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 1)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             (gx.i * 11) % 101 + (gy.i * 7) % 83 - 40 + b.band * 9 AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx
+      WHERE (gx.i * 5 + gy.i * 3) % 11 <> 0)
+SELECT band, sum(val * (1 + (x * 3 + y * 7) % 19))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("vicar_roundtrip", _sql_vicar())
+def q_vicar_roundtrip(spark, sf_dir):
+    """VICAR driver gate (frmts/pds/vicardataset.cpp; public NASA/JPL
+    VICAR spec): a 2-band HALF (int16) image through the format's
+    self-sizing LBLSIZE label with a 4-byte NBB binary prefix on EVERY
+    record — the engine's only per-record-prefix layout, so the gate
+    pins the strided prefix-skip on read and the prefix-preserving
+    pwrite on write.  Punched holes carry the 0 fill; the gate restores
+    the oracle's domain by re-applying the hole predicate."""
+    import tempfile
+
+    from gdal_spark.sources import vicar as VIC
+
+    path = tempfile.mkdtemp(prefix="gdalspark_vicar_gate_") + "/img.vic"
+    w = _ENVI_W
+    cells = spark.range(2 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 11) % 101 + (F.col("gy") * 7) % 83 - 40
+         + F.col("band") * 9).cast("double"),
+    ).filter((F.col("gx") * 5 + F.col("gy") * 3) % 11 != 0)
+    VIC.write_vicar(cells, path, w, w, 2, dtype="i2", nbb=4, block_rows=32)
+    back = VIC.read_vicar(spark, path, block_rows=32)
+    back = back.filter((F.col("gx") * 5 + F.col("gy") * 3) % 11 != 0)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 3 + F.col("gy") * 7) % 19))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_pds() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 1)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             (gx.i * 13) % 97 + (gy.i * 17) % 89 - 50 + b.band * 6 AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx
+      WHERE (gx.i + gy.i * 5) % 7 <> 0)
+SELECT band, sum(val * (1 + (x * 7 + y * 5) % 23))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("pds_roundtrip", _sql_pds())
+def q_pds_roundtrip(spark, sf_dir):
+    """PDS3 driver gate (frmts/pds/pdsdataset.cpp; public PDS3 Standards
+    Reference): a 2-band MSB_INTEGER image through the format's ODL
+    label — the data offset is LABEL_RECORDS x RECORD_BYTES resolved
+    from the 1-based ^IMAGE record pointer, so the gate pins the
+    label-driven pointer arithmetic in the classic big-endian flavor.
+    Punched holes carry the 0 fill; the gate restores the oracle's
+    domain by re-applying the hole predicate."""
+    import tempfile
+
+    from gdal_spark.sources import pds as PDS
+
+    path = tempfile.mkdtemp(prefix="gdalspark_pds_gate_") + "/img.lbl"
+    w = _ENVI_W
+    cells = spark.range(2 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 13) % 97 + (F.col("gy") * 17) % 89 - 50
+         + F.col("band") * 6).cast("double"),
+    ).filter((F.col("gx") + F.col("gy") * 5) % 7 != 0)
+    PDS.write_pds(cells, path, w, w, 2, dtype="i2", block_rows=32)
+    back = PDS.read_pds(spark, path, block_rows=32)
+    back = back.filter((F.col("gx") + F.col("gy") * 5) % 7 != 0)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 7 + F.col("gy") * 5) % 23))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1623,3 +1623,120 @@ def test_ogr_tindex_header_only_scan(spark):
         assert xs.min() >= xmin and xs.max() <= xmax
         assert ys.min() >= ymin and ys.max() <= ymax
         assert xs.min() == xmin and ys.max() == ymax  # tight envelope
+
+
+# ---------------------------------------------------------------------------
+# VICAR codec (frmts/pds/vicardataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestVicar:
+    def _cells(self, spark, w, h, b):
+        return spark.range(b * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 1000 + F.col("gy") * 10 + F.col("gx") + 1)
+            .cast("double"))
+
+    def test_label_self_sizing_and_nbb_prefix(self, tmp_path, spark):
+        from gdal_spark.sources import vicar as VIC
+
+        w, h, b = 5, 4, 2
+        path = str(tmp_path / "t.vic")
+        VIC.write_vicar(self._cells(spark, w, h, b), path, w, h, b,
+                        dtype="i2", nbb=4, block_rows=2)
+        raw = open(path, "rb").read()
+        assert raw.startswith(b"LBLSIZE=")
+        hdr = VIC.parse_vicar_label(path)
+        # LBLSIZE rounds to a RECSIZE multiple (the reference's rule)
+        assert hdr["recsize"] == 4 + w * 2
+        assert hdr["lblsize"] % hdr["recsize"] == 0
+        # first record = 4 prefix bytes then little-endian samples
+        off = hdr["lblsize"]
+        assert struct.unpack_from("<h", raw, off + 4)[0] == 1
+        back = VIC.read_vicar(spark, path, block_rows=2)
+        j = back.join(
+            self._cells(spark, w, h, b).select(
+                "band", "gy", "gx", F.col("val").alias("v0")),
+            ["band", "gy", "gx"])
+        assert j.count() == b * h * w
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_bad_label_rejected(self, tmp_path):
+        from gdal_spark.sources import vicar as VIC
+
+        p = str(tmp_path / "bad.vic")
+        open(p, "wb").write(b"NOTAVICARFILE")
+        with pytest.raises(ValueError, match="LBLSIZE"):
+            VIC.parse_vicar_label(p)
+
+
+# ---------------------------------------------------------------------------
+# PDS3 codec (frmts/pds/pdsdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestPds:
+    def test_label_pointer_and_msb_payload(self, tmp_path, spark):
+        from gdal_spark.sources import pds as PDS
+
+        w, h, b = 6, 3, 2
+        cells = spark.range(b * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 500 + F.col("gy") * 10 + F.col("gx") + 1)
+            .cast("double"))
+        path = str(tmp_path / "t.lbl")
+        PDS.write_pds(cells, path, w, h, b, dtype="i2", block_rows=2)
+        hdr = PDS.parse_pds_label(path)
+        assert hdr["record_bytes"] == w * 2
+        # ^IMAGE is 1-based records: data0 = (ptr-1)*record_bytes
+        assert hdr["data0"] % hdr["record_bytes"] == 0
+        raw = open(path, "rb").read()
+        # classic PDS flavor: BIG-endian samples
+        assert struct.unpack_from(">h", raw, hdr["data0"])[0] == 1
+        back = PDS.read_pds(spark, path, block_rows=2)
+        j = back.join(cells.select("band", "gy", "gx",
+                                   F.col("val").alias("v0")),
+                      ["band", "gy", "gx"])
+        assert j.count() == b * h * w
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_bytes_pointer_form(self, tmp_path, spark):
+        from gdal_spark.sources import pds as PDS
+
+        w, h = 4, 2
+        cells = spark.range(h * w).select(
+            F.lit(0).cast("long").alias("band"),
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") + 3).cast("double").alias("val"))
+        path = str(tmp_path / "t.lbl")
+        PDS.write_pds(cells, path, w, h, 1, dtype="u1", block_rows=2)
+        hdr = PDS.parse_pds_label(path)
+        # rewrite the pointer into the <BYTES> form the reference also
+        # accepts (pdsdataset.cpp:793) and re-parse
+        txt = open(path, "rb").read()
+        old = f"^IMAGE                    = {hdr['data0'] // hdr['record_bytes'] + 1:<6d}"
+        new = f"^IMAGE = {hdr['data0'] + 1} <BYTES>".ljust(len(old))
+        assert old.encode() in txt
+        open(path, "wb").write(txt.replace(old.encode(), new.encode()))
+        hdr2 = PDS.parse_pds_label(path)
+        assert hdr2["data0"] == hdr["data0"]
+        back = PDS.read_pds(spark, path, block_rows=2)
+        assert back.count() == h * w
+
+    def test_unsupported_sample_type_rejected(self, tmp_path):
+        from gdal_spark.sources import pds as PDS
+
+        p = str(tmp_path / "bad.lbl")
+        open(p, "w").write(
+            "PDS_VERSION_ID = PDS3\r\nRECORD_BYTES = 10\r\n"
+            "^IMAGE = 2\r\nLINES = 1\r\nLINE_SAMPLES = 5\r\n"
+            "SAMPLE_BITS = 64\r\nSAMPLE_TYPE = VAX_REAL\r\nEND\r\n")
+        with pytest.raises(ValueError, match="SAMPLE_TYPE"):
+            PDS.parse_pds_label(p)
