@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "ogr_tindex",
     "vicar_roundtrip",
     "pds_roundtrip",
+    "ers_roundtrip",
+    "idrisi_roundtrip",
 ]
 
 

@@ -20878,3 +20878,98 @@ def q_pds_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_ers() -> str:
+    return f"""WITH b AS (SELECT unnest(generate_series(0, 1)) AS band),
+g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT b.band, gy.i AS y, gx.i AS x,
+             (gx.i * 7) % 89 + (gy.i * 29) % 97 - 44 + b.band * 8 AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx
+      WHERE (gx.i + gy.i * 3) % 5 <> 0)
+SELECT band, sum(val * (1 + (x * 9 + y * 11) % 21))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band"""
+
+
+@register("ers_roundtrip", _sql_ers())
+def q_ers_roundtrip(spark, sf_dir):
+    """ERS driver gate (frmts/ers/ersdataset.cpp; public ERMapper
+    dataset-header format): a 2-band Signed16BitInteger image through
+    the format's nested Begin/End block header with ByteOrder=MSBFirst
+    — the engine's only BIG-endian BIL payload, complementing EHdr's
+    little-endian BIL — plus a nonzero HeaderOffset to pin the skip.
+    Punched holes carry the 0 fill; the gate restores the oracle's
+    domain by re-applying the hole predicate."""
+    import tempfile
+
+    from gdal_spark.sources import ers as ERS
+
+    path = tempfile.mkdtemp(prefix="gdalspark_ers_gate_") + "/img.ers"
+    w = _ENVI_W
+    cells = spark.range(2 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 7) % 89 + (F.col("gy") * 29) % 97 - 44
+         + F.col("band") * 8).cast("double"),
+    ).filter((F.col("gx") + F.col("gy") * 3) % 5 != 0)
+    ERS.write_ers(cells, path, w, w, 2, dtype="i2",
+                  byteorder="MSBFirst", header_offset=128, block_rows=32)
+    back = ERS.read_ers(spark, path, block_rows=32)
+    back = back.filter((F.col("gx") + F.col("gy") * 3) % 5 != 0)
+    return back.groupBy("band").agg(
+        F.sum(F.col("val").cast("long")
+              * (1 + (F.col("gx") * 9 + F.col("gy") * 11) % 21))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_idrisi() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 19) % 103 + (gy.i * 23) % 91) * 0.25 + 1.0 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 3 + gy.i) % 9 <> 0)
+SELECT (y // 24)::bigint AS row_band,
+       sum(val * (1 + (x * 5 + y * 7) % 13)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("idrisi_roundtrip", _sql_idrisi())
+def q_idrisi_roundtrip(spark, sf_dir):
+    """Idrisi RST driver gate (frmts/idrisi/IdrisiDataset.cpp; public
+    TerrSet format): a ``real`` (float32) grid through the .rdc
+    fixed-12-char-key documentation file with a declared ``flag value``
+    — punched holes carry the flag in the .rst and the READ drops them
+    (the format's nodata contract), so the output domain matches the
+    oracle with no predicate re-application."""
+    import tempfile
+
+    from gdal_spark.sources import idrisi as IDR
+
+    path = tempfile.mkdtemp(prefix="gdalspark_idrisi_gate_") + "/img.rdc"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        (((F.col("gx") * 19) % 103 + (F.col("gy") * 23) % 91)
+         .cast("double") * 0.25 + 1.0),
+    ).filter((F.col("gx") * 3 + F.col("gy")) % 9 != 0)
+    IDR.write_idrisi(cells, path, w, w, dtype="f4", flag=-999.0,
+                     block_rows=32)
+    back = IDR.read_idrisi(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 24).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 7) % 13))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

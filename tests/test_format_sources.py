@@ -1740,3 +1740,86 @@ class TestPds:
             "SAMPLE_BITS = 64\r\nSAMPLE_TYPE = VAX_REAL\r\nEND\r\n")
         with pytest.raises(ValueError, match="SAMPLE_TYPE"):
             PDS.parse_pds_label(p)
+
+
+# ---------------------------------------------------------------------------
+# ERS codec (frmts/ers/ersdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestErs:
+    def test_nested_header_msb_bil(self, tmp_path, spark):
+        from gdal_spark.sources import ers as ERS
+
+        w, h, b = 5, 4, 2
+        cells = spark.range(b * h * w).select(
+            (F.col("id") / (h * w)).cast("long").alias("band"),
+            ((F.col("id") % (h * w)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+        ).withColumn(
+            "val",
+            (F.col("band") * 1000 + F.col("gy") * 10 + F.col("gx") + 1)
+            .cast("double"))
+        path = str(tmp_path / "t.ers")
+        ERS.write_ers(cells, path, w, h, b, dtype="i2",
+                      byteorder="MSBFirst", header_offset=16, block_rows=2)
+        hdr = ERS.parse_ers_header(path)
+        assert (hdr["w"], hdr["h"], hdr["bands"]) == (w, h, b)
+        assert hdr["dtype"] == ">i2" and hdr["skip"] == 16
+        # data file = .ers stripped; BIL: line 0 = band0 row0, band1 row0
+        raw = open(str(tmp_path / "t"), "rb").read()
+        assert struct.unpack_from(">h", raw, 16)[0] == 1
+        assert struct.unpack_from(">h", raw, 16 + w * 2)[0] == 1001
+        back = ERS.read_ers(spark, path, block_rows=2)
+        j = back.join(cells.select("band", "gy", "gx",
+                                   F.col("val").alias("v0")),
+                      ["band", "gy", "gx"])
+        assert j.count() == b * h * w
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_missing_rasterinfo_rejected(self, tmp_path):
+        from gdal_spark.sources import ers as ERS
+
+        p = str(tmp_path / "bad.ers")
+        open(p, "w").write("DatasetHeader Begin\nByteOrder = LSBFirst\n"
+                           "DatasetHeader End\n")
+        with pytest.raises(ValueError, match="NrOfLines"):
+            ERS.parse_ers_header(p)
+
+
+# ---------------------------------------------------------------------------
+# Idrisi RST codec (frmts/idrisi/IdrisiDataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestIdrisi:
+    def test_rdc_keys_and_flag_drop(self, tmp_path, spark):
+        from gdal_spark.sources import idrisi as IDR
+
+        w, h = 6, 4
+        cells = spark.range(h * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") + 1.5).cast("double").alias("val"),
+        ).filter(F.col("id") % 5 != 0)  # punched holes -> flag value
+        path = str(tmp_path / "t.rdc")
+        IDR.write_idrisi(cells, path, w, h, dtype="f4", flag=-1.0,
+                         block_rows=2)
+        txt = open(path).read()
+        # the format's fixed-12-char key fields
+        assert "data type   : real" in txt
+        assert "flag value  : -1.0" in txt
+        assert "columns     : 6" in txt
+        back = IDR.read_idrisi(spark, path, block_rows=2)
+        # flagged holes dropped on read
+        assert back.count() == cells.count()
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_rgb24_rejected(self, tmp_path):
+        from gdal_spark.sources import idrisi as IDR
+
+        p = str(tmp_path / "bad.rdc")
+        open(p, "w").write("data type   : rgb24\ncolumns     : 2\n"
+                           "rows        : 2\n")
+        with pytest.raises(ValueError, match="rgb24"):
+            IDR.parse_rdc(p)
