@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "pds_roundtrip",
     "ers_roundtrip",
     "idrisi_roundtrip",
+    "surfer_gsbg_roundtrip",
+    "surfer_gsag_roundtrip",
 ]
 
 

@@ -20973,3 +20973,96 @@ def q_idrisi_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_surfer_gsbg() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 19) % 103 + (gy.i * 23) % 91) * 0.25 - 8.0 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 5 + gy.i * 3) % 11 <> 0)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 7 + y * 3) % 17)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("surfer_gsbg_roundtrip", _sql_surfer_gsbg())
+def q_surfer_gsbg_roundtrip(spark, sf_dir):
+    """Surfer 6 binary (DSBB/GSBG) driver gate (frmts/gsg/gsbgdataset.cpp;
+    public Golden Software grid spec): a float32 grid through the int16
+    nx/ny + 6-double-extent header with BOTTOM-UP rows — punched holes
+    carry the format's famous 1.70141e38 blank value and the READ drops
+    them, so the output domain matches the oracle directly.  Values are
+    quarter-integers, exact in float32."""
+    import tempfile
+
+    from gdal_spark.sources import surfer as SRF
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gsbg_gate_") + "/grid.grd"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        (((F.col("gx") * 19) % 103 + (F.col("gy") * 23) % 91)
+         .cast("double") * 0.25 - 8.0),
+    ).filter((F.col("gx") * 5 + F.col("gy") * 3) % 11 != 0)
+    SRF.write_gsbg(cells, path, w, w, xlo=-3.0, ylo=40.0, cell=0.5,
+                   block_rows=32)
+    back = SRF.read_gsbg(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 7 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_surfer_gsag() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 31) % 97 + (gy.i * 13) % 83) * 0.125 + 2.0 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i + gy.i * 7) % 13 <> 0)
+SELECT (x // 16)::bigint AS col_band,
+       sum(val * (1 + (x * 3 + y * 11) % 19)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY col_band"""
+
+
+@register("surfer_gsag_roundtrip", _sql_surfer_gsag())
+def q_surfer_gsag_roundtrip(spark, sf_dir):
+    """Surfer ASCII (DSAA/GSAG) driver gate (frmts/gsg/gsagdataset.cpp):
+    the text sibling — 5-line header then whitespace-separated z values,
+    south row first.  The engine writes fixed-width 18-char cells (one
+    text line per grid row, a legal wrap) so both the SINK and the SCAN
+    run as disjoint-range pwrite/pread tasks with no shuffle to one
+    file; eighth-integer values roundtrip %.12g text exactly."""
+    import tempfile
+
+    from gdal_spark.sources import surfer as SRF
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gsag_gate_") + "/grid.grd"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        (((F.col("gx") * 31) % 97 + (F.col("gy") * 13) % 83)
+         .cast("double") * 0.125 + 2.0),
+    ).filter((F.col("gx") + F.col("gy") * 7) % 13 != 0)
+    SRF.write_gsag(cells, path, w, w, xlo=100.0, ylo=-45.0, cell=0.25)
+    back = SRF.read_gsag(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gx") / 16).cast("long").alias("col_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 3 + F.col("gy") * 11) % 19))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1823,3 +1823,89 @@ class TestIdrisi:
                            "rows        : 2\n")
         with pytest.raises(ValueError, match="rgb24"):
             IDR.parse_rdc(p)
+
+
+# ---------------------------------------------------------------------------
+# Surfer 6 grid codecs (frmts/gsg/gsbgdataset.cpp, gsagdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestSurfer:
+    def test_gsbg_binary_roundtrip_blank_drop(self, tmp_path, spark):
+        from gdal_spark.sources import surfer as SRF
+
+        w, h = 6, 5
+        cells = spark.range(h * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.25 + 1.0).cast("double").alias("val"),
+        ).filter(F.col("id") % 4 != 0)  # punched holes -> blank value
+        path = str(tmp_path / "t.grd")
+        SRF.write_gsbg(cells, path, w, h, xlo=10.0, ylo=20.0, cell=2.0,
+                       block_rows=2)
+        hdr = SRF.parse_gsbg_header(path)
+        assert (hdr["w"], hdr["h"]) == (w, h)
+        assert hdr["xhi"] == 10.0 + (w - 1) * 2.0
+        # the famous blank value sits where holes were punched
+        raw = np.fromfile(path, dtype="<f4", offset=56).reshape(h, w)
+        assert np.isclose(raw[h - 1, 0], SRF.BLANK_F32)  # gy=0,gx=0 hole
+        back = SRF.read_gsbg(spark, path, block_rows=2)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_gsbg_bottom_up_rows(self, tmp_path, spark):
+        from gdal_spark.sources import surfer as SRF
+
+        # one value at the TOP row (gy=0) must land in the LAST file row
+        cells = spark.createDataFrame(
+            [(0, 1, 7.0), (2, 0, 3.0)], "gy long, gx long, val double")
+        path = str(tmp_path / "b.grd")
+        SRF.write_gsbg(cells, path, 3, 3, block_rows=4)
+        raw = np.fromfile(path, dtype="<f4", offset=56).reshape(3, 3)
+        assert raw[2, 1] == 7.0   # gy=0 -> file row h-1
+        assert raw[0, 0] == 3.0   # gy=2 -> file row 0
+
+    def test_gsag_ascii_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import surfer as SRF
+
+        w, h = 5, 4
+        cells = spark.range(h * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.5 - 3.0).cast("double").alias("val"),
+        ).filter(F.col("id") % 7 != 0)
+        path = str(tmp_path / "t.asc.grd")
+        SRF.write_gsag(cells, path, w, h, xlo=1.0, ylo=2.0, cell=0.5)
+        head = open(path, "rb").read(64).decode("ascii")
+        assert head.startswith("DSAA\r\n5 4\r\n")
+        back = SRF.read_gsag(spark, path, block_rows=2)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_gsag_foreign_wrap_fallback(self, tmp_path, spark):
+        from gdal_spark.sources import surfer as SRF
+
+        # a foreign writer wraps at 3 values/line; south row first
+        txt = ("DSAA\r\n3 2\r\n0 2\r\n0 1\r\n1 6\r\n"
+               "4 5 6\r\n1 2 3\r\n")  # south row = [4,5,6]
+        path = str(tmp_path / "w.grd")
+        open(path, "w").write(txt)
+        back = SRF.read_gsag(spark, path).toPandas().sort_values(
+            ["gy", "gx"]).reset_index(drop=True)
+        # top-down: gy=0 is the NORTH row = second file row [1,2,3]
+        assert list(back["val"]) == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+    def test_bad_magic(self, tmp_path):
+        from gdal_spark.sources import surfer as SRF
+
+        p = str(tmp_path / "bad.grd")
+        open(p, "wb").write(b"DSRB" + b"\x00" * 60)
+        with pytest.raises(ValueError, match="DSBB"):
+            SRF.parse_gsbg_header(p)
+        p2 = str(tmp_path / "bad2.grd")
+        open(p2, "w").write("XXXX\n1 1\n")
+        with pytest.raises(ValueError, match="DSAA"):
+            SRF.read_gsag(None, p2)
