@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "idrisi_roundtrip",
     "surfer_gsbg_roundtrip",
     "surfer_gsag_roundtrip",
+    "fits_roundtrip",
+    "fits_float_roundtrip",
 ]
 
 

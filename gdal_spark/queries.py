@@ -21066,3 +21066,101 @@ def q_surfer_gsag_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FITS primary-HDU driver (frmts/fits/fitsdataset.cpp; NASA FITS 4.0)
+# ---------------------------------------------------------------------------
+
+def _sql_fits_u16() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 257 + gy.i * 641) % 65521)::double AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 5 + y * 7) % 13)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("fits_roundtrip", _sql_fits_u16())
+def q_fits_roundtrip(spark, sf_dir):
+    """FITS primary-HDU driver gate (frmts/fits/fitsdataset.cpp; public
+    NASA FITS 4.0 standard): the classic unsigned-16-bit idiom — raw
+    BITPIX=16 big-endian samples with BZERO=32768 so the physical range
+    is 0..65535 — through the 80-char-card 2880-byte-block header and
+    the standard's BOTTOM-up row origin (the reference flips at
+    fitsdataset.cpp:1747; so does the engine's slab math).  Values
+    0..65520 cover both signed halves of the raw storage."""
+    import tempfile
+
+    from gdal_spark.sources import fits as FITS
+
+    path = tempfile.mkdtemp(prefix="gdalspark_fits_gate_") + "/img.fits"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 257 + F.col("gy") * 641) % 65521).cast("double"),
+    )
+    FITS.write_fits(cells, path, w, w, bitpix=16, bzero=32768.0,
+                    block_rows=32)
+    back = FITS.read_fits(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 7) % 13))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_fits_f32() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 37) % 211 - (gy.i * 29) % 173) * 0.5 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 3 + gy.i) % 7 <> 0)
+SELECT (x // 16)::bigint AS col_band,
+       sum(val * (1 + (x * 11 + y * 2) % 23)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY col_band"""
+
+
+@register("fits_float_roundtrip", _sql_fits_f32())
+def q_fits_float_roundtrip(spark, sf_dir):
+    """FITS BITPIX=-32 gate: IEEE float32 big-endian payload with a
+    BSCALE=0.5 linear transform (physical = BZERO + BSCALE*raw,
+    fitsdataset.cpp BSCALE handling) — the raw values are integers so
+    the scaled roundtrip is float-exact.  Missing cells stay at the
+    fill and are excluded by the digest's domain filter on both
+    sides."""
+    import tempfile
+
+    from gdal_spark.sources import fits as FITS
+
+    path = tempfile.mkdtemp(prefix="gdalspark_fitsf_gate_") + "/img.fits"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 37) % 211 - (F.col("gy") * 29) % 173)
+        .cast("double") * 0.5,
+    ).filter((F.col("gx") * 3 + F.col("gy")) % 7 != 0)
+    FITS.write_fits(cells, path, w, w, bitpix=-32, bscale=0.5,
+                    fill=-1e30, block_rows=32)
+    back = FITS.read_fits(spark, path, block_rows=32).filter(
+        F.col("val") > -1e29)
+    return back.groupBy(
+        (F.col("gx") / 16).cast("long").alias("col_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 11 + F.col("gy") * 2) % 23))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

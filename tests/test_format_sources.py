@@ -1909,3 +1909,76 @@ class TestSurfer:
         open(p2, "w").write("XXXX\n1 1\n")
         with pytest.raises(ValueError, match="DSAA"):
             SRF.read_gsag(None, p2)
+
+
+# ---------------------------------------------------------------------------
+# FITS codec (frmts/fits/fitsdataset.cpp; NASA FITS 4.0)
+# ---------------------------------------------------------------------------
+
+class TestFits:
+    def test_header_card_format_and_padding(self, tmp_path):
+        from gdal_spark.sources import fits as FITS
+
+        hdr = FITS.header_bytes(100, 64, 16, bzero=32768.0)
+        assert len(hdr) % FITS.BLOCK == 0
+        cards = [hdr[i:i + 80] for i in range(0, len(hdr), 80)]
+        assert cards[0] == b"SIMPLE  = " + b"T".rjust(20) + b" " * 50
+        assert cards[1][:10] == b"BITPIX  = "
+        assert int(cards[3][10:30]) == 100   # NAXIS1 = width
+        assert any(c[:3] == b"END" for c in cards)
+
+    def test_u16_bzero_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import fits as FITS
+
+        w, h = 6, 5
+        cells = spark.range(h * w).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 5000).cast("double").alias("val"),  # 0..145000? no: 29 cells max 140000
+        ).withColumn("val", F.col("val") % 65536)
+        path = str(tmp_path / "t.fits")
+        FITS.write_fits(cells, path, w, h, bitpix=16, bzero=32768.0,
+                        block_rows=2)
+        hdr = FITS.parse_header(path)
+        assert (hdr["w"], hdr["h"], hdr["bitpix"]) == (w, h, 16)
+        assert hdr["bzero"] == 32768.0
+        # data area padded to a 2880 multiple
+        import os
+
+        size = os.path.getsize(path)
+        assert (size - hdr["data0"]) % FITS.BLOCK == 0
+        back = FITS.read_fits(spark, path, block_rows=2)
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.count() == h * w
+        assert j.filter(F.col("val") != F.col("v0")).count() == 0
+
+    def test_bottom_up_rows_and_bigendian(self, tmp_path, spark):
+        from gdal_spark.sources import fits as FITS
+
+        cells = spark.createDataFrame(
+            [(0, 1, 300.0), (2, 0, -5.0)], "gy long, gx long, val double")
+        path = str(tmp_path / "b.fits")
+        FITS.write_fits(cells, path, 3, 3, bitpix=16, block_rows=4)
+        hdr = FITS.parse_header(path)
+        raw = np.frombuffer(
+            open(path, "rb").read()[hdr["data0"]:hdr["data0"] + 18],
+            dtype=">i2").reshape(3, 3)
+        assert raw[2, 1] == 300   # gy=0 -> file row h-1 (bottom-up)
+        assert raw[0, 0] == -5    # gy=2 -> file row 0
+        # big-endian on disk: the 300 cell's bytes are 0x01 0x2c
+        assert raw.tobytes()[2 * 3 * 2 + 2:2 * 3 * 2 + 4] == b"\x01\x2c"
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import fits as FITS
+
+        p = str(tmp_path / "bad.fits")
+        open(p, "wb").write(FITS.header_bytes(2, 2, 16).replace(
+            b"SIMPLE  = " + b"T".rjust(20), b"SIMPLE  = " + b"F".rjust(20)))
+        with pytest.raises(ValueError, match="SIMPLE"):
+            FITS.parse_header(p)
+        hdr = FITS.header_bytes(2, 2, 16)
+        open(p, "wb").write(hdr.replace(
+            b"BITPIX  = " + b"16".rjust(20), b"BITPIX  = " + b"12".rjust(20)))
+        with pytest.raises(ValueError, match="BITPIX"):
+            FITS.parse_header(p)
