@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "surfer_gsag_roundtrip",
     "fits_roundtrip",
     "fits_float_roundtrip",
+    "wasp_elevation_roundtrip",
 ]
 
 

@@ -21164,3 +21164,55 @@ def q_fits_float_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAsP .map driver (ogr/ogrsf_frmts/wasp/ogrwasplayer.cpp)
+# ---------------------------------------------------------------------------
+
+def _sql_wasp() -> str:
+    return """WITH f AS (SELECT unnest(generate_series(0, 239)) AS fid),
+v AS (SELECT fid, unnest(generate_series(0, 2 + fid % 4)) AS seq
+      FROM f),
+e AS (SELECT ((fid * 7) % 50) * 0.125 AS z, seq,
+             (fid * 10 + seq * 3) * 0.5 AS x,
+             ((fid * 3 + seq * 2) % 400) * 0.5 - 100.0 AS y
+      FROM v)
+SELECT seq::bigint AS seq,
+       count(*)::bigint AS n,
+       sum(x * 2 + y) AS xy_digest,
+       sum(z * (1 + seq)) AS z_digest
+FROM e GROUP BY seq"""
+
+
+@register("wasp_elevation_roundtrip", _sql_wasp())
+def q_wasp_elevation_roundtrip(spark, sf_dir):
+    """WAsP .map driver gate (ogr/ogrsf_frmts/wasp/ogrwasplayer.cpp:364):
+    240 elevation contours through the 4-line header + fixed-width
+    ``%11.3f %11d`` attribute lines and ``%11.1f`` wrapped vertex pairs.
+    z values are eighth-integers (exact at the format's 3 decimals),
+    coordinates half-integers (exact at its 1 decimal), so the text
+    roundtrip is value-exact; the shard write is map-only after the
+    fid repartition and the scan is one task per shard."""
+    import tempfile
+
+    from gdal_spark.sources import wasp as WASP
+
+    d = tempfile.mkdtemp(prefix="gdalspark_wasp_gate_")
+    verts = spark.range(240).select(
+        F.col("id").alias("fid"),
+        F.explode(F.sequence(F.lit(0), 2 + F.col("id") % 4)).alias("seq"),
+    ).select(
+        "fid", "seq",
+        (((F.col("fid") * 7) % 50) * 0.125).alias("z"),
+        ((F.col("fid") * 10 + F.col("seq") * 3) * 0.5).alias("x"),
+        (((F.col("fid") * 3 + F.col("seq") * 2) % 400) * 0.5 - 100.0)
+        .alias("y"),
+    )
+    WASP.write_elevation_maps(verts, d, 8)
+    back = WASP.read_elevation_maps(spark, d)
+    return back.groupBy("seq").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * 2 + F.col("y")).alias("xy_digest"),
+        F.sum(F.col("z") * (1 + F.col("seq"))).alias("z_digest"),
+    )

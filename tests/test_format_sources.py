@@ -1982,3 +1982,62 @@ class TestFits:
             b"BITPIX  = " + b"16".rjust(20), b"BITPIX  = " + b"12".rjust(20)))
         with pytest.raises(ValueError, match="BITPIX"):
             FITS.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# WAsP .map codec (ogr/ogrsf_frmts/wasp/ogrwasplayer.cpp)
+# ---------------------------------------------------------------------------
+
+class TestWasp:
+    def test_elevation_bytes_fixed_width(self):
+        from gdal_spark.sources import wasp as W
+
+        buf = W.elevation_map_bytes(
+            [(12.5, np.array([[0.0, 1.0], [2.5, -3.5]]))])
+        lines = buf.decode().splitlines()
+        assert len(lines[:4]) == 4 and lines[1] == "  0.0 0.0 0.0 0.0"
+        # %11.3f %11d attribute line
+        assert lines[4] == f"{12.5:11.3f} {2:11d}"
+        assert lines[5].startswith(f"{0.0:11.1f} {1.0:11.1f} ")
+
+    def test_roughness_roundtrip_parse(self):
+        from gdal_spark.sources import wasp as W
+
+        feats = [(0.03, 0.1, np.array([[0.0, 0.0], [10.5, 2.0], [3.0, 4.0],
+                                       [5.0, 6.0]])),
+                 (0.4, 0.03, np.array([[7.0, 8.0], [9.0, 10.0]]))]
+        kind, back = W.parse_wasp(W.roughness_map_bytes(feats))
+        assert kind == "roughness"
+        assert len(back) == 2
+        zl, zr, xy = back[0]
+        assert (zl, zr) == (0.03, 0.1)
+        assert np.array_equal(xy, feats[0][2])
+
+    def test_parse_rejects_bad(self):
+        from gdal_spark.sources import wasp as W
+
+        with pytest.raises(ValueError, match="header"):
+            W.parse_wasp(b"one line only\n")
+        bad = W._HEADER + "1.0 2.0 3.0 4.0 5.0\n"
+        with pytest.raises(ValueError, match="tokens"):
+            W.parse_wasp(bad.encode())
+        overrun = W._HEADER + f"{5.0:11.3f} {9:11d}\n{1.0:11.1f} {2.0:11.1f}\n"
+        with pytest.raises(ValueError, match="overruns"):
+            W.parse_wasp(overrun.encode())
+
+    def test_elevation_spark_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import wasp as W
+
+        verts = spark.createDataFrame(
+            [(0, 0, 5.0, 1.5, 2.0), (0, 1, 5.0, 3.0, 4.5),
+             (1, 0, -2.5, 0.0, 0.0), (1, 1, -2.5, 1.0, 1.0),
+             (1, 2, -2.5, 2.0, 0.5)],
+            "fid long, seq long, z double, x double, y double")
+        d = str(tmp_path / "maps")
+        n = W.write_elevation_maps(verts, d, 2)
+        assert n == 2
+        back = W.read_elevation_maps(spark, d).toPandas()
+        assert len(back) == 5
+        assert sorted(back["z"].unique()) == [-2.5, 5.0]
+        got = back.sort_values(["z", "seq"]).reset_index(drop=True)
+        assert list(got.loc[got["z"] == 5.0, "x"]) == [1.5, 3.0]
