@@ -275,6 +275,9 @@ BENCH_QUERIES = [
     "fits_roundtrip",
     "fits_float_roundtrip",
     "wasp_elevation_roundtrip",
+    "jml_roundtrip",
+    "selafin_mesh_roundtrip",
+    "selafin_elements_roundtrip",
 ]
 
 

@@ -21216,3 +21216,145 @@ def q_wasp_elevation_roundtrip(spark, sf_dir):
         F.sum(F.col("x") * 2 + F.col("y")).alias("xy_digest"),
         F.sum(F.col("z") * (1 + F.col("seq"))).alias("z_digest"),
     )
+
+
+@register("jml_roundtrip", _FMT_POINTS_ORACLE)
+def q_jml_roundtrip(spark, sf_dir):
+    """OpenJUMP JML driver gate (ogr/ogrsf_frmts/jml/
+    ogrjmlwriterlayer.cpp): the points layer written as self-describing
+    JML — JCSGMLInputTemplate column declarations (valueElement
+    property/name/attributeValue triplet per column), inline gml:Point
+    coordinates with the dialect's decimal/cs/ts attributes,
+    one <property name=..> per field — one shard per partition, read
+    back one task per shard with the template cross-checked against
+    the requested columns."""
+    import tempfile
+
+    from gdal_spark.sources import jml as JML
+
+    d = tempfile.mkdtemp(prefix="gdalspark_jml_gate_")
+    pts = _fmt_points(spark, sf_dir)
+    JML.write_point_jmls(
+        pts, d, "lon", "lat", ["o_orderkey", "cents"], num_files=8)
+    back = JML.read_point_jmls(spark, d, ["o_orderkey", "cents"])
+    return back.select(
+        "o_orderkey", "cents",
+        R(F.col("x"), 6).alias("lon"), R(F.col("y"), 6).alias("lat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Selafin / SERAFIN mesh driver (ogr/ogrsf_frmts/selafin/io_selafin.cpp)
+# ---------------------------------------------------------------------------
+
+_SELAFIN_G = 96  # node grid side for the gates
+
+
+def _selafin_write_gate(spark):
+    """Shared fixture: structured triangle mesh over a G×G node grid,
+    two variables, written through the distributed SERAFIN sink."""
+    import tempfile
+
+    from gdal_spark.sources import selafin as SLF
+
+    g = _SELAFIN_G
+    npoin, nelem = g * g, (g - 1) * (g - 1) * 2
+    nodes = spark.range(npoin).select(
+        F.col("id").alias("node"),
+        ((F.col("id") % g) * 2.5).alias("x"),
+        ((F.col("id") / g).cast("long") * 1.5).alias("y"),
+        (((F.col("id") * 7) % 101) * 0.25).alias("v0"),
+        (((F.col("id") * 13) % 59) * 0.5).alias("v1"),
+    )
+    elems = spark.range(nelem).select(
+        F.col("id").alias("elem"),
+        (F.col("id") / 2).cast("long").alias("cell"),
+        (F.col("id") % 2).alias("up"),
+    ).select(
+        "elem",
+        ((F.col("cell") / (g - 1)).cast("long") * g
+         + F.col("cell") % (g - 1)).alias("v00"),
+        "up",
+    ).select(
+        "elem",
+        F.when(F.col("up") == 0, F.col("v00"))
+         .otherwise(F.col("v00") + 1).alias("n0"),
+        F.when(F.col("up") == 0, F.col("v00") + 1)
+         .otherwise(F.col("v00") + g + 1).alias("n1"),
+        (F.col("v00") + g).alias("n2"),
+    )
+    path = tempfile.mkdtemp(prefix="gdalspark_slf_gate_") + "/mesh.slf"
+    SLF.write_selafin(nodes, elems, path, npoin, nelem,
+                      variables=["WATER DEPTH", "VELOCITY"],
+                      block=1024)
+    return SLF, path
+
+
+def _sql_selafin_nodes() -> str:
+    g = _SELAFIN_G
+    return f"""WITH n AS (SELECT unnest(generate_series(0, {g * g - 1})) AS i),
+v AS (SELECT i, (i % {g}) * 2.5 AS x, (i // {g}) * 1.5 AS y,
+             ((i * 7) % 101) * 0.25 AS v0, ((i * 13) % 59) * 0.5 AS v1
+      FROM n)
+SELECT (i // {g * 8})::bigint AS band,
+       count(*)::bigint AS n,
+       sum(x * 2 + y) AS xy_digest,
+       sum(v0 * 3 + v1) AS val_digest
+FROM v GROUP BY band"""
+
+
+@register("selafin_mesh_roundtrip", _sql_selafin_nodes())
+def q_selafin_mesh_roundtrip(spark, sf_dir):
+    """Selafin/SERAFIN node-layer gate (ogr/ogrsf_frmts/selafin/
+    io_selafin.cpp): a 96×96 two-variable mesh through the
+    Fortran-framed record stream — 4-byte big-endian counts bracketing
+    every record, 80-byte SERAFIN-tagged title, 32-char variable
+    records, big-endian float32 X/Y/value payloads.  Node coordinates
+    and values are eighth/quarter-integers, exact in float32; both the
+    sink and the scan are one node-range slab per task pwrite/pread-ing
+    disjoint strides of each record."""
+    SLF, path = _selafin_write_gate(spark)
+    g = _SELAFIN_G
+    back = SLF.read_selafin_nodes(spark, path, block=1024)
+    return back.groupBy(
+        (F.col("node") / (g * 8)).cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * 2 + F.col("y")).alias("xy_digest"),
+        F.sum(F.col("v0") * 3 + F.col("v1")).alias("val_digest"),
+    )
+
+
+def _sql_selafin_elems() -> str:
+    g = _SELAFIN_G
+    return f"""WITH e AS (SELECT unnest(generate_series(0, {(g - 1) * (g - 1) * 2 - 1})) AS i),
+t AS (SELECT i, (i // 2) AS cell, (i % 2) AS up FROM e),
+k AS (SELECT i, (cell // {g - 1}) * {g} + cell % {g - 1} AS v00, up FROM t),
+c AS (SELECT i,
+             CASE WHEN up = 0 THEN v00 ELSE v00 + 1 END AS n0,
+             CASE WHEN up = 0 THEN v00 + 1 ELSE v00 + {g + 1} END AS n1,
+             v00 + {g} AS n2
+      FROM k)
+SELECT (i // 1000)::bigint AS band,
+       count(*)::bigint AS n,
+       sum(n0 + n1 * 2 + n2 * 3)::bigint AS conn_digest
+FROM c GROUP BY band"""
+
+
+@register("selafin_elements_roundtrip", _sql_selafin_elems())
+def q_selafin_elements_roundtrip(spark, sf_dir):
+    """Selafin element-layer gate: the IKLE connectivity record — NELEM
+    triangles of 1-BASED node ids (the read applies the same -1 shift
+    as ogrselafinlayer.cpp's element layer) — written and re-read as
+    element-range slabs.  The digest is pure connectivity, so any
+    off-by-one in the 1-based storage or the frame offsets fails the
+    oracle."""
+    SLF, path = _selafin_write_gate(spark)
+    back = SLF.read_selafin_elements(spark, path, block=1024)
+    return back.groupBy(
+        (F.col("elem") / 1000).cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n0") + F.col("n1") * 2 + F.col("n2") * 3)
+        .cast("long").alias("conn_digest"),
+    )

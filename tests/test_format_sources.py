@@ -2041,3 +2041,104 @@ class TestWasp:
         assert sorted(back["z"].unique()) == [-2.5, 5.0]
         got = back.sort_values(["z", "seq"]).reset_index(drop=True)
         assert list(got.loc[got["z"] == 5.0, "x"]) == [1.5, 3.0]
+
+
+# ---------------------------------------------------------------------------
+# JML codec (ogr/ogrsf_frmts/jml/ogrjmlwriterlayer.cpp)
+# ---------------------------------------------------------------------------
+
+class TestJml:
+    def test_template_and_feature_shape(self):
+        from gdal_spark.sources import jml as J
+
+        pdf = pd.DataFrame({"fid": [7], "v": [3], "x": [1.25], "y": [-2.5]})
+        buf = J.points_jml_bytes(pdf, "x", "y", ["fid", "v"]).decode()
+        assert "<CollectionElement>featureCollection</CollectionElement>" in buf
+        assert buf.count("<column>") == 2
+        assert 'attributeValue="fid"' in buf
+        assert ('<gml:coordinates decimal="." cs="," ts=" ">1.25,-2.5'
+                "</gml:coordinates>") in buf
+        assert '<property name="v">3</property>' in buf
+        recs = J.parse_jml(buf.encode(), ["fid", "v"])
+        assert recs == [{"x": 1.25, "y": -2.5, "fid": 7, "v": 3}]
+
+    def test_parse_rejects_bad(self):
+        from gdal_spark.sources import jml as J
+
+        with pytest.raises(ValueError, match="JCSGMLInputTemplate"):
+            J.parse_jml(b"<xml/>", ["fid"])
+        pdf = pd.DataFrame({"fid": [1], "x": [0.0], "y": [0.0]})
+        buf = J.points_jml_bytes(pdf, "x", "y", ["fid"])
+        with pytest.raises(ValueError, match="not declared"):
+            J.parse_jml(buf, ["missing_col"])
+
+
+# ---------------------------------------------------------------------------
+# Selafin / SERAFIN codec (ogr/ogrsf_frmts/selafin/io_selafin.cpp)
+# ---------------------------------------------------------------------------
+
+class TestSelafin:
+    def _mesh(self, spark):
+        nodes = spark.createDataFrame(
+            [(0, 0.0, 0.0, 1.5, 0.25), (1, 2.5, 0.0, 2.0, 0.5),
+             (2, 0.0, 1.5, 2.5, 0.75), (3, 2.5, 1.5, 3.0, 1.0)],
+            "node long, x double, y double, v0 double, v1 double")
+        elems = spark.createDataFrame(
+            [(0, 0, 1, 2), (1, 1, 3, 2)],
+            "elem long, n0 long, n1 long, n2 long")
+        return nodes, elems
+
+    def test_fortran_frames_and_header(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import selafin as S
+
+        nodes, elems = self._mesh(spark)
+        path = str(tmp_path / "m.slf")
+        S.write_selafin(nodes, elems, path, 4, 2,
+                        variables=["DEPTH", "SPEED"], block=2)
+        raw = open(path, "rb").read()
+        # first frame: 80-byte title record, SERAFIN tag in cols 73-80
+        assert struct.unpack(">i", raw[:4])[0] == 80
+        assert raw[4 + 72:4 + 80] == b"SERAFIN "
+        assert struct.unpack(">i", raw[84:88])[0] == 80  # trailing count
+        hdr = S.parse_header(path)
+        assert hdr["variables"] == ["DEPTH", "SPEED"]
+        assert (hdr["npoin"], hdr["nelem"], hdr["ndp"]) == (4, 2, 3)
+
+    def test_roundtrip_nodes_and_elements(self, tmp_path, spark):
+        from gdal_spark.sources import selafin as S
+
+        nodes, elems = self._mesh(spark)
+        path = str(tmp_path / "m.slf")
+        S.write_selafin(nodes, elems, path, 4, 2,
+                        variables=["DEPTH", "SPEED"], block=2)
+        back_n = S.read_selafin_nodes(spark, path, block=2).toPandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert list(back_n["x"]) == [0.0, 2.5, 0.0, 2.5]
+        assert list(back_n["v1"]) == [0.25, 0.5, 0.75, 1.0]
+        back_e = S.read_selafin_elements(spark, path, block=2).toPandas() \
+            .sort_values("elem").reset_index(drop=True)
+        assert list(back_e["n0"]) == [0, 1]  # 1-based on disk, 0-based back
+        assert list(back_e["n2"]) == [2, 2]
+        # on disk IKLE really is 1-based
+        import struct
+
+        hdr = S.parse_header(path)
+        lay = hdr["layout"]
+        ik0 = struct.unpack(">3i",
+                            open(path, "rb").read()[lay["ikle"]:
+                                                    lay["ikle"] + 12])
+        assert ik0 == (1, 2, 3)
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import selafin as S
+
+        p = str(tmp_path / "bad.slf")
+        open(p, "wb").write(b"\x00\x00\x00\x50" + b"X" * 80 +
+                            b"\x00\x00\x00\x51")
+        with pytest.raises(ValueError, match="frame mismatch"):
+            S.parse_header(p)
+        open(p, "wb").write(S._frame(b"Y" * 80))
+        with pytest.raises(ValueError, match="SERAFIN"):
+            S.parse_header(p)
