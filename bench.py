@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "jml_roundtrip",
     "selafin_mesh_roundtrip",
     "selafin_elements_roundtrip",
+    "text_quality_train",
+    "corpus_ks_drift",
 ]
 
 

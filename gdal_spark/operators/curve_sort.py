@@ -68,3 +68,41 @@ def curve_rank(
         out = out.localCheckpoint(eager=True)
         ranged.unpersist()
     return out
+
+
+def prefix_sums(
+    df: DataFrame, order_col: str, sum_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed inclusive prefix sums of ``sum_cols`` over the total
+    order ``order_col`` (which must be unique per row — pre-aggregate
+    first), without a single-partition window: range-partition by the
+    order column, per-partition totals (one tiny #partitions-row frame)
+    prefix-summed driver-side-broadcast back, local cumulative window
+    inside each partition.  The classic two-level distributed scan —
+    the same shape as curve_rank above."""
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(order_col))
+    )
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    totals = ranged.groupBy("_pid").agg(
+        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in sum_cols])
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid",
+        *[F.coalesce(F.sum(f"_t_{c}").over(woff), F.lit(0))
+          .cast("long").alias(f"_off_{c}") for c in sum_cols])
+    wloc = (Window.partitionBy("_pid").orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    out = ranged.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_off_{c}") + F.sum(c).over(wloc)).cast("long"))
+    out = out.drop("_pid", *[f"_off_{c}" for c in sum_cols])
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out

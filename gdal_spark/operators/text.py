@@ -1525,3 +1525,96 @@ def pii_redact(docs: DataFrame, text_col: str = "text",
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return docs.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING (the fastText/DCLM-style step that produces
+# the weights linear_quality_score consumes): full-batch logistic
+# regression over hashed bag-of-words features, driver-paced gradient
+# iterations with the weight vector broadcast each round (the kmeans-Lloyd
+# pattern — the collected state is dim-bounded, independent of corpus
+# size).
+#
+# Cross-engine exactness: everything is integer arithmetic except the
+# sigmoid — features are kilo-quantized (xk = floor(1000*c/n)), residuals
+# micro-floored (rm = floor((p-y)*1e6)), gradients integer sums, weight
+# updates exact floor division — so a DuckDB oracle replays the identical
+# trajectory CTE by CTE.
+#
+# Scale: one corpus shuffle builds the (doc, feat, xk) design matrix; each
+# iteration is one broadcast equi-join + two bounded aggregates.  At 100 TB
+# the matrix is the corpus-sized term; iterations touch it map-side only.
+# ---------------------------------------------------------------------------
+
+def _floordiv_long(a: F.Column, b: F.Column) -> F.Column:
+    """Exact floor(a/b) for long columns (both engines lack a shared
+    integer-division operator with floor semantics)."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
+def logreg_quality_train(
+    docs: DataFrame,
+    label_col: F.Column,
+    dim: int = 32,
+    iters: int = 2,
+    lr: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train logistic-regression weights over md5-hashed token features.
+
+    Returns (weights rows [(feat, w_micro)], n_docs) — weights in micro
+    units after ``iters`` full-batch steps of ``w -= lr * mean((p-y)·x)``
+    from w=0.  label_col must be an int 0/1 Column over ``docs``."""
+    spark = docs.sparkSession
+    feats = docs.select(
+        F.col(id_col), label_col.cast("long").alias("_y"),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("_tok"),
+    ).select(
+        id_col, "_y",
+        (F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+         % dim).alias("feat"),
+    )
+    cnt = feats.groupBy(id_col, "feat").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.first("_y").alias("_y"))
+    nd = cnt.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("_n"), F.first("_y").alias("_y"))
+    x = cnt.join(nd.select(id_col, "_n"), id_col).select(
+        id_col, "feat",
+        _floordiv_long(F.col("_c") * 1000, F.col("_n")).alias("xk"),
+    ).localCheckpoint(eager=True)  # design matrix reused every iteration
+    n_docs = nd.count()
+    wm = {f: 0 for f in range(dim)}
+    for it in range(iters):
+        if all(v == 0 for v in wm.values()):
+            # w = 0 → p = 0.5 exactly: residual is closed-form
+            rm = nd.select(
+                id_col,
+                (F.lit(500000) - F.lit(1000000) * F.col("_y")).alias("rm"))
+        else:
+            wdf = spark.createDataFrame(
+                [(f, v) for f, v in wm.items()], "feat long, wm long")
+            zs = (x.join(F.broadcast(wdf), "feat")
+                  .groupBy(id_col)
+                  .agg(F.sum(F.col("xk") * F.col("wm"))
+                       .cast("long").alias("zs")))
+            rm = nd.join(zs, id_col, "left").select(
+                id_col,
+                F.floor(
+                    (F.lit(1.0) / (F.lit(1.0)
+                                   + F.exp(-(F.coalesce(F.col("zs"),
+                                                        F.lit(0))
+                                             .cast("double") / 1e9)))
+                     - F.col("_y")) * 1e6
+                ).cast("long").alias("rm"))
+        gs = (x.join(rm, id_col)
+              .groupBy("feat")
+              .agg(F.sum(F.col("rm") * F.col("xk"))
+                   .cast("long").alias("gs")))
+        grads = {r["feat"]: r["gs"] for r in gs.collect()}  # dim-bounded
+        for f, g in grads.items():
+            q = lr * g
+            b = 1000 * n_docs
+            wm[f] -= (q - (q % b + b) % b) // b  # exact floor division
+    return sorted(wm.items()), n_docs

@@ -21358,3 +21358,125 @@ def q_selafin_elements_roundtrip(spark, sf_dir):
         F.sum(F.col("n0") + F.col("n1") * 2 + F.col("n2") * 3)
         .cast("long").alias("conn_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier training + distribution-drift testing (corpus ops)
+# ---------------------------------------------------------------------------
+
+def _sql_logreg_train() -> str:
+    return """WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+f AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint % 32 AS feat
+      FROM toks),
+cnt AS (SELECT doc_id, feat, count(*)::bigint AS c
+        FROM f GROUP BY doc_id, feat),
+nd AS (SELECT doc_id, sum(c)::bigint AS n,
+              CASE WHEN (doc_id * 7919) % 13 < 5 THEN 1 ELSE 0 END AS y
+       FROM cnt GROUP BY doc_id),
+x AS (SELECT cnt.doc_id, cnt.feat,
+             ((cnt.c * 1000 - (cnt.c * 1000) % nd.n) / nd.n)::bigint AS xk
+      FROM cnt JOIN nd USING (doc_id)),
+nn AS (SELECT count(*)::bigint AS n_docs FROM nd),
+g1 AS (SELECT x.feat,
+              sum((500000 - 1000000 * nd.y) * x.xk)::bigint AS gs
+       FROM x JOIN nd USING (doc_id) GROUP BY x.feat),
+w1 AS (SELECT feat,
+              -(((gs - ((gs % (1000 * n_docs) + 1000 * n_docs)
+                        % (1000 * n_docs))) / (1000 * n_docs))::bigint)
+                AS wm
+       FROM g1, nn),
+z AS (SELECT x.doc_id, sum(x.xk * w1.wm)::bigint AS zs
+      FROM x JOIN w1 USING (feat) GROUP BY x.doc_id),
+r2 AS (SELECT nd.doc_id,
+              floor((1.0 / (1.0 + exp(-(coalesce(z.zs, 0)::double / 1e9)))
+                     - nd.y) * 1e6)::bigint AS rm
+       FROM nd LEFT JOIN z USING (doc_id)),
+g2 AS (SELECT x.feat, sum(r2.rm * x.xk)::bigint AS gs
+       FROM x JOIN r2 USING (doc_id) GROUP BY x.feat),
+w2 AS (SELECT w1.feat,
+              (w1.wm - ((g2.gs - ((g2.gs % (1000 * n_docs)
+                                   + 1000 * n_docs) % (1000 * n_docs)))
+                        / (1000 * n_docs))::bigint) AS wm
+       FROM w1 JOIN g2 USING (feat), nn),
+allf AS (SELECT unnest(generate_series(0, 31)) AS feat)
+SELECT allf.feat::bigint AS feat,
+       coalesce(w2.wm, 0)::bigint AS w_micro,
+       (SELECT n_docs FROM nn) AS n_docs
+FROM allf LEFT JOIN w2 ON w2.feat = allf.feat"""
+
+
+@register("text_quality_train", _sql_logreg_train())
+def q_text_quality_train(spark, sf_dir):
+    """Quality-classifier TRAINING gate (the fastText/DCLM-style step
+    that produces what linear_quality_score consumes): 2 full-batch
+    logistic-regression iterations over 32 md5-hashed bag-of-words
+    features, driver-paced with the dim-bounded weight vector broadcast
+    per round (the kmeans-Lloyd pattern).  The trajectory is integer-
+    exact — kilo-quantized features, micro-floored residuals, exact
+    floor-division updates — so the DuckDB oracle replays it CTE by
+    CTE and the 32 final weights must match bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents")
+    label = ((F.col("doc_id") * 7919) % 13 < 5).cast("int")
+    weights, n_docs = T.logreg_quality_train(
+        docs, label, dim=32, iters=2, lr=1)
+    return spark.createDataFrame(
+        [(f, w, n_docs) for f, w in weights],
+        "feat long, w_micro long, n_docs long")
+
+
+def _sql_ks_drift() -> str:
+    return """WITH v AS (
+  SELECT n_chars,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS a,
+         sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::bigint AS b
+  FROM documents GROUP BY n_chars),
+c AS (SELECT n_chars,
+             sum(a) OVER (ORDER BY n_chars)::bigint AS ca,
+             sum(b) OVER (ORDER BY n_chars)::bigint AS cb
+      FROM v),
+t AS (SELECT sum(a)::bigint AS na, sum(b)::bigint AS nb FROM v),
+d AS (SELECT abs(ca * nb - cb * na)::bigint AS dnum, na, nb FROM c, t),
+m AS (SELECT na, nb, max(dnum)::bigint AS dmax FROM d GROUP BY na, nb)
+SELECT na, nb,
+       ((dmax * 1000000 - (dmax * 1000000) % (na * nb))
+        / (na * nb))::bigint AS ks_micro
+FROM m"""
+
+
+@register("corpus_ks_drift", _sql_ks_drift())
+def q_corpus_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift test between the English and
+    non-English document-length distributions (the distribution-shift
+    check a corpus refresh pipeline runs before swapping sources):
+    per-distinct-value counts, then the two empirical CDFs via the
+    distributed two-level prefix scan (operators/curve_sort.prefix_sums
+    — range partition + broadcast partition offsets, NO single-
+    partition window), KS = max |F_a − F_b| kept in exact integer
+    cross-multiplied form (ca·nb − cb·na over the common denominator
+    na·nb) and floor-quantized to micro units only at the end."""
+    from gdal_spark.operators.curve_sort import prefix_sums
+
+    docs = _read(spark, sf_dir, "documents").select("lang", "n_chars")
+    per_v = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("a"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long").alias("b"),
+    )
+    cums = prefix_sums(per_v, "n_chars", ["a", "b"])
+    tot = per_v.agg(F.sum("a").cast("long").alias("na"),
+                    F.sum("b").cast("long").alias("nb"))
+    d = cums.crossJoin(F.broadcast(tot)).select(
+        F.abs(F.col("cum_a") * F.col("nb")
+              - F.col("cum_b") * F.col("na")).alias("dnum"),
+        "na", "nb",
+    )
+    best = d.groupBy("na", "nb").agg(F.max("dnum").alias("dmax"))
+    num = F.col("dmax") * 1000000
+    den = F.col("na") * F.col("nb")
+    return best.select(
+        "na", "nb",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("ks_micro"),
+    )

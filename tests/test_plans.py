@@ -747,3 +747,54 @@ def test_unigram_tokenizer_broadcast_lattice_joins(spark):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_prefix_sums_matches_global_window(spark):
+    """Distributed two-level prefix scan == the single-window cumulative
+    sum, and its lazy plan range-partitions the data (no single-partition
+    window over the big side)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.curve_sort import prefix_sums
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 991).alias("v"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+    ).groupBy("v").agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    got = prefix_sums(df, "v", ["a", "b"], num_partitions=8).toPandas() \
+        .sort_values("v").reset_index(drop=True)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "v", F.sum("a").over(w).alias("cum_a"),
+        F.sum("b").over(w).alias("cum_b"),
+    ).toPandas().sort_values("v").reset_index(drop=True)
+    assert list(got["cum_a"]) == list(want["cum_a"])
+    assert list(got["cum_b"]) == list(want["cum_b"])
+
+
+def test_logreg_train_gradient_sanity(spark):
+    """2-iteration trainer on a separable toy corpus: tokens 'good'/'bad'
+    perfectly correlate with the label, so the learned weights must pull
+    the two hash features apart (positive-class feature > negative's)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators.text import logreg_quality_train
+
+    rows = [(i, "good good") if i % 2 == 0 else (i, "bad bad")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    label = (F.col("doc_id") % 2 == 0).cast("int")
+    weights, n = logreg_quality_train(docs, label, dim=8, iters=2, lr=1)
+    assert n == 40
+    wm = dict(weights)
+    import hashlib
+
+    def feat(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 8
+
+    assert wm[feat("good")] > 0 > wm[feat("bad")]
+    # untouched features stay exactly 0
+    used = {feat("good"), feat("bad")}
+    assert all(v == 0 for f, v in wm.items() if f not in used)
