@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "selafin_elements_roundtrip",
     "text_quality_train",
     "corpus_ks_drift",
+    "equal_earth_project",
+    "mollweide_project",
 ]
 
 

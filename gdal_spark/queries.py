@@ -21480,3 +21480,99 @@ def q_corpus_ks_drift(spark, sf_dir):
         "na", "nb",
         ((num - F.pmod(num, den)) / den).cast("long").alias("ks_micro"),
     )
+
+
+_EE_ITERS = 6
+_MW_ITERS = 8
+
+
+def _sql_equal_earth() -> str:
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    x, y = PRJ.equal_earth_forward(lon, lat)
+    step = PRJ.equal_earth_newton_step()
+    lon_b, lat_b = PRJ.equal_earth_inverse_closed(PRJ.col("ee_x"))
+    ctes = [f"""s0 AS (SELECT o_orderkey, {x.s} AS ee_x, {y.s} AS ee_y,
+        ({y.s}) / 6378137.0 AS _yn, ({y.s}) / 6378137.0 AS _th FROM pts)"""]
+    prev = "s0"
+    for i in range(1, _EE_ITERS + 1):
+        ctes.append(f"s{i} AS (SELECT * REPLACE ({step.s} AS _th) "
+                    f"FROM {prev})")
+        prev = f"s{i}"
+    cte_block = ",\n".join(ctes)
+    return f"""WITH pts AS ({SQL_POINTS}),
+{cte_block}
+SELECT o_orderkey, {SR('ee_x', 3)} AS ee_x, {SR('ee_y', 3)} AS ee_y,
+       {SR(lon_b.s, 6)} AS lon_back, {SR(lat_b.s, 6)} AS lat_back
+FROM {prev}"""
+
+
+@register("equal_earth_project", _sql_equal_earth())
+def q_equal_earth_project(spark, sf_dir):
+    """Equal Earth forward + inverse roundtrip (Šavrič, Patterson &
+    Jenny 2019; PROJ +proj=eqearth): the published 4-coefficient
+    polynomial through the dual emitter — sinθ = (√3/2)sinφ closed-form
+    forward, fixed-6-iteration Newton inverse seeded at y/R with each
+    step MATERIALIZED (withColumn here, a `SELECT * REPLACE` CTE in the
+    oracle) so both engines execute the identical linear trajectory.
+    lon/lat_back at 6 decimals pin the inverse to ~1e-7° (≈ 1 cm)."""
+    pts = order_points(spark, sf_dir)
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    x, y = PRJ.equal_earth_forward(lon, lat)
+    df = pts.select(
+        "o_orderkey", x.c.alias("ee_x"), y.c.alias("ee_y"),
+    ).withColumn("_yn", F.col("ee_y") / 6378137.0)      .withColumn("_th", F.col("_yn"))
+    step = PRJ.equal_earth_newton_step()
+    for _ in range(_EE_ITERS):
+        df = df.withColumn("_th", step.c)
+    lon_b, lat_b = PRJ.equal_earth_inverse_closed(PRJ.col("ee_x"))
+    return df.select(
+        "o_orderkey", R(F.col("ee_x"), 3).alias("ee_x"),
+        R(F.col("ee_y"), 3).alias("ee_y"),
+        R(lon_b.c, 6).alias("lon_back"), R(lat_b.c, 6).alias("lat_back"),
+    )
+
+
+def _sql_mollweide() -> str:
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    tgt = PRJ.mollweide_target(lat)
+    step = PRJ.mollweide_newton_step()
+    x, y = PRJ.mollweide_xy(lon)
+    lon_b, lat_b = PRJ.mollweide_inverse(PRJ.col("mw_x"), PRJ.col("mw_y"))
+    ctes = [f"""s0 AS (SELECT o_orderkey, lon, lat, {tgt.s} AS _tgt,
+        radians(lat) AS _th FROM pts)"""]
+    prev = "s0"
+    for i in range(1, _MW_ITERS + 1):
+        ctes.append(f"s{i} AS (SELECT * REPLACE ({step.s} AS _th) "
+                    f"FROM {prev})")
+        prev = f"s{i}"
+    cte_block = ",\n".join(ctes)
+    return f"""WITH pts AS ({SQL_POINTS}),
+{cte_block},
+xy AS (SELECT o_orderkey, {x.s} AS mw_x, {y.s} AS mw_y FROM {prev})
+SELECT o_orderkey, {SR('mw_x', 3)} AS mw_x, {SR('mw_y', 3)} AS mw_y,
+       {SR(lon_b.s, 6)} AS lon_back, {SR(lat_b.s, 6)} AS lat_back
+FROM xy"""
+
+
+@register("mollweide_project", _sql_mollweide())
+def q_mollweide_project(spark, sf_dir):
+    """Mollweide forward + closed-form inverse (Snyder 1987 §31; PROJ
+    +proj=moll): 2θ + sin2θ = π·sinφ solved by fixed-8-iteration Newton
+    seeded at φ, each step materialized (identical linear trajectory on
+    both engines), inverse via the closed forms 31-6..31-8.  The
+    equal-area pseudocylindrical pair completes the world-projection
+    menu next to LAEA/Albers (equal-area azimuthal/conic)."""
+    pts = order_points(spark, sf_dir)
+    lon, lat = PRJ.col("lon"), PRJ.col("lat")
+    df = pts.withColumn("_tgt", PRJ.mollweide_target(lat).c)             .withColumn("_th", F.radians(F.col("lat")))
+    step = PRJ.mollweide_newton_step()
+    for _ in range(_MW_ITERS):
+        df = df.withColumn("_th", step.c)
+    x, y = PRJ.mollweide_xy(lon)
+    df = df.select("o_orderkey", x.c.alias("mw_x"), y.c.alias("mw_y"))
+    lon_b, lat_b = PRJ.mollweide_inverse(PRJ.col("mw_x"), PRJ.col("mw_y"))
+    return df.select(
+        "o_orderkey", R(F.col("mw_x"), 3).alias("mw_x"),
+        R(F.col("mw_y"), 3).alias("mw_y"),
+        R(lon_b.c, 6).alias("lon_back"), R(lat_b.c, 6).alias("lat_back"),
+    )

@@ -647,3 +647,116 @@ def epsg_inverse(code: int, x: D, y: D) -> tuple[D, D]:
     if method == "lcc2sp":
         return lcc_inverse(x, y, **params)
     return _INV[method](x, y, **params)
+
+
+# ---------------------------------------------------------------------------
+# Pseudocylindrical equal-area world projections: Equal Earth (Šavrič,
+# Patterson & Jenny 2019 — the published polynomial, PROJ method
+# +proj=eqearth) and Mollweide (Snyder 1987 §31, PROJ +proj=moll).  Both
+# spherical forms (the published definitions are spherical; PROJ applies
+# them on the authalic sphere — callers pass the radius).  Newton
+# iterations are FIXED-COUNT so the dual-emitted trajectory is identical
+# on both engines.
+# ---------------------------------------------------------------------------
+
+_EE_A1 = 1.340264
+_EE_A2 = -0.081106
+_EE_A3 = 0.000893
+_EE_A4 = 0.003796
+_EE_M = math.sqrt(3.0) / 2.0
+
+
+def _ee_y(theta: D) -> D:
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return theta * (_EE_A1 + _EE_A2 * t2 + _EE_A3 * t6
+                    + _EE_A4 * t6 * t2)
+
+
+def _ee_dy(theta: D) -> D:
+    t2 = theta * theta
+    t6 = t2 * t2 * t2
+    return _EE_A1 + 3.0 * _EE_A2 * t2 + 7.0 * _EE_A3 * t6 \
+        + 9.0 * _EE_A4 * t6 * t2
+
+
+def equal_earth_forward(
+    lon: D, lat: D, *, radius: float = 6378137.0, lon0: float = 0.0,
+) -> tuple[D, D]:
+    """Equal Earth forward (Šavrič et al. 2019 eq. 1-3):
+    sinθ = (√3/2)·sinφ, x = 2√3·R·λ·cosθ / (3·dy/dθ), y = R·y(θ)."""
+    lam = dradians(lon - lon0)
+    phi = dradians(lat)
+    theta = dasin(_EE_M * dsin(phi))
+    x = (2.0 * math.sqrt(3.0) / 3.0) * radius * lam * dcos(theta) \
+        / _ee_dy(theta)
+    y = radius * _ee_y(theta)
+    return x, y
+
+
+def equal_earth_newton_step(theta: str = "_th",
+                            yn: str = "_yn") -> D:
+    """ONE Newton update θ' = θ − (y(θ) − yn)/dy(θ) over *named columns*
+    (the caller materializes each iteration — withColumn on Spark,
+    a `SELECT * REPLACE` CTE in SQL — so the emitted text stays linear
+    in the iteration count instead of exponentially inlining θ)."""
+    th = col(theta)
+    return th - (_ee_y(th) - col(yn)) / _ee_dy(th)
+
+
+def equal_earth_inverse_closed(
+    x: D, theta: str = "_th", *, radius: float = 6378137.0,
+    lon0: float = 0.0,
+) -> tuple[D, D]:
+    """φ, λ (degrees) from the converged θ column (Šavrič et al. eq. 9-10):
+    φ = asin(sinθ / (√3/2)), λ = 3·x·dy/dθ / (2√3·R·cosθ)."""
+    th = col(theta)
+    phi = dasin(dsin(th) / _EE_M)
+    lam = x * _ee_dy(th) * (3.0 / (2.0 * math.sqrt(3.0))) \
+        / (radius * dcos(th))
+    rad2deg = 180.0 / math.pi
+    return lam * rad2deg + lon0, phi * rad2deg
+
+
+def mollweide_target(lat: D) -> D:
+    """The Newton target π·sinφ (Snyder eq. 31-2's right side)."""
+    return math.pi * dsin(dradians(lat))
+
+
+def mollweide_newton_step(theta: str = "_th",
+                          target: str = "_tgt") -> D:
+    """ONE update θ' = θ − (2θ + sin2θ − πsinφ)/(2 + 2cos2θ) over named
+    columns (Snyder eq. 31-3; same linear-materialization contract as
+    equal_earth_newton_step).  At the poles the denominator vanishes
+    exactly (θ = ±π/2 already solves the equation — Snyder's special
+    case); the guard holds θ fixed there, identically on both engines."""
+    th = col(theta)
+    den = 2.0 + 2.0 * dcos(2.0 * th)
+    upd = th - (2.0 * th + dsin(2.0 * th) - col(target)) / den
+    return dcase(dabs(den) < 1e-14, th, upd)
+
+
+def mollweide_xy(
+    lon: D, theta: str = "_th", *, radius: float = 6378137.0,
+    lon0: float = 0.0,
+) -> tuple[D, D]:
+    """x, y from the converged θ column (Snyder eq. 31-1/31-4):
+    x = (2√2/π)·R·λ·cosθ, y = √2·R·sinθ."""
+    th = col(theta)
+    lam = dradians(lon - lon0)
+    x = (2.0 * math.sqrt(2.0) / math.pi) * radius * lam * dcos(th)
+    y = math.sqrt(2.0) * radius * dsin(th)
+    return x, y
+
+
+def mollweide_inverse(
+    x: D, y: D, *, radius: float = 6378137.0, lon0: float = 0.0,
+) -> tuple[D, D]:
+    """Mollweide inverse (Snyder eq. 31-6..31-8) — closed form, no
+    iteration: θ = asin(y/(√2 R)), φ = asin((2θ + sin 2θ)/π),
+    λ = π·x / (2√2·R·cosθ)."""
+    theta = dasin(y / (math.sqrt(2.0) * radius))
+    phi = dasin((2.0 * theta + dsin(2.0 * theta)) / math.pi)
+    lam = math.pi * x / (2.0 * math.sqrt(2.0) * radius * dcos(theta))
+    rad2deg = 180.0 / math.pi
+    return lam * rad2deg + lon0, phi * rad2deg

@@ -208,3 +208,91 @@ def test_epsg_table_sanity():
         lon, lat = probe[method](params)
         x, y = _fwd_scalar(code, lon, lat)
         assert math.isfinite(x) and math.isfinite(y), code
+
+
+class TestPseudocylindrical:
+    """Equal Earth (Šavrič et al. 2019) + Mollweide (Snyder §31)."""
+
+    R_E = 6378137.0
+
+    def _d(self, v):
+        from gdal_spark.spatial import projections as P
+
+        return P.lift(float(v))
+
+    def _ee_xy(self, lon, lat):
+        import duckdb
+
+        from gdal_spark.spatial import projections as P
+
+        x, y = P.equal_earth_forward(self._d(lon), self._d(lat))
+        return duckdb.sql(f"SELECT {x.s} AS x, {y.s} AS y").fetchone()
+
+    def test_equal_earth_axis_values(self):
+        # equator/meridian anchors
+        x, y = self._ee_xy(0.0, 0.0)
+        assert abs(x) < 1e-9 and abs(y) < 1e-9
+        # published A1 slope at origin: dy/dθ(0) = A1, dθ/dφ(0) = √3/2
+        x, y = self._ee_xy(0.0, 1e-4)
+        import math
+
+        expect = self.R_E * 1.340264 * math.radians(1e-4) * math.sqrt(3) / 2
+        assert abs(y - expect) / expect < 1e-6
+        # x scales linearly with lon at the equator: 2√3/(3·A1)·R·λ
+        x, y = self._ee_xy(90.0, 0.0)
+        expect = 2 * math.sqrt(3) / 3 / 1.340264 * self.R_E * math.pi / 2
+        assert abs(x - expect) / expect < 1e-12
+
+    def test_equal_earth_is_equal_area(self):
+        # numeric Jacobian at several latitudes must equal R² cosφ
+        import math
+
+        for lat in (0.0, 23.5, 45.0, 66.5, 80.0):
+            h = 1e-5
+            x0, y0 = self._ee_xy(10.0, lat)
+            xl, _ = self._ee_xy(10.0 + h, lat)
+            _, yp = self._ee_xy(10.0, lat + h)
+            dxdlam = (xl - x0) / math.radians(h)
+            dydphi = (yp - y0) / math.radians(h)
+            area_scale = dxdlam * dydphi
+            want = self.R_E ** 2 * math.cos(math.radians(lat))
+            assert abs(area_scale - want) / want < 1e-3, lat
+
+    def test_mollweide_anchors_and_area(self):
+        import math
+
+        import duckdb
+
+        from gdal_spark.spatial import projections as P
+
+        # converged θ via the step emitter (driver-side replay in DuckDB)
+        def mw(lon, lat):
+            tgt = P.mollweide_target(self._d(lat))
+            q = (f"SELECT {tgt.s} AS _tgt, radians({lat!r}) AS _th, "
+                 f"{lon!r} AS lon")
+            step = P.mollweide_newton_step()
+            for _ in range(12):
+                q = f"SELECT * REPLACE ({step.s} AS _th) FROM ({q})"
+            x, y = P.mollweide_xy(P.col("lon"))
+            return duckdb.sql(
+                f"SELECT {x.s} AS x, {y.s} AS y FROM ({q})").fetchone()
+
+        # pole: y = √2·R, x = 0
+        x, y = mw(0.0, 90.0)
+        assert abs(y - math.sqrt(2) * self.R_E) < 1e-3
+        assert abs(x) < 1e-6
+        # equator edge: x = (2√2/π)·R·π = 2√2·R at lon=180
+        x, y = mw(180.0, 0.0)
+        assert abs(x - 2 * math.sqrt(2) * self.R_E) < 1e-3
+        assert abs(y) < 1e-6
+        # total map area πab = π·(2√2R/π·π)·(√2R)... ellipse semi-axes
+        # a=2√2R/π·π/2... check equal-area numerically instead
+        for lat in (0.0, 40.0, 75.0):
+            h = 1e-5
+            x0, y0 = mw(10.0, lat)
+            xl, _ = mw(10.0 + h, lat)
+            _, yp = mw(10.0, lat + h)
+            scale = ((xl - x0) / math.radians(h)) * \
+                ((yp - y0) / math.radians(h))
+            want = self.R_E ** 2 * math.cos(math.radians(lat))
+            assert abs(scale - want) / want < 1e-3, lat
