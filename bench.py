@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "corpus_ks_drift",
     "equal_earth_project",
     "mollweide_project",
+    "text_zipf_fit",
+    "text_char_entropy",
 ]
 
 

@@ -21576,3 +21576,125 @@ def q_mollweide_project(spark, sf_dir):
         R(F.col("mw_y"), 3).alias("mw_y"),
         R(lon_b.c, 6).alias("lon_back"), R(lat_b.c, 6).alias("lat_back"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: Zipf rank-frequency fit + per-language char entropy
+# ---------------------------------------------------------------------------
+
+def _sql_zipf_fit() -> str:
+    return """WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+freq AS (SELECT tok, count(*)::bigint AS n FROM toks GROUP BY tok),
+ranked AS (SELECT n,
+                  row_number() OVER (ORDER BY n DESC, tok) AS rk
+           FROM freq),
+top AS (SELECT floor(ln(rk::double) * 1e6)::bigint AS lx,
+               floor(ln(n::double) * 1e6)::bigint AS ly
+        FROM ranked WHERE rk <= 256),
+s AS (SELECT count(*)::bigint AS m,
+             sum(lx)::bigint AS sx, sum(ly)::bigint AS sy,
+             sum(lx * ly)::bigint AS sxy, sum(lx * lx)::bigint AS sxx
+      FROM top),
+v AS (SELECT count(*)::bigint AS vocab, sum(n)::bigint AS total
+      FROM freq)
+SELECT m, vocab, total,
+       floor((m::double * sxy::double - sx::double * sy::double)
+             / (m::double * sxx::double - sx::double * sx::double)
+             * 1e6)::bigint AS slope_micro
+FROM s, v"""
+
+
+@register("text_zipf_fit", _sql_zipf_fit())
+def q_text_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus token rank-frequency curve (the
+    distribution sanity check a tokenizer/corpus pipeline runs): token
+    frequencies, rank via the distributed range-partitioned curve_rank
+    (total order (n DESC, tok) — no single-partition window), then a
+    least-squares slope over the top-256 (ln rank, ln freq) pairs with
+    micro-quantized logs so every sum is integer-exact; the one final
+    double expression is evaluated from identical longs in identical
+    order on both engines.  Healthy natural text gives slope ≈ −1."""
+    from gdal_spark.operators.curve_sort import curve_rank
+
+    docs = _read(spark, sf_dir, "documents")
+    freq = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = curve_rank(
+        freq.select(F.col("n"), (-F.col("n")).alias("_neg"), "tok"),
+        "_neg", "tok", pos_name="rk")
+    top = ranked.filter(F.col("rk") <= 256).select(
+        F.floor(F.log(F.col("rk").cast("double")) * 1e6)
+        .cast("long").alias("lx"),
+        F.floor(F.log(F.col("n").cast("double")) * 1e6)
+        .cast("long").alias("ly"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("lx").cast("long").alias("sx"),
+        F.sum("ly").cast("long").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("long").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("long").alias("sxx"),
+    )
+    v = freq.agg(F.count(F.lit(1)).cast("long").alias("vocab"),
+                 F.sum("n").cast("long").alias("total"))
+    md, sxyd = F.col("m").cast("double"), F.col("sxy").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    return s.crossJoin(F.broadcast(v)).select(
+        "m", "vocab", "total",
+        F.floor((md * sxyd - sxd * syd) / (md * sxxd - sxd * sxd) * 1e6)
+        .cast("long").alias("slope_micro"),
+    )
+
+
+def _sql_char_entropy() -> str:
+    return """WITH ch AS (
+  SELECT lang, unnest(string_split(text, '')) AS c
+  FROM documents),
+cnt AS (SELECT lang, c, count(*)::bigint AS n FROM ch GROUP BY lang, c),
+tot AS (SELECT lang, sum(n)::bigint AS nt FROM cnt GROUP BY lang),
+ent AS (SELECT cnt.lang,
+               sum(cnt.n * floor(ln(tot.nt::double / cnt.n::double)
+                                 * 1e6)::bigint)::bigint AS w,
+               max(tot.nt) AS nt
+        FROM cnt JOIN tot ON cnt.lang = tot.lang
+        GROUP BY cnt.lang)
+SELECT lang,
+       nt AS n_chars,
+       ((w - ((w % nt + nt) % nt)) / nt)::bigint AS entropy_micro
+FROM ent"""
+
+
+@register("text_char_entropy", _sql_char_entropy())
+def q_text_char_entropy(spark, sf_dir):
+    """Per-language character-level Shannon entropy (nats) — the
+    encoding-health / language-mix diagnostic: character counts per
+    lang (the vocabulary is alphabet-bounded, so the aggregate is a
+    dimension-sized shuffle), per-char surprisal ln(N/n) micro-floored
+    at the DISTINCT-char level (one float op per char, integer
+    everywhere after), entropy = Σ n·surprisal / N via exact floor
+    division."""
+    docs = _read(spark, sf_dir, "documents").select("lang", "text")
+    cnt = docs.select(
+        "lang",
+        F.explode(F.split(F.col("text"), "")).alias("c"),
+    ).filter(F.col("c") != "").groupBy("lang", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = cnt.groupBy("lang").agg(F.sum("n").cast("long").alias("nt"))
+    ent = cnt.join(tot, "lang").groupBy("lang").agg(
+        F.sum(
+            F.col("n")
+            * F.floor(F.log(F.col("nt").cast("double")
+                            / F.col("n").cast("double")) * 1e6)
+            .cast("long")
+        ).cast("long").alias("w"),
+        F.max("nt").alias("nt"),
+    )
+    w, nt = F.col("w"), F.col("nt")
+    return ent.select(
+        "lang", nt.alias("n_chars"),
+        ((w - F.pmod(w, nt)) / nt).cast("long").alias("entropy_micro"),
+    )
