@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "mollweide_project",
     "text_zipf_fit",
     "text_char_entropy",
+    "lcp_roundtrip",
+    "paux_roundtrip",
 ]
 
 

@@ -21698,3 +21698,103 @@ def q_text_char_entropy(spark, sf_dir):
         "lang", nt.alias("n_chars"),
         ((w - F.pmod(w, nt)) / nt).cast("long").alias("entropy_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FARSITE LCP + PCI PAux drivers (frmts/raw/lcpdataset.cpp, pauxdataset.cpp)
+# ---------------------------------------------------------------------------
+
+def _sql_lcp() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+b AS (SELECT unnest(generate_series(0, 7)) AS band),
+v AS (SELECT band, gy.i AS y, gx.i AS x,
+             ((gx.i * 13 + gy.i * 7 + band * 29) % 4001 - 1000)::bigint
+               AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, (y // 24)::bigint AS row_band,
+       sum(val * (1 + (x * 3 + y) % 11))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band, row_band"""
+
+
+@register("lcp_roundtrip", _sql_lcp())
+def q_lcp_roundtrip(spark, sf_dir):
+    """FARSITE LCP landscape gate (frmts/raw/lcpdataset.cpp): an
+    8-band (crown fuels, no ground fuels — the flag pair DERIVES the
+    band count, 21/20 at offsets 0/4) int16 landscape through the
+    7316-byte header and the format's band-interleaved-by-PIXEL
+    layout.  The digest spans all bands so a wrong pixel/band stride
+    scrambles it."""
+    import tempfile
+
+    from gdal_spark.sources import lcp as LCP
+
+    path = tempfile.mkdtemp(prefix="gdalspark_lcp_gate_") + "/fire.lcp"
+    w, bands = _ENVI_W, 8
+    cells = spark.range(bands * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 13 + F.col("gy") * 7 + F.col("band") * 29) % 4001
+         - 1000).cast("long"),
+    )
+    LCP.write_lcp(cells, path, w, w, crown=True, ground=False,
+                  block_rows=32, fill=0, latitude=44,
+                  west=500000.0, north=4600000.0, cell=30.0)
+    back = LCP.read_lcp(spark, path, block_rows=32)
+    return back.groupBy(
+        "band", (F.col("gy") / 24).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") * 3 + F.col("gy")) % 11))
+        .cast("long").alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_paux() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+b AS (SELECT unnest(generate_series(0, 2)) AS band),
+v AS (SELECT band, gy.i AS y, gx.i AS x,
+             ((gx.i * 17 + gy.i * 11 + band * 5) % 251)::double * 0.25
+               AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, (x // 24)::bigint AS col_band,
+       sum(val * (1 + (x + y * 5) % 13)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band, col_band"""
+
+
+@register("paux_roundtrip", _sql_paux())
+def q_paux_roundtrip(spark, sf_dir):
+    """PCI PAux gate (frmts/raw/pauxdataset.cpp): a 3-band float32 raw
+    file under the AuxilaryTarget/RawDefinition/ChanDefinition-N text
+    sidecar — per-channel (offset, pixeloffset, lineoffset) byte
+    triples with the 'Swapped' little-endian tag.  The sink writes BSQ
+    triples; the scan trusts only the declared strides, so the gate
+    fails if either side misreads the interleave contract."""
+    import tempfile
+
+    from gdal_spark.sources import paux as PAUX
+
+    path = tempfile.mkdtemp(prefix="gdalspark_paux_gate_") + "/img.aux"
+    w, bands = _ENVI_W, 3
+    cells = spark.range(bands * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 17 + F.col("gy") * 11 + F.col("band") * 5) % 251)
+        .cast("double") * 0.25,
+    )
+    PAUX.write_paux(cells, path, w, w, bands, dtype="f4", block_rows=32)
+    back = PAUX.read_paux(spark, path, block_rows=32)
+    return back.groupBy(
+        "band", (F.col("gx") / 24).cast("long").alias("col_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") + F.col("gy") * 5) % 13))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -2142,3 +2142,125 @@ class TestSelafin:
         open(p, "wb").write(S._frame(b"Y" * 80))
         with pytest.raises(ValueError, match="SERAFIN"):
             S.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# FARSITE LCP codec (frmts/raw/lcpdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestLcp:
+    def test_header_flags_derive_bands(self, tmp_path):
+        from gdal_spark.sources import lcp as L
+
+        p = str(tmp_path / "t.lcp")
+        for crown, ground, nb in [(False, False, 5), (False, True, 7),
+                                  (True, False, 8), (True, True, 10)]:
+            open(p, "wb").write(
+                L.header_bytes(4, 3, crown=crown, ground=ground))
+            hdr = L.parse_header(p)
+            assert hdr["bands"] == nb, (crown, ground)
+        assert hdr["w"] == 4 and hdr["h"] == 3
+        # geotransform doubles land at the reference's offsets
+        import struct
+
+        raw = open(p, "rb").read()
+        east, west, north, south = struct.unpack_from("<4d", raw, 4172)
+        assert west == 0.0 and east == 4 * 30.0
+
+    def test_bip_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import lcp as L
+
+        w, h = 5, 4
+        cells = spark.range(5 * w * h).select(
+            (F.col("id") / (w * h)).cast("long").alias("band"),
+            ((F.col("id") % (w * h)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 3 % 1000 - 200).cast("long").alias("val"),
+        )
+        p = str(tmp_path / "t.lcp")
+        L.write_lcp(cells, p, w, h, crown=False, ground=False,
+                    block_rows=2, fill=0)
+        # on-disk: pixel-interleaved int16 right after the header
+        raw = np.fromfile(p, dtype="<i2", offset=L.HEADER_SIZE).reshape(
+            h, w, 5)
+        want0 = cells.filter("band=0 and gy=0 and gx=1") \
+            .collect()[0]["val"]
+        assert raw[0, 1, 0] == want0
+        back = L.read_lcp(spark, p, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"),
+                      ["band", "gy", "gx"])
+        assert j.count() == 5 * w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import lcp as L
+
+        p = str(tmp_path / "bad.lcp")
+        open(p, "wb").write(b"\x00" * 100)
+        with pytest.raises(ValueError, match="7316"):
+            L.parse_header(p)
+        buf = bytearray(L.header_bytes(2, 2, crown=False, ground=False))
+        buf[0] = 99
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="flags"):
+            L.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# PCI PAux codec (frmts/raw/pauxdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestPaux:
+    def test_aux_sidecar_and_strides(self, tmp_path, spark):
+        from gdal_spark.sources import paux as P
+
+        w, h, bands = 4, 3, 2
+        cells = spark.range(bands * w * h).select(
+            (F.col("id") / (w * h)).cast("long").alias("band"),
+            ((F.col("id") % (w * h)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 7 % 300).cast("double").alias("val"),
+        )
+        aux = str(tmp_path / "img.aux")
+        P.write_paux(cells, aux, w, h, bands, dtype="u2", block_rows=2)
+        text = open(aux).read()
+        assert text.startswith("AuxilaryTarget: img.raw\n")
+        assert f"RawDefinition: {w} {h} {bands}" in text
+        assert f"ChanDefinition-2: 16U {h * w * 2} 2 {w * 2} Swapped" in text
+        hdr = P.parse_aux(aux)
+        assert hdr["chans"][1]["offset"] == h * w * 2
+        back = P.read_paux(spark, aux, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"),
+                      ["band", "gy", "gx"])
+        assert j.count() == bands * w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_reads_foreign_bip_strides(self, tmp_path, spark):
+        """A foreign writer may describe BIP; the scan must honour the
+        declared pixel/line offsets, not assume BSQ."""
+        from gdal_spark.sources import paux as P
+
+        w, h = 3, 2
+        arr = np.arange(w * h * 2, dtype="<u2").reshape(h, w, 2)  # BIP
+        (tmp_path / "f.raw").write_bytes(arr.tobytes())
+        aux = str(tmp_path / "f.aux")
+        open(aux, "w").write(
+            "AuxilaryTarget: f.raw\n"
+            f"RawDefinition: {w} {h} 2\n"
+            f"ChanDefinition-1: 16U 0 4 {w * 4} Swapped\n"
+            f"ChanDefinition-2: 16U 2 4 {w * 4} Swapped\n")
+        back = P.read_paux(spark, aux, block_rows=1).toPandas()
+        b1 = back[back["band"] == 1].sort_values(["gy", "gx"])
+        assert list(b1["val"]) == [1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import paux as P
+
+        p = str(tmp_path / "x.aux")
+        open(p, "w").write("RawDefinition: 2 2 1\n")
+        with pytest.raises(ValueError, match="AuxilaryTarget"):
+            P.parse_aux(p)
+        open(p, "w").write("AuxilaryTarget: x.raw\nRawDefinition: 2 2 1\n"
+                           "ChanDefinition-1: 64C 0 1 2\n")
+        with pytest.raises(ValueError, match="64C"):
+            P.parse_aux(p)
