@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "text_char_entropy",
     "lcp_roundtrip",
     "paux_roundtrip",
+    "hf2_roundtrip",
+    "ngsgeoid_roundtrip",
 ]
 
 

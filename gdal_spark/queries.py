@@ -21798,3 +21798,101 @@ def q_paux_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_hf2() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 7 + gy.i * 13) % 199) * 0.25 - 10.0 AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 5 + y * 3) % 17)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("hf2_roundtrip", _sql_hf2())
+def q_hf2_roundtrip(spark, sf_dir):
+    """HF2 heightfield gate (frmts/hf2/hf2dataset.cpp; public L3DT
+    spec): a 96×96 grid through the tiled delta-compressed layout —
+    per-tile f32 scale/offset, per-row minimal word size (1/2/4-byte
+    signed deltas off an i32 seed), tile row 0 at the BOTTOM.  Values
+    are quarter-integers and the vertical precision is 0.25, so
+    quantization is exact.  The sink is the two-pass distributed
+    variable-length pattern (encode per tile, lengths-only to the
+    driver, offset-map broadcast, map-only pwrite); the scan walks
+    only structural bytes driver-side then decodes one tile per
+    task."""
+    import tempfile
+
+    from gdal_spark.sources import hf2 as HF2
+
+    path = tempfile.mkdtemp(prefix="gdalspark_hf2_gate_") + "/t.hf2"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 7 + F.col("gy") * 13) % 199).cast("double")
+        * 0.25 - 10.0,
+    )
+    HF2.write_hf2(cells, path, w, w, tile=32, vert_pres=0.25)
+    back = HF2.read_hf2(spark, path)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 5 + F.col("gy") * 3) % 17))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_ngsgeoid() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 11 + gy.i * 17) % 173) * 0.125 - 8.0 AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (x // 16)::bigint AS col_band,
+       sum(val * (1 + (x * 7 + y) % 19)) AS digest,
+       sum(CASE WHEN y = 0 THEN val ELSE 0 END) AS north_row,
+       count(*)::bigint AS n
+FROM v GROUP BY col_band"""
+
+
+@register("ngsgeoid_roundtrip", _sql_ngsgeoid())
+def q_ngsgeoid_roundtrip(spark, sf_dir):
+    """NGS GEOID .bin gate (frmts/ngsgeoid/ngsgeoiddataset.cpp): a
+    geoid-height grid through the 44-byte SLAT/WLON/DLAT/DLON header
+    whose IKIND word doubles as the endianness marker — this gate
+    writes BIG-endian so the probe order (LE first, then BE,
+    ngsgeoiddataset.cpp:163-186) is exercised on the fallback path —
+    and the format's SOUTH-first rows.  The north_row digest column
+    pins the bottom-up flip; eighth-integer values are float32-
+    exact."""
+    import tempfile
+
+    from gdal_spark.sources import ngsgeoid as NGS
+
+    path = tempfile.mkdtemp(prefix="gdalspark_ngs_gate_") + "/g.bin"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 11 + F.col("gy") * 17) % 173).cast("double")
+        * 0.125 - 8.0,
+    )
+    NGS.write_ngsgeoid(cells, path, w, w, big_endian=True, block_rows=32)
+    back = NGS.read_ngsgeoid(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gx") / 16).cast("long").alias("col_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") * 7 + F.col("gy")) % 19))
+        .alias("digest"),
+        F.sum(F.when(F.col("gy") == 0, F.col("val")).otherwise(0.0))
+        .alias("north_row"),
+        F.count(F.lit(1)).alias("n"),
+    )

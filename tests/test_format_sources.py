@@ -2264,3 +2264,121 @@ class TestPaux:
                            "ChanDefinition-1: 64C 0 1 2\n")
         with pytest.raises(ValueError, match="64C"):
             P.parse_aux(p)
+
+
+# ---------------------------------------------------------------------------
+# HF2 codec (frmts/hf2/hf2dataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestHf2:
+    def test_header_and_tile_structure(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import hf2 as H
+
+        w = h = 16
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") % 40 * 0.5).cast("double").alias("val"),
+        )
+        p = str(tmp_path / "t.hf2")
+        H.write_hf2(cells, p, w, h, tile=8, vert_pres=0.5)
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"HF2\x00"
+        assert struct.unpack_from("<2i", raw, 6) == (w, h)
+        assert struct.unpack_from("<H", raw, 14)[0] == 8
+        hdr = H.parse_header(p)
+        assert hdr["tile"] == 8 and hdr["data0"] == 28
+        # first tile: f32 scale at data0 == vert precision
+        assert struct.unpack_from("<f", raw, 28)[0] == 0.5
+        # word size byte of the first row is 1/2/4
+        assert raw[36] in (1, 2, 4)
+
+    def test_roundtrip_with_partial_tiles(self, tmp_path, spark):
+        from gdal_spark.sources import hf2 as H
+
+        w, h = 13, 11  # forces ragged tiles at top and right edges
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            ((F.col("id") * 7) % 65 * 0.25 - 4.0).cast("double")
+            .alias("val"),
+        )
+        p = str(tmp_path / "r.hf2")
+        H.write_hf2(cells, p, w, h, tile=8, vert_pres=0.25)
+        back = H.read_hf2(spark, p)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_wide_deltas_pick_word_sizes(self):
+        import numpy as np
+
+        from gdal_spark.sources import hf2 as H
+
+        # deltas of 1, 1000, and 100000 need ws 1, 2, 4 respectively
+        for step, ws in ((1.0, 1), (1000.0, 2), (100000.0, 4)):
+            vals = np.array([[0.0, step, 2 * step, 3 * step]])
+            blob = H._encode_tile(vals, 1.0)
+            assert blob[8] == ws, step
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import hf2 as H
+
+        p = str(tmp_path / "bad.hf2")
+        open(p, "wb").write(b"NOPE" + b"\x00" * 40)
+        with pytest.raises(ValueError, match="magic"):
+            H.parse_header(p)
+        open(p, "wb").write(H.header_bytes(4, 4, 4, 1.0))
+        with pytest.raises(ValueError, match="< 8"):
+            H.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# NGS GEOID codec (frmts/ngsgeoid/ngsgeoiddataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestNgsgeoid:
+    def test_endianness_probe_and_coords(self, tmp_path, spark):
+        from gdal_spark.sources import ngsgeoid as N
+
+        w, h = 5, 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.25).cast("double").alias("val"),
+        )
+        for be in (False, True):
+            p = str(tmp_path / f"g{be}.bin")
+            N.write_ngsgeoid(cells, p, w, h, slat=24.0, wlon=230.0,
+                             dlat=0.5, dlon=0.25, big_endian=be,
+                             block_rows=2)
+            hdr = N.parse_header(p)
+            assert hdr["endian"] == ("big" if be else "little")
+            assert (hdr["w"], hdr["h"]) == (w, h)
+            back = N.read_ngsgeoid(spark, p, block_rows=2).toPandas() \
+                .sort_values(["gy", "gx"]).reset_index(drop=True)
+            assert list(back["val"]) == [i * 0.25 for i in range(w * h)]
+            # gy=0 is the NORTH row: lat = slat + (h-1)*dlat
+            assert back.loc[0, "lat"] == 24.0 + 3 * 0.5
+            assert back.loc[1, "lon"] == 230.25
+
+    def test_south_first_on_disk(self, tmp_path, spark):
+        from gdal_spark.sources import ngsgeoid as N
+
+        cells = spark.createDataFrame(
+            [(0, 0, 9.0), (2, 1, -3.0)], "gy long, gx long, val double")
+        p = str(tmp_path / "s.bin")
+        N.write_ngsgeoid(cells, p, 3, 3, block_rows=4)
+        raw = np.fromfile(p, dtype="<f4", offset=N.HEADER_SIZE).reshape(3, 3)
+        assert raw[2, 0] == 9.0   # gy=0 (north) -> last file row
+        assert raw[0, 1] == -3.0  # gy=2 (south) -> first file row
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import ngsgeoid as N
+
+        p = str(tmp_path / "bad.bin")
+        open(p, "wb").write(b"\x00" * N.HEADER_SIZE)
+        with pytest.raises(ValueError, match="IKIND"):
+            N.parse_header(p)
