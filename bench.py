@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "paux_roundtrip",
     "hf2_roundtrip",
     "ngsgeoid_roundtrip",
+    "jdem_roundtrip",
+    "avce00_roundtrip",
 ]
 
 

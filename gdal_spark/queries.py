@@ -21896,3 +21896,104 @@ def q_ngsgeoid_roundtrip(spark, sf_dir):
         .alias("north_row"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_jdem() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 23 + gy.i * 31) % 9973) * 0.1 AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x + y * 7) % 23)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("jdem_roundtrip", _sql_jdem())
+def q_jdem_roundtrip(spark, sf_dir):
+    """JDEM gate (frmts/jdem/jdemdataset.cpp; Japanese GSI DEM): a
+    96×96 grid through the 1011-byte ASCII header (3-digit size fields
+    at offsets 23/26) and one fixed-width record per row — 6-digit
+    mesh code, validated 1-based row number, 5-digit DECIMETER
+    elevations (value·0.1 m).  Fixed record size makes the text file
+    arithmetic-splittable, so both sink and scan are one row-block
+    slab per task."""
+    import tempfile
+
+    from gdal_spark.sources import jdem as JD
+
+    path = tempfile.mkdtemp(prefix="gdalspark_jdem_gate_") + "/d.mem"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 23 + F.col("gy") * 31) % 9973).cast("double")
+        * 0.1,
+    )
+    JD.write_jdem(cells, path, w, w, block_rows=32)
+    back = JD.read_jdem(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") + F.col("gy") * 7) % 23))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_avce00() -> str:
+    return """WITH a AS (SELECT unnest(generate_series(0, 199)) AS aid),
+v AS (SELECT aid, unnest(generate_series(0, 1 + aid % 5)) AS seq FROM a),
+e AS (SELECT aid, seq,
+             (aid * 4 + seq * 3) * 0.5 AS x,
+             ((aid * 9 + seq * 7) % 600) * 0.25 - 70.0 AS y,
+             (aid * 3) % 41 AS fnode, (aid * 3 + 1) % 41 AS tnode,
+             aid % 13 AS lpoly, (aid + 5) % 13 AS rpoly
+      FROM v)
+SELECT lpoly::bigint AS lpoly,
+       count(*)::bigint AS n_verts,
+       count(DISTINCT aid)::bigint AS n_arcs,
+       sum(x * 2 + y) AS xy_digest,
+       sum(fnode + tnode * 3 + rpoly * 7)::bigint AS topo_digest
+FROM e GROUP BY lpoly"""
+
+
+@register("avce00_roundtrip", _sql_avce00())
+def q_avce00_roundtrip(spark, sf_dir):
+    """AVCE00 ARC-section gate (ogr/ogrsf_frmts/avc/avc_e00gen.cpp):
+    200 arcs with full coverage topology (from/to node, left/right
+    polygon) through the fixed-width interchange — seven %10d header
+    fields, sign-prefixed %10.7E 14-char reals two pairs per line with
+    the odd-count final 1-pair line, -1 terminator record.  Half/
+    quarter-integer coordinates are exact at 8 significant digits; the
+    topology digest fails if any of the seven header fields shifts
+    columns."""
+    import tempfile
+
+    from gdal_spark.sources import avce00 as E00
+
+    d = tempfile.mkdtemp(prefix="gdalspark_e00_gate_")
+    verts = spark.range(200).select(
+        F.col("id").alias("arc_id"),
+        F.explode(F.sequence(F.lit(0), 1 + F.col("id") % 5)).alias("seq"),
+    ).select(
+        "arc_id", "seq",
+        ((F.col("arc_id") * 4 + F.col("seq") * 3) * 0.5).alias("x"),
+        (((F.col("arc_id") * 9 + F.col("seq") * 7) % 600) * 0.25 - 70.0)
+        .alias("y"),
+        ((F.col("arc_id") * 3) % 41).alias("fnode"),
+        ((F.col("arc_id") * 3 + 1) % 41).alias("tnode"),
+        (F.col("arc_id") % 13).alias("lpoly"),
+        ((F.col("arc_id") + 5) % 13).alias("rpoly"),
+    )
+    E00.write_arc_e00s(verts, d, 8)
+    back = E00.read_arc_e00s(spark, d)
+    return back.groupBy("lpoly").agg(
+        F.count(F.lit(1)).alias("n_verts"),
+        F.countDistinct("arc_id").alias("n_arcs"),
+        F.sum(F.col("x") * 2 + F.col("y")).alias("xy_digest"),
+        F.sum(F.col("fnode") + F.col("tnode") * 3 + F.col("rpoly") * 7)
+        .cast("long").alias("topo_digest"),
+    )

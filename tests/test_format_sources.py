@@ -2382,3 +2382,108 @@ class TestNgsgeoid:
         open(p, "wb").write(b"\x00" * N.HEADER_SIZE)
         with pytest.raises(ValueError, match="IKIND"):
             N.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# JDEM codec (frmts/jdem/jdemdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestJdem:
+    def test_fixed_width_records(self, tmp_path, spark):
+        from gdal_spark.sources import jdem as J
+
+        w, h = 4, 3
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 1.5).cast("double").alias("val"),
+        )
+        p = str(tmp_path / "d.mem")
+        J.write_jdem(cells, p, w, h, block_rows=2)
+        raw = open(p, "rb").read()
+        assert len(raw) == J.HEADER_SIZE + h * (w * 5 + 11)
+        rec = raw[J.HEADER_SIZE:J.HEADER_SIZE + w * 5 + 11]
+        assert rec[6:9] == b"001"          # 1-based row number
+        assert rec[9:14] == b"00000"       # 0.0 m -> 00000 decimeters
+        assert rec[14:19] == b"00015"      # 1.5 m -> 15 dm
+        assert rec.endswith(b"\r\n")
+        back = J.read_jdem(spark, p, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_row_number_validated(self, tmp_path, spark):
+        from gdal_spark.sources import jdem as J
+
+        cells = spark.createDataFrame([(0, 0, 1.0)],
+                                      "gy long, gx long, val double")
+        p = str(tmp_path / "bad.mem")
+        J.write_jdem(cells, p, 2, 2)
+        raw = bytearray(open(p, "rb").read())
+        raw[J.HEADER_SIZE + 6:J.HEADER_SIZE + 9] = b"007"  # corrupt row no
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(Exception, match="record row"):
+            J.read_jdem(spark, p).collect()
+
+    def test_range_guard(self, tmp_path, spark):
+        from gdal_spark.sources import jdem as J
+
+        cells = spark.createDataFrame([(0, 0, -1.0)],
+                                      "gy long, gx long, val double")
+        with pytest.raises(Exception, match="decimeter"):
+            J.write_jdem(cells, str(tmp_path / "r.mem"), 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# AVCE00 codec (ogr/ogrsf_frmts/avc/avc_e00gen.cpp)
+# ---------------------------------------------------------------------------
+
+class TestAvce00:
+    def test_fixed_width_layout(self):
+        from gdal_spark.sources import avce00 as E
+
+        arcs = [{"arc_id": 1, "user_id": 1, "fnode": 2, "tnode": 3,
+                 "lpoly": 0, "rpoly": 4,
+                 "xy": np.array([[1.5, -2.0], [3.0, 4.0], [5.0, 6.0]])}]
+        buf = E.arcs_e00_bytes(arcs).decode()
+        lines = buf.splitlines()
+        assert lines[0].startswith("EXP  0")
+        assert lines[1] == "ARC  2"
+        assert lines[2] == f"{1:10d}{1:10d}{2:10d}{3:10d}{0:10d}{4:10d}{3:10d}"
+        # 2 pairs on the first vertex line (4 × 14-char fields)
+        assert len(lines[3]) == 56
+        assert lines[3][:14] == " 1.5000000E+00"
+        assert lines[3][14:28] == "-2.0000000E+00"
+        # odd count -> final line has 1 pair
+        assert len(lines[4]) == 28
+        assert lines[5].startswith(f"{-1:10d}")
+        assert lines[-1] == "END"
+        back = E.parse_e00_arcs(buf.encode())
+        assert len(back) == 1 and back[0]["rpoly"] == 4
+        assert np.array_equal(back[0]["xy"], arcs[0]["xy"])
+
+    def test_parse_rejects_bad(self):
+        from gdal_spark.sources import avce00 as E
+
+        with pytest.raises(ValueError, match="EXP"):
+            E.parse_e00_arcs(b"NOPE\n")
+        with pytest.raises(ValueError, match="ARC"):
+            E.parse_e00_arcs(b"EXP  0 X\nEND\n")
+
+    def test_spark_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import avce00 as E
+
+        verts = spark.createDataFrame(
+            [(1, 0, 0.0, 0.0, 10, 11, 1, 2), (1, 1, 1.5, 2.5, 10, 11, 1, 2),
+             (2, 0, 5.0, 5.0, 11, 12, 2, 3), (2, 1, 6.0, 7.0, 11, 12, 2, 3),
+             (2, 2, 8.0, 9.0, 11, 12, 2, 3)],
+            "arc_id long, seq long, x double, y double, fnode long, "
+            "tnode long, lpoly long, rpoly long")
+        d = str(tmp_path / "cov")
+        n = E.write_arc_e00s(verts, d, 2)
+        assert n == 2
+        back = E.read_arc_e00s(spark, d).toPandas()
+        assert len(back) == 5
+        a2 = back[back["arc_id"] == 2].sort_values("seq")
+        assert list(a2["x"]) == [5.0, 6.0, 8.0]
+        assert list(a2["rpoly"]) == [3, 3, 3]
