@@ -389,3 +389,146 @@ def test_gmt_points_roundtrip_property(rows):
     for (k, x, y), (attrs, xy) in zip(rows, feats):
         assert attrs == [k]
         assert xy[0, 0] == x and xy[0, 1] == y
+
+
+# ---------------------------------------------------------------------------
+# Session-6 codecs: FITS cards, WAsP token stream, JML dialect, Selafin
+# frames, HF2 delta tiles, E00 fixed-width reals, JDEM decimeter fields
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.sampled_from([8, 16, 32, -32, -64]))
+def test_fits_header_roundtrip_property(w, h, bitpix):
+    import tempfile
+
+    from gdal_spark.sources import fits as FITS
+
+    hdr = FITS.header_bytes(w, h, bitpix, bzero=32768.0 if bitpix == 16
+                            else 0.0)
+    assert len(hdr) % FITS.BLOCK == 0
+    p = tempfile.mktemp(suffix=".fits")
+    open(p, "wb").write(hdr + b"\x00" * FITS.BLOCK)
+    got = FITS.parse_header(p)
+    os.unlink(p)
+    assert (got["w"], got["h"], got["bitpix"]) == (w, h, bitpix)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.floats(min_value=-500, max_value=500).map(
+        lambda v: round(v * 8) / 8),
+        st.lists(st.tuples(
+            st.floats(min_value=-9000, max_value=9000).map(
+                lambda v: round(v * 10) / 10),
+            st.floats(min_value=-9000, max_value=9000).map(
+                lambda v: round(v * 10) / 10)),
+            min_size=2, max_size=9)),
+    min_size=0, max_size=6))
+def test_wasp_elevation_roundtrip_property(feats):
+    from gdal_spark.sources import wasp as W
+
+    arr = [(z, np.array(xy, dtype=np.float64)) for z, xy in feats]
+    kind, back = W.parse_wasp(W.elevation_map_bytes(arr))
+    assert kind == "elevation"
+    assert len(back) == len(arr)
+    for (z, xy), (bz, bxy) in zip(arr, back):
+        assert bz == z
+        assert np.array_equal(bxy, xy)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**9, 10**9), coord, coord),
+                min_size=0, max_size=12))
+def test_jml_points_roundtrip_property(rows):
+    import pandas as pd
+
+    from gdal_spark.sources import jml as J
+
+    pdf = pd.DataFrame(rows, columns=["k", "x", "y"])
+    recs = J.parse_jml(J.points_jml_bytes(pdf, "x", "y", ["k"]), ["k"])
+    assert len(recs) == len(rows)
+    for (k, x, y), r in zip(rows, recs):
+        assert r == {"x": x, "y": y, "k": k}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=30),
+       st.integers(min_value=1, max_value=30),
+       st.integers(min_value=0, max_value=3))
+def test_selafin_layout_offsets_property(npoin, nelem, nvar):
+    from gdal_spark.sources import selafin as S
+
+    variables = [f"V{i}" for i in range(nvar)]
+    lay = S.header_layout(npoin, nelem, 3, variables)
+    # every payload is inside the file and frames never overlap
+    assert lay["ikle"] < lay["ipobo"] < lay["x"] < lay["y"] < lay["time"]
+    assert lay["y"] - lay["x"] == npoin * 4 + 8  # frame adds 8
+    assert lay["end"] == lay["time"] + 4 + 4 + nvar * (npoin * 4 + 8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=6),
+       st.integers(min_value=2, max_value=16),
+       st.integers(),
+       st.sampled_from([0.25, 0.5, 1.0]))
+def test_hf2_tile_codec_property(th, tw, seed, scale):
+    import struct
+
+    from gdal_spark.sources import hf2 as H
+
+    rng = np.random.RandomState(abs(seed) % (2**32))
+    vals = np.round(rng.uniform(-1000, 1000, size=(th, tw))
+                    / scale) * scale
+    blob = H._encode_tile(vals, scale)
+    # decode by hand with the documented layout
+    sc, off = struct.unpack_from("<2f", blob, 0)
+    pos = 8
+    out = np.empty_like(vals)
+    for r in range(th):
+        ws = blob[pos]
+        first = struct.unpack_from("<i", blob, pos + 1)[0]
+        pos += 5
+        deltas = np.frombuffer(blob, dtype=H._WS_DT[ws], count=tw - 1,
+                               offset=pos).astype(np.int64)
+        pos += ws * (tw - 1)
+        raw = np.concatenate(([first], first + np.cumsum(deltas)))
+        out[r] = raw * float(sc) + float(off)
+    assert np.allclose(out, vals, atol=scale * 1e-3)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(0, 10**6), st.integers(0, 10**6),
+    st.integers(0, 10**6), st.integers(0, 10**6),
+    st.lists(st.tuples(
+        st.floats(min_value=-1e5, max_value=1e5).map(
+            lambda v: round(v * 2) / 2),
+        st.floats(min_value=-1e5, max_value=1e5).map(
+            lambda v: round(v * 2) / 2)), min_size=2, max_size=7)),
+    min_size=0, max_size=5))
+def test_avce00_arc_roundtrip_property(arcs_in):
+    from gdal_spark.sources import avce00 as E
+
+    arcs = [{"arc_id": i + 1, "user_id": i + 1, "fnode": f, "tnode": t,
+             "lpoly": lp, "rpoly": rp,
+             "xy": np.array(xy, dtype=np.float64)}
+            for i, (f, t, lp, rp, xy) in enumerate(arcs_in)]
+    back = E.parse_e00_arcs(E.arcs_e00_bytes(arcs))
+    assert len(back) == len(arcs)
+    for a, b in zip(arcs, back):
+        assert (a["fnode"], a["tnode"], a["lpoly"], a["rpoly"]) == \
+            (b["fnode"], b["tnode"], b["lpoly"], b["rpoly"])
+        assert np.array_equal(a["xy"], b["xy"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=99999))
+def test_jdem_decimeter_field_roundtrip(dm):
+    # the 5-digit decimeter field is bijective over its range
+    field = f"{dm:05d}"
+    assert len(field) == 5
+    assert int(field) == dm
+    val = dm * 0.1
+    assert int(round(val * 10)) == dm
