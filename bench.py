@@ -290,6 +290,7 @@ BENCH_QUERIES = [
     "ngsgeoid_roundtrip",
     "jdem_roundtrip",
     "avce00_roundtrip",
+    "corpus_doremi_weights",
 ]
 
 

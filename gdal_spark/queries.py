@@ -21997,3 +21997,130 @@ def q_avce00_roundtrip(spark, sf_dir):
         F.sum(F.col("fnode") + F.col("tnode") * 3 + F.col("rpoly") * 7)
         .cast("long").alias("topo_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (Xie et al. 2023, public): per-domain
+# EXCESS loss against the corpus-level reference (the unigram-LM surprisal
+# stands in for the reference model's loss — integer micro-nats all the
+# way), one exponentiated-gradient step from uniform weights, then the
+# largest-remainder integer apportionment of the token budget.  Complements
+# corpus_temperature_mix (size-based weights): here the weights come from
+# LOSS, not size.
+# ---------------------------------------------------------------------------
+
+_DOREMI_BUDGET = 1_000_000
+
+
+def _sql_doremi() -> str:
+    b = _DOREMI_BUDGET
+    return f"""WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+tot AS (SELECT count(*)::double AS n FROM toks),
+freq AS (SELECT tok,
+                floor(ln(count(*)::double / (SELECT n FROM tot)) * 1e6)
+                  ::bigint AS logp_micro,
+                count(*)::bigint AS cnt
+         FROM toks GROUP BY tok),
+dom AS (SELECT t.source,
+               sum(f.logp_micro)::bigint AS sl,
+               count(*)::bigint AS nt
+        FROM toks t JOIN freq f ON f.tok = t.tok
+        GROUP BY t.source),
+loss AS (SELECT source, nt,
+                (((-sl) - (((-sl) % nt + nt) % nt)) / nt)::bigint
+                  AS loss_micro
+         FROM dom),
+ref AS (SELECT (((-sum(sl)) - (((-sum(sl)) % sum(nt) + sum(nt))
+                              % sum(nt))) / sum(nt))::bigint AS ref_micro
+        FROM dom),
+ex AS (SELECT source, nt, loss_micro,
+              greatest(0, loss_micro - ref.ref_micro)::bigint
+                AS excess_micro
+       FROM loss, ref),
+w AS (SELECT source, nt, loss_micro, excess_micro,
+             exp(excess_micro::double / 1e6) AS wv
+      FROM ex),
+ws AS (SELECT list_reduce(list_prepend(0.0::double,
+                                       list(wv ORDER BY source)),
+                          (a, b) -> a + b) AS wsum FROM w),
+raw AS (SELECT source, nt, loss_micro, excess_micro,
+               {float(b)!r}::double * wv / ws.wsum AS r
+        FROM w CROSS JOIN ws),
+fl AS (SELECT source, nt, loss_micro, excess_micro,
+              floor(r)::bigint AS alloc0,
+              floor((r - floor(r)) * 1e6 + 0.5::double)::bigint AS rem_m
+       FROM raw),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem_m DESC, source) AS rk,
+              (SELECT {b} - sum(alloc0) FROM fl) AS residue
+       FROM fl)
+SELECT source, nt AS n_tokens, loss_micro, excess_micro,
+       (alloc0 + CASE WHEN rk <= residue THEN 1 ELSE 0 END)::bigint
+         AS alloc_tokens
+FROM rk"""
+
+
+@register("corpus_doremi_weights", _sql_doremi())
+def q_corpus_doremi_weights(spark, sf_dir):
+    """DoReMi-lite domain-reweighting gate: per-source mean unigram
+    surprisal in exact integer micro-nats (one float op per DISTINCT
+    token, floor-division means), excess over the corpus reference,
+    exp(excess) exponentiated-gradient weights summed in source order
+    (bit-identical fold both engines), largest-remainder apportionment
+    of a 1M-token budget.  Every table past the corpus aggregate is
+    domain-bounded."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), " +")).alias("tok"))
+    n_total = toks.count()
+    freq = toks.groupBy("tok").agg(
+        F.floor(F.log(F.count(F.lit(1)).cast("double")
+                      / F.lit(float(n_total))) * 1e6)
+        .cast("long").alias("logp_micro"))
+    dom = toks.join(freq, "tok").groupBy("source").agg(
+        F.sum("logp_micro").cast("long").alias("sl"),
+        F.count(F.lit(1)).cast("long").alias("nt"))
+    neg = -F.col("sl")
+    loss = dom.select(
+        "source", "nt",
+        ((neg - F.pmod(neg, F.col("nt"))) / F.col("nt")).cast("long")
+        .alias("loss_micro"))
+    refagg = dom.agg(F.sum("sl").alias("tsl"), F.sum("nt").alias("tnt"))
+    rneg = -F.col("tsl")
+    ref = refagg.select(
+        ((rneg - F.pmod(rneg, F.col("tnt"))) / F.col("tnt")).cast("long")
+        .alias("ref_micro"))
+    ex = loss.crossJoin(F.broadcast(ref)).select(
+        "source", "nt", "loss_micro",
+        F.greatest(F.lit(0), F.col("loss_micro") - F.col("ref_micro"))
+        .cast("long").alias("excess_micro"))
+    w = ex.withColumn("wv", F.exp(F.col("excess_micro").cast("double")
+                                  / 1e6))
+    ws = w.agg(F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("source", "wv"))),
+            lambda s: s["wv"]),
+        F.lit(0.0), lambda a, v: a + v).alias("wsum"))
+    raw = w.crossJoin(F.broadcast(ws)).select(
+        "source", "nt", "loss_micro", "excess_micro",
+        (F.lit(float(_DOREMI_BUDGET)) * F.col("wv") / F.col("wsum"))
+        .alias("r"))
+    fl = raw.select(
+        "source", "nt", "loss_micro", "excess_micro",
+        F.floor("r").cast("long").alias("alloc0"),
+        F.floor((F.col("r") - F.floor("r")) * 1e6 + 0.5).cast("long")
+        .alias("rem_m"))
+    res = fl.agg((F.lit(_DOREMI_BUDGET) - F.sum("alloc0"))
+                 .alias("residue"))
+    wspec = Window.orderBy(F.desc("rem_m"), F.asc("source"))
+    rk = fl.crossJoin(F.broadcast(res)).withColumn(
+        "rk", F.row_number().over(wspec))
+    alloc = F.col("alloc0") + F.when(
+        F.col("rk") <= F.col("residue"), 1).otherwise(0)
+    return rk.select(
+        "source", F.col("nt").alias("n_tokens"), "loss_micro",
+        "excess_micro", alloc.cast("long").alias("alloc_tokens"))
