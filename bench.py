@@ -291,6 +291,8 @@ BENCH_QUERIES = [
     "jdem_roundtrip",
     "avce00_roundtrip",
     "corpus_doremi_weights",
+    "ilwis_roundtrip",
+    "gxf_roundtrip",
 ]
 
 

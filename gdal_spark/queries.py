@@ -22124,3 +22124,90 @@ def q_corpus_doremi_weights(spark, sf_dir):
     return rk.select(
         "source", F.col("nt").alias("n_tokens"), "loss_micro",
         "excess_micro", alloc.cast("long").alias("alloc_tokens"))
+
+
+def _sql_ilwis() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 29 + gy.i * 3) % 157) * 0.5 - 20.0 AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 9 + y) % 7)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("ilwis_roundtrip", _sql_ilwis())
+def q_ilwis_roundtrip(spark, sf_dir):
+    """ILWIS gate (frmts/ilwis/ilwisdataset.cpp): a float store through
+    the INI-style .mpr ODF (Ilwis/BaseMap/Map/MapStore key chain, Size
+    = 'rows cols', the five store-type names of GetStoreType) and the
+    row-major top-down .mp# payload; half-integers are float32-exact."""
+    import tempfile
+
+    from gdal_spark.sources import ilwis as ILW
+
+    path = tempfile.mkdtemp(prefix="gdalspark_ilwis_gate_") + "/m.mpr"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 29 + F.col("gy") * 3) % 157).cast("double")
+        * 0.5 - 20.0,
+    )
+    ILW.write_ilwis(cells, path, w, w, dtype="f4", block_rows=32)
+    back = ILW.read_ilwis(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") * 9 + F.col("gy")) % 7))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_gxf() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 41 + gy.i * 19) % 227) * 0.125 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 2 + gy.i * 5) % 9 <> 0)
+SELECT (x // 16)::bigint AS col_band,
+       sum(val * (1 + (x + y * 13) % 21)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY col_band"""
+
+
+@register("gxf_roundtrip", _sql_gxf())
+def q_gxf_roundtrip(spark, sf_dir):
+    """GXF gate (frmts/gxf/gxfopen.c; Geosoft GXF Rev 3): an
+    uncompressed grid through the #-titled keyword records and sense-1
+    scanlines (lower-left origin, SOUTH row first — gxfopen.c:212) with
+    #DUMMY holes dropped on read.  The engine's fixed-width one-line-
+    per-scanline layout keeps both sink and scan splittable; eighth-
+    integers roundtrip %.12g text exactly."""
+    import tempfile
+
+    from gdal_spark.sources import gxf as GXF
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gxf_gate_") + "/g.gxf"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 41 + F.col("gy") * 19) % 227).cast("double")
+        * 0.125,
+    ).filter((F.col("gx") * 2 + F.col("gy") * 5) % 9 != 0)
+    GXF.write_gxf(cells, path, w, w)
+    back = GXF.read_gxf(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gx") / 16).cast("long").alias("col_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") + F.col("gy") * 13) % 21))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -2487,3 +2487,100 @@ class TestAvce00:
         a2 = back[back["arc_id"] == 2].sort_values("seq")
         assert list(a2["x"]) == [5.0, 6.0, 8.0]
         assert list(a2["rpoly"]) == [3, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# ILWIS codec (frmts/ilwis/ilwisdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestIlwis:
+    def test_odf_keys_and_roundtrip(self, tmp_path, spark):
+        from gdal_spark.sources import ilwis as I
+
+        w, h = 5, 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 2).cast("double").alias("val"),
+        )
+        p = str(tmp_path / "m.mpr")
+        I.write_ilwis(cells, p, w, h, dtype="i4", block_rows=2)
+        text = open(p).read()
+        assert "[MapStore]" in text and "Type=Long" in text
+        assert f"Size={h} {w}" in text  # rows first, the ILWIS order
+        hdr = I.parse_mpr(p)
+        assert (hdr["w"], hdr["h"], hdr["dtype"]) == (w, h, "<i4")
+        # store is top-down row-major
+        raw = np.fromfile(hdr["store"], dtype="<i4").reshape(h, w)
+        assert raw[0, 1] == 2 and raw[1, 0] == 2 * w
+        back = I.read_ilwis(spark, p, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import ilwis as I
+
+        p = str(tmp_path / "bad.mpr")
+        open(p, "w").write("[Ilwis]\nType=Table\n")
+        with pytest.raises(ValueError, match="BaseMap"):
+            I.parse_mpr(p)
+        open(p, "w").write("[Ilwis]\nType=BaseMap\n[Map]\nSize=2 2\n"
+                           "[MapStore]\nType=Complex\nData=x.mp#\n")
+        with pytest.raises(ValueError, match="store type"):
+            I.parse_mpr(p)
+
+
+# ---------------------------------------------------------------------------
+# GXF codec (frmts/gxf/gxfopen.c)
+# ---------------------------------------------------------------------------
+
+class TestGxf:
+    def test_header_records_and_sense1(self, tmp_path, spark):
+        from gdal_spark.sources import gxf as G
+
+        w, h = 4, 3
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.5).cast("double").alias("val"),
+        )
+        p = str(tmp_path / "g.gxf")
+        G.write_gxf(cells, p, w, h)
+        text = open(p).read()
+        assert "#POINTS\n4\n" in text and "#ROWS\n3\n" in text
+        assert "#SENSE\n1\n" in text
+        hdr = G.parse_gxf_header(p)
+        assert (hdr["w"], hdr["h"], hdr["sense"]) == (w, h, 1)
+        # sense 1: first scanline after #GRID is the SOUTH row (gy=h-1)
+        first_line = text.split("#GRID\n", 1)[1].splitlines()[0]
+        assert float(first_line.split()[0]) == (h - 1) * w * 0.5
+        back = G.read_gxf(spark, p, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_foreign_wrap_and_sense_minus2(self, tmp_path, spark):
+        from gdal_spark.sources import gxf as G
+
+        # foreign writer: sense -2 (north row first), wrapped 2/line
+        txt = ("#POINTS\n3\n#ROWS\n2\n#SENSE\n-2\n#DUMMY\n-99\n#GRID\n"
+               "1 2\n3\n4 -99\n6\n")
+        p = str(tmp_path / "f.gxf")
+        open(p, "w").write(txt)
+        back = G.read_gxf(spark, p).toPandas().sort_values(
+            ["gy", "gx"]).reset_index(drop=True)
+        assert len(back) == 5  # dummy dropped
+        assert list(back.loc[back["gy"] == 0, "val"]) == [1.0, 2.0, 3.0]
+        assert list(back.loc[back["gy"] == 1, "val"]) == [4.0, 6.0]
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import gxf as G
+
+        p = str(tmp_path / "x.gxf")
+        open(p, "w").write("#POINTS\n2\n#ROWS\n2\n")
+        with pytest.raises(ValueError, match="GRID"):
+            G.parse_gxf_header(p)
+        open(p, "w").write("#POINTS\n2\n#ROWS\n2\n#SENSE\n4\n#GRID\n1\n")
+        with pytest.raises(ValueError, match="SENSE"):
+            G.parse_gxf_header(p)
