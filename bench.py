@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "corpus_doremi_weights",
     "ilwis_roundtrip",
     "gxf_roundtrip",
+    "leveller_roundtrip",
 ]
 
 

@@ -22211,3 +22211,48 @@ def q_gxf_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_leveller() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 3 + gy.i * 37) % 211) * 0.25 + 100.0 AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 13 + y * 5) % 29)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("leveller_roundtrip", _sql_leveller())
+def q_leveller_roundtrip(spark, sf_dir):
+    """Leveller TER v7 gate (frmts/leveller/levellerdataset.cpp): a
+    heightfield through the trrn tag chain — u8-length descriptors,
+    u32 data lengths, hf_w/hf_b sizes, coordsys_em_scale/_base
+    elevation scaling (raw·0.5 + 100, both exact in float32), and the
+    top-down float32 hf_data payload read as row-block slabs."""
+    import tempfile
+
+    from gdal_spark.sources import leveller as LEV
+
+    path = tempfile.mkdtemp(prefix="gdalspark_lev_gate_") + "/t.ter"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 3 + F.col("gy") * 37) % 211).cast("double")
+        * 0.25 + 100.0,
+    )
+    LEV.write_leveller(cells, path, w, w, em_scale=0.5, em_base=100.0,
+                       block_rows=32)
+    back = LEV.read_leveller(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 13 + F.col("gy") * 5) % 29))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

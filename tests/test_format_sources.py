@@ -2584,3 +2584,57 @@ class TestGxf:
         open(p, "w").write("#POINTS\n2\n#ROWS\n2\n#SENSE\n4\n#GRID\n1\n")
         with pytest.raises(ValueError, match="SENSE"):
             G.parse_gxf_header(p)
+
+
+# ---------------------------------------------------------------------------
+# Leveller TER codec (frmts/leveller/levellerdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestLeveller:
+    def test_tag_chain_and_roundtrip(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import leveller as L
+
+        w, h = 5, 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.5 + 10.0).cast("double").alias("val"),
+        )
+        p = str(tmp_path / "t.ter")
+        L.write_leveller(cells, p, w, h, em_scale=0.5, em_base=10.0,
+                         block_rows=2)
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"trrn" and raw[4] == 7
+        # first tag: u8 len(4) + 'hf_w' + u32 datalen(4) + u32 value
+        assert raw[5] == 4 and raw[6:10] == b"hf_w"
+        assert struct.unpack_from("<I", raw, 10)[0] == 4
+        assert struct.unpack_from("<I", raw, 14)[0] == w
+        tags = L.walk_tags(p)
+        assert set(tags) >= {"hf_w", "hf_b", "hf_data",
+                             "coordsys_em_scale"}
+        hdr = L.parse_header(p)
+        assert (hdr["w"], hdr["h"], hdr["scale"], hdr["base"]) == \
+            (w, h, 0.5, 10.0)
+        # hf_data raw value for gy=0,gx=2: (11.0-10)/0.5 = 2
+        off = tags["hf_data"][0]
+        assert struct.unpack_from("<f", raw, off + 2 * 4)[0] == 2.0
+        back = L.read_leveller(spark, p, block_rows=2)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import leveller as L
+
+        p = str(tmp_path / "bad.ter")
+        open(p, "wb").write(b"XXXX\x07")
+        with pytest.raises(ValueError, match="magic"):
+            L.walk_tags(p)
+        open(p, "wb").write(b"trrn\x07\x00")
+        with pytest.raises(ValueError, match="descriptor"):
+            L.walk_tags(p)
+        open(p, "wb").write(b"trrn\x07")
+        with pytest.raises(ValueError, match="hf_w"):
+            L.parse_header(p)
