@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "ilwis_roundtrip",
     "gxf_roundtrip",
     "leveller_roundtrip",
+    "corpus_unimax_alloc",
 ]
 
 

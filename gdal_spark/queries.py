@@ -22256,3 +22256,73 @@ def q_leveller_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax language sampling (Chung et al. 2022, public): allocate a token
+# budget across languages by ascending size — each language receives
+# min(cap·n_i, floor(budget_left / languages_left)) — so low-resource
+# languages are capped at N epochs and the surplus flows to larger ones.
+# Complements corpus_temperature_mix (power-law weights) and
+# corpus_doremi_weights (loss-driven): this is the epoch-capped budget rule.
+# ---------------------------------------------------------------------------
+
+_UNIMAX_BUDGET = 2_000_000
+_UNIMAX_EPOCH_CAP = 3
+
+
+def _sql_unimax() -> str:
+    b, cap = _UNIMAX_BUDGET, _UNIMAX_EPOCH_CAP
+    return f"""WITH RECURSIVE nt AS (
+  SELECT lang, sum(len(string_split_regex(trim(text), ' +')))::bigint
+           AS n_tokens
+  FROM documents GROUP BY lang),
+ord AS (SELECT lang, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, lang) AS i,
+               (SELECT count(*) FROM nt) AS k
+        FROM nt),
+alloc AS (
+  SELECT 0::bigint AS i, {b}::bigint AS b_rem,
+         CAST(NULL AS VARCHAR) AS lang, 0::bigint AS n_tokens,
+         0::bigint AS a, 0::bigint AS k
+  UNION ALL
+  SELECT o.i, al.b_rem - least({cap} * o.n_tokens,
+                               ((al.b_rem - (al.b_rem % (o.k - o.i + 1)))
+                                / (o.k - o.i + 1))::bigint),
+         o.lang, o.n_tokens,
+         least({cap} * o.n_tokens,
+               ((al.b_rem - (al.b_rem % (o.k - o.i + 1)))
+                / (o.k - o.i + 1))::bigint),
+         o.k
+  FROM alloc al JOIN ord o ON o.i = al.i + 1)
+SELECT lang, n_tokens, a AS alloc_tokens,
+       ((a * 1000000 - (a * 1000000) % n_tokens) / n_tokens)::bigint
+         AS epochs_micro
+FROM alloc WHERE i > 0"""
+
+
+@register("corpus_unimax_alloc", _sql_unimax())
+def q_corpus_unimax_alloc(spark, sf_dir):
+    """UniMax budget allocation gate: per-language token counts (one
+    corpus aggregate), then the ascending-size greedy — languages are
+    bounded, so the sequential rule runs on the collected lang table
+    (the kmeans-Lloyd bounded-state pattern) while the oracle replays
+    it as a recursive CTE.  All arithmetic is exact integer floor
+    division; epochs are reported in micro units."""
+    docs = _read(spark, sf_dir, "documents")
+    nt = docs.select(
+        "lang",
+        F.size(F.split(F.trim("text"), " +")).alias("ntok"),
+    ).groupBy("lang").agg(F.sum("ntok").cast("long").alias("n_tokens"))
+    rows = sorted((r["n_tokens"], r["lang"]) for r in nt.collect())
+    b_rem = _UNIMAX_BUDGET
+    out = []
+    k = len(rows)
+    for idx, (n, lang) in enumerate(rows):
+        share = b_rem // (k - idx)
+        a = min(_UNIMAX_EPOCH_CAP * n, share)
+        b_rem -= a
+        out.append((lang, n, a, (a * 1000000) // n))
+    return docs.sparkSession.createDataFrame(
+        out, "lang string, n_tokens long, alloc_tokens long, "
+             "epochs_micro long")
