@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "gxf_roundtrip",
     "leveller_roundtrip",
     "corpus_unimax_alloc",
+    "ctg_roundtrip",
 ]
 
 

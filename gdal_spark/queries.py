@@ -22326,3 +22326,51 @@ def q_corpus_unimax_alloc(spark, sf_dir):
     return docs.sparkSession.createDataFrame(
         out, "lang string, n_tokens long, alloc_tokens long, "
              "epochs_micro long")
+
+
+def _sql_ctg() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+b AS (SELECT unnest(generate_series(0, 5)) AS band),
+v AS (SELECT band, gy.i AS y, gx.i AS x,
+             ((gx.i * 7 + gy.i * 11 + band * 13) % 97)::bigint AS val
+      FROM b CROSS JOIN g gy CROSS JOIN g gx)
+SELECT band, (y // 24)::bigint AS row_band,
+       sum(val * (1 + (x + y * 3) % 9))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY band, row_band"""
+
+
+@register("ctg_roundtrip", _sql_ctg())
+def q_ctg_roundtrip(spark, sf_dir):
+    """CTG gate (frmts/ctg/ctgdataset.cpp; USGS LULC Composite Theme
+    Grid): a 6-theme grid through the 80-byte terminator-free records —
+    5-record header (sizes/cell/zone, 1-based index bounds, NW corner),
+    then one self-positioned record per cell (zone + cell-center
+    coordinates + six 10-wide values).  The self-describing records
+    make the file order-free and fixed-stride, so both directions are
+    record-range slab IO; the digest spans all six themes."""
+    import tempfile
+
+    from gdal_spark.sources import ctg as CTG
+
+    path = tempfile.mkdtemp(prefix="gdalspark_ctg_gate_") + "/grid_cell"
+    w = _ENVI_W
+    cells = spark.range(6 * w * w).select(
+        (F.col("id") / (w * w)).cast("long").alias("band"),
+        ((F.col("id") % (w * w)) / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 7 + F.col("gy") * 11 + F.col("band") * 13) % 97)
+        .cast("long"),
+    )
+    CTG.write_ctg(cells, path, w, w, cell=200, zone=15,
+                  block_cells=1024)
+    back = CTG.read_ctg(spark, path, block_cells=1024)
+    return back.groupBy(
+        "band", (F.col("gy") / 24).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val") * (1 + (F.col("gx") + F.col("gy") * 3) % 9))
+        .cast("long").alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

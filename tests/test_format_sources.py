@@ -2638,3 +2638,71 @@ class TestLeveller:
         open(p, "wb").write(b"trrn\x07")
         with pytest.raises(ValueError, match="hf_w"):
             L.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# CTG codec (frmts/ctg/ctgdataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestCtg:
+    def test_80_byte_records_no_terminators(self, tmp_path, spark):
+        from gdal_spark.sources import ctg as C
+
+        w, h = 4, 3
+        cells = spark.range(6 * w * h).select(
+            (F.col("id") / (w * h)).cast("long").alias("band"),
+            ((F.col("id") % (w * h)) / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") % 50).cast("long").alias("val"),
+        )
+        p = str(tmp_path / "grid_cell")
+        C.write_ctg(cells, p, w, h, cell=200, zone=15,
+                    nw_easting=400000, nw_northing=5000000, block_cells=5)
+        raw = open(p, "rb").read()
+        assert len(raw) == (5 + w * h) * 80
+        assert b"\n" not in raw  # terminator-free 80-byte records
+        hdr = C.parse_header(p)
+        assert (hdr["w"], hdr["h"], hdr["cell"], hdr["zone"]) == \
+            (w, h, 200, 15)
+        # first data record: zone 15, center of cell (0,0)
+        rec = raw[5 * 80:6 * 80].decode()
+        assert int(rec[0:3]) == 15
+        assert int(rec[3:11]) == 400000 + 100
+        assert int(rec[11:19]) == 5000000 - 100
+        back = C.read_ctg(spark, p, block_cells=5)
+        j = back.join(cells.withColumnRenamed("val", "v0"),
+                      ["band", "gy", "gx"])
+        assert j.count() == 6 * w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_huge_values_read_as_zero_and_zone_check(self, tmp_path,
+                                                     spark):
+        from gdal_spark.sources import ctg as C
+
+        cells = spark.createDataFrame(
+            [(0, 0, 0, 7)], "band long, gy long, gx long, val long")
+        p = str(tmp_path / "g")
+        C.write_ctg(cells, p, 1, 1, zone=10)
+        raw = bytearray(open(p, "rb").read())
+        # splice a >=2e9 value into band 1's field
+        raw[5 * 80 + 30:5 * 80 + 40] = b"2000000001"
+        open(p, "wb").write(bytes(raw))
+        back = C.read_ctg(spark, p).toPandas()
+        assert back.loc[back["band"] == 1, "val"].iloc[0] == 0
+        assert back.loc[back["band"] == 0, "val"].iloc[0] == 7
+        # corrupt the record zone -> read must fail
+        raw[5 * 80:5 * 80 + 3] = b" 11"
+        open(p, "wb").write(bytes(raw))
+        with pytest.raises(Exception, match="zone"):
+            C.read_ctg(spark, p).collect()
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import ctg as C
+
+        p = str(tmp_path / "bad")
+        open(p, "wb").write(b" " * 100)
+        with pytest.raises(ValueError, match="truncated"):
+            C.parse_header(p)
+        open(p, "wb").write(C.header_bytes(2, 2, 0, 15, 0, 0))
+        with pytest.raises(ValueError, match="cell size"):
+            C.parse_header(p)
