@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "leveller_roundtrip",
     "corpus_unimax_alloc",
     "ctg_roundtrip",
+    "mrf_png_roundtrip",
 ]
 
 

@@ -22374,3 +22374,48 @@ def q_ctg_roundtrip(spark, sf_dir):
         .cast("long").alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_mrf() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 5 + gy.i * 9) % 251)::bigint AS val
+      FROM g gy CROSS JOIN g gx)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 3 + y * 7) % 15))::bigint AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("mrf_png_roundtrip", _sql_mrf())
+def q_mrf_png_roundtrip(spark, sf_dir):
+    """MRF gate (frmts/mrf/; NASA GIBS Meta Raster Format): a gray8
+    raster through the XML + 16-byte big-endian index + concatenated
+    PNG-page triplet — pages ordered x-fastest (IdxOffset,
+    mrf_util.cpp:327), empty pages as all-zero records.  The sink is
+    the two-pass lengths-only variable-length pattern over the repo's
+    from-scratch PNG codec; the scan decodes one page per task off the
+    driver-parsed index."""
+    import tempfile
+
+    from gdal_spark.sources import mrf as MRF
+
+    path = tempfile.mkdtemp(prefix="gdalspark_mrf_gate_") + "/t.mrf"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 5 + F.col("gy") * 9) % 251).cast("long"),
+    )
+    MRF.write_mrf(cells, path, w, w, page=32)
+    back = MRF.read_mrf(spark, path)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 3 + F.col("gy") * 7) % 15))
+        .cast("long").alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -2706,3 +2706,73 @@ class TestCtg:
         open(p, "wb").write(C.header_bytes(2, 2, 0, 15, 0, 0))
         with pytest.raises(ValueError, match="cell size"):
             C.parse_header(p)
+
+
+# ---------------------------------------------------------------------------
+# MRF codec (frmts/mrf/; NASA Meta Raster Format)
+# ---------------------------------------------------------------------------
+
+class TestMrf:
+    def test_triplet_layout_and_roundtrip(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import mrf as M
+
+        w, h = 10, 7  # ragged pages with page=4: 3x2 grid
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") % 256).cast("long").alias("val"),
+        )
+        import os
+
+        p = str(tmp_path / "t.mrf")
+        M.write_mrf(cells, p, w, h, page=4)
+        hdr = M.parse_mrf(p)
+        assert (hdr["w"], hdr["h"], hdr["page"]) == (w, h, 4)
+        idx = open(str(tmp_path / "t.idx"), "rb").read()
+        px, py = 3, 2
+        assert len(idx) == 16 * px * py
+        off0, ln0 = struct.unpack_from(">2q", idx, 0)
+        assert off0 == 0 and ln0 > 0
+        # data file is exactly the sum of page lengths
+        total = sum(struct.unpack_from(">2q", idx, 16 * i)[1]
+                    for i in range(px * py))
+        assert os.path.getsize(str(tmp_path / "t.ppg")) == total
+        # pages are PNG blobs
+        dat = open(str(tmp_path / "t.ppg"), "rb").read()
+        assert dat[:8] == b"\x89PNG\r\n\x1a\n"
+        back = M.read_mrf(spark, p)
+        j = back.join(cells.withColumnRenamed("val", "v0"), ["gy", "gx"])
+        assert j.count() == w * h
+        assert j.filter("val != v0").count() == 0
+
+    def test_empty_pages_skipped(self, tmp_path, spark):
+        from gdal_spark.sources import mrf as M
+
+        # only one page of a 2x2 page grid has data
+        cells = spark.createDataFrame(
+            [(0, 0, 9), (1, 1, 3)], "gy long, gx long, val long")
+        p = str(tmp_path / "e.mrf")
+        M.write_mrf(cells, p, 8, 8, page=4)
+        import struct
+
+        idx = open(str(tmp_path / "e.idx"), "rb").read()
+        recs = [struct.unpack_from(">2q", idx, 16 * i) for i in range(4)]
+        assert recs[0][1] > 0 and recs[1] == (0, 0) == recs[2]
+        back = M.read_mrf(spark, p).toPandas()
+        # only the live page's 16 cells come back
+        assert len(back) == 16
+        assert back.loc[(back["gy"] == 0) & (back["gx"] == 0),
+                        "val"].iloc[0] == 9
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import mrf as M
+
+        p = str(tmp_path / "bad.mrf")
+        open(p, "w").write("<xml/>")
+        with pytest.raises(ValueError, match="MRF_META"):
+            M.parse_mrf(p)
+        open(p, "w").write(M.mrf_xml(4, 4, 2).replace("PNG", "LERC"))
+        with pytest.raises(ValueError, match="LERC"):
+            M.parse_mrf(p)
