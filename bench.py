@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "corpus_unimax_alloc",
     "ctg_roundtrip",
     "mrf_png_roundtrip",
+    "surfer7_roundtrip",
 ]
 
 

@@ -22419,3 +22419,51 @@ def q_mrf_png_roundtrip(spark, sf_dir):
         .cast("long").alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def _sql_gs7bg() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 23 + gy.i * 41) % 307) * 0.125 - 11.0 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i + gy.i * 3) % 8 <> 0)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 7 + y * 11) % 25)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("surfer7_roundtrip", _sql_gs7bg())
+def q_surfer7_roundtrip(spark, sf_dir):
+    """Surfer 7 (GS7BG) gate (frmts/gsg/gs7bgdataset.cpp): the
+    tagged-section sibling of DSBB — DSRB header + version section,
+    unknown-section skip-by-size walk, the 72-byte GRID info block
+    (rows first, doubles for extent/spacing/blank), then the DATA
+    section's float64 bottom-up payload with blank holes dropped on
+    read.  Completes the Surfer family (DSAA ASCII, DSBB 6-binary,
+    GS7BG 7-binary)."""
+    import tempfile
+
+    from gdal_spark.sources import surfer as SRF
+
+    path = tempfile.mkdtemp(prefix="gdalspark_gs7_gate_") + "/grid.grd"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 23 + F.col("gy") * 41) % 307).cast("double")
+        * 0.125 - 11.0,
+    ).filter((F.col("gx") + F.col("gy") * 3) % 8 != 0)
+    SRF.write_gs7bg(cells, path, w, w, xlo=-5.0, ylo=30.0, cell=0.25,
+                    block_rows=32)
+    back = SRF.read_gs7bg(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 7 + F.col("gy") * 11) % 25))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -276,3 +276,135 @@ def read_gsag(spark: SparkSession, path: str,
         "gx": xx.ravel().astype(np.int64)[keep],
         "val": vals[keep]})
     return spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Surfer 7 (GS7BG) — the tagged-section sibling (frmts/gsg/gs7bgdataset.cpp)
+# ---------------------------------------------------------------------------
+
+_S7_HEADER_TAG = 0x42525344  # 'DSRB' on disk (little-endian)
+_S7_GRID_TAG = 0x44495247    # 'GRID'
+_S7_DATA_TAG = 0x41544144    # 'DATA'
+
+
+def parse_gs7bg_header(path: str) -> dict:
+    """Walk the tagged sections (gs7bgdataset.cpp:519-745): DSRB header
+    first, unknown sections skipped by size, GRID's 72-byte info block
+    (rows, cols, minX, minY, dx, dy, minZ, maxZ, rotation, blank), then
+    DATA — whose payload offset is returned."""
+    with open(path, "rb") as fh:
+        tag, size = struct.unpack("<2i", fh.read(8))
+        if tag != _S7_HEADER_TAG:
+            raise ValueError("surfer7: missing DSRB header tag")
+        fh.seek(size, os.SEEK_CUR)  # version section
+        while True:
+            head = fh.read(8)
+            if len(head) < 8:
+                raise ValueError("surfer7: no GRID section")
+            tag, size = struct.unpack("<2i", head)
+            if tag == _S7_GRID_TAG:
+                break
+            fh.seek(size, os.SEEK_CUR)
+        if size != 72:
+            raise ValueError(f"surfer7: GRID info size {size} != 72")
+        h, w = struct.unpack("<2i", fh.read(8))
+        (minx, miny, dx, dy, zmin, zmax, rot,
+         blank) = struct.unpack("<8d", fh.read(64))
+        tag, size = struct.unpack("<2i", fh.read(8))
+        if tag != _S7_DATA_TAG:
+            raise ValueError("surfer7: GRID not followed by DATA")
+        if size < w * h * 8:
+            raise ValueError("surfer7: DATA shorter than rows*cols")
+        return {"w": w, "h": h, "minx": minx, "miny": miny,
+                "dx": dx, "dy": dy, "zmin": zmin, "zmax": zmax,
+                "blank": blank, "data0": fh.tell()}
+
+
+def read_gs7bg(spark: SparkSession, path: str,
+               block_rows: int = 64) -> DataFrame:
+    """Distributed scan → (gy, gx, val double), gy top-down (the file's
+    rows are bottom-up like DSBB); nodes at/above the blank value are
+    dropped (gs7bgdataset.cpp:191)."""
+    hdr = parse_gs7bg_header(path)
+    w, h = hdr["w"], hdr["h"]
+    blank, data0 = hdr["blank"], hdr["data0"]
+    n_blocks = (h + block_rows - 1) // block_rows
+
+    slabs = spark.range(n_blocks).toDF("slab").repartition(
+        min(n_blocks, 32), "slab")
+
+    def read_slab(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            for pdf in batches:
+                for s in pdf["slab"].to_numpy():
+                    blk = int(s)
+                    y0 = blk * block_rows
+                    rows = min(block_rows, h - y0)
+                    frow0 = h - (y0 + rows)
+                    blob = os.pread(fd, rows * w * 8,
+                                    data0 + frow0 * w * 8)
+                    arr = np.frombuffer(blob, dtype="<f8").reshape(
+                        rows, w)[::-1]
+                    yy, xx = np.mgrid[0:rows, 0:w]
+                    vals = arr.ravel()
+                    keep = vals < blank * (1 - 1e-9)
+                    yield pd.DataFrame({
+                        "gy": (yy.ravel() + y0).astype(np.int64)[keep],
+                        "gx": xx.ravel().astype(np.int64)[keep],
+                        "val": vals[keep],
+                    })
+        finally:
+            os.close(fd)
+
+    return slabs.mapInPandas(read_slab, "gy long, gx long, val double")
+
+
+def write_gs7bg(
+    cells: DataFrame, path: str, w: int, h: int,
+    *, xlo: float = 0.0, ylo: float = 0.0, cell: float = 1.0,
+    block_rows: int = 64,
+) -> None:
+    """Distributed sink over (gy, gx, val): tagged header sections +
+    blank-filled DATA payload driver-side, one row-block pwrite per
+    task at the flipped offset."""
+    stats = cells.agg(F.min("val").alias("lo"),
+                      F.max("val").alias("hi")).collect()[0]
+    blank = BLANK_F64
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<3i", _S7_HEADER_TAG, 4, 1))
+        fh.write(struct.pack("<2i", _S7_GRID_TAG, 72))
+        fh.write(struct.pack("<2i", h, w))
+        fh.write(struct.pack(
+            "<8d", xlo, ylo, cell, cell,
+            float(stats["lo"]), float(stats["hi"]), 0.0, blank))
+        fh.write(struct.pack("<2i", _S7_DATA_TAG, w * h * 8))
+        data0 = fh.tell()
+        row = np.full(w, blank, dtype="<f8").tobytes()
+        for _ in range(h):
+            fh.write(row)
+
+    def write_slab(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        blk = int(key[0])
+        y0 = blk * block_rows
+        rows = min(block_rows, h - y0)
+        buf = np.full((rows, w), blank, dtype="<f8")
+        buf[pdf["gy"].to_numpy(np.int64) - y0,
+            pdf["gx"].to_numpy(np.int64)] = pdf["val"].to_numpy()
+        fd = os.open(path, os.O_WRONLY)
+        try:
+            os.pwrite(fd, buf[::-1].tobytes(order="C"),
+                      data0 + (h - (y0 + rows)) * w * 8)
+        finally:
+            os.close(fd)
+        return pd.DataFrame({"slab": [blk], "n": [len(pdf)]})
+
+    (
+        cells.withColumn(
+            "_slab",
+            F.floor(F.col("gy") / F.lit(block_rows)).cast("long"))
+        .groupBy("_slab")
+        .applyInPandas(write_slab, "slab long, n long")
+        .collect()
+    )

@@ -2776,3 +2776,58 @@ class TestMrf:
         open(p, "w").write(M.mrf_xml(4, 4, 2).replace("PNG", "LERC"))
         with pytest.raises(ValueError, match="LERC"):
             M.parse_mrf(p)
+
+
+class TestSurfer7:
+    def test_tagged_sections(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import surfer as S
+
+        w, h = 5, 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.25).cast("double").alias("val"),
+        ).filter(F.col("id") % 6 != 0)
+        p = str(tmp_path / "7.grd")
+        S.write_gs7bg(cells, p, w, h, xlo=1.0, ylo=2.0, cell=0.5,
+                      block_rows=2)
+        raw = open(p, "rb").read()
+        assert raw[:4] == b"DSRB"
+        assert struct.unpack_from("<2i", raw, 4) == (4, 1)
+        assert raw[12:16] == b"GRID"
+        assert struct.unpack_from("<i", raw, 16)[0] == 72
+        assert struct.unpack_from("<2i", raw, 20) == (h, w)  # rows first
+        hdr = S.parse_gs7bg_header(p)
+        assert (hdr["w"], hdr["h"], hdr["dx"]) == (w, h, 0.5)
+        assert hdr["blank"] == S.BLANK_F64
+        back = S.read_gs7bg(spark, p, block_rows=2)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter("val != v0").count() == 0
+
+    def test_skips_foreign_sections_and_rejects_bad(self, tmp_path,
+                                                    spark):
+        import struct
+
+        from gdal_spark.sources import surfer as S
+
+        cells = spark.createDataFrame([(0, 0, 5.0)],
+                                      "gy long, gx long, val double")
+        p = str(tmp_path / "x.grd")
+        S.write_gs7bg(cells, p, 1, 1)
+        raw = open(p, "rb").read()
+        # splice an unknown 10-byte section between version and GRID
+        spliced = raw[:12] + struct.pack("<2i", 0x12345678, 10) + \
+            b"\x00" * 10 + raw[12:]
+        p2 = str(tmp_path / "y.grd")
+        open(p2, "wb").write(spliced)
+        hdr = S.parse_gs7bg_header(p2)
+        assert (hdr["w"], hdr["h"]) == (1, 1)
+        back = S.read_gs7bg(spark, p2).toPandas()
+        assert list(back["val"]) == [5.0]
+        open(p2, "wb").write(b"XXXX" + raw[4:])
+        with pytest.raises(ValueError, match="DSRB"):
+            S.parse_gs7bg_header(p2)
