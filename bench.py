@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "ctg_roundtrip",
     "mrf_png_roundtrip",
     "surfer7_roundtrip",
+    "text_rrf_hybrid",
 ]
 
 

@@ -22467,3 +22467,75 @@ def q_surfer7_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank-fusion hybrid retrieval (Cormack et al. 2009, public):
+# fuse the BM25 lexical channel with an independent quality-prior channel
+# by RRF = Σ 1/(60 + rank_c), the standard hybrid-search combiner.  Ranks
+# and the 1/(60+r) terms are integer-quantized (floor(1e6/(60+r))) so the
+# fusion is exact; both channels are bounded top-50 lists, so every
+# post-retrieval step is dimension-sized.
+# ---------------------------------------------------------------------------
+
+def _sql_rrf() -> str:
+    bm25 = T.sql_bm25_topk("documents", _BM25_TERMS, top_k=50)
+    return f"""WITH bm AS ({bm25}),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+       FROM bm),
+q2 AS (SELECT doc_id, (n_chars * 13) % 997 AS qscore FROM documents
+       ORDER BY qscore DESC, doc_id LIMIT 50),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY qscore DESC, doc_id) AS rk
+       FROM q2),
+fused AS (
+  SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+         (CASE WHEN r1.rk IS NULL THEN 0
+               ELSE ((1000000 - 1000000 % (60 + r1.rk)) / (60 + r1.rk))::bigint
+          END +
+          CASE WHEN r2.rk IS NULL THEN 0
+               ELSE ((1000000 - 1000000 % (60 + r2.rk)) / (60 + r2.rk))::bigint
+          END) AS rrf_micro,
+         r1.rk AS bm25_rank, r2.rk AS quality_rank
+  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id)
+SELECT doc_id, rrf_micro, bm25_rank, quality_rank
+FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20"""
+
+
+@register("text_rrf_hybrid", _sql_rrf())
+def q_text_rrf_hybrid(spark, sf_dir):
+    """Hybrid-retrieval RRF gate: BM25 top-50 (the lexical channel,
+    bounded TakeOrdered) fused with a quality-prior top-50 by
+    reciprocal-rank fusion, floor(1e6/(60+rank)) integer terms summed
+    over a full outer join of the two dimension-sized lists, fused
+    top-20 out.  Windows run over the 50-row lists only — the corpus
+    is touched exactly twice (once per channel)."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    bm = T.bm25_topk(docs, _BM25_TERMS, top_k=50)
+    w1 = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    r1 = bm.withColumn("rk", F.row_number().over(w1)) \
+        .select("doc_id", F.col("rk").alias("rk1"))
+    q2 = docs.select(
+        "doc_id", ((F.col("n_chars") * 13) % 997).alias("qscore")
+    ).orderBy(F.desc("qscore"), F.asc("doc_id")).limit(50)
+    w2 = Window.orderBy(F.desc("qscore"), F.asc("doc_id"))
+    r2 = q2.withColumn("rk", F.row_number().over(w2)) \
+        .select("doc_id", F.col("rk").alias("rk2"))
+
+    def rterm(rk):
+        d = 60 + rk
+        return ((F.lit(1000000) - F.pmod(F.lit(1000000), d)) / d) \
+            .cast("long")
+
+    fused = r1.join(r2, "doc_id", "full_outer").select(
+        "doc_id",
+        (F.when(F.col("rk1").isNull(), 0).otherwise(rterm(F.col("rk1")))
+         + F.when(F.col("rk2").isNull(), 0)
+         .otherwise(rterm(F.col("rk2")))).alias("rrf_micro"),
+        F.col("rk1").alias("bm25_rank"),
+        F.col("rk2").alias("quality_rank"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
