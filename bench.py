@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "mrf_png_roundtrip",
     "surfer7_roundtrip",
     "text_rrf_hybrid",
+    "nwtgrd_roundtrip",
 ]
 
 

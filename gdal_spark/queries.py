@@ -22539,3 +22539,50 @@ def q_text_rrf_hybrid(spark, sf_dir):
         F.col("rk2").alias("quality_rank"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(20)
+
+
+def _sql_nwtgrd() -> str:
+    return f"""WITH g AS (SELECT unnest(generate_series(0, {_ENVI_W - 1})) AS i),
+v AS (SELECT gy.i AS y, gx.i AS x,
+             ((gx.i * 29 + gy.i * 43) % 65521) * 0.125 AS val
+      FROM g gy CROSS JOIN g gx
+      WHERE (gx.i * 7 + gy.i) % 12 <> 0)
+SELECT (y // 16)::bigint AS row_band,
+       sum(val * (1 + (x * 11 + y * 3) % 27)) AS digest,
+       count(*)::bigint AS n
+FROM v GROUP BY row_band"""
+
+
+@register("nwtgrd_roundtrip", _sql_nwtgrd())
+def q_nwtgrd_roundtrip(spark, sf_dir):
+    """Northwood/Vertical Mapper GRD gate (frmts/northwood/
+    grddataset.cpp): a grid through the 1024-byte HGPC1 header and the
+    format's 16-bit quantization — raw 0 is the null marker (punched
+    holes roundtrip as absent), value = zMin + (raw−1)·(zMax−zMin)/65534.
+    The gate pins zmax = 65534·0.125 so the step is exactly 0.125 and
+    eighth-integer values survive the uint16 quantization bit-exactly."""
+    import tempfile
+
+    from gdal_spark.sources import nwtgrd as NWT
+
+    path = tempfile.mkdtemp(prefix="gdalspark_nwt_gate_") + "/t.grd"
+    w = _ENVI_W
+    cells = spark.range(w * w).select(
+        (F.col("id") / w).cast("long").alias("gy"),
+        (F.col("id") % w).alias("gx"),
+    ).withColumn(
+        "val",
+        ((F.col("gx") * 29 + F.col("gy") * 43) % 65521).cast("double")
+        * 0.125,
+    ).filter((F.col("gx") * 7 + F.col("gy")) % 12 != 0)
+    NWT.write_nwtgrd(cells, path, w, w, zmin=0.0, zmax=65534 * 0.125,
+                     block_rows=32)
+    back = NWT.read_nwtgrd(spark, path, block_rows=32)
+    return back.groupBy(
+        (F.col("gy") / 16).cast("long").alias("row_band")
+    ).agg(
+        F.sum(F.col("val")
+              * (1 + (F.col("gx") * 11 + F.col("gy") * 3) % 27))
+        .alias("digest"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -2831,3 +2831,58 @@ class TestSurfer7:
         open(p2, "wb").write(b"XXXX" + raw[4:])
         with pytest.raises(ValueError, match="DSRB"):
             S.parse_gs7bg_header(p2)
+
+
+# ---------------------------------------------------------------------------
+# Northwood GRD codec (frmts/northwood/grddataset.cpp)
+# ---------------------------------------------------------------------------
+
+class TestNwtGrd:
+    def test_header_and_quantization(self, tmp_path, spark):
+        import struct
+
+        from gdal_spark.sources import nwtgrd as N
+
+        w, h = 5, 4
+        cells = spark.range(w * h).select(
+            (F.col("id") / w).cast("long").alias("gy"),
+            (F.col("id") % w).alias("gx"),
+            (F.col("id") * 0.5).cast("double").alias("val"),
+        ).filter(F.col("id") % 7 != 0)  # punched nulls
+        p = str(tmp_path / "t.grd")
+        N.write_nwtgrd(cells, p, w, h, zmin=0.0, zmax=65534 * 0.5,
+                       block_rows=2)
+        raw = open(p, "rb").read()
+        assert raw[:5] == b"HGPC1"
+        assert struct.unpack_from("<2H", raw, 9) == (w, h)
+        hdr = N.parse_header(p)
+        assert hdr["zmin"] == 0.0 and hdr["zmax"] == 65534 * 0.5
+        # raw samples: null marker 0 where holes, k+1 elsewhere
+        samp = np.frombuffer(raw[1024:], dtype="<u2").reshape(h, w)
+        assert samp[0, 0] == 0          # id 0 punched
+        assert samp[0, 2] == 3          # val 1.0 / 0.5 = 2 -> raw 3
+        back = N.read_nwtgrd(spark, p, block_rows=2)
+        assert back.count() == cells.count()
+        j = back.join(cells.select("gy", "gx", F.col("val").alias("v0")),
+                      ["gy", "gx"])
+        assert j.filter("val != v0").count() == 0
+
+    def test_u32_size_fallback(self, tmp_path):
+        import struct
+
+        from gdal_spark.sources import nwtgrd as N
+
+        hdr = bytearray(N.header_bytes(70000, 3, minx=0, maxx=1, miny=0,
+                                       maxy=1, zmin=0, zmax=1))
+        p = str(tmp_path / "big.grd")
+        open(p, "wb").write(bytes(hdr))
+        got = N.parse_header(p)
+        assert got["w"] == 70000 and got["h"] == 3
+
+    def test_parse_rejects_bad(self, tmp_path):
+        from gdal_spark.sources import nwtgrd as N
+
+        p = str(tmp_path / "bad.grd")
+        open(p, "wb").write(b"XXXXX" + b"\x00" * 1019)
+        with pytest.raises(ValueError, match="HGPC1"):
+            N.parse_header(p)
