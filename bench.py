@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "surfer7_roundtrip",
     "text_rrf_hybrid",
     "nwtgrd_roundtrip",
+    "events_mann_kendall",
 ]
 
 

@@ -22586,3 +22586,56 @@ def q_nwtgrd_roundtrip(spark, sf_dir):
         .alias("digest"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test over the event stream's daily volumes (the
+# monotone-drift monitor a continuously-ingesting corpus pipeline runs):
+# S = Σ_{i<j} sgn(c_j − c_i) over the time-ordered daily counts, with the
+# normalized Kendall tau in micro units.  One corpus aggregate shrinks the
+# stream to the day-bounded series; the quadratic pair sum runs over that
+# bounded table only (30 days → 435 pairs), never the stream.
+# ---------------------------------------------------------------------------
+
+def _sql_mann_kendall() -> str:
+    return """WITH d AS (
+  SELECT date_trunc('day', ts) AS day, count(*)::bigint AS c
+  FROM events GROUP BY day),
+p AS (SELECT CASE WHEN b.c > a.c THEN 1
+                  WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+      FROM d a JOIN d b ON a.day < b.day),
+s AS (SELECT sum(sgn)::bigint AS s_stat, count(*)::bigint AS n_pairs
+      FROM p),
+n AS (SELECT count(*)::bigint AS n_days FROM d)
+SELECT s_stat, n_pairs, n_days,
+       ((s_stat * 1000000
+         - ((s_stat * 1000000 % n_pairs + n_pairs) % n_pairs))
+        / n_pairs)::bigint AS tau_micro
+FROM s, n"""
+
+
+@register("events_mann_kendall", _sql_mann_kendall())
+def q_events_mann_kendall(spark, sf_dir):
+    """Mann–Kendall gate: daily event volumes (one stream aggregate,
+    day-bounded output), S over all time-ordered pairs via a self-join
+    of the BOUNDED day table (broadcast — never the stream), Kendall
+    tau floor-quantized to micro units with the exact pmod division."""
+    ev = _read(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    a = d.select(F.col("day").alias("day_a"), F.col("c").alias("ca"))
+    b = d.select(F.col("day").alias("day_b"), F.col("c").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+    s = pairs.agg(
+        F.sum(F.when(F.col("cb") > F.col("ca"), 1)
+              .when(F.col("cb") < F.col("ca"), -1).otherwise(0))
+        .cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    num = F.col("s_stat") * 1000000
+    den = F.col("n_pairs")
+    return s.crossJoin(F.broadcast(n)).select(
+        "s_stat", "n_pairs", "n_days",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("tau_micro"),
+    )
