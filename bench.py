@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "text_rrf_hybrid",
     "nwtgrd_roundtrip",
     "events_mann_kendall",
+    "source_vocab_jaccard",
 ]
 
 

@@ -22639,3 +22639,76 @@ def q_events_mann_kendall(spark, sf_dir):
         "s_stat", "n_pairs", "n_days",
         ((num - F.pmod(num, den)) / den).cast("long").alias("tau_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-vocabulary Jaccard matrix (the corpus-composition diagnostic:
+# which sources share a lexicon — near-duplicate FEEDS show up as
+# high-Jaccard pairs before any document-level dedup runs).  Per-source
+# top-K vocabularies via a per-source window (partitioned — never a
+# single-partition window), then the pair matrix over the K-bounded sets.
+# ---------------------------------------------------------------------------
+
+def _sql_vocab_jaccard() -> str:
+    return """WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents),
+cnt AS (SELECT source, tok, count(*)::bigint AS n
+        FROM toks GROUP BY source, tok),
+rk AS (SELECT source, tok,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY n DESC, tok) AS r
+       FROM cnt),
+top AS (SELECT source, tok FROM rk WHERE r <= 100),
+sz AS (SELECT source, count(*)::bigint AS k FROM top GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                 count(*)::bigint AS n_inter
+          FROM top a JOIN top b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT i.src_a, i.src_b, i.n_inter,
+       ((i.n_inter * 1000000
+         - (i.n_inter * 1000000) % (sa.k + sb.k - i.n_inter))
+        / (sa.k + sb.k - i.n_inter))::bigint AS jaccard_micro
+FROM inter i
+JOIN sz sa ON sa.source = i.src_a
+JOIN sz sb ON sb.source = i.src_b"""
+
+
+@register("source_vocab_jaccard", _sql_vocab_jaccard())
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Source-vocabulary Jaccard gate: per-source top-100 tokens by
+    (count DESC, tok) — the window is PARTITIONED by source, so no
+    single-partition shuffle — then intersection counts over the
+    100-bounded sets (an equi-join on tok, source-pair grouped) and
+    exact floor-quantized Jaccard over |A|+|B|−|A∩B|."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    cnt = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), " +")).alias("tok"),
+    ).groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("tok"))
+    top = cnt.withColumn("r", F.row_number().over(w)) \
+        .filter(F.col("r") <= 100).select("source", "tok")
+    sz = top.groupBy("source").agg(F.count(F.lit(1)).cast("long")
+                                   .alias("k"))
+    a = top.select(F.col("source").alias("src_a"), "tok")
+    b = top.select(F.col("source").alias("src_b"), "tok")
+    inter = a.join(b, "tok").filter(F.col("src_a") < F.col("src_b")) \
+        .groupBy("src_a", "src_b") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    out = inter \
+        .join(F.broadcast(sz.withColumnRenamed("source", "src_a")
+                          .withColumnRenamed("k", "ka")), "src_a") \
+        .join(F.broadcast(sz.withColumnRenamed("source", "src_b")
+                          .withColumnRenamed("k", "kb")), "src_b")
+    num = F.col("n_inter") * 1000000
+    den = F.col("ka") + F.col("kb") - F.col("n_inter")
+    return out.select(
+        "src_a", "src_b", "n_inter",
+        ((num - F.pmod(num, den)) / den).cast("long")
+        .alias("jaccard_micro"),
+    )
