@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "nwtgrd_roundtrip",
     "events_mann_kendall",
     "source_vocab_jaccard",
+    "embed_label_centroid_cos",
 ]
 
 

@@ -22712,3 +22712,64 @@ def q_source_vocab_jaccard(spark, sf_dir):
         ((num - F.pmod(num, den)) / den).cast("long")
         .alias("jaccard_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding-centroid alignment (the embedding-space drift /
+# class-separation diagnostic): cosine between each label's centroid and
+# the global centroid, with components kilo-quantized at the source so
+# every sum/product stays exact in int64 — the only float ops are the two
+# final square roots and one division, identical on both engines.
+# ---------------------------------------------------------------------------
+
+def _sql_centroid_cos() -> str:
+    return f"""WITH dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+lf AS (SELECT e.label, dims.d,
+              floor(e.embedding[dims.d + 1]::double * 1024)::bigint AS q
+       FROM embeddings e CROSS JOIN dims),
+per AS (SELECT label, d, sum(q)::bigint AS sl FROM lf GROUP BY label, d),
+gctr AS (SELECT d, sum(sl)::bigint AS sg FROM per GROUP BY d),
+gn AS (SELECT sum(sg * sg)::bigint AS n2g FROM gctr),
+dot AS (SELECT per.label,
+               sum(per.sl * gctr.sg)::bigint AS dp,
+               sum(per.sl * per.sl)::bigint AS n2l
+        FROM per JOIN gctr ON per.d = gctr.d
+        GROUP BY per.label),
+nv AS (SELECT label, count(*)::bigint AS n_vecs
+       FROM embeddings GROUP BY label)
+SELECT dot.label, nv.n_vecs, dot.dp AS dot_q,
+       {SR('dot.dp::double / (sqrt(dot.n2l::double) * sqrt(gn.n2g::double))', 6)}
+         AS cos_global
+FROM dot JOIN nv ON nv.label = dot.label, gn"""
+
+
+@register("embed_label_centroid_cos", _sql_centroid_cos())
+def q_embed_label_centroid_cos(spark, sf_dir):
+    """Embedding centroid-alignment gate: per-label and global centroid
+    SUMS with kilo-quantized components (floor(e·1024) at the source —
+    every downstream sum and product fits int64 exactly at fixture
+    scale), cosine = dot/(‖a‖‖b‖) evaluated from identical longs in one
+    float expression.  Dimension-bounded after the one corpus
+    aggregate."""
+    emb = _read(spark, sf_dir, "embeddings")
+    lf = emb.select(
+        "label", F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "label", "d",
+        F.floor(F.col("v").cast("double") * 1024).cast("long").alias("q"))
+    per = lf.groupBy("label", "d").agg(
+        F.sum("q").cast("long").alias("sl"))
+    glob = per.groupBy("d").agg(F.sum("sl").cast("long").alias("sg"))
+    gn = glob.agg(F.sum(F.col("sg") * F.col("sg")).cast("long")
+                  .alias("n2g"))
+    dot = per.join(F.broadcast(glob), "d").groupBy("label").agg(
+        F.sum(F.col("sl") * F.col("sg")).cast("long").alias("dp"),
+        F.sum(F.col("sl") * F.col("sl")).cast("long").alias("n2l"))
+    nv = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_vecs"))
+    return dot.join(nv, "label").crossJoin(F.broadcast(gn)).select(
+        "label", "n_vecs", F.col("dp").alias("dot_q"),
+        R(F.col("dp").cast("double")
+          / (F.sqrt(F.col("n2l").cast("double"))
+             * F.sqrt(F.col("n2g").cast("double"))), 6).alias("cos_global"),
+    )
