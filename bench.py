@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "events_mann_kendall",
     "source_vocab_jaccard",
     "embed_label_centroid_cos",
+    "dedup_rate_by_source",
 ]
 
 

@@ -22773,3 +22773,44 @@ def q_embed_label_centroid_cos(spark, sf_dir):
           / (F.sqrt(F.col("n2l").cast("double"))
              * F.sqrt(F.col("n2g").cast("double"))), 6).alias("cos_global"),
     )
+
+
+def _sql_dup_rate() -> str:
+    return """WITH h AS (
+  SELECT source, md5(text) AS sig FROM documents),
+g AS (SELECT source, sig, count(*)::bigint AS n
+      FROM h GROUP BY source, sig),
+s AS (SELECT source,
+             sum(n)::bigint AS n_docs,
+             count(*)::bigint AS n_distinct,
+             sum(n - 1)::bigint AS n_dups
+      FROM g GROUP BY source)
+SELECT source, n_docs, n_distinct, n_dups,
+       ((n_dups * 1000000 - (n_dups * 1000000) % n_docs)
+        / n_docs)::bigint AS dup_rate_micro
+FROM s"""
+
+
+@register("dedup_rate_by_source", _sql_dup_rate())
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate (the triage report run BEFORE
+    committing to a dedup pass — which feeds need it): md5 content
+    signatures (JVM-side, the same digest both engines), one
+    (source, sig) aggregate, duplicate count = Σ(n−1) per source,
+    rate floor-quantized to micro units."""
+    docs = _read(spark, sf_dir, "documents")
+    g = docs.select("source", F.md5("text").alias("sig")) \
+        .groupBy("source", "sig") \
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dups"),
+    )
+    num = F.col("n_dups") * 1000000
+    den = F.col("n_docs")
+    return s.select(
+        "source", "n_docs", "n_distinct", "n_dups",
+        ((num - F.pmod(num, den)) / den).cast("long")
+        .alias("dup_rate_micro"),
+    )
